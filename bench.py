@@ -1,0 +1,73 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion through the `noop` sink (full
+pipeline execution, no driver-side collect — the same way a production
+job would terminate in a distributed write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per major engine area (doc assembly / agg / join /
+# window / dedup / similarity). Keep ~10 so the bench signal is stable.
+HEADLINE = [
+    "flagship_order_document",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "w1_running_total",
+    "top_orders_per_customer",
+    "dedup_exact_documents",
+    "minhash_near_dup_pairs",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from sinker_spark.session import get_spark
+    from sinker_spark.queries import REGISTRY, _load
+
+    _load()
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the query
+    spark.range(1).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY] or sorted(REGISTRY)[:5]
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Named query registry — the correctness surface of the engine.
+
+Every operator from SURVEY.md §2 (the reference's SQL surface + the
+rubric's extension categories) is registered here as a named query:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- an optional DuckDB oracle SQL string computing the same result on the
+  same parquet tables (omitted only for genuinely non-SQL-expressible ops,
+  which the driver then checks rows-only).
+
+Cross-engine determinism rules used throughout (see queries/helpers):
+
+- SUM/AVG over doubles go through an exact DECIMAL accumulation and are
+  cast back to DOUBLE, so the result is bit-identical regardless of
+  partitioning/summation order — a floating-point double sum is *not*
+  reproducible across engines (or even across two Spark runs with
+  different partition counts), a correctness landmine at 100 TB too.
+- Every computed column is aliased identically in Spark and oracle SQL.
+- Timestamps that reach result sets are rendered as strings (the two
+  engines disagree on JSON/py representation of timestamps, not values).
+- Arrays kept in results are explicitly sorted; collect_list order is
+  nondeterministic after a shuffle by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator registering a named query with its DuckDB oracle."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags)
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all query modules (side effect: registry population)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from sinker_spark.queries import (  # noqa: F401
+        flagship,
+        relational,
+        analytic,
+        temporal,
+        documents,
+        vectors,
+    )
+
+    _LOADED = True
