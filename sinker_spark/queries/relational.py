@@ -1,1 +1,804 @@
-"""Placeholder — populated in later milestones."""
+"""Relational SQL surface — SURVEY.md §2 Table B plus the "absent
+category" operators (windows, top-k, set ops, rollup/cube, semi/anti,
+range/theta joins, batteries) that the reference's full-SQL view language
+inherits from Postgres (reference README.md:84-85) and we inherit from
+Spark SQL.
+
+Scale notes (100 TB design review per query):
+- group-bys emit partial aggregates map-side; keys here (returnflag,
+  nation, brand…) are low-cardinality → tiny shuffles.
+- dimension joins (nation, region, bands) are explicit ``broadcast``;
+  fact-fact joins (orders⋈lineitem) shuffle on the join key and AQE
+  handles skew.
+- every filter is a plain Catalyst predicate → pushed into the parquet
+  scan (verified via .explain in tests/test_plans.py).
+- top-k uses ``ORDER BY … LIMIT k`` which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  never a full sort of the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.catalog import load_tables, register_views
+from sinker_spark.queries import query
+from sinker_spark.queries.helpers import REVENUE_SQL, davg, davg_expr, dsum, dsum_expr, revenue
+
+
+def _sql(name: str, spark_sql: str, oracle: str, doc: str = "", tags: tuple[str, ...] = ()):
+    """Register a query expressed as Spark SQL text (the reference's native
+    mode: users hand the engine SQL, sinker.py:96-98)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    query(name, oracle=oracle, doc=doc, tags=tags)(fn)
+    return fn
+
+
+# --- B1/B2: scan + projection + aliasing ---------------------------------
+@query(
+    "scan_project_alias",
+    oracle="""SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+                     o_totalprice AS totalprice FROM orders""",
+    doc="B1/B2 table scan with pruned projection and aliases (person_mv.sql:1-4 shape)",
+    tags=("B1", "B2"),
+)
+def scan_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+# --- B3: filters / predicates --------------------------------------------
+@query(
+    "filter_compound_predicate",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem
+              WHERE l_returnflag = 'R' AND l_quantity > 30
+                AND l_discount BETWEEN 0.02 AND 0.08
+                AND l_shipdate >= TIMESTAMP '1997-01-01'""",
+    doc="B3 compound predicate — all four conjuncts push into the parquet scan",
+    tags=("B3",),
+)
+def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].where(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 30)
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --- B15/B19/B23: TPC-H Q1 pricing summary -------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr('l_quantity')} AS sum_qty,
+           {dsum_expr('l_extendedprice')} AS sum_base_price,
+           {REVENUE_SQL} AS sum_disc_price,
+           {davg_expr('l_quantity')} AS avg_qty,
+           {davg_expr('l_extendedprice')} AS avg_price,
+           {davg_expr('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1 shape: multi-aggregate GROUP BY; low-cardinality keys → map-side partials, tiny shuffle",
+    tags=("B15", "B19", "B23"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            revenue().alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- B13 + top-k: TPC-H Q3 shipping priority -----------------------------
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey AS orderkey, {REVENUE_SQL} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority AS priority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, orderkey LIMIT 10""",
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-k (TakeOrderedAndProject, no full sort)",
+    tags=("B13", "B20"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate", "priority")
+    )
+
+
+# --- multi-join star query: TPC-H Q5 shape -------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation, {REVENUE_SQL} AS revenue
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name""",
+    doc="TPC-H Q5 shape: 6-way star join; nation/region broadcast, fact joins shuffle on orderkey",
+    tags=("B13",),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(revenue().alias("revenue"))
+    )
+
+
+# --- B12: CTE ------------------------------------------------------------
+_sql(
+    "cte_big_spenders",
+    spark_sql=f"""
+    WITH cust_totals AS (
+      SELECT o_custkey, {dsum_expr('o_totalprice')} AS total_spent, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_name AS name, t.total_spent, t.n_orders
+    FROM cust_totals t JOIN customer c ON c.c_custkey = t.o_custkey
+    WHERE t.total_spent > 1000000""",
+    oracle=f"""
+    WITH cust_totals AS (
+      SELECT o_custkey, {dsum_expr('o_totalprice')} AS total_spent, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_name AS name, t.total_spent, t.n_orders
+    FROM cust_totals t JOIN customer c ON c.c_custkey = t.o_custkey
+    WHERE t.total_spent > 1000000""",
+    doc="B12 CTE (test_parse_schema_tables.py:22-38 shape): WITH + join + HAVING-style filter",
+    tags=("B12", "B13", "B15"),
+)
+
+# --- B16: DISTINCT ON (first row per key) --------------------------------
+_sql(
+    "distinct_on_latest_order",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1""",
+    doc="B16 DISTINCT ON equivalent (test_parse_schema_tables.py:23-24): window row_number with explicit ordering",
+    tags=("B16",),
+)
+
+# --- B14: left outer join with null handling -----------------------------
+_sql(
+    "left_join_order_counts",
+    spark_sql="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name""",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name""",
+    doc="B14 left join (test_parse_schema_tables.py:80): zero-order customers kept with count 0",
+    tags=("B14", "B15"),
+)
+
+# --- semi/anti joins -----------------------------------------------------
+@query(
+    "semi_join_active_customers",
+    oracle="""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')""",
+    doc="left-semi join (EXISTS): customers with at least one open order; no row duplication, no payload shuffle of orders",
+    tags=("join-semi",),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    open_orders = t["orders"].where(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    oracle="""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'O')""",
+    doc="left-anti join (NOT EXISTS): customers with no currently-open order",
+    tags=("join-anti",),
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    open_orders = t["orders"].where(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- B5: correlated scalar subquery --------------------------------------
+_sql(
+    "scalar_subquery_order_count",
+    spark_sql="""
+    SELECT c_custkey AS custkey,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer""",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer""",
+    doc="B5 correlated scalar subquery (course_mv.sql:3-8 shape); Catalyst decorrelates into an aggregate + left join",
+    tags=("B5",),
+)
+
+# --- B17/B18: derived table + subquery returning aggregate ----------------
+_sql(
+    "derived_table_avg_of_totals",
+    spark_sql=f"""
+    SELECT sub.status, {davg_expr('sub.cust_total')} AS avg_cust_total, COUNT(*) AS n_custs
+    FROM (SELECT o_orderstatus AS status, o_custkey,
+                 {dsum_expr('o_totalprice')} AS cust_total
+          FROM orders GROUP BY o_orderstatus, o_custkey) sub
+    GROUP BY sub.status""",
+    oracle=f"""
+    SELECT sub.status, {davg_expr('sub.cust_total')} AS avg_cust_total, COUNT(*) AS n_custs
+    FROM (SELECT o_orderstatus AS status, o_custkey,
+                 {dsum_expr('o_totalprice')} AS cust_total
+          FROM orders GROUP BY o_orderstatus, o_custkey) sub
+    GROUP BY sub.status""",
+    doc="B18 derived table in FROM (test_parse_schema_tables.py:74-77): two-level aggregation",
+    tags=("B17", "B18"),
+)
+
+# --- B8/B7: array aggregation with pinned order --------------------------
+@query(
+    "array_agg_order_parts",
+    oracle="""SELECT l_orderkey AS orderkey,
+                     list(DISTINCT l_partkey ORDER BY l_partkey) AS partkeys,
+                     COUNT(*) AS n_items
+              FROM lineitem GROUP BY l_orderkey""",
+    doc="B8 array_agg (test_parse_schema_tables.py:8-11): per-order sorted distinct part list; collect_set order pinned via sort_array",
+    tags=("B7", "B8"),
+)
+def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("partkeys"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- B9/B10: unnest + split_part -----------------------------------------
+@query(
+    "unnest_split_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> '' GROUP BY token""",
+    doc="B9 unnest-as-table-source (test_parse_schema_tables.py:8): explode(split(text)) → token counts",
+    tags=("B9",),
+)
+def unnest_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "split_part_customer_number",
+    oracle="""SELECT c_custkey, split_part(c_name, '#', 2) AS cust_number FROM customer""",
+    doc="B10 split_part (test_parse_schema_tables.py:8-10): 1-based field extraction",
+    tags=("B10",),
+)
+def split_part_customer_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select("c_custkey", F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_number"))
+
+
+# --- B11: jsonb_each_text lateral ----------------------------------------
+@query(
+    "json_each_event_props",
+    oracle="""
+    SELECT e.event_id, k.key AS key,
+           json_extract_string(e.props, '$.' || k.key) AS value
+    FROM events e, (SELECT event_id, unnest(json_keys(props)) AS key FROM events) k
+    WHERE e.event_id = k.event_id""",
+    doc="B11 jsonb_each_text lateral (test_parse_schema_tables.py:75-76): JSON map → (key, value) rows via from_json + explode",
+    tags=("B11",),
+)
+def json_each_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "value"),
+    )
+
+
+# --- set operations ------------------------------------------------------
+_SET_SPARK = {
+    "union": "UNION",
+    "intersect": "INTERSECT",
+    "except": "EXCEPT",
+}
+for _op, _kw in _SET_SPARK.items():
+    _sql(
+        f"set_{_op}_nations",
+        spark_sql=f"""
+        SELECT n_name AS nation FROM customer JOIN nation ON c_nationkey = n_nationkey
+        {_kw}
+        SELECT n_name AS nation FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        oracle=f"""
+        SELECT n_name AS nation FROM customer JOIN nation ON c_nationkey = n_nationkey
+        {_kw}
+        SELECT n_name AS nation FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+        doc=f"set operation {_kw}: customer nations vs supplier nations",
+        tags=("set-ops",),
+    )
+
+# --- grouping sets / rollup / cube ---------------------------------------
+_sql(
+    "rollup_order_stats",
+    spark_sql=f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n, {dsum_expr('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    oracle=f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n, {dsum_expr('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    doc="ROLLUP with GROUPING() disambiguation of null group labels",
+    tags=("rollup",),
+)
+
+_sql(
+    "cube_part_stats",
+    spark_sql=f"""
+    SELECT p_brand AS brand, p_type AS type,
+           GROUPING(p_brand) AS g_brand, GROUPING(p_type) AS g_type,
+           COUNT(*) AS n, {davg_expr('p_retailprice')} AS avg_price
+    FROM part GROUP BY CUBE (p_brand, p_type)""",
+    oracle=f"""
+    SELECT p_brand AS brand, p_type AS type,
+           GROUPING(p_brand) AS g_brand, GROUPING(p_type) AS g_type,
+           COUNT(*) AS n, {davg_expr('p_retailprice')} AS avg_price
+    FROM part GROUP BY CUBE (p_brand, p_type)""",
+    doc="CUBE over brand×type",
+    tags=("cube",),
+)
+
+_sql(
+    "grouping_sets_mixed",
+    spark_sql=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           {dsum_expr('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           {dsum_expr('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""",
+    doc="explicit GROUPING SETS",
+    tags=("grouping-sets",),
+)
+
+# --- range / theta joins -------------------------------------------------
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES ('budget', 0.0, 920.0), ('mid', 920.0, 960.0),
+                                        ('premium', 960.0, 100000.0))
+    SELECT b.band AS band, COUNT(*) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band""",
+    doc="range (interval) join: fact × tiny band dim via non-equi condition; the dim side is broadcast so the theta join is a per-row predicate scan, not a cartesian shuffle",
+    tags=("join-range",),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bands = t["part"].sparkSession.createDataFrame(
+        [("budget", 0.0, 920.0), ("mid", 920.0, 960.0), ("premium", 960.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        t["part"]
+        .join(F.broadcast(bands), (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "theta_join_ship_lag",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, COUNT(l.l_linenumber) AS n_shipped_within_30d
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey""",
+    doc="equi + range theta join: lineitems shipped within 30 days of order date; equi key carries the shuffle, range predicate evaluated post-match",
+    tags=("join-range", "B14"),
+)
+def theta_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        o.join(li, cond, "left")
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.count("l_linenumber").alias("n_shipped_within_30d"))
+    )
+
+
+# --- window functions ----------------------------------------------------
+_sql(
+    "w1_running_total",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders""",
+    doc="window frame ROWS UNBOUNDED PRECEDING: per-customer running spend (decimal-exact accumulation)",
+    tags=("window-frame",),
+)
+
+_sql(
+    "w2_rank_orders",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+    doc="ranking windows: rank / dense_rank / ntile over a named window",
+    tags=("window-rank",),
+)
+
+_sql(
+    "w3_lag_days_between_orders",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           datediff(o_orderdate,
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey)) AS days_since_prev
+    FROM orders""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS days_since_prev
+    FROM orders""",
+    doc="lag + datediff: inter-order gap per customer (NULL for first order)",
+    tags=("window-analytic",),
+)
+
+_sql(
+    "w5_moving_avg_3",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    doc="bounded ROWS frame: 3-order moving average, decimal-exact",
+    tags=("window-frame",),
+)
+
+_sql(
+    "top_orders_per_customer",
+    spark_sql="""
+    SELECT custkey, orderkey, totalprice FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3""",
+    oracle="""
+    SELECT custkey, orderkey, totalprice FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3""",
+    doc="top-k per group via row_number; Spark runs this as a single shuffle + per-partition sort with rank-limit pushdown",
+    tags=("window-rank", "B20"),
+)
+
+# --- global aggregate battery + exact count distinct ----------------------
+_sql(
+    "agg_global_stats",
+    spark_sql=f"""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           {dsum_expr('o_totalprice')} AS sum_price,
+           date_format(MIN(o_orderdate), 'yyyy-MM-dd') AS first_order,
+           date_format(MAX(o_orderdate), 'yyyy-MM-dd') AS last_order
+    FROM orders""",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           {dsum_expr('o_totalprice')} AS sum_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+    FROM orders""",
+    doc="B19 global aggregates incl. exact COUNT DISTINCT (expands to two-stage partial agg)",
+    tags=("B19",),
+)
+
+
+# --- approximate aggregates (rows-only: approximations differ by design) --
+@query(
+    "approx_distinct_customers",
+    oracle=None,
+    doc="approx_count_distinct (HyperLogLog++): per-segment approximate customer NDV; no oracle — sketch values are engine-specific (driver rows-only check). Companion exact query: agg_global_stats.",
+    tags=("approx",),
+)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+            F.count("*").alias("exact_rows"),
+        )
+    )
+
+
+@query(
+    "approx_percentile_prices",
+    oracle=None,
+    doc="approx_percentile over order totals per status (t-digest-style sketch; engine-specific → rows-only)",
+    tags=("approx",),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99"),
+        )
+    )
+
+
+# --- scalar function batteries -------------------------------------------
+_sql(
+    "battery_datetime",
+    spark_sql="""
+    SELECT o_orderkey AS orderkey,
+           year(o_orderdate)  AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+           quarter(o_orderdate) AS qtr, weekday(o_orderdate) AS dow_mon0,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS iso_date,
+           date_format(o_orderdate + INTERVAL 45 DAY, 'yyyy-MM-dd') AS plus_45d,
+           date_format(add_months(o_orderdate, 2), 'yyyy-MM-dd') AS plus_2mo,
+           datediff(TIMESTAMP '2000-01-01', o_orderdate) AS days_to_y2k,
+           date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start
+    FROM orders""",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus_45d,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders""",
+    doc="date/time battery: extract/arith/trunc/format — cross-engine-aligned semantics (dow normalized to Monday=0)",
+    tags=("functions-date",),
+)
+
+_sql(
+    "battery_string",
+    spark_sql="""
+    SELECT c_custkey AS custkey,
+           upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+           length(c_name) AS name_len,
+           substring(c_name, 10, 9) AS cust_digits,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           trim('  pad  ') AS trimmed,
+           lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_customer,
+           reverse(c_mktsegment) AS rseg,
+           contains(c_name, '0000') AS has_zeros,
+           startswith(c_name, 'Customer') AS is_cust_prefix
+    FROM customer""",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+           CAST(length(c_name) AS INT) AS name_len,
+           substring(c_name, 10, 9) AS cust_digits,
+           concat(c_mktsegment, ':', c_name) AS tagged,
+           trim('  pad  ') AS trimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_customer,
+           reverse(c_mktsegment) AS rseg,
+           contains(c_name, '0000') AS has_zeros,
+           starts_with(c_name, 'Customer') AS is_cust_prefix
+    FROM customer""",
+    doc="string battery: case/length/substring/concat/pad/replace/regexp/like/reverse/contains",
+    tags=("functions-string",),
+)
+
+_sql(
+    "battery_math",
+    spark_sql="""
+    SELECT o_orderkey AS orderkey,
+           round(o_totalprice, 1) AS rounded,
+           floor(o_totalprice) AS floored, ceil(o_totalprice) AS ceiled,
+           abs(o_totalprice - 100000.0) AS abs_diff,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           power(CAST(o_orderkey % 5 AS DOUBLE), 2.0) AS sq,
+           sqrt(o_totalprice) AS sqrt_price,
+           round(ln(o_totalprice), 6) AS ln_price6,
+           sign(o_totalprice - 200000.0) AS sgn,
+           greatest(o_totalprice, 150000.0) AS hi, least(o_totalprice, 150000.0) AS lo
+    FROM orders""",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           round(o_totalprice, 1) AS rounded,
+           CAST(floor(o_totalprice) AS BIGINT) AS floored, CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+           abs(o_totalprice - 100000.0) AS abs_diff,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           power(CAST(o_orderkey % 5 AS DOUBLE), 2.0) AS sq,
+           sqrt(o_totalprice) AS sqrt_price,
+           round(ln(o_totalprice), 6) AS ln_price6,
+           CAST(sign(o_totalprice - 200000.0) AS DOUBLE) AS sgn,
+           greatest(o_totalprice, 150000.0) AS hi, least(o_totalprice, 150000.0) AS lo
+    FROM orders""",
+    doc="math battery: round/floor/ceil/abs/mod/power/sqrt/ln/sign/greatest/least (ln rounded — libm may differ by 1 ulp)",
+    tags=("functions-math",),
+)
+
+# --- conditional / null handling battery ---------------------------------
+_sql(
+    "battery_conditional",
+    spark_sql="""
+    SELECT o_orderkey AS orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END AS status_word,
+           coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'DEFAULT') AS prio_or_default,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END AS size_bucket,
+           (o_orderstatus = 'O' AND o_totalprice > 200000) AS big_open,
+           ifnull(NULL, o_orderkey) AS filled
+    FROM orders""",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END AS status_word,
+           coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'DEFAULT') AS prio_or_default,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END AS size_bucket,
+           (o_orderstatus = 'O' AND o_totalprice > 200000) AS big_open,
+           ifnull(NULL, o_orderkey) AS filled
+    FROM orders""",
+    doc="conditional battery: CASE (simple+searched), coalesce/nullif/ifnull, boolean projection",
+    tags=("functions-conditional",),
+)

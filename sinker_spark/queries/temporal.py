@@ -1,1 +1,158 @@
-"""Placeholder — populated in later milestones."""
+"""Time-window and temporal-join queries over the ``events`` table.
+
+These are the batch twins of the Structured Streaming operators in
+:mod:`sinker_spark.streaming` — Spark's ``window``/``session_window``
+functions are identical in batch and streaming plans (only watermarks and
+state stores differ), so the DuckDB oracle validates the exact windowing
+semantics the streaming layer uses. The reference itself has no window
+operators (SURVEY.md §2, "absent categories") — its poll loop recomputes
+whole views — but its view language (full Postgres SQL) includes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sinker_spark.catalog import load_tables
+from sinker_spark.operators.asof import asof_join
+from sinker_spark.queries import query
+from sinker_spark.queries.helpers import dsum, dsum_expr
+
+
+@query(
+    "tumbling_hourly_events",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_expr('value')} AS sum_value
+    FROM events GROUP BY 1, 2""",
+    doc="tumbling window agg (Spark window(); streaming twin adds withWatermark) — hour × event_type",
+    tags=("window-tumbling",),
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, ts,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS w_start
+      FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS window_start, COUNT(*) AS n_events
+    FROM starts
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+    GROUP BY 1""",
+    doc="sliding window (1h window / 30min slide): each event lands in 2 windows; Spark window() with slideDuration",
+    tags=("window-sliding",),
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "session_windows_per_user",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, 1)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no""",
+    doc="session windows (30min gap): Spark session_window(); oracle via gaps-and-islands. Session end = last event + gap (Spark semantics)",
+    tags=("window-session",),
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "asof_last_signup_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime((SELECT MAX(s.ts) FROM events s
+                     WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                       AND s.ts <= p.ts), '%Y-%m-%d %H:%M:%S') AS asof_ts_s
+    FROM events p WHERE p.event_type = 'purchase'""",
+    doc="as-of join (operators/asof.py): for each purchase, the user's most recent signup at-or-before it; one shuffle + carry-forward window instead of a correlated per-row lookup",
+    tags=("join-asof",),
+)
+def asof_last_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, key="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts_s"),
+    )
+
+
+@query(
+    "latest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1""",
+    doc="streaming last-write-wins compaction (A15 max-LSN-per-id pattern, bulk_action_generator.py:37-38 ordering semantics) as a batch query",
+    tags=("streaming-semantics", "B16"),
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
