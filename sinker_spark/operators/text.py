@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built from JVM-side ``pyspark.sql.functions``
+expressions (whole-stage codegen, zero Python in the row loop); there are
+deliberately no Python UDFs here. Each operator is a DataFrame→DataFrame
+function usable on a 100 TB ``documents`` table: everything is a pure
+per-row ``select`` (no shuffle at all) except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lexicons for the language-ID heuristic. Real
+# deployments swap in fastText & friends via the multimodal UDF path; the
+# heuristic itself (per-language function-word hit-rate argmax) is the
+# classic n-gram/function-word approach and runs entirely JVM-side.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "for", "with", "as"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de": ("der", "die", "und", "das", "von", "den", "mit", "ist", "im", "des"),
+}
+
+PUNCT_RE = r"[.,!?;:]"
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization → array<string> (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """Sub-word-ish token count: split on whitespace AND at letter/digit
+    boundaries (a cheap BPE proxy: 'spark2024' → 2 pieces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.regexp_replace(c, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])", " "), r"\s+")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def stopword_hits(col: str | Column, lexicon: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Pure projection — no shuffle; at 100 TB this is a single map stage
+    fused into the parquet scan by whole-stage codegen.
+    """
+    n_chars = F.length(text_col)
+    n_tok = token_count(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, PUNCT_RE, ""))
+    n_stop = stopword_hits(text_col, LANG_LEXICONS["en"])
+    tok_d = n_tok.cast("double")
+    avg_tok_len = F.when(n_tok > 0, (n_chars - n_tok + 1).cast("double") / tok_d).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / tok_d).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    # classic Gopher-style heuristics, composed left-to-right so the
+    # arithmetic is engine-reproducible
+    score = (
+        F.lit(1.0) * stop_ratio
+        - F.lit(0.5) * punct_ratio
+        + F.lit(0.01) * F.least(tok_d, F.lit(100.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language function-word hits
+    (ties and zero-hit docs → 'und'). Deterministic and shuffle-free."""
+    hits = {lang: stopword_hits(text_col, lex) for lang, lex in LANG_LEXICONS.items()}
+    langs = sorted(hits)
+    best = F.greatest(*[hits[lg] for lg in langs])
+    # count how many languages achieve the max; unique winner required
+    n_best = sum((hits[lg] == best).cast("int") for lg in langs)
+    pred = F.when((best > 0) & (n_best == 1),
+                  F.coalesce(*[F.when(hits[lg] == best, F.lit(lg)) for lg in langs])
+                  ).otherwise(F.lit("und"))
+    return df.select(F.col(id_col), *[hits[lg].alias(f"hits_{lg}") for lg in langs], pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text — the canonical-form hash used for exact
+    dedup across trivially-different copies."""
+    norm = F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""), r" +", " ")
+    return df.select(F.col(id_col), F.md5(F.trim(norm)).alias("fingerprint"))

@@ -123,4 +123,6 @@ def main(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None) 
 if __name__ == "__main__":
     import sys
 
-    sys.exit(1 if main(*( [sys.argv[1]] if len(sys.argv) > 1 else []), names=sys.argv[2:] or None) else 0)
+    _sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    _names = sys.argv[2:] or None
+    sys.exit(1 if main(_sf, names=_names) > 0 else 0)

@@ -1,1 +1,225 @@
-"""Placeholder — populated in later milestones."""
+"""Training-data pipeline queries over ``documents`` — dedup, text
+analysis, fingerprinting (BASELINE.json extension operators). Thin
+wrappers over :mod:`sinker_spark.operators.dedup` / ``operators.text``;
+every md5-based pipeline stage is engine-portable, so even the full
+MinHash→LSH→Jaccard pipeline has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.catalog import load_tables
+from sinker_spark.operators import dedup, text
+from sinker_spark.queries import query
+
+_STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_LEXICONS["en"])
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+    FROM documents""",
+    doc="exact dedup: content-hash groups, min-id canonical (operators/dedup.exact_dedup)",
+    tags=("dedup-exact",),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.exact_dedup(t["documents"])
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+           n_chars AS n_chars_meta
+    FROM documents""",
+    doc="token counting: whitespace tokens + char counts (operators/text.token_count)",
+    tags=("text-tokens",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text.token_count("text").alias("n_tokens"),
+        F.col("n_chars").alias("n_chars_meta"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t <> '' AND list_contains([{_STOP_EN}], lower(t)))) AS INT) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+           round(CASE WHEN n_tokens > 0
+                 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN n_tokens > 0
+                 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0
+                 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+           round(1.0 * (CASE WHEN n_tokens > 0
+                        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END)
+                 - 0.5 * (CASE WHEN n_chars > 0
+                          THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+                 + 0.01 * least(CAST(n_tokens AS DOUBLE), 100.0), 6) AS quality_score
+    FROM feat""",
+    doc="quality scoring: length/punct/stopword features + composite score (operators/text.quality_features)",
+    tags=("text-quality",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.quality_features(t["documents"])
+
+
+_LANG_CASES = "\n".join(
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t <> '' AND "
+    f"list_contains([{', '.join(chr(39) + w + chr(39) for w in lex)}], lower(t)))) AS INT) AS hits_{lang},"
+    for lang, lex in sorted(text.LANG_LEXICONS.items())
+)
+
+
+@query(
+    "language_id_heuristic",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_LANG_CASES}
+      FROM documents
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) > 0
+                 AND (CAST(hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) AS INT)
+                    + CAST(hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) AS INT)
+                    + CAST(hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) AS INT)
+                    + CAST(hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr) AS INT)) = 1
+                THEN CASE greatest(hits_de, hits_en, hits_es, hits_fr)
+                          WHEN hits_de THEN 'de' WHEN hits_en THEN 'en'
+                          WHEN hits_es THEN 'es' ELSE 'fr' END
+                ELSE 'und' END AS pred_lang
+    FROM hits""",
+    doc="language ID: per-language function-word hit argmax, unique-winner-or-'und' (operators/text.language_id)",
+    tags=("text-langid",),
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.language_id(t["documents"])
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS fingerprint
+    FROM documents""",
+    doc="document fingerprinting: md5 of canonicalized text (operators/text.fingerprint)",
+    tags=("text-fingerprint",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.fingerprint(t["documents"])
+
+
+_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks
+),
+seeded AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
+),
+minh AS (SELECT doc_id, seed, MIN(h) AS minh FROM seeded GROUP BY doc_id, seed),
+sigs AS (SELECT doc_id, list(minh ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band,
+         md5(CAST(band AS VARCHAR) || '|' ||
+             array_to_string(sig[band*4+1 : band*4+4], ',')) AS band_key
+  FROM sigs, (SELECT unnest(range(4)) AS band) bands
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT i.id_a, i.id_b,
+         round(CAST(i.n_inter AS DOUBLE)
+               / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+) v WHERE jaccard >= 0.5
+"""
+
+
+@query(
+    "minhash_near_dup_pairs",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash(16)+LSH(4 bands)→Jaccard-verify near-dup pipeline (operators/dedup.minhash_near_dups); md5-seeded hashing keeps it engine-portable — candidate join is O(docs·bands), never O(docs²)",
+    tags=("dedup-minhash",),
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.minhash_near_dups(t["documents"], threshold=0.5)
+
+
+@query(
+    "simhash_signatures",
+    oracle=None,
+    doc="SimHash 60-bit signatures via md5 bit votes (operators/dedup.simhash64) — bit-twiddling is Spark-expression-specific; verified against a pure-Python reference in tests/test_operators.py (driver: rows-only)",
+    tags=("dedup-simhash",),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash64(t["documents"])
+
+
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+           md5(text) AS payload_md5,
+           upper(CAST(hex(CAST(substring(text, 1, 8) AS BLOB)) AS VARCHAR)) AS head_hex
+    FROM documents""",
+    doc="multimodal plumbing: opaque-binary payload metadata (byte length, content hash, head bytes); the decode stage itself is the pandas-UDF path in operators/multimodal.py",
+    tags=("multimodal",),
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.octet_length("text").alias("payload_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 8), "utf-8"))).alias("head_hex"),
+    )

@@ -1,1 +1,93 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries over ``embeddings`` (array<float>, 64-dim).
+
+Wrappers over :mod:`sinker_spark.operators.similarity`. Scores are
+rounded to 6 decimals before ranking/filtering in BOTH engines so float
+last-ulp differences between independent cosine implementations can't
+change result sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.catalog import load_tables
+from sinker_spark.operators import similarity
+from sinker_spark.queries import query
+
+# DuckDB-side cosine on DOUBLE lists (explicit dot/norms so the formula
+# matches operators/similarity.cosine exactly: dot / (sqrt(na)*sqrt(nb)))
+_COS = (
+    "round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))"
+    " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
+      FROM (SELECT * FROM v WHERE vec_id < 10) a
+      JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, sim, rank FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM scored
+    ) t WHERE rank <= 5""",
+    doc="brute-force cosine top-k (operators/similarity.brute_force_topk): broadcast query batch × corpus scan, rank-limited window — the exact baseline for ANN variants",
+    tags=("similarity-topk",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5).select("qid", "nid", "sim", "rank")
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim
+      FROM (SELECT * FROM v WHERE vec_id < 20) a
+      JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, sim, rank FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM scored
+    ) t WHERE rank <= 3""",
+    doc="IVF-style ANN (operators/similarity.ivf_topk): probe only the query's coarse cell — shuffle partitioned by cell id, each executor scores one cell",
+    tags=("similarity-ivf",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_topk(emb, queries, k=3).select("qid", "nid", "sim", "rank")
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:16],
+                             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS sig
+      FROM embeddings
+    )
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS sim
+      FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    ) t WHERE sim >= 0.2""",
+    doc="embedding near-dup via sign-bit LSH buckets + cosine verify (operators/similarity.sign_near_dups): candidate set O(bucket²), not O(corpus²)",
+    tags=("dedup-embedding",),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return similarity.sign_near_dups(t["embeddings"], threshold=0.2)

@@ -1,0 +1,151 @@
+"""SyncEngine — the engine's Runner (reference runner.py:28-117), built on
+Structured Streaming.
+
+Reference control flow → Spark mapping:
+
+| reference (runner.py)                    | here                          |
+|------------------------------------------|-------------------------------|
+| trigger→todo enqueue w/ dedup (A6-A7)    | dirty-set = distinct tables in |
+|                                          | the micro-batch ∩ view deps   |
+| 10s poll loop (A9)                       | trigger(processingTime=...)   |
+| DELETE..RETURNING pop (A10)              | micro-batch consumption +     |
+|                                          | checkpoint offset commit      |
+| REFRESH CONCURRENTLY per view (A11)      | recompute → snapshot-diff     |
+| slot scan + regex route (A13-A16)        | cdc.parse_* + route_actions   |
+| ES bulk upsert/delete (A17-A19)          | sink.apply_actions            |
+| backfill via named cursor (A20)          | backfill(): snapshot write +  |
+|                                          | initial upsert stream         |
+
+Two change-propagation paths, matching the reference's two lanes:
+
+- **recompute+diff** (the authoritative lane, = REFRESH CONCURRENTLY):
+  recompute dirty views, diff against the stored snapshot, emit
+  upserts+deletes. Handles every case incl. FK-cascade deletes (B24) —
+  the recomputed view simply no longer contains the rows.
+- **route_actions** (the streaming fast lane, = slot replay): map MV
+  INSERT records to upserts and parent-table DELETE records to deletes
+  declaratively — useful when the CDC feed already carries materialized
+  documents (the reference's normal mode).
+
+Delivery: checkpointed offsets ⇒ at-least-once replay; per-id idempotent
+sinks ⇒ effectively exactly-once — strictly better than the reference's
+destructive ``pg_logical_slot_get_changes`` read (at-most-once tail,
+bulk_action_generator.py:34-36); divergence documented in SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.cdc import latest_per_key
+from sinker_spark.ivm import DELETE, UPSERT, SnapshotStore
+from sinker_spark.views import ViewDef
+
+logger = logging.getLogger(__name__)
+
+
+def route_actions(
+    cdc: DataFrame,
+    views_to_indices: dict[str, str],
+    parent_tables_to_indices: dict[str, str],
+) -> DataFrame:
+    """Declarative A15-A18: CDC records → (index, id, op, doc) actions.
+
+    MV INSERT → upsert into the view's index; parent-table DELETE →
+    delete-by-proxy (the MV's delete records carry no id — reference
+    sinker.py:110-120 — so the parent row's id, which equals the doc id
+    by the id-from-parent convention, stands in). Everything else drops.
+    Batch is compacted to the max-lsn record per key first, so replays
+    and intra-batch storms collapse to last-write-wins.
+    """
+    compacted = latest_per_key(cdc)
+    v_map = F.create_map(*[F.lit(x) for kv in views_to_indices.items() for x in kv]) \
+        if views_to_indices else F.create_map()
+    p_map = F.create_map(*[F.lit(x) for kv in parent_tables_to_indices.items() for x in kv]) \
+        if parent_tables_to_indices else F.create_map()
+    upserts = (
+        compacted.where(v_map.getItem(F.col("table")).isNotNull() & (F.col("op") == "INSERT"))
+        .select(
+            v_map.getItem(F.col("table")).alias("index"),
+            F.col("id"),
+            F.lit(UPSERT).alias("op"),
+            F.col("payload").alias("doc"),
+        )
+    )
+    deletes = (
+        compacted.where(p_map.getItem(F.col("table")).isNotNull() & (F.col("op") == "DELETE"))
+        .select(
+            p_map.getItem(F.col("table")).alias("index"),
+            F.col("id"),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast("string").alias("doc"),
+        )
+    )
+    return upserts.unionByName(deletes)
+
+
+class SyncEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        views: list[ViewDef],
+        sink,
+        store: SnapshotStore,
+    ) -> None:
+        self.spark = spark
+        self.views = {v.name: v for v in views}
+        self.sink = sink
+        self.store = store
+
+    # -- setup / backfill (reference Sinker.setup, sinker.py:37-43) -------
+    def backfill(self) -> None:
+        """Materialize every view and push the full snapshot as upserts
+        (reference backfill_stream, sinker.py:60-72)."""
+        for view in self.views.values():
+            df = view.compile(self.spark)
+            delta = self.store.refresh(view.name, df, key=view.key)
+            self.sink.apply_actions(view.index, delta)
+            logger.info("backfilled view %s", view.name)
+
+    # -- one micro-batch (reference Runner.iterate, runner.py:73-117) -----
+    def dirty_views(self, changed_tables: set[str]) -> list[ViewDef]:
+        """A5-A7: dependency-set intersection replaces triggers+todo.
+        A view whose own snapshot changed (MV INSERTs in the slot) doesn't
+        re-dirty itself — parity with the reference's trigger scope."""
+        return [v for v in self.views.values() if v.deps & changed_tables]
+
+    def process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
+        """Recompute+diff lane. ``collect`` touches only the distinct table
+        names in the batch (bounded by the schema's table count)."""
+        changed = {r["table"] for r in cdc.select("table").distinct().collect()}
+        if not changed:
+            return
+        for view in self.dirty_views(changed):
+            new_df = view.compile(self.spark)
+            delta = self.store.refresh(view.name, new_df, key=view.key)
+            self.sink.apply_actions(view.index, delta)
+            logger.info("refreshed view %s (epoch %s)", view.name, epoch_id)
+
+    # -- continuous run (reference Runner.run, runner.py:68-71) ----------
+    def run_stream(
+        self,
+        cdc_stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int = 10,
+        available_now: bool = False,
+    ):
+        """Structured Streaming driver: the 10s processingTime trigger is
+        the reference's SINKER_POLL_INTERVAL (settings.py:20);
+        ``available_now`` drains the backlog then stops (initial sync)."""
+        writer = (
+            cdc_stream.writeStream.foreachBatch(self.process_cdc_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()

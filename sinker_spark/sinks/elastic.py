@@ -1,0 +1,88 @@
+"""Elasticsearch bulk sink — executor-side, Arrow-batched, import-gated.
+
+Reference analog: ``elasticsearch.helpers.bulk`` with chunk 100 / 5
+retries (runner.py:114-115, settings.py:23-41) driven from a single
+Python process. Here every *partition* streams its own bulk requests, so
+sink throughput scales with executors; per-id idempotence (``index`` +
+``delete`` ops) makes micro-batch replays converge.
+
+The ``elasticsearch`` client is not installed in this container, so the
+sink raises a clear error at construction unless the package (or an
+injected ``bulk_fn``) is available; tests inject a recording ``bulk_fn``
+to exercise the full partition-level action-building path.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import DELETE, UPSERT
+
+DEFAULT_CHUNK = 100  # reference ELASTICSEARCH_CHUNK_SIZE (settings.py:23)
+DEFAULT_RETRIES = 5  # reference ELASTICSEARCH_MAX_RETRIES (settings.py:25)
+
+
+def _actions_for_partition(rows: Iterable, index: str) -> Iterable[dict]:
+    for row in rows:
+        if row["op"] == UPSERT:
+            src = row["doc"]
+            yield {
+                "_index": index,
+                "_id": row["id"],
+                "_source": json.loads(src) if isinstance(src, str) else src,
+            }
+        elif row["op"] == DELETE:
+            yield {"_op_type": "delete", "_index": index, "_id": row["id"]}
+
+
+class ElasticsearchSink:
+    def __init__(
+        self,
+        hosts: list[str] | None = None,
+        chunk_size: int = DEFAULT_CHUNK,
+        max_retries: int = DEFAULT_RETRIES,
+        bulk_fn: Callable[[Iterable[dict]], None] | None = None,
+    ) -> None:
+        self.hosts = hosts or ["http://localhost:9200"]
+        self.chunk_size = chunk_size
+        self.max_retries = max_retries
+        self._bulk_fn = bulk_fn
+        if bulk_fn is None:
+            try:
+                import elasticsearch  # noqa: F401
+                import elasticsearch.helpers  # noqa: F401
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "elasticsearch package not installed; pass bulk_fn= to "
+                    "ElasticsearchSink or install the client"
+                ) from e
+
+    def apply_actions(self, index: str, actions: DataFrame) -> None:
+        """foreachPartition bulk write; docs serialized as JSON strings so
+        only Arrow-friendly types cross the JVM→Python boundary."""
+        doc_type = dict(actions.dtypes).get("doc")
+        id_col = actions.columns[0]
+        prepared = actions.select(
+            F.col(id_col).cast("string").alias("id"),
+            "op",
+            (F.col("doc") if doc_type == "string" else F.to_json("doc", {"ignoreNullFields": "false"})).alias("doc"),
+        )
+        hosts, chunk, retries, bulk_fn = self.hosts, self.chunk_size, self.max_retries, self._bulk_fn
+
+        def write_partition(rows: Iterable) -> None:
+            acts = _actions_for_partition(rows, index)
+            if bulk_fn is not None:
+                bulk_fn(acts)
+                return
+            from elasticsearch import Elasticsearch  # pragma: no cover
+            from elasticsearch.helpers import bulk  # pragma: no cover
+
+            es = Elasticsearch(hosts, request_timeout=60)  # pragma: no cover
+            bulk(es, acts, chunk_size=chunk, max_retries=retries,  # pragma: no cover
+                 initial_backoff=2, max_backoff=600, raise_on_error=True)
+
+        prepared.foreachPartition(write_partition)

@@ -1,0 +1,147 @@
+"""Operator-level tests beyond the oracle gate: SimHash vs a pure-Python
+reference, MinHash LSH recall on injected near-duplicates, the as-of join
+edge cases, and the multimodal mapInPandas pipeline."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinker_spark.operators import dedup, multimodal, similarity
+from sinker_spark.operators.asof import asof_join
+
+
+# ---- SimHash ------------------------------------------------------------
+def _py_simhash60(text: str) -> int:
+    votes = [0] * 60
+    for tok in set(t for t in text.split(" ") if t):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(60):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_matches_python_reference(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == _py_simhash60(text), doc_id
+
+
+def test_simhash_near_dups_finds_close_pairs(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # 1-token diff
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dups(df, max_hamming=20).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---- MinHash LSH --------------------------------------------------------
+def test_minhash_lsh_recalls_injected_near_dups(spark):
+    base = "spark catalyst tungsten shuffle partition broadcast join aggregate window stream batch codegen"
+    docs = [
+        (1, base),
+        (2, base.replace("codegen", "pipeline")),  # high-jaccard near-dup
+        (3, "entirely different vocabulary with no shared shingles at all whatsoever in this document"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.minhash_near_dups(df, threshold=0.3).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.3
+    assert not any(3 in p for p in pairs)
+
+
+def test_exact_dedup_canonical_choice(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup.exact_dedup(df).collect()}
+    assert rows[2]["is_canonical"] and rows[2]["canonical_id"] == 2
+    assert not rows[5]["is_canonical"] and rows[5]["canonical_id"] == 2
+    assert rows[9]["is_canonical"]
+
+
+# ---- as-of join ---------------------------------------------------------
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 09:00:00"), (3, 20, "2024-01-01 12:00:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 09:30:00", "a"), (10, "2024-01-01 10:00:00", "b"), (30, "2024-01-01 00:00:00", "z")],
+        "user_id bigint, ts string, tag string",
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "tag")
+
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                     payload={"tag": "tag"}).collect()}
+    # inclusive: ts == left_ts matches (event 1 sees the 10:00 'b' row)
+    assert out[1]["tag"] == "b"
+    # event 2 at 09:00 predates all right rows for user 10 → null
+    assert out[2]["asof_ts"] is None and out[2]["tag"] is None
+    # user 20 has no right rows at all → null, row still present
+    assert out[3]["asof_ts"] is None
+    assert len(out) == 3
+
+
+# ---- multimodal ---------------------------------------------------------
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world payload"), (2, "another binary payload body")],
+        "doc_id bigint, text string",
+    )
+    mm = multimodal.attach_binary_payload(docs, "doc_id", "text", "image/fake")
+    assert dict(mm.dtypes)["payload"] == "binary"
+
+    feats = multimodal.decode_image_features(mm, fake=True)
+    rows = {r["id"]: r for r in feats.collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert r["n_bytes"] > 0 and r["media_type"] == "image/fake"
+    # deterministic: same payload → same fake decode
+    again = {r["id"]: r for r in multimodal.decode_image_features(mm, fake=True).collect()}
+    assert {k: (v["width"], v["height"], v["mean_intensity"]) for k, v in rows.items()} == {
+        k: (v["width"], v["height"], v["mean_intensity"]) for k, v in again.items()
+    }
+
+    frames = multimodal.frame_sample(mm).collect()
+    assert all(f_["byte_offset"] % 64 == 0 for f_ in frames)
+    assert {f_["id"] for f_ in frames} == {1, 2}
+
+
+def test_multimodal_real_codec_gated(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    mm = multimodal.attach_binary_payload(docs, "doc_id", "text", "image/png")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; gate not exercised")
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="image codec not available"):
+            multimodal.decode_image_features(mm, fake=False)
+
+
+# ---- similarity sanity beyond the oracle --------------------------------
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+                               "vec_id bigint, embedding array<float>")
+    top = similarity.brute_force_topk(df, df, k=1).collect()
+    by_q = {r["qid"]: r for r in top}
+    assert by_q[1]["nid"] == 2 and by_q[1]["sim"] == -1.0  # antiparallel
