@@ -55,28 +55,38 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+# MinHash arithmetic: one base hash per shingle (28 bits of its md5) run
+# through k independent linear hash functions h_i(x) = (a_i·x + b_i) mod P.
+# Engine-portable (md5 + integer arithmetic) and ~k× cheaper than hashing
+# k seeded strings per shingle; all k mins reduce in ONE aggregation pass
+# (map-side partial min per function — no seed explode, no extra shuffle).
+MINHASH_P = 1073741789  # prime < 2^30: products stay < 2^58, no bigint overflow
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(1, k + 1):
+        a = (2654435761 * i) % MINHASH_P or 1
+        b = (40503 * i + 17) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, id_col: str = "doc_id", k: int = 16) -> DataFrame:
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+    based = sh.select(id_col, h.alias("h"))
+    mins = based.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(k))
+        ]
+    )
+    return mins.select(id_col, F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        k: int = 16, n: int = 3) -> DataFrame:
-    """k md5-seeded min-hashes per doc → (id, sig array<string> length k).
-
-    One explode (docs × shingles × k is bounded by k·tokens) + one groupBy
-    on the doc id. The seeded-md5 min is a drop-in for k independent hash
-    functions and is reproducible in any engine with md5.
-    """
-    sh = shingle_rows(df, id_col, text_col, n)
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        id_col, "seed", F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h")
-    )
-    per_seed = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
-    return (
-        per_seed.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minh"))).alias("sm"))
-        .select(id_col, F.transform("sm", lambda s: s["minh"]).alias("sig"))
-    )
+    """k min-hashes per doc → (id, sig array<bigint> length k)."""
+    return minhash_signatures_from_shingles(shingle_rows(df, id_col, text_col, n), id_col, k)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
@@ -93,8 +103,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4)
             F.concat_ws(
                 "|",
                 F.col("band"),
-                F.concat_ws(",", F.slice(F.col("sig"), F.col("band") * (F.size("sig") / bands).cast("int") + 1,
-                                         (F.size("sig") / bands).cast("int"))),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), F.col("band") * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int")),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
             )
         ).alias("band_key"),
     )
@@ -111,10 +127,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4)
 def jaccard_verify(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
                    threshold: float = 0.5) -> DataFrame:
     """True n-gram Jaccard for candidate pairs via a shingle-level join
-    (cost ∝ candidate shingles, not corpus²)."""
+    (cost ∝ candidate shingles, not corpus²). The pair set is tiny by LSH
+    construction → broadcast both pair joins so the corpus-sized shingle
+    relation is never shuffled here."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
-        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("s_a")), "id_a")
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("s_a"))
+        .join(F.broadcast(pairs), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("s_b")), "id_b")
         .where(F.col("s_a") == F.col("s_b"))
         .groupBy("id_a", "id_b")
@@ -139,10 +158,14 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       k: int = 16, bands: int = 4, n: int = 3,
                       threshold: float = 0.5) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: near-duplicate pairs + Jaccard."""
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs + Jaccard.
+
+    The shingle relation feeds both the signature stage and the verify
+    stage; it's persisted so the tokenize+explode+distinct work runs once
+    (at cluster scale this would be a checkpointed intermediate table)."""
+    sh = shingle_rows(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures_from_shingles(sh, id_col, k=k)
     cand = lsh_candidate_pairs(sigs, id_col, bands=bands)
-    sh = shingle_rows(df, id_col, text_col, n)
     return jaccard_verify(cand, sh, id_col, threshold)
 
 

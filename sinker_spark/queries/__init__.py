@@ -77,6 +77,7 @@ def _load() -> None:
         temporal,
         documents,
         vectors,
+        engine,
     )
 
     _LOADED = True

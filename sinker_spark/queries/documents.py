@@ -136,7 +136,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(t["documents"])
 
 
-_MINHASH_ORACLE = """
+# oracle generated from the SAME coefficients as operators/dedup.py so the
+# two can never drift
+_MINS = ",\n         ".join(
+    f"MIN(({a} * h + {b}) % {dedup.MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(dedup.minhash_coeffs(16))
+)
+_SIG = "[" + ", ".join(f"m{i}" for i in range(16)) + "]"
+
+_MINHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents
 ),
@@ -146,12 +154,13 @@ sh AS (
                                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
   FROM toks
 ),
-seeded AS (
-  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-  FROM sh, (SELECT unnest(range(16)) AS seed) seeds
+minh AS (
+  SELECT doc_id,
+         {_MINS}
+  FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh) b
+  GROUP BY doc_id
 ),
-minh AS (SELECT doc_id, seed, MIN(h) AS minh FROM seeded GROUP BY doc_id, seed),
-sigs AS (SELECT doc_id, list(minh ORDER BY seed) AS sig FROM minh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG} AS sig FROM minh),
 banded AS (
   SELECT doc_id, band,
          md5(CAST(band AS VARCHAR) || '|' ||
@@ -179,7 +188,7 @@ SELECT * FROM (
   JOIN sizes na ON na.doc_id = i.id_a
   JOIN sizes nb ON nb.doc_id = i.id_b
 ) v WHERE jaccard >= 0.5
-"""
+"""  # noqa: E501
 
 
 @query(

@@ -1,0 +1,165 @@
+"""Engine-layer operators exposed as gate queries: snapshot-diff IVM,
+CDC record parsing, and UDF registration paths — the Table A rows of
+SURVEY.md §2 that are SQL-expressible get full DuckDB oracles here; the
+pandas-UDF lanes are rows-only (Python-side math is engine-specific) and
+are cross-checked against their SQL twins in tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.catalog import load_tables, register_views
+from sinker_spark.cdc import parse_test_decoding
+from sinker_spark.ivm import snapshot_diff
+from sinker_spark.queries import query
+from sinker_spark.queries.helpers import dsum_expr
+
+
+def _order_docs(t, mutate_mod: int | None = None) -> DataFrame:
+    """(id, doc struct(orderkey,totalprice)) snapshot; optionally perturb
+    every ``mutate_mod``-th doc to simulate a previous version."""
+    price = F.col("o_totalprice")
+    if mutate_mod:
+        price = F.when(F.col("o_orderkey") % mutate_mod == 0, F.col("o_totalprice") + 1.0).otherwise(price)
+    return t["orders"].select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.struct(F.col("o_orderkey").alias("orderkey"), price.alias("totalprice")).alias("doc"),
+    )
+
+
+@query(
+    "ivm_snapshot_diff",
+    oracle="""
+    WITH new_s AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             struct_pack(orderkey := o_orderkey, totalprice := o_totalprice) AS doc
+      FROM orders
+    ),
+    old_s AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             struct_pack(orderkey := o_orderkey,
+                         totalprice := CASE WHEN o_orderkey % 3 = 0
+                                            THEN o_totalprice + 1.0 ELSE o_totalprice END) AS doc
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(n.id, o.id) AS id,
+           CASE WHEN n.id IS NULL THEN 'delete' ELSE 'upsert' END AS op,
+           CASE WHEN n.id IS NULL THEN NULL
+                ELSE CAST(to_json(n.doc) AS VARCHAR) END AS doc
+    FROM new_s n FULL OUTER JOIN old_s o ON n.id = o.id
+    WHERE n.id IS NULL OR o.id IS NULL
+       OR md5(CAST(to_json(n.doc) AS VARCHAR)) <> md5(CAST(to_json(o.doc) AS VARCHAR))""",
+    doc="A11 snapshot-diff IVM (ivm.snapshot_diff = REFRESH CONCURRENTLY's delta): old snapshot lacks every 7th key and perturbs every 3rd → upserts for new/changed ids, deletes for vanished ids",
+    tags=("A11", "ivm"),
+)
+def ivm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    new = _order_docs(t)
+    old = _order_docs(t, mutate_mod=3).where(F.col("doc.orderkey") % 7 != 0)
+    delta = snapshot_diff(old, new)
+    return delta.select("id", "op", F.to_json("doc", {"ignoreNullFields": "false"}).alias("doc"))
+
+
+_SLOT_LINE_SQL = (
+    "concat('table public.orders: INSERT: id[text]:''', CAST(o_orderkey AS {str_t}), "
+    "''' totalprice[numeric]:', CAST(o_totalprice AS {str_t}))"
+)
+
+
+@query(
+    "cdc_parse_slot_lines",
+    oracle=f"""
+    WITH lines AS (
+      SELECT o_orderkey AS lsn, {_SLOT_LINE_SQL.format(str_t="VARCHAR")} AS data FROM orders
+    )
+    SELECT lsn,
+           regexp_extract(data, 'table\\s+"?([\\w-]+)"?\\."?([\\w-]+)"?:\\s+([A-Z]+):\\s+id\\[text\\]:''([\\w-]+)''', 1) AS schema,
+           regexp_extract(data, 'table\\s+"?([\\w-]+)"?\\."?([\\w-]+)"?:\\s+([A-Z]+):\\s+id\\[text\\]:''([\\w-]+)''', 2) AS "table",
+           regexp_extract(data, 'table\\s+"?([\\w-]+)"?\\."?([\\w-]+)"?:\\s+([A-Z]+):\\s+id\\[text\\]:''([\\w-]+)''', 3) AS op,
+           regexp_extract(data, 'table\\s+"?([\\w-]+)"?\\."?([\\w-]+)"?:\\s+([A-Z]+):\\s+id\\[text\\]:''([\\w-]+)''', 4) AS id,
+           CAST(NULL AS VARCHAR) AS payload
+    FROM lines""",
+    doc="A13/A14 CDC scan+parse (cdc.parse_test_decoding, SLOT_RE semantics): synthesize test_decoding lines from orders, parse with JVM regexp — no Python row loop",
+    tags=("A13", "A14", "cdc"),
+)
+def cdc_parse_slot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lines = t["orders"].select(
+        F.col("o_orderkey").alias("lsn"),
+        F.expr(_SLOT_LINE_SQL.format(str_t="STRING")).alias("data"),
+    )
+    return parse_test_decoding(lines)
+
+
+@query(
+    "zscore_orders_sql",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_orderstatus AS status,
+             {dsum_expr('o_totalprice')} / CAST(COUNT(*) AS DOUBLE) AS mu,
+             {dsum_expr('o_totalprice * o_totalprice')} AS sumsq,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey AS orderkey, s.status,
+           round((o.o_totalprice - s.mu)
+                 / sqrt((s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu) / CAST(s.n - 1 AS DOUBLE)),
+                 6) AS zscore
+    FROM orders o JOIN stats s ON o.o_orderstatus = s.status""",
+    doc="per-group z-score, decimal-exact moments — the SQL twin the pandas-UDF lane is cross-checked against (tests/test_functions.py)",
+    tags=("functions-stats",),
+)
+def zscore_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+    WITH stats AS (
+      SELECT o_orderstatus AS status,
+             {dsum_expr('o_totalprice')} / CAST(COUNT(*) AS DOUBLE) AS mu,
+             {dsum_expr('o_totalprice * o_totalprice')} AS sumsq,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey AS orderkey, s.status,
+           round((o.o_totalprice - s.mu)
+                 / sqrt((s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu) / CAST(s.n - 1 AS DOUBLE)),
+                 6) AS zscore
+    FROM orders o JOIN stats s ON o.o_orderstatus = s.status""")
+
+
+@query(
+    "udaf_zscore_pandas",
+    oracle=None,
+    doc="UDAF-style grouped-map applyInPandas z-score (functions.zscore_by_group): Arrow-batched, one shuffle on the group key; rows-only here, equality-vs-SQL-twin asserted in tests/test_functions.py",
+    tags=("udf", "pandas"),
+)
+def udaf_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.functions import zscore_by_group
+
+    t = load_tables(spark, sf_dir)
+    df = t["orders"].select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return zscore_by_group(df, "status", "totalprice", "orderkey")
+
+
+@query(
+    "udf_norm_l2_pandas",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+    FROM embeddings""",
+    doc="registered pandas UDF (functions.norm_l2) callable from SQL: vectorized L2 norm over array<double>; numpy pairwise sum vs sequential sum agree within the 6-decimal rounding",
+    tags=("udf", "pandas"),
+)
+def udf_norm_l2_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.functions import register_engine_functions
+
+    register_engine_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT vec_id, round(norm_l2(CAST(embedding AS ARRAY<DOUBLE>)), 6) AS l2 FROM embeddings"
+    )

@@ -1,0 +1,41 @@
+"""UDF layer: the pandas grouped-map z-score must agree with its
+decimal-exact SQL twin (the oracle-checked query) within float tolerance,
+and registered pandas UDFs must be callable from SQL."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sinker_spark.queries import REGISTRY, _load
+from tests.conftest import SF_SMALL
+
+_load()
+
+
+def test_pandas_zscore_matches_sql_twin(spark):
+    sql_rows = {r["orderkey"]: r["zscore"] for r in REGISTRY["zscore_orders_sql"].fn(spark, SF_SMALL).collect()}
+    udf_rows = {r["orderkey"]: r["zscore"] for r in REGISTRY["udaf_zscore_pandas"].fn(spark, SF_SMALL).collect()}
+    assert set(sql_rows) == set(udf_rows)
+    worst = max(abs(sql_rows[k] - udf_rows[k]) for k in sql_rows)
+    assert worst < 1e-5, worst
+
+
+def test_registered_udf_from_sql(spark):
+    from sinker_spark.functions import register_engine_functions
+
+    register_engine_functions(spark)
+    row = spark.sql(
+        "SELECT norm_l2(ARRAY(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS n, clamp01(1.5) AS c"
+    ).collect()[0]
+    assert math.isclose(row["n"], 5.0) and row["c"] == 1.0
+
+
+def test_bpe_ish_token_count(spark):
+    from sinker_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame([("spark2024 rocks", 3), ("abc", 1), ("a1b2", 4)], "text string, want int")
+    rows = df.select(bpe_ish_token_count("text").alias("n"), "want").collect()
+    for r in rows:
+        assert r["n"] == r["want"]
