@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(predicate pushdown into parquet, column pruning, broadcast dimension
+joins, whole-stage codegen, no Python evaluation in JVM-only queries)
+hold in the actual executed plans — not just in docstrings."""
+
+from __future__ import annotations
+
+from sinker_spark.queries import REGISTRY, _load
+from tests.conftest import SF_SMALL
+
+_load()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    # full formatted explain (plan toString truncates long scan attributes)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _optimized(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(spark, "filter_compound_predicate")
+    assert "PushedFilters: [" in plan
+    # the returnflag equality must be pushed, not evaluated post-scan
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+
+
+def test_column_pruning_in_scan(spark):
+    plan = _plan(spark, "scan_project_alias")
+    scan = plan[plan.index("ReadSchema") :][:300]
+    assert "o_orderkey" in scan and "o_totalprice" in scan
+    assert "o_custkey" not in scan, "unprojected column must be pruned from the scan"
+
+
+def test_dimension_joins_broadcast_no_smj(spark):
+    plan = _plan(spark, "flagship_order_document")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "all flagship joins should broadcast at this scale"
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_whole_stage_codegen_present(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMALL)
+    df.collect()  # finalize the adaptive plan so codegen ids materialize
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "[codegen id :" in plan
+
+
+def test_no_python_eval_in_jvm_queries(spark):
+    """Dedup/text/similarity hot paths are Catalyst-only — a Python UDF
+    would show up as BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas."""
+    for name in ("minhash_near_dup_pairs", "text_quality_scores", "ann_cosine_topk", "simhash_signatures"):
+        plan = _plan(spark, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in plan, f"{name} leaked Python into the plan: {marker}"
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decorrelated_view_has_no_nested_loops(spark, tmp_path):
+    """The transpiled course_mv must plan as joins+aggregate — no
+    per-row subquery execution operators."""
+    from tests import school_fixtures as fx
+    from sinker_spark.views import ViewDef
+
+    fx.register(spark, str(tmp_path / "t"))
+    df = ViewDef("course_mv", sql=fx.COURSE_MV_SQL).compile(spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "scalar-subquery" not in plan.lower()
