@@ -1,1 +1,193 @@
-"""Placeholder — populated in later milestones."""
+"""Remaining analytic surface: outer/cross join variants, multiset set
+ops, pivot/unpivot, hierarchical time rollup (the hypertable
+continuous-aggregate pattern), and sketch aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.catalog import load_tables, register_views
+from sinker_spark.queries import query
+from sinker_spark.queries.helpers import dsum, dsum_expr
+
+
+@query(
+    "full_outer_join_part_usage",
+    oracle="""
+    SELECT COALESCE(p.p_partkey, l.l_partkey) AS partkey,
+           p.p_name AS name, COUNT(l.l_orderkey) AS n_uses
+    FROM part p FULL OUTER JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY COALESCE(p.p_partkey, l.l_partkey), p.p_name""",
+    doc="full outer join: parts never ordered AND order lines referencing unknown parts both survive",
+    tags=("join-full",),
+)
+def full_outer_join_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"), "full_outer")
+        .groupBy(
+            F.coalesce("p_partkey", "l_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+        )
+        .agg(F.count("l_orderkey").alias("n_uses"))
+    )
+
+
+@query(
+    "right_join_supplier_nations",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name""",
+    doc="right outer join: every nation kept, zero-supplier nations at 0",
+    tags=("join-right",),
+)
+def right_join_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r.r_name AS region, s.o_orderstatus AS status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s""",
+    doc="cross join of two tiny dimensions (the only sane cartesian: both sides bounded)",
+    tags=("join-cross",),
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    statuses = t["orders"].select(F.col("o_orderstatus").alias("status")).distinct()
+    return t["region"].crossJoin(statuses).select(F.col("r_name").alias("region"), "status")
+
+
+for _op, _kw in {"union_all": "UNION ALL", "except_all": "EXCEPT ALL", "intersect_all": "INTERSECT ALL"}.items():
+    def _mk(kw: str):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_views(spark, sf_dir)
+            return spark.sql(f"""
+                SELECT c_nationkey AS nationkey FROM customer
+                {kw}
+                SELECT s_nationkey AS nationkey FROM supplier""")
+        return fn
+
+    query(
+        f"set_{_op}_nationkeys",
+        oracle=f"""
+        SELECT c_nationkey AS nationkey FROM customer
+        {_kw}
+        SELECT s_nationkey AS nationkey FROM supplier""",
+        doc=f"multiset {_kw}: bag semantics preserved (duplicates counted)",
+        tags=("set-ops-all",),
+    )(_mk(_kw))
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus""",
+    doc="pivot (df.groupBy.pivot with explicit value list → one shuffle, no second pass to discover columns); oracle via FILTER aggregation",
+    tags=("pivot",),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["orders"]
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+    )
+    return out.select(
+        "status",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+    )
+
+
+@query(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey AS custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""",
+    doc="unpivot/melt (df.unpivot → wide-to-long); oracle via UNION ALL",
+    tags=("unpivot",),
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("custkey", ["acctbal", "nationkey"], "metric", "value")
+    )
+
+
+@query(
+    "hypertable_rollup_events",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS bucket_hour,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS bucket_day,
+           GROUPING(strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')) AS g_hour,
+           COUNT(*) AS n, {dsum_expr('value')} AS total
+    FROM events
+    GROUP BY GROUPING SETS (
+      (strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M'),
+       strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d')),
+      (strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d')))""",
+    doc="hypertable-style hierarchical rollup: hour + day continuous aggregates in ONE pass via grouping sets (the hour→day hierarchy shares the scan; a materialized variant is the IVM snapshot path)",
+    tags=("rollup-time", "hypertable"),
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+    SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS bucket_hour,
+           date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS bucket_day,
+           GROUPING(date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm')) AS g_hour,
+           COUNT(*) AS n, {dsum_expr('value')} AS total
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm'),
+       date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
+      (date_format(date_trunc('day', ts), 'yyyy-MM-dd')))""")
+
+
+@query(
+    "sketch_count_min_tokens",
+    oracle=None,
+    doc="Count-Min Sketch frequency estimation over document tokens (Spark's count_min_sketch aggregate; sketch bytes are engine-specific → rows-only; exact twin: unnest_split_tokens)",
+    tags=("sketch",),
+)
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(F.explode(F.split("text", " ")).alias("token")).where(F.col("token") != "")
+    return toks.agg(
+        F.expr("hex(count_min_sketch(token, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42))").alias("cms_hex")
+    )
+
+
+@query(
+    "sample_orders_deterministic",
+    oracle=None,
+    doc="TABLESAMPLE-style sampling via deterministic hash-mod filter (sample() RNG differs per engine; hash-mod sampling is reproducible and partition-pruning-friendly — rows-only because Spark and DuckDB hash differently, correctness asserted by the 10% bound in tests)",
+    tags=("sampling",),
+)
+def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].where(F.pmod(F.hash("o_orderkey"), F.lit(10)) == 0).select("o_orderkey", "o_totalprice")
