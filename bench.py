@@ -41,8 +41,13 @@ def main() -> None:
 
     _load()
     spark = get_spark("bench")
-    # warm the JVM + parquet footers so per-query numbers measure the query
+    # warm the JVM, file listings, and parquet footers so per-query numbers
+    # measure query execution, not first-touch filesystem costs
     spark.range(1).count()
+    from sinker_spark.catalog import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
 
     names = [n for n in HEADLINE if n in REGISTRY] or sorted(REGISTRY)[:5]
     timings: dict[str, float] = {}

@@ -39,9 +39,14 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct n-token shingles of a document (array<string>)."""
-    toks = tokens(text_col)
+def shingles(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct n-token shingles from a token-array column.
+
+    Takes a *column reference* (not the tokenize expression): Catalyst
+    does not CSE expressions inside lambdas, so building shingles directly
+    over ``tokens(text)`` re-runs split+filter for every element_at —
+    O(tokens²) per document. Staged through a projected column the
+    tokenization runs once per row."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
@@ -50,9 +55,8 @@ def shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows — docs with < n tokens produce no rows."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
-    )
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return staged.select(F.col(id_col), F.explode(shingles(F.col("__toks"), n)).alias("shingle"))
 
 
 # MinHash arithmetic: one base hash per shingle (28 bits of its md5) run
