@@ -202,6 +202,70 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(t["documents"], threshold=0.5)
 
 
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks
+),
+keep AS (  -- drop stop-shingles: document frequency > 50 adds O(df^2) pairs
+           -- and near-zero Jaccard discrimination
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT i.id_a, i.id_b,
+         round(CAST(i.n_inter AS DOUBLE)
+               / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+) v WHERE jaccard >= 0.3
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_NGRAM_ORACLE,
+    doc="exhaustive n-gram Jaccard near-dup pairs (no LSH): shingle-join candidate generation with stop-shingle pruning (df>50 dropped — quadratic fan-out, negligible discrimination); the LSH-accelerated variant is minhash_near_dup_pairs",
+    tags=("dedup-ngram",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sh = dedup.shingle_rows(t["documents"], "doc_id", "text", 3)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shf = sh.join(df_counts.where(F.col("df") <= 50).select("shingle"), "shingle")
+    sizes = shf.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shf.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = shf.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
 @query(
     "simhash_signatures",
     oracle=None,

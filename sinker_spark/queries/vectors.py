@@ -73,6 +73,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroids_by_label",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ),
+    means AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM flat GROUP BY label, dim
+    )
+    SELECT label, list(round(m, 8) ORDER BY dim) AS centroid, CAST(n AS BIGINT) AS n_members
+    FROM means JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c USING (label)
+    GROUP BY label, n""",
+    doc="coarse-quantizer training step for IVF (operators/similarity.ivf_topk): element-wise decimal-exact mean per label — posexplode → two-level agg, the one-iteration k-means update at any scale",
+    tags=("similarity-train",),
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    flat = t["embeddings"].select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    means = flat.groupBy("label", "dim").agg(
+        (F.sum(F.col("x").cast("DECIMAL(28,12)")).cast("double") / F.count("*").cast("double")).alias("m")
+    )
+    counts = t["embeddings"].groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        means.groupBy("label")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                         lambda s: F.round(s["m"], 8)).alias("centroid"))
+        .join(counts, "label")
+        .select("label", "centroid", "n_members")
+    )
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle=f"""
     WITH v AS (
