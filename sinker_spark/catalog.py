@@ -41,12 +41,34 @@ _TS_NANOS_COLS = {
 }
 
 
+# Confs the engine depends on that are runtime-settable — applied
+# defensively so queries behave identically on a caller-provided session
+# (e.g. the grading driver's) that wasn't built by session.get_spark().
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.crossJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # static conf on some builds — session.py covers those
+            pass
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every star-schema table as a DataFrame.
 
     Scans are lazy; Catalyst prunes columns and pushes filters into the
     parquet reader, so loading "all tables" costs nothing until an action.
     """
+    ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
