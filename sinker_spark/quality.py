@@ -1,0 +1,33 @@
+"""Load-time data-quality invariants.
+
+Spark enforces no constraints (SURVEY §1.1/B22: the reference's PK/FK/
+NOT NULL DDL becomes engine-checked invariants here). Each check returns
+a violations DataFrame — empty means the invariant holds; counting it is
+one aggregation, so checks compose into ingest pipelines cheaply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    """Keys violating uniqueness (the reference's unique MV index,
+    query_templates.py:12) with their multiplicities."""
+    return df.groupBy(key).agg(F.count("*").alias("n")).where(F.col("n") > 1)
+
+
+def null_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows violating NOT NULL on any of ``cols``."""
+    cond = None
+    for c in cols:
+        clause = F.col(c).isNull()
+        cond = clause if cond is None else (cond | clause)
+    return df.where(cond) if cond is not None else df.limit(0)
+
+
+def orphan_foreign_keys(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Child rows whose FK has no parent (left-anti join — no payload
+    shuffle of the parent side beyond the key column)."""
+    return child.join(parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")

@@ -94,6 +94,36 @@ def cdc_parse_slot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "referential_integrity_check",
+    oracle="""
+    SELECT 'orders->customer' AS fk, COUNT(*) AS orphans FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)""",
+    doc="B22 constraint surface: FK orphan counts via left-anti joins (quality.orphan_foreign_keys) — Spark enforces nothing, the engine checks at load time",
+    tags=("B22", "quality"),
+)
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.quality import orphan_foreign_keys
+
+    t = load_tables(spark, sf_dir)
+    checks = [
+        ("orders->customer", orphan_foreign_keys(t["orders"], t["customer"], "o_custkey", "c_custkey")),
+        ("lineitem->orders", orphan_foreign_keys(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey")),
+        ("lineitem->part", orphan_foreign_keys(t["lineitem"], t["part"], "l_partkey", "p_partkey")),
+    ]
+    out = None
+    for name, viol in checks:
+        row = viol.agg(F.count("*").alias("orphans")).select(F.lit(name).alias("fk"), "orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
     "zscore_orders_sql",
     oracle=f"""
     WITH stats AS (
