@@ -235,13 +235,13 @@ _sql(
     spark_sql="""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_spent
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0), 2) AS DOUBLE) AS total_spent
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name""",
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_spent
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0), 2) AS DOUBLE) AS total_spent
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name""",
     doc="B14 left join (test_parse_schema_tables.py:80): zero-order customers kept with count 0",
@@ -528,15 +528,15 @@ _sql(
     "w1_running_total",
     spark_sql="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
     FROM orders""",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
     FROM orders""",
     doc="window frame ROWS UNBOUNDED PRECEDING: per-customer running spend (decimal-exact accumulation)",
     tags=("window-frame",),
@@ -585,14 +585,14 @@ _sql(
     "w5_moving_avg_3",
     spark_sql="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w, 2) AS DOUBLE)
              / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_3
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w, 2) AS DOUBLE)
              / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_3
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

@@ -83,7 +83,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     means AS (
       SELECT label, dim,
-             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
       FROM flat GROUP BY label, dim
     )
     SELECT label, list(round(m, 8) ORDER BY dim) AS centroid, CAST(n AS BIGINT) AS n_members
@@ -99,7 +99,7 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
     )
     means = flat.groupBy("label", "dim").agg(
-        (F.sum(F.col("x").cast("DECIMAL(28,12)")).cast("double") / F.count("*").cast("double")).alias("m")
+        (F.round(F.sum(F.col("x").cast("DECIMAL(28,12)")), 6).cast("double") / F.count("*").cast("double")).alias("m")
     )
     counts = t["embeddings"].groupBy("label").agg(F.count("*").alias("n_members"))
     return (
