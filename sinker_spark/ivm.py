@@ -140,3 +140,25 @@ class SnapshotStore:
         delta = delta.localCheckpoint(eager=True)  # pin before the swap
         self.write(view, new_df, key)
         return delta
+
+    def vacuum(self, view: str, keep_last: int = 2) -> list[int]:
+        """Drop snapshot versions older than the newest ``keep_last``
+        (retention; the current version is never removed). Returns the
+        versions deleted. On an object store this maps to lifecycle
+        rules / manifest GC; locally it's a directory delete."""
+        import re
+        import shutil
+
+        current = self.current_version(view)
+        if current is None:
+            return []
+        d = self._dir(view)
+        versions = sorted(
+            int(m.group(1))
+            for name in os.listdir(d)
+            if (m := re.fullmatch(r"v_(\d+)", name))
+        )
+        doomed = [v for v in versions if v <= current - keep_last]
+        for v in doomed:
+            shutil.rmtree(os.path.join(d, f"v_{v}"), ignore_errors=True)
+        return doomed

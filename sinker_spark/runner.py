@@ -94,21 +94,50 @@ class SyncEngine:
         views: list[ViewDef],
         sink,
         store: SnapshotStore,
+        max_parallel_views: int = 1,
     ) -> None:
         self.spark = spark
         self.views = {v.name: v for v in views}
         self.sink = sink
         self.store = store
+        # reference parity (runner.py:44-50, 91-99): per-view thread pools.
+        # Spark jobs submitted from separate threads run concurrently (use
+        # the FAIR scheduler on a real cluster); exceptions re-raise on
+        # future.result(), matching the reference's tested propagation
+        # (test_e2e.py:35-57).
+        self.max_parallel_views = max_parallel_views
+        # per-batch observability: view -> {"upserts": n, "deletes": n}
+        # (reference logs processed-tuple counts, runner.py:114-117)
+        self.last_stats: dict[str, dict[str, int]] = {}
+
+    def _refresh_one(self, view: ViewDef, epoch_id: int | None = None) -> None:
+        new_df = view.compile(self.spark)
+        delta = self.store.refresh(view.name, new_df, key=view.key)
+        counts = {r["op"]: r["n"] for r in delta.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, delta)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+        }
+        logger.info("refreshed view %s (epoch %s): %s", view.name, epoch_id, self.last_stats[view.name])
+
+    def _refresh_views(self, views: list[ViewDef], epoch_id: int | None = None) -> None:
+        if self.max_parallel_views <= 1 or len(views) <= 1:
+            for v in views:
+                self._refresh_one(v, epoch_id)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(self.max_parallel_views, len(views))) as pool:
+            futures = [pool.submit(self._refresh_one, v, epoch_id) for v in views]
+            for f in futures:
+                f.result()  # re-raise worker exceptions
 
     # -- setup / backfill (reference Sinker.setup, sinker.py:37-43) -------
     def backfill(self) -> None:
         """Materialize every view and push the full snapshot as upserts
         (reference backfill_stream, sinker.py:60-72)."""
-        for view in self.views.values():
-            df = view.compile(self.spark)
-            delta = self.store.refresh(view.name, df, key=view.key)
-            self.sink.apply_actions(view.index, delta)
-            logger.info("backfilled view %s", view.name)
+        self._refresh_views(list(self.views.values()))
 
     # -- one micro-batch (reference Runner.iterate, runner.py:73-117) -----
     def dirty_views(self, changed_tables: set[str]) -> list[ViewDef]:
@@ -123,11 +152,7 @@ class SyncEngine:
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
         if not changed:
             return
-        for view in self.dirty_views(changed):
-            new_df = view.compile(self.spark)
-            delta = self.store.refresh(view.name, new_df, key=view.key)
-            self.sink.apply_actions(view.index, delta)
-            logger.info("refreshed view %s (epoch %s)", view.name, epoch_id)
+        self._refresh_views(self.dirty_views(changed), epoch_id)
 
     # -- continuous run (reference Runner.run, runner.py:68-71) ----------
     def run_stream(

@@ -1,0 +1,83 @@
+"""Parallel per-view refresh (reference thread-pool parity, runner.py:
+44-50/91-99), per-batch metrics, and snapshot retention vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.utils import AnalysisException
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink
+from sinker_spark.views import ViewDef
+
+from tests import school_fixtures as fx
+
+
+def _engine(spark, tmp_path, **kw):
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    eng = SyncEngine(
+        spark,
+        [
+            ViewDef("person_mv", sql=fx.PERSON_MV_SQL, index="people"),
+            ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses"),
+        ],
+        sink,
+        SnapshotStore(spark, str(tmp_path / "snap")),
+        **kw,
+    )
+    return eng, sink
+
+
+def test_parallel_backfill_matches_serial(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path, max_parallel_views=4)
+    eng.backfill()
+    assert sink.ids("people") == {"p-1", "p-2", "p-3", "p-4"}
+    assert sink.get("courses", "c-1") == fx.GOLDEN_C1
+    assert eng.last_stats["person_mv"] == {"upserts": 4, "deletes": 0}
+    assert eng.last_stats["course_mv"] == {"upserts": 3, "deletes": 0}
+
+
+def test_parallel_exception_propagates(spark, tmp_path):
+    """Reference parity (test_e2e.py:49-57): a failure inside the worker
+    pool must re-raise, not be swallowed."""
+    fx.register(spark, str(tmp_path / "t"))
+    eng = SyncEngine(
+        spark,
+        [
+            ViewDef("ok_mv", sql=fx.PERSON_MV_SQL, index="people"),
+            ViewDef("broken_mv", sql="select id, json_build_object('x', x) as d from missing_tbl"),
+        ],
+        InMemorySink(),
+        SnapshotStore(spark, str(tmp_path / "s")),
+        max_parallel_views=4,
+    )
+    with pytest.raises(AnalysisException):
+        eng.backfill()
+
+
+def test_batch_metrics_and_vacuum(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    eng.backfill()
+
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["person"] = [("p-4", "Prof M") if r[0] == "p-4" else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    batch = spark.createDataFrame(
+        [(1, "public", "person", "UPDATE", "p-4", None)],
+        "lsn bigint, schema string, table string, op string, id string, payload string",
+    )
+    eng.process_cdc_batch(batch)
+    # diff suppression shows in the metrics: one person doc + one course doc
+    assert eng.last_stats["person_mv"] == {"upserts": 1, "deletes": 0}
+    assert eng.last_stats["course_mv"] == {"upserts": 1, "deletes": 0}
+
+    store = eng.store
+    assert store.current_version("person_mv") == 2
+    removed = store.vacuum("person_mv", keep_last=1)
+    assert removed == [1]
+    # current snapshot still readable after vacuum
+    assert store.read("person_mv").count() == 4
+    # idempotent
+    assert store.vacuum("person_mv", keep_last=1) == []
