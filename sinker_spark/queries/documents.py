@@ -202,6 +202,65 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(t["documents"], threshold=0.5)
 
 
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dlen AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((CAST(tf.tf AS DOUBLE) / CAST(dlen.n_tok AS DOUBLE))
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dlen USING (doc_id) JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rank FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    doc="TF-IDF top-3 terms per document: tf + doc-frequency + corpus-size joins, all map-side-combinable aggregations; df table is tiny (vocabulary) → broadcast back",
+    tags=("text-tfidf",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", text.tokens("text").alias("tk"))
+        .select("doc_id", F.explode("tk").alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    df_t = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t["documents"].count()
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_tok").cast("double"))
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
 _NGRAM_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents

@@ -94,6 +94,27 @@ def cdc_parse_slot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           quantile_cont(o_totalprice, 0.5)  AS median_price,
+           quantile_cont(o_totalprice, 0.9)  AS p90_price,
+           quantile_cont(o_totalprice, 0.99) AS p99_price
+    FROM orders GROUP BY o_orderstatus""",
+    doc="exact interpolated percentiles (Spark percentile == DuckDB quantile_cont bit-for-bit); the sketch-based twin is approx_percentile_prices",
+    tags=("percentile",),
+)
+def exact_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus AS status,
+               percentile(o_totalprice, 0.5)  AS median_price,
+               percentile(o_totalprice, 0.9)  AS p90_price,
+               percentile(o_totalprice, 0.99) AS p99_price
+        FROM orders GROUP BY o_orderstatus""")
+
+
+@query(
     "referential_integrity_check",
     oracle="""
     SELECT 'orders->customer' AS fk, COUNT(*) AS orphans FROM orders o
