@@ -141,6 +141,45 @@ class SnapshotStore:
         self.write(view, new_df, key)
         return delta
 
+    def refresh_partial(
+        self,
+        view: str,
+        new_partial: DataFrame,
+        scope_keys: DataFrame,
+        key: str = "id",
+    ) -> DataFrame:
+        """Targeted incremental refresh: recompute-and-diff ONLY the keys
+        in ``scope_keys`` (one column: the view key).
+
+        This goes beyond the reference — ``REFRESH MATERIALIZED VIEW
+        CONCURRENTLY`` re-executes the full view query and diffs
+        (query_templates.py:13); here the view recompute itself is
+        restricted (the caller filters compile() by key, which Catalyst
+        pushes down to the parent-table scan, joining only affected
+        rows). At 100 TB this is the difference between touching a few
+        documents and re-joining the world.
+
+        The installed snapshot = (old minus scope) ∪ new_partial — no
+        recompute of out-of-scope rows, one co-partitioned anti-join.
+        Delta semantics within scope match snapshot_diff exactly:
+        upserts for new/changed keys, deletes for scoped keys that
+        vanished from the recomputed slice.
+        """
+        scope = scope_keys.select(F.col(scope_keys.columns[0]).cast("string").alias(key)).distinct()
+        old = self.read(view)
+        if old is None:
+            delta = snapshot_diff(None, new_partial, key)
+            self.write(view, new_partial, key)
+            return delta
+        old_docs = old.select(key, "doc")
+        old_in_scope = old_docs.join(scope, key, "left_semi")
+        delta = snapshot_diff(old_in_scope, new_partial, key)
+        delta = delta.localCheckpoint(eager=True)
+        keep = old_docs.join(scope, key, "left_anti")
+        merged = keep.unionByName(new_partial.select(key, "doc"))
+        self.write(view, merged, key)
+        return delta
+
     def vacuum(self, view: str, keep_last: int = 2) -> list[int]:
         """Drop snapshot versions older than the newest ``keep_last``
         (retention; the current version is never removed). Returns the

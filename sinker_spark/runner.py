@@ -147,12 +147,45 @@ class SyncEngine:
         return [v for v in self.views.values() if v.deps & changed_tables]
 
     def process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
-        """Recompute+diff lane. ``collect`` touches only the distinct table
-        names in the batch (bounded by the schema's table count)."""
+        """Recompute+diff lane. ``collect`` touches only the distinct
+        (table, id) pairs in the batch — bounded by batch size, and only
+        materialized when some dirty view opts into targeted refresh."""
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
         if not changed:
             return
-        self._refresh_views(self.dirty_views(changed), epoch_id)
+        dirty = self.dirty_views(changed)
+        if any(v.affected_keys is not None for v in dirty):
+            pairs = cdc.select("table", "id").distinct().collect()
+            changed_ids: dict[str, set[str]] = {}
+            for r in pairs:
+                changed_ids.setdefault(r["table"], set()).add(r["id"])
+        else:
+            changed_ids = {t: set() for t in changed}
+
+        full, targeted = [], []
+        for v in dirty:
+            scope = v.affected_keys(self.spark, changed_ids) if v.affected_keys else None
+            (targeted if scope is not None else full).append((v, scope))
+        self._refresh_views([v for v, _ in full], epoch_id)
+        for v, scope in targeted:
+            self._targeted_refresh_one(v, scope, epoch_id)
+
+    def _targeted_refresh_one(self, view: ViewDef, scope: DataFrame, epoch_id: int | None) -> None:
+        """Partial recompute: only docs whose keys are in scope are
+        re-joined, diffed, pushed, and merged into the snapshot
+        (SnapshotStore.refresh_partial — beyond the reference, whose
+        CONCURRENTLY refresh always re-runs the full view query)."""
+        new_partial = view.compile_scoped(self.spark, scope)
+        delta = self.store.refresh_partial(view.name, new_partial, scope, key=view.key)
+        counts = {r["op"]: r["n"] for r in delta.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, delta)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "targeted": 1,
+        }
+        logger.info("targeted-refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
 
     # -- continuous run (reference Runner.run, runner.py:68-71) ----------
     def run_stream(

@@ -63,6 +63,12 @@ class ViewDef:
     index: str | None = None  # sink index name; defaults to view name
     deps: set[str] = field(default_factory=set)
     parent_table: str | None = None
+    # Optional targeted-refresh hook: (spark, {table: {changed ids}}) →
+    # one-column DataFrame of affected VIEW keys, or None for "unknown →
+    # full refresh". Enables SnapshotStore.refresh_partial: the engine
+    # filters the compiled view by these keys (Catalyst pushes the IN
+    # down to the parent-table scan) instead of recomputing the world.
+    affected_keys: Callable[[SparkSession, dict[str, set[str]]], DataFrame | None] | None = None
 
     def __post_init__(self) -> None:
         if (self.sql is None) == (self.fn is None):
@@ -73,6 +79,17 @@ class ViewDef:
             self.parent_table = self.parent_table or parent
         if self.index is None:
             self.index = self.name
+
+    def compile_scoped(self, spark: SparkSession, scope_keys: DataFrame) -> DataFrame:
+        """Compile restricted to the given view keys: a left-semi join on
+        the key column, which Catalyst pushes through the view's joins to
+        the parent-table scan (the key IS the parent key by the engine's
+        id-from-parent convention) — partial recompute costs ∝ |scope|."""
+        full = self.compile(spark)
+        scope = scope_keys.select(
+            F.col(scope_keys.columns[0]).cast("string").alias(self.key)
+        ).distinct()
+        return full.join(scope, self.key, "left_semi")
 
     def compile(self, spark: SparkSession) -> DataFrame:
         """→ canonical (key, doc) DataFrame; decimals inside doc → double."""

@@ -1,0 +1,145 @@
+"""Targeted incremental refresh: only affected documents recompute.
+
+The reference's REFRESH CONCURRENTLY always re-runs the full view query;
+the engine's targeted lane restricts the recompute to affected keys (the
+IN-filter pushes to the parent scan) and merges the partial result into
+the snapshot. These tests assert correctness (same end state as a full
+refresh) and targeting (only scoped docs emitted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink
+from sinker_spark.views import ViewDef
+
+from tests import school_fixtures as fx
+
+
+def _course_affected_keys(spark, changed_ids):
+    """Reverse lineage for course_mv: map changed source-table ids to
+    affected course ids via the same join graph the view uses.
+
+    Parent-table (course) ids ARE view keys — taken verbatim, never
+    looked up (a deleted row can't be found in post-delete state). Child
+    rows are resolved through the current tables; deleted child rows
+    would need the CDC before-image (Debezium ``before``) in production —
+    here the cascading parent id covers them."""
+    known = {"course", "teacher", "person", "student", "enrollment"}
+    if not set(changed_ids) <= known:
+        return None  # unknown table → fall back to full refresh
+    course = spark.table("course")
+    teacher = spark.table("teacher")
+    student = spark.table("student")
+    enrollment = spark.table("enrollment")
+    parts = []
+    if changed_ids.get("course"):
+        parts.append(spark.createDataFrame([(i,) for i in changed_ids["course"]], "id string"))
+    if changed_ids.get("teacher"):
+        parts.append(course.where(F.col("teacher_id").isin(*changed_ids["teacher"])).select("id"))
+    if changed_ids.get("person"):
+        pids = list(changed_ids["person"])
+        t_ids = [r["id"] for r in teacher.where(F.col("person_id").isin(*pids)).collect()]
+        s_ids = [r["id"] for r in student.where(F.col("person_id").isin(*pids)).collect()]
+        if t_ids:
+            parts.append(course.where(F.col("teacher_id").isin(*t_ids)).select("id"))
+        if s_ids:
+            parts.append(
+                enrollment.where(F.col("student_id").isin(*s_ids)).select(F.col("course_id").alias("id"))
+            )
+    if changed_ids.get("student"):
+        parts.append(
+            enrollment.where(F.col("student_id").isin(*changed_ids["student"]))
+            .select(F.col("course_id").alias("id"))
+        )
+    if changed_ids.get("enrollment"):
+        parts.append(
+            enrollment.where(F.col("id").isin(*changed_ids["enrollment"]))
+            .select(F.col("course_id").alias("id"))
+        )
+    if not parts:
+        return spark.createDataFrame([], "id string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _cdc(spark, records):
+    return spark.createDataFrame(
+        [(lsn, "public", t, op, i, None) for lsn, t, op, i in records],
+        "lsn bigint, schema string, table string, op string, id string, payload string",
+    )
+
+
+def test_targeted_refresh_touches_only_affected_docs(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses",
+                   affected_keys=_course_affected_keys)
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    n0 = len(sink.action_log)
+
+    # rename the teacher of c-3 only (p-4 → teacher t-2 → course c-3)
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["person"] = [("p-4", "Prof Matthew") if r[0] == "p-4" else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [(1, "person", "UPDATE", "p-4")]))
+
+    assert sink.action_log[n0:] == [("courses", "upsert", "c-3")]
+    assert eng.last_stats["course_mv"]["targeted"] == 1
+    assert sink.get("courses", "c-3")["teacher"]["person"]["name"] == "Prof Matthew"
+    # untouched docs remain correct in both sink and snapshot
+    assert sink.get("courses", "c-1") == fx.GOLDEN_C1
+    snap = {r["id"] for r in eng.store.read("course_mv").collect()}
+    assert snap == {"c-1", "c-2", "c-3"}
+
+
+def test_targeted_delete_falls_out_of_scope_recompute(spark, tmp_path):
+    """Deleting course c-2 via targeted refresh: the scoped recompute
+    returns no row for c-2 → delete action; snapshot merge drops it."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses",
+                   affected_keys=_course_affected_keys)
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["course"] = [r for r in rows["course"] if r[0] != "c-2"]
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[2] != "c-2"]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "course", "DELETE", "c-2"),
+        (2, "enrollment", "DELETE", "e-3"),
+        (3, "enrollment", "DELETE", "e-4"),
+    ]))
+
+    assert sink.get("courses", "c-2") is None
+    assert sink.ids("courses") == {"c-1", "c-3"}
+    assert {r["id"] for r in eng.store.read("course_mv").collect()} == {"c-1", "c-3"}
+    assert eng.last_stats["course_mv"]["deletes"] == 1
+
+
+def test_unknown_table_falls_back_to_full_refresh(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    calls = []
+
+    def hook(spark_, changed):
+        calls.append(set(changed))
+        return _course_affected_keys(spark_, changed)
+
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses", affected_keys=hook)
+    # force the dep set to include a table the hook doesn't understand
+    view.deps = view.deps | {"mystery"}
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+
+    eng.process_cdc_batch(_cdc(spark, [(1, "mystery", "UPDATE", "zzz")]))
+    # hook returned None → full refresh ran; state unchanged → no actions
+    assert calls and {"mystery"} in calls
+    assert eng.last_stats["course_mv"] == {"upserts": 0, "deletes": 0}
