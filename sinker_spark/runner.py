@@ -164,7 +164,9 @@ class SyncEngine:
 
         full, targeted = [], []
         for v in dirty:
-            scope = v.affected_keys(self.spark, changed_ids) if v.affected_keys else None
+            # each view's hook sees only the changed tables it depends on
+            relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
+            scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
             (targeted if scope is not None else full).append((v, scope))
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:

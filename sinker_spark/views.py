@@ -79,6 +79,20 @@ class ViewDef:
             self.parent_table = self.parent_table or parent
         if self.index is None:
             self.index = self.name
+        if self.affected_keys is None and self.parent_table and self.deps == {self.parent_table}:
+            # single-table view (person_mv shape): by the id-from-parent
+            # convention (reference person_mv.sql:1, sinker.py:110-120)
+            # changed parent ids ARE the affected view keys — targeted
+            # refresh is derivable with no user hook.
+            parent = self.parent_table
+
+            def _parent_ids(spark: SparkSession, changed: dict[str, set[str]]) -> DataFrame | None:
+                ids = changed.get(parent, set())
+                if set(changed) - {parent}:
+                    return None  # unexpected table → full refresh
+                return spark.createDataFrame([(i,) for i in sorted(ids)], f"{self.key} string")
+
+            self.affected_keys = _parent_ids
 
     def compile_scoped(self, spark: SparkSession, scope_keys: DataFrame) -> DataFrame:
         """Compile restricted to the given view keys: a left-semi join on

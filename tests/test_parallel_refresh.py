@@ -70,7 +70,8 @@ def test_batch_metrics_and_vacuum(spark, tmp_path):
     )
     eng.process_cdc_batch(batch)
     # diff suppression shows in the metrics: one person doc + one course doc
-    assert eng.last_stats["person_mv"] == {"upserts": 1, "deletes": 0}
+    # (person_mv auto-derives targeted refresh — single-table view)
+    assert eng.last_stats["person_mv"] == {"upserts": 1, "deletes": 0, "targeted": 1}
     assert eng.last_stats["course_mv"] == {"upserts": 1, "deletes": 0}
 
     store = eng.store
