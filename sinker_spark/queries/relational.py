@@ -285,6 +285,33 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- lateral correlated subquery in FROM ----------------------------------
+_sql(
+    "lateral_top_orders_per_segment",
+    spark_sql="""
+    SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+           t.orderkey, t.totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 50""",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+           t.orderkey, t.totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 50""",
+    doc="LATERAL correlated derived table (top-2 orders per customer); Catalyst decorrelates into a ranked window join — no per-row execution",
+    tags=("join-lateral", "B18"),
+)
+
 # --- B5: correlated scalar subquery --------------------------------------
 _sql(
     "scalar_subquery_order_count",
