@@ -38,8 +38,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.poll_interval is not None:
         cfg.poll_interval = args.poll_interval
 
-    spark = get_spark("sinker-spark-cli")
-    views = cfg.load_views()
+    try:
+        spark = get_spark("sinker-spark-cli")
+        views = cfg.load_views()
+    except FileNotFoundError as e:
+        print(f"error: definitions not found: {e.filename}", file=sys.stderr)
+        print("expected --definitions dir with views_to_indices.json + {view}.sql files",
+              file=sys.stderr)
+        return 2
 
     # register source tables by file name
     import glob
