@@ -94,33 +94,63 @@ class ViewDef:
 
             self.affected_keys = _parent_ids
 
-    def compile_scoped(self, spark: SparkSession, scope_keys: DataFrame) -> DataFrame:
-        """Compile restricted to the given view keys: a left-semi join on
-        the key column, which Catalyst pushes through the view's joins to
-        the parent-table scan (the key IS the parent key by the engine's
-        id-from-parent convention) — partial recompute costs ∝ |scope|."""
-        full = self.compile(spark)
-        scope = scope_keys.select(
-            F.col(scope_keys.columns[0]).cast("string").alias(self.key)
-        ).distinct()
-        return full.join(scope, self.key, "left_semi")
+    # Above this many scope keys the literal IN-list is abandoned for a
+    # semi-join (driver memory + plan size); below it, literals win big:
+    # Catalyst propagates a literal IN through joins AND through
+    # aggregates on the grouping key, pruning every branch's scan — a
+    # semi-join against a DataFrame does not push through aggregations.
+    SCOPE_LITERAL_MAX = 10_000
 
-    def compile(self, spark: SparkSession) -> DataFrame:
-        """→ canonical (key, doc) DataFrame; decimals inside doc → double."""
-        if self.sql is not None:
-            df = spark.sql(transpile(self.sql))
+    def compile_scoped(self, spark: SparkSession, scope_keys: DataFrame | list) -> DataFrame:
+        """Compile restricted to the given view keys.
+
+        Small scopes become a literal ``key IN (…)`` predicate (pushes to
+        the parent scan and, via constraint propagation, into every join
+        branch including grouped subplans) — partial recompute costs
+        ∝ |scope|. Large scopes fall back to a left-semi join (prunes the
+        parent side only)."""
+        if not isinstance(scope_keys, list):
+            head = scope_keys.limit(self.SCOPE_LITERAL_MAX + 1).collect()
+            if len(head) > self.SCOPE_LITERAL_MAX:
+                full = self.compile(spark)
+                scope = scope_keys.select(
+                    F.col(scope_keys.columns[0]).cast("string").alias(self.key)
+                ).distinct()
+                return full.join(scope, self.key, "left_semi")
+            scope_keys = [r[0] for r in head]
+        keys = sorted({str(k) for k in scope_keys})
+        # filter the RAW (pre-string-cast) id column with literals of its
+        # native type — a predicate under the cast reaches the scans; one
+        # over it does not
+        raw = self._raw(spark)
+        id_col, _ = raw.columns
+        id_dtype = dict(raw.dtypes)[id_col]
+        if not keys:
+            scoped = raw.where(F.lit(False))
+        elif id_dtype in ("bigint", "int", "smallint", "tinyint"):
+            scoped = raw.where(F.col(id_col).isin(*[int(k) for k in keys]))
         else:
-            df = self.fn(spark)
-        cols = df.columns
-        if len(cols) != 2:
+            scoped = raw.where(F.col(id_col).cast("string").isin(*keys))
+        return self._canonicalize(scoped)
+
+    def _raw(self, spark: SparkSession) -> DataFrame:
+        """The view program's 2-column output, before canonicalization."""
+        df = spark.sql(transpile(self.sql)) if self.sql is not None else self.fn(spark)
+        if len(df.columns) != 2:
             raise ValueError(
-                f"view {self.name!r} must produce exactly 2 columns (id, doc); got {cols}"
+                f"view {self.name!r} must produce exactly 2 columns (id, doc); got {df.columns}"
             )
-        id_col, doc_col = cols
+        return df
+
+    def _canonicalize(self, df: DataFrame) -> DataFrame:
+        id_col, doc_col = df.columns
         doc_dt = df.schema[doc_col].dataType
         _, doc_cast, changed = _decimals_to_double(doc_dt, F.col(doc_col))
-        out = df.select(
+        return df.select(
             F.col(id_col).cast("string").alias(self.key),
             (doc_cast if changed else F.col(doc_col)).alias("doc"),
         )
-        return out
+
+    def compile(self, spark: SparkSession) -> DataFrame:
+        """→ canonical (key, doc) DataFrame; decimals inside doc → double."""
+        return self._canonicalize(self._raw(spark))
