@@ -103,11 +103,16 @@ class SnapshotStore:
         except (OSError, ValueError, KeyError):
             return None
 
-    def read(self, view: str) -> DataFrame | None:
-        v = self.current_version(view)
+    def read(self, view: str, version: int | None = None) -> DataFrame | None:
+        """Read the current snapshot, or time-travel to ``version`` (any
+        version not yet vacuumed)."""
+        v = version if version is not None else self.current_version(view)
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self._dir(view), f"v_{v}"))
+        path = os.path.join(self._dir(view), f"v_{v}")
+        if version is not None and not os.path.isdir(path):
+            raise FileNotFoundError(f"snapshot {view} v_{version} not found (vacuumed?)")
+        return self.spark.read.parquet(path)
 
     def write(self, view: str, df: DataFrame, key: str = "id") -> int:
         """Materialize a new snapshot version; returns the version number.
