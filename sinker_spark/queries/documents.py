@@ -336,6 +336,40 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(t["documents"])
 
 
+# transitive closure over the minhash pair set (embedded as a derived
+# table) → component = min reachable doc id; WITH RECURSIVE does the
+# iteration the Spark side runs as a label-propagation loop
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a AS u, id_b AS v FROM ({_MINHASH_ORACLE}) p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM ({_MINHASH_ORACLE}) p
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+  SELECT node AS a, node AS b FROM nodes
+  UNION
+  SELECT r.a, e.v AS b
+  FROM reach r JOIN edges e ON r.b = e.u
+)
+SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+"""
+
+
+@query(
+    "near_dup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    doc="iterative connected components (operators/graph.connected_components) turning MinHash near-dup PAIRS into duplicate CLUSTERS (component = min doc id); oracle via recursive-CTE transitive closure",
+    tags=("dedup-clusters", "iterative"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(t["documents"], threshold=0.5)
+    return connected_components(pairs)
+
+
 @query(
     "multimodal_binary_metadata",
     oracle="""
