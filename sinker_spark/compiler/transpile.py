@@ -52,14 +52,30 @@ def _replace_quoted_idents(sql: str) -> str:
     return "".join(out)
 
 
+# Postgres type names → Spark SQL types (used in :: casts)
+_PG_TYPES = {
+    "text": "STRING", "varchar": "STRING", "char": "STRING", "bpchar": "STRING",
+    "int2": "SMALLINT", "int4": "INT", "int8": "BIGINT", "serial": "INT",
+    "bigserial": "BIGINT", "float4": "FLOAT", "float8": "DOUBLE",
+    "real": "FLOAT", "bool": "BOOLEAN", "timestamptz": "TIMESTAMP",
+    "json": "STRING", "jsonb": "STRING", "uuid": "STRING", "bytea": "BINARY",
+}
+
+
 def _rewrite_pg_casts(sql: str) -> str:
     # expr::type — rewrite the tight-binding cases seen in practice:
     # identifier/literal/closing-paren followed by ::type
     pat = re.compile(r"(\`[^`]+\`|\w+|\))\s*::\s*([A-Za-z_][\w ]*?)(?=[\s,()\[\]]|$)")
+
+    def sub(m: re.Match) -> str:
+        t = m.group(2).strip()
+        t = _PG_TYPES.get(t.lower(), t)
+        return f"CAST({m.group(1)} AS {t})"
+
     prev = None
     while prev != sql:
         prev = sql
-        sql = pat.sub(lambda m: f"CAST({m.group(1)} AS {m.group(2).strip()})", sql, count=1)
+        sql = pat.sub(sub, sql, count=1)
     return sql
 
 
@@ -202,7 +218,6 @@ def _subquery_spans(sql: str) -> list[tuple[int, int]]:
 
 def _split_subquery(body: str) -> tuple[str, str, str] | None:
     """'select E from F [where W]' → (E, F, W) split at top paren level."""
-    toks = []
     depth = 0
     low = body.lower()
     m = re.match(r"\s*select\s+", body, re.IGNORECASE)

@@ -25,6 +25,15 @@ def test_pg_cast_and_now():
     assert "current_timestamp()" in out
 
 
+def test_pg_type_names_mapped():
+    out = transpile("select a::text, b::int8, c::float8, d::jsonb, e::timestamptz from t")
+    assert "CAST(a AS STRING)" in out
+    assert "CAST(b AS BIGINT)" in out
+    assert "CAST(c AS DOUBLE)" in out
+    assert "CAST(d AS STRING)" in out
+    assert "CAST(e AS TIMESTAMP)" in out
+
+
 def test_unnest_in_from():
     out = transpile("select email from unnest(emails) as email")
     assert "explode(emails) AS email" in out.replace("  ", " ")
