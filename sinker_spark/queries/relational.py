@@ -183,6 +183,125 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q7 shape: bi-national volume shipping --------------------------
+_sql(
+    "q7_volume_shipping",
+    spark_sql=f"""
+    SELECT supp_region, cust_nation, l_year, {dsum_expr('volume')} AS revenue
+    FROM (
+      SELECT r1.r_name AS supp_region, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(18,4)) AS DOUBLE) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+         OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+    ) shipping
+    GROUP BY supp_region, cust_nation, l_year""",
+    oracle=f"""
+    SELECT supp_region, cust_nation, l_year, {dsum_expr('volume')} AS revenue
+    FROM (
+      SELECT r1.r_name AS supp_region, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(18,4)) AS DOUBLE) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+         OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+    ) shipping
+    GROUP BY supp_region, cust_nation, l_year""",
+    doc="TPC-H Q7 shape: double nation-dim join with a disjunctive cross-filter, yearly revenue rollup",
+    tags=("B13", "B15"),
+)
+
+# --- TPC-H Q9 shape: brand profit by nation and year ----------------------
+_sql(
+    "q9_brand_profit",
+    spark_sql=f"""
+    SELECT nation, yr, p_brand AS brand, {dsum_expr('volume')} AS revenue
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS yr, p.p_brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(18,4)) AS DOUBLE) AS volume
+      FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, yr, p_brand""",
+    oracle=f"""
+    SELECT nation, yr, p_brand AS brand, {dsum_expr('volume')} AS revenue
+    FROM (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr, p.p_brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1.0 - l.l_discount AS DECIMAL(18,4)) AS DOUBLE) AS volume
+      FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, yr, p_brand""",
+    doc="TPC-H Q9 shape: 5-way join with LIKE filter, 3-key rollup",
+    tags=("B13", "B15"),
+)
+
+# --- funnel conversion over events ----------------------------------------
+_sql(
+    "funnel_signup_to_purchase",
+    spark_sql="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.signup_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT date_format(date_trunc('day', s.signup_ts), 'yyyy-MM-dd') AS cohort_day,
+           COUNT(*) AS signups,
+           COUNT(p.purchase_ts) AS converted,
+           round(CAST(COUNT(p.purchase_ts) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    GROUP BY date_format(date_trunc('day', s.signup_ts), 'yyyy-MM-dd')""",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts >= s.signup_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT strftime(date_trunc('day', s.signup_ts), '%Y-%m-%d') AS cohort_day,
+           COUNT(*) AS signups,
+           COUNT(p.purchase_ts) AS converted,
+           round(CAST(COUNT(p.purchase_ts) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    GROUP BY strftime(date_trunc('day', s.signup_ts), '%Y-%m-%d')""",
+    doc="funnel analysis: first-signup cohort → conversion to first subsequent purchase; event-sequence pattern over the stream table in pure SQL",
+    tags=("funnel", "B12", "B14"),
+)
+
 # --- B12: CTE ------------------------------------------------------------
 _sql(
     "cte_big_spenders",
