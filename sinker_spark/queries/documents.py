@@ -371,6 +371,35 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_canonical_assignment",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTER_ORACLE.strip()})
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS canonical_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id""",
+    doc="the dedup pipeline's final answer: every document mapped to its near-dup cluster canonical (min id; singletons map to themselves) with a keep/drop decision",
+    tags=("dedup-decision",),
+)
+def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(t["documents"], threshold=0.5)
+    clusters = connected_components(pairs)
+    return (
+        t["documents"]
+        .select("doc_id")
+        .join(clusters, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+@query(
     "multimodal_binary_metadata",
     oracle="""
     SELECT doc_id,

@@ -112,6 +112,36 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scaled AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id, round(scale, 8) AS scale,
+           list_transform(e, x -> CAST(round(x / scale * 127.0) AS INT)) AS q
+    FROM scaled WHERE scale > 0""",
+    doc="int8 scalar quantization of embeddings (4x memory at 100 TB ANN scale): per-vector max-abs scale, round-to-int8 codes (reconstruction-error bound asserted in tests/test_operators.py) — all Catalyst array expressions",
+    tags=("similarity-quantize",),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = F.col("embedding").cast("array<double>")
+    v = t["embeddings"].select("vec_id", e.alias("e"))
+    scaled = v.select(
+        "vec_id", "e", F.array_max(F.transform("e", lambda x: F.abs(x))).alias("scale")
+    ).where(F.col("scale") > 0)
+    q = F.transform("e", lambda x: F.round(x / F.col("scale") * 127.0).cast("int"))
+    return scaled.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        q.alias("q"),
+    )
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle=f"""
     WITH v AS (

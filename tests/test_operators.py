@@ -138,6 +138,25 @@ def test_multimodal_real_codec_gated(spark):
             multimodal.decode_image_features(mm, fake=False)
 
 
+def test_int8_quantization_error_bound(spark):
+    """Round-trip error of int8 scalar quantization ≤ scale/254 per dim
+    (half a code step) — the property PLANS/SCALING claim for the 4x
+    memory saving."""
+    from sinker_spark.queries import REGISTRY, _load
+    from sinker_spark.catalog import load_tables
+    from tests.conftest import SF_SMALL
+
+    _load()
+    rows = REGISTRY["embedding_quantize_int8"].fn(spark, SF_SMALL).collect()
+    emb = {r["vec_id"]: r["embedding"] for r in load_tables(spark, SF_SMALL)["embeddings"].collect()}
+    assert len(rows) == len(emb)
+    for r in rows[:50]:
+        scale = r["scale"]
+        for code, orig in zip(r["q"], emb[r["vec_id"]]):
+            assert -127 <= code <= 127
+            assert abs(code / 127.0 * scale - orig) <= scale / 254.0 + 1e-9
+
+
 # ---- similarity sanity beyond the oracle --------------------------------
 def test_cosine_self_similarity(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
