@@ -302,6 +302,41 @@ _sql(
     tags=("funnel", "B12", "B14"),
 )
 
+# --- recursive CTE: month spine with zero-filled counts -------------------
+_sql(
+    "recursive_month_spine",
+    spark_sql="""
+    WITH RECURSIVE spine(month_start) AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM spine
+      WHERE month_start < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+    ),
+    monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT date_format(s.month_start, 'yyyy-MM') AS month,
+           COALESCE(mo.n, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly mo ON mo.m = s.month_start""",
+    oracle="""
+    WITH RECURSIVE spine(month_start) AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM spine
+      WHERE month_start < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+    ),
+    monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT strftime(s.month_start, '%Y-%m') AS month,
+           COALESCE(mo.n, 0) AS n_orders
+    FROM spine s LEFT JOIN monthly mo ON mo.m = s.month_start""",
+    doc="recursive CTE (Spark 4.1 WITH RECURSIVE): generated month spine left-joined to monthly order counts — gap months appear with 0",
+    tags=("B12", "recursive-cte"),
+)
+
 # --- B12: CTE ------------------------------------------------------------
 _sql(
     "cte_big_spenders",
