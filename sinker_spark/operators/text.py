@@ -53,12 +53,16 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Per-document quality features + a composite score.
 
     Pure projection — no shuffle; at 100 TB this is a single map stage
-    fused into the parquet scan by whole-stage codegen.
+    fused into the parquet scan by whole-stage codegen. Tokenization is
+    staged through a projected column so it runs once per row (lambda
+    expressions are not CSE'd — see operators/dedup.shingles).
     """
+    df = df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks"))
+    arr = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
     n_chars = F.length(text_col)
-    n_tok = token_count(text_col)
+    n_tok = F.size("__toks")
     n_punct = n_chars - F.length(F.regexp_replace(text_col, PUNCT_RE, ""))
-    n_stop = stopword_hits(text_col, LANG_LEXICONS["en"])
+    n_stop = F.size(F.filter("__toks", lambda t: F.array_contains(arr, F.lower(t))))
     tok_d = n_tok.cast("double")
     avg_tok_len = F.when(n_tok > 0, (n_chars - n_tok + 1).cast("double") / tok_d).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / tok_d).otherwise(F.lit(0.0))
