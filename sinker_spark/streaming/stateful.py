@@ -19,6 +19,16 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+try:  # transformWithState's Python runner speaks protobuf to the JVM state
+    # server; gate on its presence so the operator degrades cleanly where
+    # the (ordinarily standard) protobuf dependency is absent.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS_RUNTIME = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAS_TWS_RUNTIME = False
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
@@ -47,6 +57,118 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x successor API): change-suppression compaction
+# ---------------------------------------------------------------------------
+
+CHANGED_ONLY_SCHEMA = "id string, doc string, lsn bigint"
+
+
+class ChangedOnlyProcessor(StatefulProcessor):
+    """Per-id change suppression for the CDC → sink lane.
+
+    The reference re-indexes every refreshed document each cycle whether or
+    not its content changed (sinker.py:131-135 recomputes the view; every
+    row flows to the ES bulk API). At 100 TB most refresh output is
+    *unchanged* — re-writing it wastes sink throughput. This processor keeps
+    one tiny ValueState per doc id — (md5-of-doc, lsn) — and emits a row
+    only when the latest doc content for that id differs from what was last
+    emitted. Within a batch only the max-lsn row per id is considered
+    (last-write-wins, bulk_action_generator.py:37-38 ordering semantics).
+
+    Why ``transformWithState`` and not ``dropDuplicates``: dedup-by-watermark
+    drops *re-occurrences of the same row*; this suppresses *re-emissions of
+    an unchanged VALUE per key across arbitrarily distant micro-batches* —
+    value-conditional state no built-in operator expresses. State is
+    O(active ids) and TTL-bounded; the state store shuffle on ``id`` is the
+    same shuffle the sink merge needs anyway.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._last = handle.getValueState("last_emitted", "h string, lsn bigint", self._ttl_ms)
+
+    def handleInputRows(self, key: tuple, rows, timerValues):
+        import hashlib
+
+        (doc_id,) = key
+        best_lsn, best_doc = -1, None
+        for pdf in rows:
+            for lsn, doc in zip(pdf["lsn"], pdf["doc"]):
+                if int(lsn) > best_lsn:
+                    best_lsn, best_doc = int(lsn), doc
+        prev = self._last.get()
+        digest = hashlib.md5((best_doc or "").encode()).hexdigest()
+        if prev is not None and prev[0] == digest:
+            return iter([])  # unchanged → suppress re-index
+        self._last.update((digest, best_lsn))
+        return iter([pd.DataFrame({"id": [doc_id], "doc": [best_doc], "lsn": [best_lsn]})])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def suppress_unchanged_tws(updates: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """``suppress_unchanged`` on the transformWithState API (Spark 4.x
+    successor to applyInPandasWithState): native per-state TTL, typed state
+    variables, RocksDB-backed store. Requires the protobuf runtime
+    (``HAS_TWS_RUNTIME``); semantics are identical to ``suppress_unchanged``."""
+    return (
+        updates.select("id", "doc", "lsn")
+        .groupBy("id")
+        .transformWithStateInPandas(
+            statefulProcessor=ChangedOnlyProcessor(ttl_ms),
+            outputStructType=CHANGED_ONLY_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def _suppress_unchanged_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    import hashlib
+
+    (doc_id,) = key
+    best_lsn, best_doc = -1, None
+    for pdf in pdfs:
+        for lsn, doc in zip(pdf["lsn"], pdf["doc"]):
+            if int(lsn) > best_lsn:
+                best_lsn, best_doc = int(lsn), doc
+    digest = hashlib.md5((best_doc or "").encode()).hexdigest()
+    prev = state.get if state.exists else None
+    if prev is not None and prev[0] == digest:
+        return  # unchanged → suppress re-index
+    state.update((digest, best_lsn))
+    yield pd.DataFrame({"id": [doc_id], "doc": [best_doc], "lsn": [best_lsn]})
+
+
+def suppress_unchanged(updates: DataFrame) -> DataFrame:
+    """updates(id, doc, lsn) stream → only rows whose doc content changed
+    since the last emission for that id (first sighting always emits).
+    Same state machine as :class:`ChangedOnlyProcessor`, on the
+    applyInPandasWithState API (no extra runtime deps)."""
+    return (
+        updates.select("id", "doc", "lsn")
+        .groupBy("id")
+        .applyInPandasWithState(
+            _suppress_unchanged_update,
+            outputStructType=CHANGED_ONLY_SCHEMA,
+            stateStructType="h string, lsn bigint",
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -56,6 +56,79 @@ def test_stateful_running_stats_across_batches_and_restart(spark, tmp_path):
     assert RESULTS == {1: (3, 17.5)}
 
 
+EMITTED: list[tuple] = []
+
+
+def _capture_changes(batch_df, epoch_id):
+    for r in batch_df.collect():
+        EMITTED.append((r["id"], r["doc"], r["lsn"]))
+
+
+def _run_suppression(spark, tmp_path, op):
+    src = tmp_path / "upd"
+    src.mkdir()
+    # batch 1: two versions of a in one batch (lsn 1,2) + b
+    with open(src / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"id": "a", "doc": "{'v':1}", "lsn": 1}) + "\n")
+        fh.write(json.dumps({"id": "a", "doc": "{'v':2}", "lsn": 2}) + "\n")
+        fh.write(json.dumps({"id": "b", "doc": "{'v':9}", "lsn": 1}) + "\n")
+    # batch 2: a re-delivered UNCHANGED (suppress), b changed (emit)
+    with open(src / "b.jsonl", "w") as fh:
+        fh.write(json.dumps({"id": "a", "doc": "{'v':2}", "lsn": 3}) + "\n")
+        fh.write(json.dumps({"id": "b", "doc": "{'v':10}", "lsn": 2}) + "\n")
+    # file source orders batches by mtime — pin them so batch order is stable
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "a.jsonl", (now - 60, now - 60))
+    _os.utime(src / "b.jsonl", (now, now))
+
+    stream = (
+        spark.readStream.schema("id string, doc string, lsn bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    EMITTED.clear()
+    q = (
+        op(stream)
+        .writeStream.foreachBatch(_capture_changes)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    by_id: dict[str, list[tuple]] = {}
+    for rid, doc, lsn in EMITTED:
+        by_id.setdefault(rid, []).append((doc, lsn))
+    # a: batch1 emits the max-lsn version only; batch2 redelivery suppressed
+    assert by_id["a"] == [("{'v':2}", 2)]
+    # b: both batches emitted (content changed)
+    assert by_id["b"] == [("{'v':9}", 1), ("{'v':10}", 2)]
+
+
+def test_suppress_unchanged_applyinpandaswithstate(spark, tmp_path):
+    """Change-suppression compaction: re-delivered identical docs are
+    dropped; changed docs pass; within-batch last-write-wins by lsn."""
+    from sinker_spark.streaming.stateful import suppress_unchanged
+
+    _run_suppression(spark, tmp_path, suppress_unchanged)
+
+
+def test_suppress_unchanged_transformwithstate(spark, tmp_path):
+    """Same state machine on the Spark 4.x transformWithState API —
+    requires the protobuf runtime its Python worker speaks."""
+    import pytest
+
+    from sinker_spark.streaming import stateful
+
+    if not stateful.HAS_TWS_RUNTIME:
+        pytest.skip("google.protobuf not installed; transformWithState runner unavailable")
+    _run_suppression(spark, tmp_path, stateful.suppress_unchanged_tws)
+
+
 def test_sink_idempotent_under_replay(spark, tmp_path):
     """Replaying the identical CDC batch twice (what an at-least-once
     restart does between offset-commit and completion) must converge to
