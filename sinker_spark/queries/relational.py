@@ -24,7 +24,18 @@ from pyspark.sql import functions as F
 
 from sinker_spark.catalog import load_tables, register_views
 from sinker_spark.queries import query
-from sinker_spark.queries.helpers import REVENUE_SQL, davg, davg_expr, dsum, dsum_expr, revenue
+from sinker_spark.queries.helpers import (
+    REVENUE_SQL,
+    davg,
+    davg_expr,
+    dsum,
+    dsum_expr,
+    mavg,
+    mavg_expr,
+    msum,
+    msum_expr,
+    revenue,
+)
 
 
 def _sql(name: str, spark_sql: str, oracle: str, doc: str = "", tags: tuple[str, ...] = ()):
@@ -84,12 +95,12 @@ def filter_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {dsum_expr('l_quantity')} AS sum_qty,
-           {dsum_expr('l_extendedprice')} AS sum_base_price,
+           {msum_expr('l_quantity')} AS sum_qty,
+           {msum_expr('l_extendedprice')} AS sum_base_price,
            {REVENUE_SQL} AS sum_disc_price,
-           {davg_expr('l_quantity')} AS avg_qty,
-           {davg_expr('l_extendedprice')} AS avg_price,
-           {davg_expr('l_discount')} AS avg_disc,
+           {mavg_expr('l_quantity')} AS avg_qty,
+           {mavg_expr('l_extendedprice')} AS avg_price,
+           {mavg_expr('l_discount')} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -104,12 +115,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            msum("l_quantity").alias("sum_qty"),
+            msum("l_extendedprice").alias("sum_base_price"),
             revenue().alias("sum_disc_price"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            mavg("l_quantity").alias("avg_qty"),
+            mavg("l_extendedprice").alias("avg_price"),
+            mavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -389,13 +400,13 @@ _sql(
     spark_sql="""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0), 2) AS DOUBLE) AS total_spent
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))), 0), 2) AS DOUBLE) AS total_spent
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name""",
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0), 2) AS DOUBLE) AS total_spent
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))), 0), 2) AS DOUBLE) AS total_spent
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name""",
     doc="B14 left join (test_parse_schema_tables.py:80): zero-order customers kept with count 0",
@@ -709,13 +720,13 @@ _sql(
     "w1_running_total",
     spark_sql="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
     FROM orders""",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
     FROM orders""",
@@ -766,14 +777,14 @@ _sql(
     "w5_moving_avg_3",
     spark_sql="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w, 2) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))) OVER w, 2) AS DOUBLE)
              / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_3
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w, 2) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))) OVER w, 2) AS DOUBLE)
              / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_3
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
