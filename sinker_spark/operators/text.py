@@ -38,9 +38,15 @@ def token_count(col: str | Column = "text") -> Column:
 
 def bpe_ish_token_count(col: str | Column = "text") -> Column:
     """Sub-word-ish token count: split on whitespace AND at letter/digit
-    boundaries (a cheap BPE proxy: 'spark2024' → 2 pieces)."""
+    boundaries (a cheap BPE proxy: 'spark2024' → 2 pieces). Written with
+    capture-group replaces (not lookaround) so the identical expression
+    runs on RE2-based engines (DuckDB oracle) — two passes: letter→digit
+    then digit→letter seams."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(F.regexp_replace(c, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])", " "), r"\s+")
+    seamed = F.regexp_replace(
+        F.regexp_replace(c, r"([a-zA-Z])([0-9])", r"$1 $2"), r"([0-9])([a-zA-Z])", r"$1 $2"
+    )
+    pieces = F.split(seamed, r"\s+")
     return F.size(F.filter(pieces, lambda t: t != ""))
 
 

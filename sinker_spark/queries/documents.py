@@ -418,3 +418,54 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("payload_md5"),
         F.upper(F.hex(F.encode(F.substring("text", 1, 8), "utf-8"))).alias("head_hex"),
     )
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_ws_tokens,
+           CAST(len(list_filter(string_split_regex(
+                 regexp_replace(regexp_replace(text, '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                                '([0-9])([a-zA-Z])', '\1 \2', 'g'), '\s+'),
+               t -> t <> '')) AS INT) AS n_bpe_tokens
+    FROM documents""",
+    doc="BPE-proxy token estimation (operators/text.bpe_ish_token_count): whitespace count plus letter/digit-seam subword splits; capture-group regex runs identically on Java regex and RE2",
+    tags=("text-tokens", "text-bpe"),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "sample_stratified_per_bucket",
+    oracle="""
+    SELECT doc_id, len_bucket, rn AS sample_rank FROM (
+      SELECT doc_id,
+             CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+             row_number() OVER (
+               PARTITION BY CAST(floor(length(text) / 100) AS BIGINT)
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) s
+    WHERE rn <= 5""",
+    doc="stratified sampling for training-set curation: up to 5 docs per length stratum, ordered by a salted md5 of the id — deterministic, partition-count-independent, engine-portable (vs sample()'s per-engine RNG); one shuffle on the stratum key, rank-limit pushed into the per-partition sort",
+    tags=("sampling", "training-pipeline"),
+)
+def sample_stratified_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(F.length("text") / 100).cast("bigint")
+    order_key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("len_bucket").orderBy(order_key, F.col("doc_id"))
+    return (
+        t["documents"]
+        .select("doc_id", bucket.alias("len_bucket"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+    )

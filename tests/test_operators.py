@@ -125,6 +125,16 @@ def test_multimodal_pipeline(spark):
     assert all(f_["byte_offset"] % 64 == 0 for f_ in frames)
     assert {f_["id"] for f_ in frames} == {1, 2}
 
+    resized = {r["id"]: r for r in multimodal.resize_images(mm, max_side=8, fake=True).collect()}
+    assert set(resized) == {1, 2}
+    for rid, r in resized.items():
+        assert max(r["width"], r["height"]) <= 8 and min(r["width"], r["height"]) >= 1
+        assert 0 < len(bytes(r["payload"])) <= rows[rid]["n_bytes"]
+    # aspect ratio preserved within integer truncation
+    for rid, r in resized.items():
+        w0, h0 = rows[rid]["width"], rows[rid]["height"]
+        assert abs(r["width"] / r["height"] - w0 / h0) < 0.5
+
 
 def test_multimodal_real_codec_gated(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
