@@ -82,3 +82,11 @@ def test_decorrelated_view_has_no_nested_loops(spark, tmp_path):
     df = ViewDef("course_mv", sql=fx.COURSE_MV_SQL).compile(spark)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "scalar-subquery" not in plan.lower()
+
+
+def test_money_sums_use_long_accumulator(spark):
+    """q1's money sums must ride Catalyst's decimal-aggregates rewrite
+    (sum over UnscaledValue longs, not byte-array decimals) — the 2x fast
+    path queries/helpers.py buys by narrowing to DECIMAL(8,2)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "UnscaledValue" in plan, "narrow-decimal sum fell off the long-backed fast path"
