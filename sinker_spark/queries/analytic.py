@@ -191,3 +191,78 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["orders"].where(F.pmod(F.hash("o_orderkey"), F.lit(10)) == 0).select("o_orderkey", "o_totalprice")
+
+
+# --- window value functions (first/last/nth with explicit frames) --------
+from sinker_spark.queries.relational import _sql  # noqa: E402
+
+_sql(
+    "window_value_functions",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS latest_order_so_far,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS latest_order_so_far,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    doc="window value functions first/last/nth with an explicit running frame (frame pinned so last_value is deterministic, the classic default-frame trap)",
+    tags=("window-value",),
+)
+
+_sql(
+    "string_agg_region_nations",
+    spark_sql="""
+    SELECT r.r_name AS region,
+           listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name""",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name""",
+    doc="ordered string aggregation (Spark 4 listagg WITHIN GROUP == PG/DuckDB string_agg ORDER BY): deterministic because the order is pinned inside the aggregate",
+    tags=("string-agg",),
+)
+
+
+# --- statistical aggregates from exact moments ---------------------------
+from sinker_spark.queries.helpers import msum_expr  # noqa: E402
+
+_STATS_INNER = f"""
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {msum_expr('l_quantity')} AS sx,
+             {msum_expr('l_extendedprice')} AS sy,
+             {msum_expr('l_quantity * l_quantity')} AS sxx,
+             {dsum_expr('l_extendedprice * l_extendedprice')} AS syy,
+             {dsum_expr('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+_STATS_OUTER = """
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxx - sx * sx) / (n * (n - 1.0)), 6) AS var_qty,
+           ROUND(SQRT((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_qty,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM moments
+"""
+
+_sql(
+    "battery_stats_moments",
+    spark_sql=f"WITH moments AS ({_STATS_INNER}) {_STATS_OUTER}",
+    oracle=f"WITH moments AS ({_STATS_INNER}) {_STATS_OUTER}",
+    doc="variance/stddev/correlation computed from exact decimal moments then identical IEEE double arithmetic — deterministic cross-engine where native stddev/corr (per-engine accumulation order) is not; single agg pass, map-side combinable",
+    tags=("functions-stats", "stats-battery"),
+)
