@@ -93,10 +93,11 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return minhash_signatures_from_shingles(shingle_rows(df, id_col, text_col, n), id_col, k)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
-    """Banded LSH: equal band-slice → candidate pair. Output (id_a, id_b),
-    id_a < id_b, distinct. Shuffle key = (band, band_hash): O(docs·bands)."""
-    banded = sigs.select(
+def banded_keys(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """(id, band, band_key): one row per signature band slice — the LSH
+    bucket relation both the batch pair join and the incremental index
+    probe against."""
+    return sigs.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         F.col("sig"),
@@ -118,6 +119,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4)
             )
         ).alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Banded LSH: equal band-slice → candidate pair. Output (id_a, id_b),
+    id_a < id_b, distinct. Shuffle key = (band, band_hash): O(docs·bands)."""
+    banded = banded_keys(sigs, id_col, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
