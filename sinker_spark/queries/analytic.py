@@ -266,3 +266,44 @@ _sql(
     doc="variance/stddev/correlation computed from exact decimal moments then identical IEEE double arithmetic — deterministic cross-engine where native stddev/corr (per-engine accumulation order) is not; single agg pass, map-side combinable",
     tags=("functions-stats", "stats-battery"),
 )
+
+
+_sql(
+    "w4_percent_rank_cume_dist",
+    spark_sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
+    doc="relative-position windows percent_rank/cume_dist (rounded: rank ratios are small-denominator rationals, identical across engines after fixed rounding)",
+    tags=("window-rank", "window-relative"),
+)
+
+_sql(
+    "battery_bool_aggregates",
+    spark_sql="""
+    SELECT o_orderstatus AS status,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count_if(o_totalprice > 200000) AS n_over_200k,
+           max_by(o_orderkey, (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey)) AS priciest_order,
+           min_by(o_orderkey, (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey)) AS cheapest_order
+    FROM orders GROUP BY o_orderstatus""",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count_if(o_totalprice > 200000) AS n_over_200k,
+           max_by(o_orderkey, (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey)) AS priciest_order,
+           min_by(o_orderkey, (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey)) AS cheapest_order
+    FROM orders GROUP BY o_orderstatus""",
+    doc="boolean/conditional aggregate battery: bool_and/bool_or/count_if/max_by/min_by; arg-max ordering key packs (cents, orderkey) into one bigint so price ties break deterministically in both engines",
+    tags=("agg-bool", "functions-agg"),
+)
