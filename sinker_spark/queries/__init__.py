@@ -76,6 +76,8 @@ def _load() -> None:
         analytic,
         temporal,
         documents,
+        arrays_maps,
+        subquery_shapes,
         vectors,
         engine,
     )

@@ -14,7 +14,7 @@ from sinker_spark.catalog import load_tables, register_views
 from sinker_spark.cdc import parse_test_decoding
 from sinker_spark.ivm import snapshot_diff
 from sinker_spark.queries import query
-from sinker_spark.queries.helpers import dsum_expr
+from sinker_spark.queries.helpers import dsum_expr, msum_expr
 
 
 def _order_docs(t, mutate_mod: int | None = None) -> DataFrame:
@@ -213,4 +213,78 @@ def udf_norm_l2_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         "SELECT vec_id, round(norm_l2(CAST(embedding AS ARRAY<DOUBLE>)), 6) AS l2 FROM embeddings"
+    )
+
+
+# --- skew mitigation operators (operators/skew.py) -----------------------
+# Gate queries prove the salted paths produce EXACTLY the plain-join /
+# plain-agg answers (the oracle is the unsalted SQL): salting changes the
+# physical distribution, never the result. At 100 TB these are the
+# fallback when AQE skew-join can't help (skewed aggregation keys, or a
+# dim side too big to broadcast but small enough to replicate S×).
+
+
+@query(
+    "salted_join_supplier_volume",
+    oracle=f"""
+    SELECT s_name, COUNT(*) AS n_lines,
+           {msum_expr('l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s_name""",
+    doc=(
+        "salted equi-join (operators/skew.salted_join): dim replicated "
+        "8x, fact salted, join on (key, salt) spreads a hot supplier over "
+        "8 partitions; aggregate result provably identical to the plain "
+        "join (the oracle)"
+    ),
+    tags=("skew", "join-salted"),
+)
+def salted_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.skew import salted_join
+    from sinker_spark.queries.helpers import msum
+
+    t = load_tables(spark, sf_dir)
+    fact = t["lineitem"].withColumnRenamed("l_suppkey", "suppkey")
+    dim = t["supplier"].withColumnRenamed("s_suppkey", "suppkey")
+    return (
+        salted_join(fact, dim, "suppkey", salt_buckets=8)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_lines"), msum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "salted_agg_supplier_totals",
+    oracle="""
+    SELECT l_suppkey AS suppkey,
+           COUNT(l_orderkey) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_suppkey""",
+    doc=(
+        "salted two-phase aggregation (operators/skew.salted_aggregate): "
+        "partial agg on (key, salt) then final on key — the map-side "
+        "combine split made explicit for keys whose single reducer would "
+        "overflow; decimal partials keep the sum exact through both phases"
+    ),
+    tags=("skew", "agg-salted"),
+)
+def salted_agg_supplier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.skew import salted_aggregate
+
+    t = load_tables(spark, sf_dir)
+    df = (
+        t["lineitem"]
+        .withColumnRenamed("l_suppkey", "suppkey")
+        .withColumn("q_dec", F.col("l_quantity").cast("decimal(8,2)"))
+    )
+    agg = salted_aggregate(
+        df,
+        "suppkey",
+        {"n_lines": ("count", "l_orderkey"), "sum_qty_dec": ("sum", "q_dec")},
+        salt_buckets=8,
+    )
+    return agg.select(
+        "suppkey",
+        "n_lines",
+        F.round(F.col("sum_qty_dec"), 2).cast("double").alias("sum_qty"),
     )
