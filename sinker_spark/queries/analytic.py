@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from sinker_spark.catalog import load_tables, register_views
 from sinker_spark.queries import query
-from sinker_spark.queries.helpers import dsum, dsum_expr
+from sinker_spark.queries.helpers import dsum, dsum_expr, msum_expr
 
 
 @query(
@@ -306,4 +306,91 @@ _sql(
     FROM orders GROUP BY o_orderstatus""",
     doc="boolean/conditional aggregate battery: bool_and/bool_or/count_if/max_by/min_by; arg-max ordering key packs (cents, orderkey) into one bigint so price ties break deterministically in both engines",
     tags=("agg-bool", "functions-agg"),
+)
+
+
+# --- ordered-set aggregates: median + deterministic mode -----------------
+# Native mode() breaks frequency ties arbitrarily in BOTH engines, so the
+# gate computes mode as rank-over-counts + MIN among the tied — identical
+# deterministic SQL on both sides. median is an exact order statistic
+# (both engines interpolate the even-count midpoint in IEEE double).
+_MEDIAN_MODE = """
+    WITH pc AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS prio, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    best AS (
+      SELECT status, MIN(prio) AS mode_prio
+      FROM (SELECT status, prio,
+                   RANK() OVER (PARTITION BY status ORDER BY cnt DESC) AS r
+            FROM pc) rk
+      WHERE r = 1 GROUP BY status),
+    med AS (
+      SELECT o_orderstatus AS status,
+             ROUND(median(o_totalprice), 4) AS med_price,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus)
+    SELECT med.status AS status, med.med_price, med.n_orders, best.mode_prio
+    FROM med JOIN best ON med.status = best.status"""
+_sql(
+    "ordered_set_median_mode",
+    spark_sql=_MEDIAN_MODE,
+    oracle=_MEDIAN_MODE,
+    doc=(
+        "ordered-set aggregates: exact median (order statistic, "
+        "engine-identical) + mode with a deterministic min-value tie-break "
+        "(native mode() ties are arbitrary in both engines)"
+    ),
+    tags=("agg-ordered-set", "functions-stats"),
+)
+
+# --- width_bucket histogram ----------------------------------------------
+# DuckDB has no width_bucket; the oracle is the defining arithmetic. The
+# bucket width 512000/64 = 8000 is exact in binary, so the division and
+# floor agree bit-for-bit with Spark's internal (x-lo)/step computation.
+_sql(
+    "width_bucket_histogram",
+    spark_sql=f"""
+    SELECT width_bucket(o_totalprice, 0.0, 512000.0, 64) AS bucket,
+           COUNT(*) AS n,
+           {msum_expr('o_totalprice')} AS sum_price
+    FROM orders GROUP BY width_bucket(o_totalprice, 0.0, 512000.0, 64)""",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 512000.0 THEN 65
+                ELSE CAST(FLOOR(o_totalprice / 8000.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           {msum_expr('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CASE WHEN o_totalprice < 0.0 THEN 0
+                  WHEN o_totalprice >= 512000.0 THEN 65
+                  ELSE CAST(FLOOR(o_totalprice / 8000.0) AS BIGINT) + 1 END""",
+    doc=(
+        "width_bucket equi-width histogram (the one-pass building block "
+        "for distribution profiling at scale); oracle is the defining "
+        "floor arithmetic with an exact-in-binary bucket width"
+    ),
+    tags=("functions-math", "histogram"),
+)
+
+# --- try_* error-safe functions ------------------------------------------
+_sql(
+    "battery_try_functions",
+    spark_sql="""
+    SELECT o_orderkey AS orderkey,
+           try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE)) AS div_maybe,
+           try_cast(o_orderpriority AS INT) AS prio_int,
+           try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+    FROM orders""",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS div_maybe,
+           try_cast(o_orderpriority AS INT) AS prio_int,
+           try_cast(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+    FROM orders""",
+    doc=(
+        "error-safe function battery: try_divide (NULL on zero divisor — "
+        "oracle via nullif) and try_cast (NULL on malformed input, same "
+        "name both engines) — the ANSI-mode-safe projection surface"
+    ),
+    tags=("functions-try", "functions-conditional"),
 )

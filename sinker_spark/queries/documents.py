@@ -469,3 +469,31 @@ def sample_stratified_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= 5)
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id AS id,
+           CAST(r.i - 1 AS INT) AS frame_no,
+           CAST(d.offs[CAST(r.i AS INT)] AS INT) AS byte_offset
+    FROM (SELECT doc_id,
+                 generate_series(0, greatest(octet_length(CAST(text AS BLOB)) - 1, 0), 64)[1:8] AS offs
+          FROM documents) d,
+         range(1, 9) r(i)
+    WHERE r.i <= len(d.offs)""",
+    doc=(
+        "multimodal frame sampling (operators/multimodal.frame_sample): "
+        "evenly spaced byte offsets per payload via sequence+posexplode — "
+        "the explode-to-frames shape of video frame extraction, pure Spark "
+        "expressions so it gets a full oracle (codec stages are the "
+        "mapInPandas path, tests/test_operators.py)"
+    ),
+    tags=("multimodal", "frame-sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    t = load_tables(spark, sf_dir)
+    payload = attach_binary_payload(t["documents"], "doc_id", "text", "text/plain")
+    return frame_sample(payload, every_n_bytes=64, max_frames=8)
