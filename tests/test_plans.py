@@ -90,3 +90,43 @@ def test_money_sums_use_long_accumulator(spark):
     path queries/helpers.py buys by narrowing to DECIMAL(8,2)."""
     plan = _plan(spark, "q1_pricing_summary")
     assert "UnscaledValue" in plan, "narrow-decimal sum fell off the long-backed fast path"
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must become a left-semi join on l_orderkey — no
+    per-row subquery re-execution."""
+    opt = _optimized(spark, "q4_order_priority")
+    assert "LeftSemi" in opt
+    assert "InSubquery" not in opt and "Exists" not in opt
+
+
+def test_q21_double_correlation_semi_plus_anti(spark):
+    """EXISTS + NOT EXISTS with a two-table outer correlation decorrelate
+    into one semi and one anti join."""
+    opt = _optimized(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in opt
+    assert "LeftAnti" in opt
+    assert "Exists" not in opt
+
+
+def test_q22_scalar_subquery_stays_scalar(spark):
+    """The uncorrelated AVG subquery is a one-row scalar-subquery node
+    (a broadcast at runtime), and the NOT EXISTS is an anti join."""
+    opt = _optimized(spark, "q22_idle_rich_customers")
+    assert "scalar-subquery" in opt
+    assert "LeftAnti" in opt
+
+
+def test_hof_battery_is_single_stage_no_shuffle(spark):
+    """Higher-order function batteries are pure per-row projections:
+    no Exchange anywhere in the plan."""
+    for name in ("battery_array_hof", "battery_map_functions", "regexp_extract_all_words"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} unexpectedly shuffles"
+
+
+def test_salted_join_has_no_broadcast_of_fact(spark):
+    """The salted join must join on (key, salt) — the join condition in
+    the plan carries the salt column."""
+    plan = _plan(spark, "salted_join_supplier_volume")
+    assert "__salt" in plan
