@@ -1,0 +1,103 @@
+"""Delta aggregate maintenance: O(|changes|) refresh for aggregate views.
+
+The reference's only refresh primitive re-executes the full view query
+and lets Postgres diff the result (``REFRESH MATERIALIZED VIEW
+CONCURRENTLY``, reference query_templates.py:13). ``ivm.SnapshotStore``
+mirrors that (recompute + snapshot diff), and ``refresh_partial`` scopes
+the recompute to affected keys. This module goes one step further for
+the view shape where even a scoped recompute is wasteful: **keyed
+aggregates** (``SELECT keys, count(*), sum(x)... GROUP BY keys``).
+
+For sum/count/avg — self-maintainable aggregates in IVM terms — a CDC
+batch can be folded directly into the stored state with signed deltas:
+
+    insert row  →  +1 to the group's count, +x to each sum
+    delete row  →  −1,                      −x
+    update      →  emitted by the CDC layer as delete(old) + insert(new)
+
+so a refresh costs one aggregation over the *batch* (tiny) plus one
+merge against the state, never a scan of the fact table. At 100 TB the
+fact scan is the thing you cannot afford per batch; this makes steady
+state cost proportional to the change rate, not the data size.
+
+Merge strategy: state ∪ signed-batch-partials → re-aggregate by key.
+Re-aggregation is associative/commutative (exactly Spark's own
+partial/final split), shuffles only (keys, counters) — no documents —
+and with the state stored hash-partitioned by key (SnapshotStore /
+BucketedSnapshotStore) both sides arrive co-partitioned.
+
+Exactness: callers pass pre-cast DECIMAL columns for sums (see
+queries/helpers rationale) so +x/−x arithmetic is exact and
+order-independent; groups whose count reaches 0 are dropped (a group
+key disappears exactly when its last row does).
+
+min/max are NOT self-maintainable under deletes (the min may have been
+the deleted row). ``dirty_minmax_groups`` returns the group keys whose
+min/max must be re-derived; route those through a targeted recompute
+(``SnapshotStore.refresh_partial``) — the hybrid keeps the fallback
+scan scoped to affected groups only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OP_COL = "__op"
+INSERT = "insert"
+DELETE = "delete"
+_CNT = "__cnt"
+
+
+def initial_agg_state(fact: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFrame:
+    """One-time full aggregation of the fact table → state
+    ``(keys..., __cnt, <sum outputs>...)``. ``sums`` maps output column
+    name → input column (pre-cast to DECIMAL by the caller for exact,
+    order-independent accumulation)."""
+    aggs = [F.count(F.lit(1)).alias(_CNT)] + [
+        F.sum(col).alias(name) for name, col in sums.items()
+    ]
+    return fact.groupBy(*keys).agg(*aggs)
+
+
+def apply_agg_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Fold a CDC batch into aggregate state; returns the new state.
+
+    ``changes`` carries the fact-table columns plus ``op_col`` ∈
+    {insert, delete}; updates must arrive as delete(old)+insert(new)
+    (Debezium-style before/after images provide exactly this). Cost:
+    one aggregation of the batch + one key-partitioned merge with the
+    state — independent of fact-table size."""
+    sign = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1))
+    batch = changes.withColumn("__sign", sign)
+    partial = batch.groupBy(*keys).agg(
+        F.sum("__sign").cast("bigint").alias(_CNT),
+        *[F.sum(F.col(col) * F.col("__sign")).alias(name) for name, col in sums.items()],
+    )
+    # align sum dtypes: state came from SUM(DECIMAL(p,s)) too, but the
+    # sign multiply can widen differently across engines/versions
+    partial = partial.select(
+        *keys,
+        F.col(_CNT),
+        *[F.col(name).cast(dict(state.dtypes)[name]).alias(name) for name in sums],
+    )
+    merged = state.select(*keys, _CNT, *sums).unionByName(partial)
+    out = merged.groupBy(*keys).agg(
+        F.sum(_CNT).cast("bigint").alias(_CNT),
+        *[F.sum(name).cast(dict(state.dtypes)[name]).alias(name) for name in sums],
+    )
+    return out.where(F.col(_CNT) > 0)
+
+
+def dirty_minmax_groups(changes: DataFrame, keys: list[str], op_col: str = OP_COL) -> DataFrame:
+    """Group keys whose min/max aggregates cannot be delta-maintained:
+    any group receiving a delete (the extremum may be the deleted row).
+    Inserts alone are safe (min/max are monotone under inserts). Feed
+    the result into a targeted recompute of just those groups."""
+    return changes.where(F.col(op_col) == DELETE).select(*keys).distinct()

@@ -288,3 +288,42 @@ def salted_agg_supplier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.round(F.col("sum_qty_dec"), 2).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "ivm_delta_agg_orders",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+    GROUP BY o_custkey""",
+    doc=(
+        "delta aggregate maintenance (ivm_delta.apply_agg_delta): state "
+        "initialized without every-7th order, then a CDC batch inserts "
+        "them and deletes every-5th — signed-delta fold, O(batch) not "
+        "O(table); oracle recomputes the final set from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta"),
+)
+def ivm_delta_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_agg_delta, initial_agg_state
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].withColumn("p_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+    keys, sums = ["o_custkey"], {"sum_price_dec": "p_dec"}
+    init = initial_agg_state(o.where(F.col("o_orderkey") % 7 != 0), keys, sums)
+    batch = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    new_state = apply_agg_delta(init, batch, keys, sums)
+    return new_state.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("__cnt").alias("n_orders"),
+        F.round(F.col("sum_price_dec"), 2).cast("double").alias("sum_price"),
+    )

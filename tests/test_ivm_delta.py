@@ -1,0 +1,107 @@
+"""Delta aggregate maintenance (ivm_delta): folding signed CDC batches
+into aggregate state must equal recomputing from scratch, for any
+insert/delete sequence."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm_delta import (
+    DELETE,
+    INSERT,
+    apply_agg_delta,
+    dirty_minmax_groups,
+    initial_agg_state,
+)
+
+KEYS = ["grp"]
+SUMS = {"sum_v": "v_dec"}
+
+
+def _df(spark, rows):
+    df = spark.createDataFrame(rows, "rid bigint, grp string, v double")
+    return df.withColumn("v_dec", F.col("v").cast("decimal(18,2)"))
+
+
+def _state_rows(state):
+    return {
+        r["grp"]: (r["__cnt"], float(r["sum_v"] or 0))
+        for r in state.collect()
+    }
+
+
+def _expected(rows):
+    out = {}
+    for _, grp, v in rows:
+        cnt, s = out.get(grp, (0, 0.0))
+        out[grp] = (cnt + 1, round(s + v, 2))
+    return {g: (c, s) for g, (c, s) in out.items() if c > 0}
+
+
+def test_insert_delete_fold_matches_recompute(spark):
+    base = [(i, f"g{i % 3}", float(i)) for i in range(30)]
+    state = initial_agg_state(_df(spark, base), KEYS, SUMS)
+
+    rng = random.Random(7)
+    live = dict((r[0], r) for r in base)
+    batch_rows, ops = [], []
+    for rid in range(30, 45):  # inserts
+        row = (rid, f"g{rng.randrange(4)}", float(rng.randrange(100)))
+        live[rid] = row
+        batch_rows.append(row)
+        ops.append(INSERT)
+    for rid in rng.sample(sorted(k for k in live if k < 30), 10):  # deletes
+        batch_rows.append(live.pop(rid))
+        ops.append(DELETE)
+
+    # attach ops positionally via a join on rid (a rid can appear once as
+    # insert and once as delete only in update batches, not here)
+    ops_df = spark.createDataFrame(
+        [(r[0], op) for r, op in zip(batch_rows, ops)], "rid bigint, __op string"
+    )
+    batch = _df(spark, batch_rows).join(ops_df, "rid")
+
+    new_state = apply_agg_delta(state, batch, KEYS, SUMS)
+    got = _state_rows(new_state)
+    want = _expected(list(live.values()))
+    assert {g: c for g, (c, _) in got.items()} == {g: c for g, (c, _) in want.items()}
+    for g in want:
+        assert abs(got[g][1] - want[g][1]) < 1e-9
+
+
+def test_update_as_delete_plus_insert(spark):
+    base = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)]
+    state = initial_agg_state(_df(spark, base), KEYS, SUMS)
+    # update row 2: v 20.0 -> 25.0 (delete old image, insert new image)
+    batch = _df(spark, [(2, "a", 20.0), (2, "a", 25.0)]).withColumn(
+        "__op", F.when(F.col("v") == 20.0, F.lit(DELETE)).otherwise(F.lit(INSERT))
+    )
+    got = _state_rows(apply_agg_delta(state, batch, KEYS, SUMS))
+    assert got["a"] == (2, 35.0)
+    assert got["b"] == (1, 5.0)
+
+
+def test_group_vanishes_when_count_hits_zero(spark):
+    base = [(1, "a", 10.0), (2, "b", 20.0)]
+    state = initial_agg_state(_df(spark, base), KEYS, SUMS)
+    batch = _df(spark, [(2, "b", 20.0)]).withColumn("__op", F.lit(DELETE))
+    got = _state_rows(apply_agg_delta(state, batch, KEYS, SUMS))
+    assert "b" not in got and got["a"] == (1, 10.0)
+
+
+def test_new_group_appears_via_insert(spark):
+    base = [(1, "a", 10.0)]
+    state = initial_agg_state(_df(spark, base), KEYS, SUMS)
+    batch = _df(spark, [(9, "z", 7.5)]).withColumn("__op", F.lit(INSERT))
+    got = _state_rows(apply_agg_delta(state, batch, KEYS, SUMS))
+    assert got["z"] == (1, 7.5)
+
+
+def test_dirty_minmax_only_delete_groups(spark):
+    batch = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]).withColumn(
+        "__op", F.when(F.col("grp") == "b", F.lit(DELETE)).otherwise(F.lit(INSERT))
+    )
+    dirty = {r["grp"] for r in dirty_minmax_groups(batch, KEYS).collect()}
+    assert dirty == {"b"}
