@@ -67,7 +67,10 @@ def parse_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     op mapping: c/r → INSERT (r = snapshot read), u → UPDATE, d → DELETE.
     The doc id comes from the key struct's ``id``; payload is the JSON of
-    ``after`` (null for deletes)."""
+    ``after`` (null for deletes). ``payload_before`` carries the JSON of
+    ``before`` when the source publishes it (Postgres: REPLICA IDENTITY
+    FULL) — the delta-aggregate lane (ivm_delta) needs it to fold deletes
+    and updates; the document lanes ignore it."""
     env = F.from_json(
         F.col(value_col),
         "struct<payload:struct<op:string, ts_ms:bigint, lsn:bigint,"
@@ -85,6 +88,7 @@ def parse_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
         .alias("op"),
         F.coalesce(env["after"]["id"], env["before"]["id"]).alias("id"),
         F.when(env["after"].isNotNull(), F.to_json(env["after"])).alias("payload"),
+        F.when(env["before"].isNotNull(), F.to_json(env["before"])).alias("payload_before"),
     )
 
 

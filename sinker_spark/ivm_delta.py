@@ -52,10 +52,11 @@ _CNT = "__cnt"
 def initial_agg_state(fact: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFrame:
     """One-time full aggregation of the fact table → state
     ``(keys..., __cnt, <sum outputs>...)``. ``sums`` maps output column
-    name → input column (pre-cast to DECIMAL by the caller for exact,
-    order-independent accumulation)."""
+    name → input column OR SQL expression (pre-cast to DECIMAL, e.g.
+    ``CAST(amount AS DECIMAL(18,2))``, for exact, order-independent
+    accumulation)."""
     aggs = [F.count(F.lit(1)).alias(_CNT)] + [
-        F.sum(col).alias(name) for name, col in sums.items()
+        F.sum(F.expr(col)).alias(name) for name, col in sums.items()
     ]
     return fact.groupBy(*keys).agg(*aggs)
 
@@ -78,7 +79,7 @@ def apply_agg_delta(
     batch = changes.withColumn("__sign", sign)
     partial = batch.groupBy(*keys).agg(
         F.sum("__sign").cast("bigint").alias(_CNT),
-        *[F.sum(F.col(col) * F.col("__sign")).alias(name) for name, col in sums.items()],
+        *[F.sum(F.expr(col) * F.col("__sign")).alias(name) for name, col in sums.items()],
     )
     # align sum dtypes: state came from SUM(DECIMAL(p,s)) too, but the
     # sign multiply can widen differently across engines/versions

@@ -40,6 +40,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sinker_spark import ivm_delta
 from sinker_spark.cdc import latest_per_key
 from sinker_spark.ivm import DELETE, UPSERT, SnapshotStore
 from sinker_spark.views import ViewDef
@@ -164,6 +165,14 @@ class SyncEngine:
 
         full, targeted = [], []
         for v in dirty:
+            # delta-aggregate lane: fold the batch into stored aggregate
+            # state (O(batch), no recompute) — eligible when the only
+            # changed dependency is the declared fact table and the batch
+            # carries the before-images the fold needs; otherwise fall
+            # through to the authoritative lanes below
+            if v.agg is not None and (changed & v.deps) <= {v.agg.table}:
+                if self._delta_agg_refresh(v, cdc, epoch_id):
+                    continue
             # each view's hook sees only the changed tables it depends on
             relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
             scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
@@ -171,6 +180,87 @@ class SyncEngine:
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:
             self._targeted_refresh_one(v, scope, epoch_id)
+
+    def _delta_agg_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Delta-maintenance lane for keyed-aggregate views (ivm_delta):
+        fold the batch's row images into the stored (count, sums) state
+        and emit upserts/deletes for the touched groups only — O(batch)
+        compute, never a fact scan. Returns False (caller falls back to
+        the recompute lane) when a delete/update arrives without its
+        before-image, which the signed fold cannot process.
+
+        State initialization reads the CURRENT fact table, so the lane
+        assumes the stream starts at the snapshot point (the same
+        backfill-then-stream contract the document lanes use); the state
+        snapshot (``{view}__aggstate``) keeps DECIMAL sums exact across
+        restarts."""
+        spec = view.agg
+        rows = cdc.where(F.col("table") == spec.table)
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), spec.row_schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        batch = parsed("payload", ivm_delta.INSERT)
+        if has_before:
+            batch = batch.unionByName(parsed("payload_before", ivm_delta.DELETE))
+
+        state_name = f"{view.name}__aggstate"
+        packed = self.store.read(state_name)
+        if packed is None:
+            state = ivm_delta.initial_agg_state(self.spark.table(spec.table), spec.keys, spec.sums)
+        else:
+            state = packed.select("doc.*")
+        new_state = ivm_delta.apply_agg_delta(state, batch, spec.keys, spec.sums)
+        new_state = new_state.localCheckpoint(eager=True)  # pin before the store swap
+
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        touched = batch.select(*spec.keys).distinct()
+        sink_doc = F.struct(
+            *[F.col(k).alias(k) for k in spec.keys],
+            F.col(ivm_delta._CNT).alias("n_rows"),
+            *[F.col(s).cast("double").alias(s) for s in spec.sums],
+        )
+        upserts = new_state.join(touched, spec.keys, "left_semi").select(
+            group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(new_state, spec.keys, "left_anti").select(
+            group_id.alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        state_doc = F.struct(
+            *[F.col(k).alias(k) for k in spec.keys],
+            F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
+            *[F.col(s) for s in spec.sums],
+        )
+        self.store.write(state_name, new_state.select(group_id.alias(view.key), state_doc.alias("doc")), key=view.key)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "delta_agg": 1,
+        }
+        logger.info("delta-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
 
     def _targeted_refresh_one(self, view: ViewDef, scope: DataFrame, epoch_id: int | None) -> None:
         """Partial recompute: only docs whose keys are in scope are

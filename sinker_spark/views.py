@@ -55,6 +55,32 @@ def _decimals_to_double(dt: T.DataType, col: Column) -> tuple[T.DataType, Column
 
 
 @dataclass
+class AggViewSpec:
+    """Declares a view as a keyed aggregate over one fact table, making
+    it eligible for the delta-maintenance lane (ivm_delta): CDC batches
+    fold into stored (count, sums) state as signed deltas — O(batch),
+    no fact scan. Requires before-images on deletes/updates (Debezium
+    with REPLICA IDENTITY FULL → ``payload_before``); batches without
+    them fall back to the authoritative recompute lane.
+
+    - ``table``: fact table name (resolved via ``spark.table``)
+    - ``keys``: group-by columns; the doc id is their '|'-join
+    - ``sums``: state column → source column or SQL expression, pre-cast
+      to DECIMAL for exact ± folding (e.g. ``CAST(v AS DECIMAL(18,2))``)
+    - ``row_schema``: DDL schema for parsing CDC payload JSON into fact
+      rows (only the columns ``keys``/``sums`` reference are needed)
+
+    The emitted document is ``struct(keys…, n_rows, <sums as double>)``;
+    a view's sql/fn (the recompute lane) must produce the same shape.
+    """
+
+    table: str
+    keys: list[str]
+    sums: dict[str, str]
+    row_schema: str
+
+
+@dataclass
 class ViewDef:
     name: str
     sql: str | None = None
@@ -63,6 +89,7 @@ class ViewDef:
     index: str | None = None  # sink index name; defaults to view name
     deps: set[str] = field(default_factory=set)
     parent_table: str | None = None
+    agg: AggViewSpec | None = None
     # Optional targeted-refresh hook: (spark, {table: {changed ids}}) →
     # one-column DataFrame of affected VIEW keys, or None for "unknown →
     # full refresh". Enables SnapshotStore.refresh_partial: the engine
