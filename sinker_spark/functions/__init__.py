@@ -31,10 +31,33 @@ def clamp01(x: pd.Series) -> pd.Series:
     return x.clip(0.0, 1.0)
 
 
+def _tokenize_udtf_class():
+    """Build the Tokenize UDTF lazily (pyspark.sql.functions.udtf decorates
+    at definition time, which needs no session but does import the UDTF
+    machinery — keep it off the module-import hot path)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        """Table function: one (position, token) row per single-space-split
+        token. Split semantics are exactly ``text.split(' ')`` so the DuckDB
+        oracle (``string_split(text, ' ')``) sees the identical multiset."""
+
+        def eval(self, text: str):  # noqa: D401 - UDTF contract
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                if tok:
+                    yield i, tok
+
+    return Tokenize
+
+
 def register_engine_functions(spark: SparkSession) -> None:
     """Make the engine's functions callable from SQL view definitions."""
     spark.udf.register("norm_l2", norm_l2)
     spark.udf.register("clamp01", clamp01)
+    spark.udtf.register("tokenize", _tokenize_udtf_class())
 
 
 def zscore_by_group(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:

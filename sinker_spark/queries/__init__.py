@@ -78,6 +78,7 @@ def _load() -> None:
         documents,
         arrays_maps,
         subquery_shapes,
+        tpch_extra,
         vectors,
         engine,
     )

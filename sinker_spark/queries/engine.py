@@ -327,3 +327,35 @@ def ivm_delta_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cnt").alias("n_orders"),
         F.round(F.col("sum_price_dec"), 2).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "udtf_tokenize_lateral",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {'pos': i - 1, 'tok': t})) AS tk
+      FROM documents)
+    SELECT doc_id, CAST(tk.pos AS INT) AS pos, tk.tok AS token
+    FROM s WHERE tk.tok <> '' AND tk.pos < 5""",
+    doc=(
+        "registered Python UDTF (functions.tokenize) as a correlated "
+        "LATERAL table function: first-5 (position, token) rows per "
+        "document — the UDF/UDAF/UDTF registration surface's table-"
+        "function lane; split semantics pinned to single-space so the "
+        "generate_series oracle sees the identical multiset"
+    ),
+    tags=("udtf", "udf", "B9", "join-lateral"),
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.functions import register_engine_functions
+
+    register_engine_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize(d.text) t
+        WHERE t.pos < 5"""
+    )

@@ -109,5 +109,8 @@ if WIDE_MONEY:
     REVENUE_SQL = (
         "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)"
     )
+    REVENUE_SPARK = REVENUE_SQL
 else:
     REVENUE_SQL = f"CAST((SUM({_UNITS}) + 50) // 100 AS DOUBLE) / 100.0"
+    # Spark SQL spells integer division DIV (DuckDB: //); same math.
+    REVENUE_SPARK = f"CAST((SUM({_UNITS}) + 50) DIV 100 AS DOUBLE) / 100.0"
