@@ -77,6 +77,7 @@ def _load() -> None:
         temporal,
         documents,
         arrays_maps,
+        sql_extras,
         subquery_shapes,
         tpch_extra,
         vectors,

@@ -1,0 +1,203 @@
+"""Second-tier SQL surface: value-based (RANGE interval) window frames,
+OFFSET pagination, JSON extraction functions, NULL-semantics battery,
+outer explode, and edit-distance (Levenshtein) near-dup pairs.
+
+These close the remaining gaps a Postgres view author would expect from
+the reference's full-SQL promise (README.md:84-85) that earlier modules
+don't cover: time-valued window frames (RANGE BETWEEN INTERVAL — peer
+rows grouped by value, deterministic under ties where ROWS frames are
+not), LIMIT/OFFSET pagination, json_extract-style scalar pulls
+(get_json_object / json_tuple over the events.props payload), the
+NULL-handling corners (COUNT(col) vs COUNT(*), IS DISTINCT FROM,
+NULL group keys), PG's LEFT JOIN LATERAL unnest ≈ explode_outer, and a
+blocked edit-distance near-dup lane complementing the token-based
+(MinHash/SimHash/n-gram) dedup family with a character-level one.
+
+Scale notes:
+- the RANGE frame sorts within customer partitions only (one shuffle on
+  custkey); frame evaluation is a per-partition two-pointer sweep.
+- OFFSET pagination is TakeOrderedAndProject of offset+limit rows — fine
+  for page-1-style use; deep pagination at 100 TB should keyset-filter
+  (WHERE key > last_seen ORDER BY key LIMIT n) instead, which stays a
+  pushed-down range scan. The gate query demonstrates the operator.
+- JSON extraction is JVM-side (Jackson) inside whole-stage codegen — no
+  Python. At 100 TB prefer from_json once into a struct over repeated
+  get_json_object calls on the same payload (one parse vs N).
+- Levenshtein is O(len²) per pair: the blocking join (lang × length
+  bucket) bounds candidates to same-block pairs, the 40-char prefix
+  bounds the DP matrix, and Spark's threshold form (levenshtein(a, b, k))
+  early-exits rows whose distance exceeds the cutoff.
+"""
+
+from __future__ import annotations
+
+from sinker_spark.queries.relational import _sql
+
+# --- value-based window frame (RANGE BETWEEN INTERVAL) --------------------
+_W6 = """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS spend_30d,
+           CAST(COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS orders_30d
+    FROM orders"""
+_sql(
+    "w6_range_interval_frame",
+    spark_sql=_W6,
+    oracle=_W6,
+    doc=(
+        "value-based window frame: per-customer 30-day trailing spend via "
+        "RANGE BETWEEN INTERVAL — peer rows enter the frame by ORDER-BY "
+        "value, so same-date ties are deterministic where a ROWS frame "
+        "would not be; decimal-exact accumulation"
+    ),
+    tags=("window-frame", "window-range", "functions-date"),
+)
+
+# --- OFFSET pagination ----------------------------------------------------
+_PAGE = """
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 20"""
+_sql(
+    "topk_offset_pagination",
+    spark_sql=_PAGE,
+    oracle=_PAGE,
+    doc=(
+        "LIMIT/OFFSET pagination (page 2 of the price leaderboard) with a "
+        "unique tiebreak; Spark fetches offset+limit rows per partition "
+        "then skips on the driver — the gate demonstrates the operator, "
+        "the module docstring records the keyset-filter alternative for "
+        "deep pages at scale"
+    ),
+    tags=("B20", "pagination", "sort-topk"),
+)
+
+# --- JSON extraction battery ----------------------------------------------
+_JSON_TMPL = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST({jx} AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST({jx} AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN {jx} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM events GROUP BY event_type"""
+_sql(
+    "battery_json_extract",
+    spark_sql=_JSON_TMPL.format(jx="get_json_object(props, '$.k')"),
+    oracle=_JSON_TMPL.format(jx="json_extract_string(props, '$.k')"),
+    doc=(
+        "JSON scalar extraction battery over the events.props payload: "
+        "get_json_object path pulls with cast/aggregate/missing-key "
+        "checks — JVM-side Jackson parsing inside codegen (the B11 "
+        "sibling for path access rather than full-map explosion)"
+    ),
+    tags=("B11", "functions-json"),
+)
+
+_JT = """
+    SELECT e.event_type, CAST(jt.kval AS BIGINT) AS k, COUNT(*) AS n
+    FROM events e
+    LATERAL VIEW json_tuple(e.props, 'k') jt AS kval
+    GROUP BY e.event_type, CAST(jt.kval AS BIGINT)"""
+_JT_ORACLE = """
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2"""
+_sql(
+    "json_tuple_generator",
+    spark_sql=_JT,
+    oracle=_JT_ORACLE,
+    doc=(
+        "json_tuple as a LATERAL VIEW generator (single-parse multi-field "
+        "extraction — the one-parse-per-row form to prefer over repeated "
+        "get_json_object at scale), aggregated to a (type, k) histogram"
+    ),
+    tags=("B11", "functions-json", "join-lateral"),
+)
+
+# --- NULL-semantics battery -----------------------------------------------
+_NULLS = """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS s,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE CAST(o_totalprice AS DECIMAL(8,2)) END AS p
+      FROM orders)
+    SELECT COALESCE(s, '<null>') AS status_key,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(p) AS BIGINT) AS n_nonnull_p,
+           CAST(SUM(CASE WHEN s IS DISTINCT FROM 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_not_open_nullsafe,
+           CAST(SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_p,
+           CAST(ROUND(SUM(p), 2) AS DOUBLE) AS sum_p_ignoring_nulls
+    FROM t GROUP BY s"""
+_sql(
+    "battery_null_semantics",
+    spark_sql=_NULLS,
+    oracle=_NULLS,
+    doc=(
+        "NULL-semantics battery: NULL group keys survive GROUP BY as "
+        "their own group, COUNT(col) vs COUNT(*), null-safe IS [NOT] "
+        "DISTINCT FROM comparisons, and aggregates skipping NULLs — the "
+        "three-valued-logic corners every SQL engine must agree on"
+    ),
+    tags=("B3", "B15", "null-semantics"),
+)
+
+# --- outer explode (empty/NULL array keeps the parent row) ----------------
+_EXPL = """
+    SELECT d.doc_id, t.tok
+    FROM (SELECT doc_id, filter(split(text, ' '), x -> length(x) > 7)
+                   AS long_toks
+          FROM documents) d
+    LATERAL VIEW OUTER explode(d.long_toks) t AS tok"""
+_EXPL_ORACLE = """
+    SELECT doc_id,
+           unnest(CASE WHEN long_toks IS NULL OR len(long_toks) = 0
+                       THEN [NULL] ELSE long_toks END) AS tok
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> length(x) > 7)
+                   AS long_toks
+          FROM documents) d"""
+_sql(
+    "explode_outer_keep_parents",
+    spark_sql=_EXPL,
+    oracle=_EXPL_ORACLE,
+    doc=(
+        "outer explode (PG LEFT JOIN LATERAL unnest): documents with no "
+        "long tokens keep one NULL-token row instead of vanishing — the "
+        "null-preserving to-many unnest the B9 inner explode drops"
+    ),
+    tags=("B9", "explode-outer", "hof"),
+)
+
+# --- edit-distance near-dup pairs (blocked Levenshtein) -------------------
+_LEV_TMPL = """
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))
+             AS prefix_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND (a.n_chars {div} 100) = (b.n_chars {div} 100)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 25"""
+_sql(
+    "dedup_levenshtein_pairs",
+    spark_sql=_LEV_TMPL.format(div="DIV"),
+    oracle=_LEV_TMPL.format(div="//"),
+    doc=(
+        "character-level near-dup pairs: blocking join (lang × length "
+        "bucket) bounds candidates, Levenshtein on a 40-char prefix "
+        "bounds the DP cost — the edit-distance complement to the "
+        "token-based MinHash/SimHash/n-gram dedup family"
+    ),
+    tags=("dedup-edit-distance", "functions-string"),
+)
