@@ -107,6 +107,89 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), *[hits[lg].alias(f"hits_{lg}") for lg in langs], pred.alias("pred_lang"))
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: unique-token ratio
+    (per-row, shuffle-free) plus top-bigram and duplicated-bigram
+    occurrence fractions (explode → count per (doc, bigram) → per-doc
+    rollup: one shuffle keyed by doc id, the scalable path for arbitrarily
+    long documents — an all-pairs HOF scan would be O(tokens²) per row).
+    High top_bigram_frac / dup_bigram_frac mark boilerplate and
+    degenerate repetition; low uniq_token_ratio marks template spam.
+    """
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    n_tok = F.size(t)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(t)).cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    base = staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_token_ratio"),
+        bigrams.alias("__bigrams"),
+    )
+    per_doc = (
+        base.select(F.col(id_col), F.explode("__bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("__total"),
+            F.max("count").alias("__top"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias("__dup"),
+        )
+    )
+    frac = lambda num: F.round(  # noqa: E731 - tiny local combinator
+        F.coalesce(num.cast("double") / F.col("__total").cast("double"), F.lit(0.0)), 6
+    )
+    return (
+        base.drop("__bigrams")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "uniq_token_ratio",
+            frac(F.col("__top")).alias("top_bigram_frac"),
+            frac(F.col("__dup")).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    n-token shingle with any benchmark document, with the overlap count —
+    the standard held-out-set contamination check run before training.
+
+    Shape: shingle both sides (distinct per doc), equi-join on the shingle
+    string, count per corpus doc. Cost ∝ shingle-join matches, never
+    corpus × benchmark; at 100 TB the join shuffles on the shingle hash
+    (or broadcasts the benchmark side — typically millions of shingles,
+    well under broadcast limits — which AQE picks by size).
+    """
+    from sinker_spark.operators.dedup import shingle_rows
+
+    c = shingle_rows(corpus, id_col, text_col, n)
+    b = shingle_rows(benchmark, id_col, text_col, n).select("shingle").distinct()
+    return (
+        c.join(b, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("shingle").alias("n_overlap_shingles"))
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of casefolded, punctuation-stripped,
     whitespace-collapsed text — the canonical-form hash used for exact

@@ -497,3 +497,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     payload = attach_binary_payload(t["documents"], "doc_id", "text", "text/plain")
     return frame_sample(payload, every_n_bytes=64, max_frames=8)
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             ROUND(CASE WHEN len(t) > 0
+                        THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                        ELSE 0.0 END, 6) AS uniq_token_ratio,
+             list_filter(list_transform(t, (x, i) ->
+                 CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+                 s -> s IS NOT NULL) AS bg
+      FROM toks),
+    cnt AS (
+      SELECT doc_id, bgx, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bg) AS bgx FROM base) GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, SUM(c) AS total, MAX(c) AS top,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.uniq_token_ratio,
+           ROUND(COALESCE(CAST(a.top AS DOUBLE) / CAST(a.total AS DOUBLE), 0.0), 6)
+             AS top_bigram_frac,
+           ROUND(COALESCE(CAST(a.dup AS DOUBLE) / CAST(a.total AS DOUBLE), 0.0), 6)
+             AS dup_bigram_frac
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
+    doc=(
+        "Gopher-style repetition signals (operators/text.repetition_signals): "
+        "unique-token ratio shuffle-free per row, top-/duplicated-bigram "
+        "occurrence fractions via one doc-keyed shuffle — the boilerplate/"
+        "template-spam filter lane of a training-data quality pipeline"
+    ),
+    tags=("text-quality", "text-repetition", "training-pipeline"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.repetition_signals(t["documents"])
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(list_transform(t, (x, i) ->
+                 CASE WHEN i + 3 <= len(t)
+                      THEN array_to_string(t[i:i+3], ' ') END),
+                 s -> s IS NOT NULL))) AS shingle
+      FROM toks),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_shingles
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id""",
+    doc=(
+        "benchmark decontamination (operators/text.ngram_decontaminate): "
+        "corpus docs sharing any 4-token shingle with the held-out split "
+        "(doc_id % 20 = 0 plays the benchmark), overlap-shingle counts "
+        "via a shingle equi-join — cost ∝ matches, never corpus × bench"
+    ),
+    tags=("decontamination", "dedup-ngram", "training-pipeline"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return text.ngram_decontaminate(corpus, bench, n=4)

@@ -174,3 +174,43 @@ def test_cosine_self_similarity(spark):
     top = similarity.brute_force_topk(df, df, k=1).collect()
     by_q = {r["qid"]: r for r in top}
     assert by_q[1]["nid"] == 2 and by_q[1]["sim"] == -1.0  # antiparallel
+
+
+def test_repetition_signals_edge_cases(spark):
+    from sinker_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # degenerate repetition
+            (2, "one two three four"),  # all unique
+            (3, "solo"),              # < 2 tokens: no bigrams
+            (4, ""),                  # empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.repetition_signals(df).collect()}
+    # doc 1: bigrams = [a b, b a, a b, b a, a b] → top 'a b' 3/5, all dup
+    assert out[1]["top_bigram_frac"] == 0.6 and out[1]["dup_bigram_frac"] == 1.0
+    assert out[1]["uniq_token_ratio"] == round(2 / 6, 6)
+    # doc 2: three distinct bigrams, no repeats
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["uniq_token_ratio"] == 1.0
+    # docs without bigrams keep zeroed fractions
+    for d in (3, 4):
+        assert out[d]["top_bigram_frac"] == 0.0 and out[d]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1 and out[4]["n_tokens"] == 0
+
+
+def test_ngram_decontaminate_flags_only_overlaps(spark):
+    from sinker_spark.operators import text as T
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_overlap_shingles"] for r in T.ngram_decontaminate(corpus, bench, n=4).collect()}
+    # doc 1 shares exactly one 4-gram ('alpha beta gamma delta'); doc 2 none
+    assert out == {1: 1}
