@@ -201,3 +201,60 @@ _sql(
     ),
     tags=("dedup-edit-distance", "functions-string"),
 )
+
+# --- Variant (semi-structured) shredding ----------------------------------
+_VARIANT_SPARK = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 variant_get(parse_json(props), '$.k', 'bigint') AS k
+          FROM events)
+    GROUP BY event_type"""
+_VARIANT_ORACLE = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type"""
+_sql(
+    "variant_shred_events",
+    spark_sql=_VARIANT_SPARK,
+    oracle=_VARIANT_ORACLE,
+    doc=(
+        "Spark 4 VariantType path: parse_json once into a variant, typed "
+        "variant_get shredding for aggregation — the open-schema "
+        "semi-structured lane (vs get_json_object's string pulls); "
+        "parse staged through a projection so it runs once per row"
+    ),
+    tags=("B11", "functions-json", "variant"),
+)
+
+# --- mergeable HLL sketches (two-level distinct-count rollup) -------------
+_HLL = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             hll_sketch_agg(user_id) AS sk
+      FROM events GROUP BY event_type, date_trunc('day', ts))
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+             AS approx_distinct_users
+    FROM daily GROUP BY event_type"""
+_sql(
+    "sketch_hll_mergeable",
+    spark_sql=_HLL,
+    oracle=None,
+    doc=(
+        "mergeable HLL sketches (DataSketches): per-day user sketches "
+        "union-merged to per-type totals — THE 100 TB distinct-count "
+        "pattern (daily partial sketches persisted once, any rollup "
+        "window answered by merge, never a re-scan); sketch bytes are "
+        "engine-specific → rows-only gate + error-bound pytest"
+    ),
+    tags=("sketch", "approx", "agg-distinct"),
+)

@@ -156,3 +156,71 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+_GAPFILL_SPARK = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS v
+      FROM events WHERE user_id < 50 GROUP BY user_id, date_trunc('hour', ts)),
+    spine AS (
+      SELECT user_id, explode(sequence(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+            FROM hourly GROUP BY user_id)),
+    joined AS (
+      SELECT s.user_id, s.h, hr.v FROM spine s
+      LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h)
+    SELECT user_id, date_format(h, 'yyyy-MM-dd HH:mm') AS hour_start,
+           ROUND(last_value(v) IGNORE NULLS OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_locf,
+           v IS NULL AS was_gap
+    FROM joined"""
+
+_GAPFILL_ORACLE = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS v
+      FROM events WHERE user_id < 50 GROUP BY user_id, date_trunc('hour', ts)),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+            FROM hourly GROUP BY user_id)),
+    joined AS (
+      SELECT s.user_id, s.h, hr.v FROM spine s
+      LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h)
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M') AS hour_start,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_locf,
+           v IS NULL AS was_gap
+    FROM joined"""
+
+
+def _register_gapfill():
+    from sinker_spark.catalog import register_views
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_GAPFILL_SPARK)
+
+    fn.__name__ = "gapfill_locf_hourly"
+    query(
+        "gapfill_locf_hourly",
+        oracle=_GAPFILL_ORACLE,
+        doc=(
+            "hypertable-style gap filling: per-user hourly spine "
+            "(sequence+explode between each user's first and last active "
+            "hour) left-joined to hourly averages, gaps filled by "
+            "last-observation-carried-forward (last_value IGNORE NULLS "
+            "over a running frame) with a was_gap marker — the "
+            "time_bucket_gapfill/locf pattern; spine generation is "
+            "per-user and the fill window shuffles once on user_id"
+        ),
+        tags=("gapfill", "locf", "window-value", "hypertable"),
+    )(fn)
+
+
+_register_gapfill()

@@ -39,3 +39,27 @@ def test_bpe_ish_token_count(spark):
     rows = df.select(bpe_ish_token_count("text").alias("n"), "want").collect()
     for r in rows:
         assert r["n"] == r["want"]
+
+
+def test_hll_merged_estimate_within_bound(spark):
+    """hll_union_agg over daily sketches must estimate the true distinct
+    user count within HLL's error envelope (lgK=12 → ~1.6% rse; allow 5%)."""
+    from sinker_spark.catalog import register_views
+    from sinker_spark.queries import REGISTRY, _load
+    from tests.conftest import SF_SMALL as sf_dir_small
+
+    _load()
+    register_views(spark, sf_dir_small)
+    got = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in REGISTRY["sketch_hll_mergeable"].fn(spark, sf_dir_small).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in spark.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1"
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
