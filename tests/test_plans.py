@@ -130,3 +130,59 @@ def test_salted_join_has_no_broadcast_of_fact(spark):
     the plan carries the salt column."""
     plan = _plan(spark, "salted_join_supplier_volume")
     assert "__salt" in plan
+
+
+def test_q16_not_in_is_null_aware_anti_join(spark):
+    """NOT IN over a subquery must plan as a null-aware anti join, not a
+    per-row subquery re-execution."""
+    plan = _plan(spark, "q16_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "SubqueryExec" not in plan
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """The correlated AVG threshold must become an aggregate + join on
+    partkey (decorrelation), never a nested-loop re-evaluation."""
+    opt = _optimized(spark, "q17_small_qty_revenue")
+    assert "Join" in opt and "Aggregate" in opt
+    plan = _plan(spark, "q17_small_qty_revenue")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_single_side_conjuncts_pushed_below_join(spark):
+    """From the OR of conjunct groups, Catalyst must extract the
+    single-side envelopes (brand/size on part, quantity on lineitem) and
+    push them below the join into the scans."""
+    plan = _plan(spark, "q19_disjunctive_revenue").replace(" ", "")
+    # part scan: brand IN-envelope pushed; lineitem scan: quantity envelope
+    assert "PushedFilters" in plan
+    assert "p_brand" in plan.split("PushedFilters")[1][:2000] or \
+           "l_quantity" in plan.split("PushedFilters")[1][:2000]
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = _plan(spark, "q6_forecast_revenue").replace(" ", "")
+    pushed = plan.split("PushedFilters:[")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_udtf_query_contains_generator(spark):
+    """The UDTF lane must plan as a Python-evaluated generator (the one
+    deliberately-Python query shape) — and the tokenizer's base scan must
+    still prune to the two referenced columns."""
+    plan = _plan(spark, "udtf_tokenize_lateral")
+    assert "BatchEvalPythonUDTF" in plan or "ArrowEvalPythonUDTF" in plan or "PythonUDTF" in plan
+
+
+def test_decontaminate_shingle_join_no_cartesian(spark):
+    plan = _plan(spark, "decontaminate_ngram_overlap")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_gapfill_single_user_shuffle_for_window(spark):
+    """LOCF window runs per user_id — the plan must partition the window
+    by user_id, not collapse to a single partition."""
+    plan = _plan(spark, "gapfill_locf_hourly")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0][-600:]
