@@ -14,7 +14,13 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
   ascending element order; deterministic under any partitioning.)
 - ``FROM unnest(arr) AS x``       → ``FROM (SELECT explode(arr) AS x)``
 - ``jsonb_each_text(m) AS kv(k,v)`` → explode of ``from_json`` map
-- ``expr::type``                  → ``CAST(expr AS type)`` (tight binding)
+- ``expr::type``                  → ``CAST(expr AS type)`` (tight binding,
+  full left-operand scan: ``(a || b)::text``, ``sum(x)::float8``)
+- ``doc->'k'`` / ``doc->>'k'`` / ``doc->0`` → ``get_json_object`` chains
+- ``a ~ 'p'`` / ``~*`` / ``!~`` / ``!~*``   → ``RLIKE`` (± ``(?i)``, NOT)
+- ``string_agg(e, d ORDER BY o)`` → ``listagg(e, d) WITHIN GROUP (…)``
+- ``extract(epoch from x)``       → ``unix_timestamp(x)``
+- ``jsonb_array_elements[_text](x) AS e`` → lateral explode of JSON array
 - ``now()``                       → ``current_timestamp()``
 - ``"quoted identifiers"``        → `` `backticked` ``
 - ``DISTINCT ON (keys) … ORDER BY o`` → row_number() window rewrite
@@ -62,21 +68,62 @@ _PG_TYPES = {
 }
 
 
+def _operand_start(sql: str, end: int) -> int:
+    """Start index of the expression operand ending (exclusive) at ``end``.
+
+    Walks left over: a balanced ``( … )`` / ``[ … ]`` group (plus the
+    function name and dotted qualifier in front of a call), a quoted
+    identifier, a string literal, or a dotted identifier chain. Gives
+    tight postfix-operator binding (``::``, ``->``) the same way PG does
+    for these operand shapes.
+    """
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return end
+    c = sql[i]
+    if c in ")]":
+        close, open_ = c, "(" if c == ")" else "["
+        depth = 0
+        while i >= 0:
+            if sql[i] == close:
+                depth += 1
+            elif sql[i] == open_:
+                depth -= 1
+                if depth == 0:
+                    break
+            elif sql[i] == "'":
+                i = sql.rindex("'", 0, i)
+            i -= 1
+        # function name / dotted qualifier / quoted ident directly before
+        j = i - 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_.`"):
+            j -= 1
+        return j + 1 if j + 1 < i else i
+    if c == "`":
+        return sql.rindex("`", 0, i)
+    if c == "'":
+        return sql.rindex("'", 0, i)
+    j = i
+    while j >= 0 and (sql[j].isalnum() or sql[j] in "_.`"):
+        j -= 1
+    return j + 1
+
+
 def _rewrite_pg_casts(sql: str) -> str:
-    # expr::type — rewrite the tight-binding cases seen in practice:
-    # identifier/literal/closing-paren followed by ::type
-    pat = re.compile(r"(\`[^`]+\`|\w+|\))\s*::\s*([A-Za-z_][\w ]*?)(?=[\s,()\[\]]|$)")
-
-    def sub(m: re.Match) -> str:
-        t = m.group(2).strip()
+    # expr::type — tight binding on the full left operand (identifier,
+    # quoted identifier, literal, or balanced-paren call/group)
+    pat = re.compile(r"::\s*([A-Za-z_][\w ]*?)(?=[\s,()\[\]]|$)")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        t = m.group(1).strip()
         t = _PG_TYPES.get(t.lower(), t)
-        return f"CAST({m.group(1)} AS {t})"
-
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = pat.sub(sub, sql, count=1)
-    return sql
+        s = _operand_start(sql, m.start())
+        operand = sql[s : m.start()].rstrip()
+        sql = f"{sql[:s]}CAST({operand} AS {t}){sql[m.end():]}"
 
 
 def _find_call(sql: str, fname: str) -> tuple[int, int, str] | None:
@@ -153,6 +200,122 @@ def _rewrite_jsonb_each_text(sql: str) -> str:
         return f" LATERAL VIEW explode(from_json({src}, 'map<string,string>')) AS {k}, {v}"
 
     return pat.sub(sub, sql)
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """``expr->'k'`` / ``expr->>'k'`` / ``expr->n`` → ``get_json_object``.
+
+    PG's ``->>`` (text extraction) matches get_json_object exactly for
+    scalars; ``->`` (json extraction) also maps to get_json_object, whose
+    output for objects/arrays is their JSON text — chains like
+    ``a->'b'->>'c'`` therefore compose left-to-right. The one divergence:
+    a *terminal* ``->`` on a scalar string keeps its quotes in PG but not
+    here; view definitions that serialize with ``->`` should use ``->>``
+    (quoted-scalar output has no sensible ES mapping anyway).
+    """
+    pat = re.compile(r"->(>?)\s*('(?:[^']|'')*'|\d+)")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        rhs = m.group(2)
+        path = f"'$[{rhs}]'" if rhs.isdigit() else f"'$.{rhs[1:-1]}'"
+        s = _operand_start(sql, m.start())
+        operand = sql[s : m.start()].rstrip()
+        sql = f"{sql[:s]}get_json_object({operand}, {path}){sql[m.end():]}"
+
+
+def _rewrite_regex_match_ops(sql: str) -> str:
+    """PG regex operators on string-literal patterns:
+    ``a ~ 'p'`` → RLIKE, ``~*`` case-insensitive, ``!~`` / ``!~*`` negated."""
+    pat = re.compile(r"(!?)~(\*?)\s*('(?:[^']|'')*')")
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        neg, ci, lit = m.groups()
+        if ci:
+            lit = f"'(?i){lit[1:-1]}'"
+        s = _operand_start(sql, m.start())
+        operand = sql[s : m.start()].rstrip()
+        repl = f"{operand} RLIKE {lit}"
+        if neg:
+            repl = f"NOT {repl}"
+        sql = f"{sql[:s]}{repl}{sql[m.end():]}"
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    parts, depth, cur = [], 0, []
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if c == "'":
+            j = text.index("'", i + 1)
+            cur.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_string_agg(sql: str) -> str:
+    """``string_agg(e, d [ORDER BY o])`` → ``listagg(e, d)
+    [WITHIN GROUP (ORDER BY o)]`` (Spark 4's ordered string aggregation;
+    PG's in-call ORDER BY becomes the WITHIN GROUP clause)."""
+    while True:
+        found = _find_call(sql, "string_agg")
+        if not found:
+            return sql
+        s, e, args = found
+        order = None
+        om = re.search(r"\border\s+by\b", args, re.IGNORECASE)
+        if om and args[: om.start()].count("(") == args[: om.start()].count(")"):
+            order = args[om.end():].strip()
+            args = args[: om.start()].strip().rstrip(",")
+        parts = [p.strip() for p in _split_top_level(args)]
+        call = f"listagg({', '.join(parts)})"
+        if order:
+            call += f" WITHIN GROUP (ORDER BY {order})"
+        sql = sql[:s] + call + sql[e:]
+
+
+def _rewrite_extract_epoch(sql: str) -> str:
+    """``extract(epoch from x)`` → ``unix_timestamp(x)`` (Spark's EXTRACT
+    supports the calendar fields but not EPOCH)."""
+    pat = re.compile(r"\bextract\s*\(\s*epoch\s+from\s+", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        found = _find_call(sql[m.start():], "extract")
+        assert found is not None
+        _s, e, args = found
+        inner = re.split(r"\bfrom\b", args, maxsplit=1, flags=re.IGNORECASE)[1].strip()
+        sql = sql[: m.start()] + f"unix_timestamp({inner})" + sql[m.start() + e:]
+
+
+def _rewrite_jsonb_array_elements(sql: str) -> str:
+    """``, jsonb_array_elements_text(x) AS e`` → lateral explode of a JSON
+    string array (scalar-element arrays; object elements should stay
+    jsonb_each_text / arrow territory)."""
+    pat = re.compile(
+        r",\s*jsonb_array_elements(?:_text)?\s*\(([^)]*)\)\s*(?:as\s+)?(\w+)",
+        re.IGNORECASE,
+    )
+    return pat.sub(
+        lambda m: f" LATERAL VIEW explode(from_json({m.group(1)}, 'array<string>')) AS {m.group(2)}",
+        sql,
+    )
 
 
 def _rewrite_distinct_on(sql: str) -> str:
@@ -300,8 +463,13 @@ def transpile(sql: str) -> str:
     sql = sql.strip().rstrip(";")
     sql = _replace_quoted_idents(sql)
     sql = _rewrite_pg_casts(sql)
+    sql = _rewrite_json_arrows(sql)
+    sql = _rewrite_regex_match_ops(sql)
+    sql = _rewrite_string_agg(sql)
+    sql = _rewrite_extract_epoch(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_jsonb_each_text(sql)
+    sql = _rewrite_jsonb_array_elements(sql)
     sql = _rewrite_unnest_from(sql)
     sql = _rename_calls(sql, {"json_build_object": "named_struct", "now": "current_timestamp"})
     for agg in ("json_agg", "array_agg"):

@@ -61,3 +61,57 @@ def test_nested_correlated_subquery_decorrelation():
     # the inner person lookup became a LEFT JOIN inside the teacher subquery
     assert "LEFT JOIN person ON person.id = person_id" in out
     assert out.count("(select") + out.count("(SELECT") == 1  # one level remains
+
+
+def test_paren_expression_cast():
+    out = transpile("select (a || b)::text from t")
+    assert "CAST((a || b) AS STRING)" in out
+
+
+def test_function_call_cast():
+    out = transpile("select sum(x)::float8 from t")
+    assert "CAST(sum(x) AS DOUBLE)" in out
+
+
+def test_json_arrow_operators(spark):
+    out = transpile("select doc->>'name' as n, doc->'a'->>'b' as ab, doc->0 as first from t")
+    assert "get_json_object(doc, '$.name') as n" in out
+    assert "get_json_object(get_json_object(doc, '$.a'), '$.b') as ab" in out
+    assert "get_json_object(doc, '$[0]') as first" in out
+    # semantics: execute the transpiled projection on a real JSON doc
+    spark.createDataFrame(
+        [('{"name": "x", "a": {"b": "deep"}}',)], "doc string"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(transpile("select doc->>'name' as n, doc->'a'->>'b' as ab from t")).first()
+    assert row["n"] == "x" and row["ab"] == "deep"
+
+
+def test_regex_match_operators(spark):
+    out = transpile("select * from t where name ~ '^ab' and name !~* 'zz$'")
+    assert "name RLIKE '^ab'" in out
+    assert "NOT name RLIKE '(?i)zz$'" in out
+    spark.createDataFrame([("abc",), ("xyz",)], "name string").createOrReplaceTempView("t")
+    got = {r["name"] for r in spark.sql(transpile("select name from t where name ~ '^ab'")).collect()}
+    assert got == {"abc"}
+
+
+def test_string_agg_with_order(spark):
+    out = transpile("select string_agg(n, ',' order by n desc) as s from t")
+    assert "listagg(n, ',') WITHIN GROUP (ORDER BY n desc)" in out
+    spark.createDataFrame([("a",), ("c",), ("b",)], "n string").createOrReplaceTempView("t")
+    assert spark.sql(transpile("select string_agg(n, ',' order by n) as s from t")).first()["s"] == "a,b,c"
+
+
+def test_extract_epoch(spark):
+    out = transpile("select extract(epoch from ts) as e from t")
+    assert "unix_timestamp(ts) as e" in out
+    # calendar fields pass through untouched
+    assert "extract(year from ts)" in transpile("select extract(year from ts) from t")
+
+
+def test_jsonb_array_elements_text(spark):
+    out = transpile("select id, e from t, jsonb_array_elements_text(tags) as e")
+    assert "LATERAL VIEW explode(from_json(tags, 'array<string>')) AS e" in out
+    spark.createDataFrame([(1, '["x", "y"]')], "id long, tags string").createOrReplaceTempView("t")
+    got = sorted(r["e"] for r in spark.sql(transpile("select id, e from t, jsonb_array_elements_text(tags) as e")).collect())
+    assert got == ["x", "y"]
