@@ -19,18 +19,21 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per major engine area (doc assembly / agg / join /
-# window / dedup / similarity). Keep ~10 so the bench signal is stable.
+# window / dedup / similarity / decontamination). Keep ~12 so the bench
+# signal is stable across rounds.
 HEADLINE = [
     "flagship_order_document",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
     "w1_running_total",
     "top_orders_per_customer",
     "dedup_exact_documents",
     "minhash_near_dup_pairs",
     "ann_cosine_topk",
     "text_quality_scores",
+    "decontaminate_ngram_overlap",
 ]
 
 

@@ -258,3 +258,45 @@ _sql(
     ),
     tags=("sketch", "approx", "agg-distinct"),
 )
+
+# --- linear regression from exact moments ---------------------------------
+# regr_slope/regr_intercept/regr_r2 exist on both engines but accumulate
+# doubles in engine-specific order; computing the five power sums exactly
+# (integer cents → decimal) and then running the IDENTICAL double
+# arithmetic makes the fit reproducible at any parallelism — same recipe
+# as battery_stats_moments/skewness_kurtosis_exact.
+_REGR = """
+    WITH sums AS (
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM (SELECT l_returnflag,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+            FROM lineitem) cents
+      GROUP BY l_returnflag),
+    fit AS (
+      SELECT flag, n, sx, sy, sxx, sxy, syy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+      FROM sums)
+    SELECT flag,
+           ROUND(slope_raw, 6) AS slope,
+           ROUND((sy - slope_raw * sx) / n, 6) AS intercept_cents,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM fit"""
+_sql(
+    "regression_price_vs_quantity",
+    spark_sql=_REGR,
+    oracle=_REGR,
+    doc=(
+        "per-flag least-squares fit of extendedprice ~ quantity from "
+        "exact decimal power sums + identical IEEE double arithmetic "
+        "(native regr_* aggregates accumulate doubles in engine-specific "
+        "order); one map-side-combinable pass, deterministic at any "
+        "partitioning"
+    ),
+    tags=("functions-stats", "stats-battery", "regression"),
+)
