@@ -300,3 +300,28 @@ _sql(
     ),
     tags=("functions-stats", "stats-battery", "regression"),
 )
+
+# --- aggregate FILTER clause ----------------------------------------------
+_FILTER = """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS n_open,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
+             AS finished_value,
+           CAST(COUNT(DISTINCT o_custkey)
+                FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+             AS big_spenders
+    FROM orders GROUP BY o_orderpriority"""
+_sql(
+    "battery_agg_filter_clause",
+    spark_sql=_FILTER,
+    oracle=_FILTER,
+    doc=(
+        "aggregate FILTER clause battery (the PG idiom for conditional "
+        "aggregation): filtered COUNT/SUM/COUNT DISTINCT per group in one "
+        "pass — identical SQL on both engines, decimal-exact money sum"
+    ),
+    tags=("B15", "agg-conditional", "agg-filter"),
+)
