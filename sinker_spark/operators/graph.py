@@ -63,3 +63,72 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted PageRank over an edge DataFrame → (node, rank).
+
+    The iterative-algorithm lane beyond connected components: each round
+    is one join of the rank vector (|V| rows) against the normalized edge
+    list plus one aggregation on ``dst`` — the edge list is the big side
+    but is scanned from a localCheckpoint, never recomputed, and the data
+    that moves per round is O(|V|+|E|) with the rank vector broadcast-
+    sized for dimension-like graphs. Dangling-node mass (nodes with no
+    out-edges) is redistributed uniformly via a one-row aggregate
+    cross-joined back in — fully distributed, nothing collected to the
+    driver. Lineage is truncated every ``checkpoint_every`` rounds so the
+    plan stays flat over many iterations (same policy as
+    :func:`connected_components`)."""
+    w = (F.col(weight) if weight else F.lit(1.0)).cast("double")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # transition probability per edge; checkpoint: reused every iteration
+    e = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    sources = e.select("src").distinct().withColumnRenamed("src", "node")
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+        )
+        dangling = ranks.join(sources, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+            .crossJoin(dangling)  # one-row broadcast, stays distributed
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

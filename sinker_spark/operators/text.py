@@ -196,3 +196,37 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     dedup across trivially-different copies."""
     norm = F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""), r" +", " ")
     return df.select(F.col(id_col), F.md5(F.trim(norm)).alias("fingerprint"))
+
+
+# PII patterns are RE2-compatible (character classes only — no
+# lookaround, no backreferences) so the IDENTICAL pattern strings run
+# verbatim in RE2-based engines (the DuckDB oracle) and in Java regex.
+# Masking order matters: emails first (their local part may contain '+'
+# and digits), then phones, then IPv4 (pure digits/dots, can't collide
+# with the other two once they're masked).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII detection + masking for training-data curation: per-document
+    match counts for each PII class plus the scrubbed text with every
+    match replaced by a typed mask token (``<EMAIL>`` …). Pure per-row
+    JVM regex (regexp_count / regexp_replace) — no shuffle, no Python in
+    the row loop; at 100 TB this is a map-only pass that pipelines with
+    whatever scan produced the text."""
+    c = F.col(text_col)
+    counts = [F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat in PII_PATTERNS]
+    scrubbed = c
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    total = sum(F.regexp_count(c, F.lit(p)) for _, p in PII_PATTERNS)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        (total > 0).alias("has_pii"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -122,3 +122,40 @@ _sql(
     doc="regexp_extract_all: all-match extraction into arrays (string battery sibling)",
     tags=("functions-string", "regexp"),
 )
+
+# --- array set operations -------------------------------------------------
+# Both engines normalize set-op results to sorted-distinct before compare
+# (Spark's array_intersect/union/except already dedup but preserve
+# first-occurrence order, which is not cross-engine stable).
+_STOP10 = "'the','of','and','to','in','is','that','for','with','as'"
+_sql(
+    "battery_array_setops",
+    spark_sql=f"""
+    WITH base AS (
+      SELECT doc_id, filter(split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           array_sort(array_distinct(array_intersect(toks, array({_STOP10})))) AS stop_overlap,
+           arrays_overlap(toks, array({_STOP10})) AS has_stop,
+           size(array_distinct(array_except(toks, array({_STOP10})))) AS n_content,
+           slice(array_sort(array_distinct(array_except(toks, array({_STOP10})))), 1, 5) AS content_head,
+           size(array_distinct(array_union(toks, array({_STOP10})))) AS n_union_stop
+    FROM base""",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(toks, [{_STOP10}]))) AS stop_overlap,
+           list_has_any(toks, [{_STOP10}]) AS has_stop,
+           CAST(len(list_distinct(list_filter(toks, t -> NOT list_contains([{_STOP10}], t)))) AS INT) AS n_content,
+           list_sort(list_distinct(list_filter(toks, t -> NOT list_contains([{_STOP10}], t))))[1:5] AS content_head,
+           CAST(len(list_distinct(list_concat(toks, [{_STOP10}]))) AS INT) AS n_union_stop
+    FROM base""",
+    doc=(
+        "array set-operation battery: array_intersect/except/union/"
+        "arrays_overlap of token arrays against a stopword list — per-row "
+        "JVM array ops, sorted-distinct normalization on both engines"
+    ),
+    tags=("functions-array", "set-ops-array"),
+)

@@ -572,3 +572,143 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     return text.ngram_decontaminate(corpus, bench, n=4)
+
+
+_PII_SYNTH_SPARK = (
+    "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.org or call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+    "' from host 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST((doc_id * 7) % 256 AS STRING))"
+)
+_PII_SYNTH_DUCK = _PII_SYNTH_SPARK.replace("AS STRING", "AS VARCHAR")
+_PII_EMAIL, _PII_PHONE, _PII_IPV4 = (p for _, p in text.PII_PATTERNS)
+
+
+@query(
+    "pii_scrub_battery",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, {_PII_SYNTH_DUCK} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+           (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_PHONE}'))
+            + len(regexp_extract_all(text, '{_PII_IPV4}'))) > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g') AS scrubbed
+    FROM synth""",
+    doc=(
+        "PII detect+mask battery for training-data curation (operators/"
+        "text.pii_scrub): deterministic synthetic email/phone/IPv4 injected "
+        "per doc, counted with regexp_count and masked with typed tokens — "
+        "RE2-compatible patterns run verbatim on both engines; map-only pass"
+    ),
+    tags=("text-pii", "training-pipeline", "functions-string"),
+)
+def pii_scrub_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    synth = t["documents"].select("doc_id", F.expr(_PII_SYNTH_SPARK).alias("text"))
+    return text.pii_scrub(synth)
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                AS BIGINT) AS split_hash,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 90
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 95
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents""",
+    doc=(
+        "train/val/test split assignment by salted content-stable hash "
+        "(90/5/5): the standard leakage-free dataset split — a pure per-row "
+        "map, reproducible across runs/engines/cluster sizes, no shuffle"
+    ),
+    tags=("training-pipeline", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    )
+    return t["documents"].select(
+        "doc_id",
+        h.alias("split_hash"),
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "shuffle_export_shards",
+    oracle="""
+    SELECT doc_id, shard, row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank_in_shard
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8
+                  AS BIGINT) AS shard
+      FROM documents)""",
+    doc=(
+        "deterministic dataset shuffle for training export: seeded-hash "
+        "shard assignment + in-shard hash order — the scalable form (one "
+        "partitioned window, never a global sort; shards write in parallel "
+        "and the full order is reproducible from the seed alone)"
+    ),
+    tags=("training-pipeline", "shuffle-export", "window-rank"),
+)
+def shuffle_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(key, 1, 7), 16, 10).cast("bigint") % 8).alias("shard")
+    w = Window.partitionBy("shard").orderBy(key, F.col("doc_id"))
+    return (
+        t["documents"]
+        .select("doc_id", shard)
+        .withColumn("rank_in_shard", F.row_number().over(w))
+    )
+
+
+@query(
+    "seqpack_token_bins",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents)""",
+    doc=(
+        "sequence packing for context-window training: running-token-sum "
+        "bin assignment (512-token budget) per language stream — one "
+        "partitioned window over exclusive cumulative sums; bins then pack "
+        "in parallel downstream (greedy-sequential packing doesn't shard; "
+        "this streaming-order variant does)"
+    ),
+    tags=("training-pipeline", "seq-packing", "window-frame"),
+)
+def seqpack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", "lang", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn("bin_id", F.floor(prior / 512).cast("bigint"))

@@ -994,3 +994,36 @@ _sql(
     doc="conditional battery: CASE (simple+searched), coalesce/nullif/ifnull, boolean projection",
     tags=("functions-conditional",),
 )
+
+
+# --- iterative graph algorithms ------------------------------------------
+@query(
+    "pagerank_nation_trade",
+    oracle=None,
+    doc=(
+        "weighted PageRank (operators/graph.pagerank) over the customer-"
+        "nation → supplier-nation trade graph (Q7-shape edge extraction); "
+        "iterative rank/edge join loop with localCheckpoint lineage cuts — "
+        "rows-only (iterative float fixpoint isn't SQL), numpy-verified in "
+        "tests/test_graph.py"
+    ),
+    tags=("graph-pagerank", "iterative"),
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    cn = t["nation"].select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sn = t["nation"].select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    ranks = pagerank(edges, src="cust_nation", dst="supp_nation", weight="n_lines", iterations=8)
+    return ranks.select(F.col("node").alias("nation"), F.round("rank", 9).alias("rank_r9"))

@@ -325,3 +325,115 @@ _sql(
     ),
     tags=("B15", "agg-conditional", "agg-filter"),
 )
+
+# --- URL parsing ----------------------------------------------------------
+_URL_SYNTH = (
+    "concat('https://', lower(c_mktsegment), '.example.com/cust/', "
+    "CAST(c_custkey AS STRING), '/profile?seg=', lower(c_mktsegment), "
+    "'&page=', CAST(c_custkey % 7 AS STRING))"
+)
+_sql(
+    "battery_url_parse",
+    spark_sql=f"""
+    WITH u AS (SELECT c_custkey, {_URL_SYNTH} AS url FROM customer)
+    SELECT c_custkey AS custkey,
+           parse_url(url, 'PROTOCOL') AS proto,
+           parse_url(url, 'HOST') AS host,
+           parse_url(url, 'PATH') AS path,
+           parse_url(url, 'QUERY') AS query,
+           parse_url(url, 'QUERY', 'page') AS page
+    FROM u""",
+    oracle=f"""
+    WITH u AS (SELECT c_custkey, {_URL_SYNTH.replace("AS STRING", "AS VARCHAR")} AS url
+               FROM customer)
+    SELECT c_custkey AS custkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page
+    FROM u""",
+    doc=(
+        "URL parsing battery: parse_url protocol/host/path/query/"
+        "query-param extraction over synthesized per-customer URLs; oracle "
+        "re-derives each component with anchored regexes"
+    ),
+    tags=("functions-url", "functions-string"),
+)
+
+# --- datetime battery, part 2 (calendar navigation) -----------------------
+_sql(
+    "battery_datetime_calendar",
+    spark_sql="""
+    SELECT o_orderkey AS orderkey,
+           date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS month_end,
+           date_format(make_date(year(o_orderdate), month(o_orderdate), 15), 'yyyy-MM-dd')
+             AS mid_month,
+           dayofyear(o_orderdate) AS doy,
+           weekofyear(o_orderdate) AS iso_week,
+           date_format(o_orderdate, 'EEEE') AS day_name,
+           date_format(next_day(o_orderdate, 'MO'), 'yyyy-MM-dd') AS next_monday,
+           CAST(months_between(date_trunc('month', o_orderdate), DATE '1992-01-01') AS INT)
+             AS months_since_1992
+    FROM orders""",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(make_date(CAST(year(o_orderdate) AS BIGINT),
+                              CAST(month(o_orderdate) AS BIGINT), 15), '%Y-%m-%d') AS mid_month,
+           CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+           CAST(date_part('week', o_orderdate) AS INT) AS iso_week,
+           dayname(o_orderdate) AS day_name,
+           strftime(o_orderdate + INTERVAL (((7 - isodow(o_orderdate)) % 7) + 1) DAY,
+                    '%Y-%m-%d') AS next_monday,
+           CAST(datediff('month', DATE '1992-01-01', date_trunc('month', o_orderdate)) AS INT)
+             AS months_since_1992
+    FROM orders""",
+    doc=(
+        "calendar-navigation battery: last_day/make_date/dayofyear/ISO week/"
+        "day name/next_day/whole-month diff — oracle re-derives next_day from "
+        "isodow arithmetic and months_between from month-truncated datediff"
+    ),
+    tags=("functions-date",),
+)
+
+# --- schema-on-read parsing: from_csv + str_to_map ------------------------
+_sql(
+    "battery_csv_str_to_map",
+    spark_sql="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             concat(CAST(o_orderkey AS STRING), '|', o_orderstatus, '|',
+                    CAST(o_totalprice AS STRING)) AS line,
+             concat('status:', o_orderstatus, ';prio:', o_orderpriority) AS kv
+      FROM orders),
+    parsed AS (
+      SELECT o_orderkey, kv,
+             from_csv(line, 'k BIGINT, s STRING, v DOUBLE', map('sep', '|')) AS row
+      FROM raw)
+    SELECT o_orderkey AS orderkey,
+           row.k AS csv_key, row.s AS csv_status, row.v AS csv_price,
+           str_to_map(kv, ';', ':')['prio'] AS kv_prio,
+           size(str_to_map(kv, ';', ':')) AS kv_size
+    FROM parsed""",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             concat(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|',
+                    CAST(o_totalprice AS VARCHAR)) AS line,
+             concat('status:', o_orderstatus, ';prio:', o_orderpriority) AS kv
+      FROM orders)
+    SELECT o_orderkey AS orderkey,
+           CAST(string_split(line, '|')[1] AS BIGINT) AS csv_key,
+           string_split(line, '|')[2] AS csv_status,
+           CAST(string_split(line, '|')[3] AS DOUBLE) AS csv_price,
+           regexp_extract(kv, 'prio:([^;]*)', 1) AS kv_prio,
+           CAST(len(string_split(kv, ';')) AS INT) AS kv_size
+    FROM raw""",
+    doc=(
+        "schema-on-read parsing battery: from_csv with explicit schema + "
+        "custom delimiter, str_to_map key lookup — the embedded-text lane "
+        "(logs/exports inside columns) parsed JVM-side without UDFs"
+    ),
+    tags=("functions-csv", "functions-map", "schema-on-read"),
+)

@@ -21,3 +21,33 @@ def test_components_long_chain_converges(spark):
     got = {r["node"]: r["component"] for r in connected_components(edges, max_iter=40).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 31
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from sinker_spark.operators.graph import pagerank
+
+    # weighted digraph with a dangling node (3 has no out-edges)
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (1, 3, 3.0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, weight="w", iterations=12).collect()}
+
+    n, d = 4, 0.85
+    p = np.zeros((n, n))
+    for s, t, w in edges:
+        p[s, t] = w
+    out = p.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * p[s] / out[s]
+            else:
+                dangling += r[s]
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
