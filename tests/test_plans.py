@@ -186,3 +186,37 @@ def test_gapfill_single_user_shuffle_for_window(spark):
     plan = _plan(spark, "gapfill_locf_hourly")
     assert "Window" in plan
     assert "SinglePartition" not in plan.split("Window")[0][-600:]
+
+
+def test_map_only_training_lanes_no_shuffle(spark):
+    """PII scrub, split assignment, and the parsing/URL/array batteries
+    are pure per-row maps — no Exchange anywhere; at 100 TB they pipeline
+    with the scan that feeds them."""
+    for name in (
+        "pii_scrub_battery",
+        "split_train_val_test",
+        "battery_array_setops",
+        "battery_url_parse",
+        "battery_csv_str_to_map",
+        "battery_datetime_calendar",
+    ):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} unexpectedly shuffles"
+
+
+def test_shuffle_export_single_partitioned_window(spark):
+    """The deterministic-shuffle export is ONE hash-partitioned window —
+    exactly one shuffle (on shard), and no SinglePartition global sort."""
+    import re
+
+    plan = _plan(spark, "shuffle_export_shards")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan and "SinglePartition" not in plan
+
+
+def test_seqpack_single_partitioned_window(spark):
+    import re
+
+    plan = _plan(spark, "seqpack_token_bins")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan and "SinglePartition" not in plan
