@@ -118,3 +118,66 @@ def ivf_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an ``array<float>`` column → (assignments,
+    centroids). The coarse-quantizer trainer for :func:`ivf_topk`.
+
+    Scale shape per iteration: centroids live as a k×dim literal (a few
+    KB — same trust model as a broadcast hint), so ASSIGNMENT is a pure
+    per-row projection (k codegen'd zip_with distances + array_position
+    argmin — no join, no shuffle); the UPDATE is one posexplode +
+    (cluster, dim-position) aggregation whose map-side partials bound the
+    shuffle at k×dim rows per partition regardless of input size. The
+    k×dim collect per iteration is the only driver-side data. Init is
+    deterministic: the k lowest-id vectors.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), vec.alias("_v")).persist()
+    centroids = [
+        [float(x) for x in r["_v"]]
+        for r in base.orderBy("_id").limit(k).collect()
+    ]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        dists = F.array(*[_sq_dist_to(F.col("_v"), c) for c in cents])
+        return base.select(
+            "_id",
+            "_v",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+            F.round(F.sqrt(F.array_min(dists)), 6).alias("dist"),
+        )
+
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+        centroids = [
+            [by_cluster[c][p] for p in sorted(by_cluster[c])] if c in by_cluster else centroids[c]
+            for c in range(k)
+        ]
+
+    out = assign(centroids).select(F.col("_id").alias(id_col), "cluster", "dist")
+    base.unpersist()
+    return out, centroids

@@ -160,3 +160,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return similarity.sign_near_dups(t["embeddings"], threshold=0.2)
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=None,
+    doc=(
+        "Lloyd's k-means (operators/similarity.kmeans, k=4, 3 iterations): "
+        "the coarse-quantizer trainer for the IVF lane — assignment is a "
+        "shuffle-free per-row argmin over a centroid literal, update is one "
+        "k×dim-bounded aggregation per pass; iterative float fixpoint → "
+        "rows-only, numpy-verified in tests/test_operators.py"
+    ),
+    tags=("similarity-train", "iterative", "kmeans"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.similarity import kmeans
+
+    t = load_tables(spark, sf_dir)
+    assigned, _ = kmeans(t["embeddings"], k=4, iterations=3)
+    return assigned

@@ -214,3 +214,37 @@ def test_ngram_decontaminate_flags_only_overlaps(spark):
     out = {r["doc_id"]: r["n_overlap_shingles"] for r in T.ngram_decontaminate(corpus, bench, n=4).collect()}
     # doc 1 shares exactly one 4-gram ('alpha beta gamma delta'); doc 2 none
     assert out == {1: 1}
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    import numpy as np
+
+    from sinker_spark.operators.similarity import kmeans
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated blobs in 4-d
+    blobs = np.vstack(
+        [rng.randn(20, 4) * 0.1 + center for center in ([0, 0, 0, 0], [5, 5, 5, 5], [-5, 5, -5, 5])]
+    )
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assigned, centroids = kmeans(df, k=3, iterations=4)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    # numpy replica: same deterministic init (k lowest-id vectors, which the
+    # float32 round-trip makes float32-precision), same update rule
+    x = blobs.astype(np.float32).astype(np.float64)
+    cents = x[:3].copy()
+    for _ in range(4):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(3):
+            if (lab == c).any():
+                cents[c] = x[lab == c].mean(axis=0)
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+    assert [got[i] for i in range(len(blobs))] == list(want)
+    # each blob lands in one cluster
+    assert len({got[i] for i in range(20)}) == 1
+    assert len({got[i] for i in range(20, 40)}) == 1
+    assert len({got[i] for i in range(40, 60)}) == 1
