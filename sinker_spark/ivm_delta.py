@@ -102,3 +102,77 @@ def dirty_minmax_groups(changes: DataFrame, keys: list[str], op_col: str = OP_CO
     Inserts alone are safe (min/max are monotone under inserts). Feed
     the result into a targeted recompute of just those groups."""
     return changes.where(F.col(op_col) == DELETE).select(*keys).distinct()
+
+
+_MULT = "__mult"
+
+
+def initial_join_state(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """One-time materialization of the join view A ⋈ B under bag
+    semantics: identical output rows collapse into a ``__mult`` count
+    (the multiplicity representation every delta rule below preserves)."""
+    j = a.join(b, on)
+    return j.groupBy(*j.columns).agg(F.count(F.lit(1)).cast("bigint").alias(_MULT))
+
+
+def join_delta(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    a_changes: DataFrame,
+    b_changes: DataFrame,
+    on: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Signed delta of the join view A ⋈ B for one CDC batch — the
+    classical bilinear IVM rule (signs multiply, multiplicities add):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ⊎  A_old ⋈ ΔB  ⊎  ΔA ⋈ ΔB
+
+    ``a_old``/``b_old`` are the stored pre-batch snapshots; the change
+    frames carry base-table columns + ``op_col`` (updates as
+    delete(old)+insert(new), as for :func:`apply_agg_delta`). Returns
+    join-schema rows + signed net ``__mult`` (zero-net rows dropped).
+
+    Scale shape: both ΔA ⋈ B_old and A_old ⋈ ΔB join a batch-sized side
+    against a stored snapshot — the delta side broadcasts, and with
+    snapshots bucketed on the join key the probe reads only matching
+    buckets; the fact-sized A_old ⋈ B_old product is never recomputed.
+    Refresh cost is O(|Δ| · fan-out), independent of view size."""
+
+    def signed(ch: DataFrame, alias: str) -> DataFrame:
+        s = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1))
+        return ch.withColumn(alias, s).drop(op_col)
+
+    da, db = signed(a_changes, "__sa"), signed(b_changes, "__sb")
+    a0 = a_old.withColumn("__sa", F.lit(1))
+    b0 = b_old.withColumn("__sb", F.lit(1))
+
+    parts = [
+        da.join(b0, on),  # ΔA ⋈ B_old
+        a0.join(db, on),  # A_old ⋈ ΔB
+        da.join(db, on),  # ΔA ⋈ ΔB
+    ]
+
+    out_cols = None
+    signed_rows = []
+    for p in parts:
+        row_sign = (F.col("__sa") * F.col("__sb")).cast("bigint")
+        cols = [c for c in p.columns if c not in ("__sa", "__sb")]
+        if out_cols is None:
+            out_cols = cols
+        signed_rows.append(p.select(*cols, row_sign.alias(_MULT)))
+    allrows = signed_rows[0]
+    for p in signed_rows[1:]:
+        allrows = allrows.unionByName(p)
+    net = allrows.groupBy(*out_cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
+    return net.where(F.col(_MULT) != 0)
+
+
+def apply_join_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a :func:`join_delta` result into multiplicity state: one
+    co-partitioned group-sum; rows whose multiplicity reaches 0 vanish
+    (exactly when their last contributing base rows did)."""
+    cols = [c for c in state.columns if c != _MULT]
+    merged = state.unionByName(delta)
+    out = merged.groupBy(*cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
+    return out.where(F.col(_MULT) != 0)

@@ -359,3 +359,50 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL tokenize(d.text) t
         WHERE t.pos < 5"""
     )
+
+
+@query(
+    "ivm_delta_join_orders",
+    oracle="""
+    WITH jn AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status, l_returnflag AS flag
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_linenumber < 5)
+    SELECT okey, status, flag, COUNT(*) AS mult
+    FROM jn GROUP BY okey, status, flag""",
+    doc=(
+        "delta join maintenance (ivm_delta.join_delta, the bilinear IVM "
+        "rule ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB with signed multiplicities): join-view "
+        "state seeded without every-7th order, a CDC batch inserts those "
+        "orders and deletes high-linenumber lines — O(|Δ|·fan-out) per "
+        "refresh, never recomputing the view; oracle recomputes from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join"),
+)
+def ivm_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, initial_join_state, join_delta
+
+    t = load_tables(spark, sf_dir)
+    a_all = t["orders"].select(F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    a_old = a_all.where(F.col("okey") % 7 != 0)
+    a_ch = a_all.where(F.col("okey") % 7 == 0).withColumn("__op", F.lit("insert"))
+
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), "l_returnflag", "l_linenumber"
+    )
+    b_old = li.drop("l_linenumber")
+    b_ch = (
+        li.where(F.col("l_linenumber") >= 5)
+        .drop("l_linenumber")
+        .withColumn("__op", F.lit("delete"))
+    )
+
+    state = initial_join_state(a_old, b_old, ["okey"])
+    delta = join_delta(a_old, b_old, a_ch, b_ch, ["okey"])
+    new_state = apply_join_state(state, delta)
+    return new_state.select(
+        "okey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("__mult").alias("mult"),
+    )

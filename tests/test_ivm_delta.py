@@ -105,3 +105,56 @@ def test_dirty_minmax_only_delete_groups(spark):
     )
     dirty = {r["grp"] for r in dirty_minmax_groups(batch, KEYS).collect()}
     assert dirty == {"b"}
+
+
+def _mrows(df):
+    return sorted(tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
+
+
+def test_join_delta_matches_recompute_randomized(spark):
+    from sinker_spark.ivm_delta import apply_join_state, initial_join_state, join_delta
+
+    rng = random.Random(11)
+    # bag-semantics tables: duplicate keys AND duplicate full rows on purpose
+    a_old = [(rng.randint(0, 5), rng.randint(0, 2)) for _ in range(25)]
+    b_old = [(rng.randint(0, 5), rng.choice("xyz")) for _ in range(20)]
+    a_ins = [(rng.randint(0, 5), rng.randint(0, 2)) for _ in range(6)]
+    a_del = rng.sample(a_old, 4)
+    b_ins = [(rng.randint(0, 5), rng.choice("xyz")) for _ in range(5)]
+    b_del = rng.sample(b_old, 3)
+
+    a_new = list(a_old)
+    for r in a_del:
+        a_new.remove(r)
+    a_new += a_ins
+    b_new = list(b_old)
+    for r in b_del:
+        b_new.remove(r)
+    b_new += b_ins
+
+    A = lambda rows: spark.createDataFrame(rows, "k int, x int")  # noqa: E731
+    B = lambda rows: spark.createDataFrame(rows, "k int, y string")  # noqa: E731
+    ach = spark.createDataFrame(
+        [(k, x, INSERT) for k, x in a_ins] + [(k, x, DELETE) for k, x in a_del],
+        "k int, x int, __op string",
+    )
+    bch = spark.createDataFrame(
+        [(k, y, INSERT) for k, y in b_ins] + [(k, y, DELETE) for k, y in b_del],
+        "k int, y string, __op string",
+    )
+
+    state = initial_join_state(A(a_old), B(b_old), ["k"])
+    delta = join_delta(A(a_old), B(b_old), ach, bch, ["k"])
+    got = apply_join_state(state, delta)
+    want = initial_join_state(A(a_new), B(b_new), ["k"])
+    assert _mrows(got) == _mrows(want)
+
+
+def test_join_delta_empty_batch_is_empty(spark):
+    from sinker_spark.ivm_delta import join_delta
+
+    a = spark.createDataFrame([(1, 10)], "k int, x int")
+    b = spark.createDataFrame([(1, "x")], "k int, y string")
+    empty_a = spark.createDataFrame([], "k int, x int, __op string")
+    empty_b = spark.createDataFrame([], "k int, y string, __op string")
+    assert join_delta(a, b, empty_a, empty_b, ["k"]).count() == 0
