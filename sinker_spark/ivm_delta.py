@@ -144,8 +144,15 @@ def join_delta(
         return ch.withColumn(alias, s).drop(op_col)
 
     da, db = signed(a_changes, "__sa"), signed(b_changes, "__sb")
-    a0 = a_old.withColumn("__sa", F.lit(1))
-    b0 = b_old.withColumn("__sb", F.lit(1))
+    def weighted(rel: DataFrame, alias: str) -> DataFrame:
+        # stored snapshots may arrive multiplicity-compressed (__mult from
+        # relation_state / apply_join_state): the weight IS the multiplicity
+        if _MULT in rel.columns:
+            return rel.withColumn(alias, F.col(_MULT).cast("bigint")).drop(_MULT)
+        return rel.withColumn(alias, F.lit(1))
+
+    a0 = weighted(a_old, "__sa")
+    b0 = weighted(b_old, "__sb")
 
     parts = [
         da.join(b0, on),  # ΔA ⋈ B_old
@@ -176,3 +183,21 @@ def apply_join_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     merged = state.unionByName(delta)
     out = merged.groupBy(*cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
     return out.where(F.col(_MULT) != 0)
+
+
+def relation_state(df: DataFrame) -> DataFrame:
+    """Multiplicity-compress a base relation: identical rows collapse
+    into a signed ``__mult`` count — the stored form the delta-join lane
+    maintains per base table (state size = distinct rows, not rows)."""
+    return df.groupBy(*df.columns).agg(F.count(F.lit(1)).cast("bigint").alias(_MULT))
+
+
+def changes_to_mult(changes: DataFrame, op_col: str = OP_COL) -> DataFrame:
+    """CDC change rows → net signed multiplicities per distinct row
+    (insert +1, delete −1), mergeable into :func:`relation_state` output
+    via :func:`apply_join_state`."""
+    sign = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    base = changes.withColumn(_MULT, sign).drop(op_col)
+    cols = [c for c in base.columns if c != _MULT]
+    net = base.groupBy(*cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
+    return net.where(F.col(_MULT) != 0)

@@ -173,6 +173,11 @@ class SyncEngine:
             if v.agg is not None and (changed & v.deps) <= {v.agg.table}:
                 if self._delta_agg_refresh(v, cdc, epoch_id):
                     continue
+            # delta-join lane: bilinear-rule refresh for two-table join
+            # views — same eligibility contract as the aggregate lane
+            if v.join is not None and (changed & v.deps) <= {v.join.table_a, v.join.table_b}:
+                if self._delta_join_refresh(v, cdc, epoch_id):
+                    continue
             # each view's hook sees only the changed tables it depends on
             relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
             scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
@@ -259,6 +264,108 @@ class SyncEngine:
             "delta_agg": 1,
         }
         logger.info("delta-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
+
+    def _delta_join_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Delta-maintenance lane for two-table join views
+        (ivm_delta.join_delta, the bilinear rule): base relations are
+        kept as multiplicity state alongside the join state, a CDC batch
+        produces the signed join delta, and actions are emitted for the
+        touched doc keys only — O(|Δ|·fan-out) compute, no join-product
+        recompute. Same before-image contract and snapshot-point
+        initialization as the aggregate lane; returns False to fall back
+        to the recompute lane when before-images are missing."""
+        spec = view.join
+        rows = cdc.where(F.col("table").isin(spec.table_a, spec.table_b))
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(table: str, schema: str, col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col("table") == table)
+                .where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        def batch_for(table: str, schema: str) -> DataFrame:
+            b = parsed(table, schema, "payload", ivm_delta.INSERT)
+            if has_before:
+                b = b.unionByName(parsed(table, schema, "payload_before", ivm_delta.DELETE))
+            return b
+
+        a_ch = batch_for(spec.table_a, spec.row_schema_a)
+        b_ch = batch_for(spec.table_b, spec.row_schema_b)
+
+        def read_state(suffix: str) -> DataFrame | None:
+            packed = self.store.read(f"{view.name}__{suffix}")
+            return None if packed is None else packed.select("doc.*")
+
+        a_state = read_state("a_state")
+        b_state = read_state("b_state")
+        j_state = read_state("join_state")
+        if a_state is None or b_state is None or j_state is None:
+            a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
+            a_state = ivm_delta.relation_state(a_tab)
+            b_state = ivm_delta.relation_state(b_tab)
+            j_state = ivm_delta.initial_join_state(a_tab, b_tab, spec.on)
+
+        delta = ivm_delta.join_delta(a_state, b_state, a_ch, b_ch, spec.on)
+        delta = delta.localCheckpoint(eager=True)  # consumed twice (merge + touched)
+        new_j = ivm_delta.apply_join_state(j_state, delta).localCheckpoint(eager=True)
+        new_a = ivm_delta.apply_join_state(
+            a_state, ivm_delta.changes_to_mult(a_ch)
+        ).localCheckpoint(eager=True)
+        new_b = ivm_delta.apply_join_state(
+            b_state, ivm_delta.changes_to_mult(b_ch)
+        ).localCheckpoint(eager=True)
+
+        key_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols])
+        touched = delta.select(*spec.key_cols).distinct()
+        data_cols = [c for c in new_j.columns if c != ivm_delta._MULT]
+        sink_doc = F.struct(
+            *[F.col(c) for c in data_cols], F.col(ivm_delta._MULT).alias("n_rows")
+        )
+        upserts = new_j.join(touched, spec.key_cols, "left_semi").select(
+            key_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(new_j, spec.key_cols, "left_anti").select(
+            key_id.alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        def write_state(suffix: str, df: DataFrame) -> None:
+            data = [c for c in df.columns if c != ivm_delta._MULT]
+            rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in data])))
+            self.store.write(
+                f"{view.name}__{suffix}",
+                df.select(rid.alias(view.key), F.struct(*df.columns).alias("doc")),
+                key=view.key,
+            )
+
+        write_state("a_state", new_a)
+        write_state("b_state", new_b)
+        write_state("join_state", new_j)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "delta_join": 1,
+        }
+        logger.info("delta-join refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
         return True
 

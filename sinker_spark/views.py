@@ -81,6 +81,33 @@ class AggViewSpec:
 
 
 @dataclass
+class JoinViewSpec:
+    """Declares a view as an equi-join of two base tables, making it
+    eligible for the delta-join lane (ivm_delta.join_delta): CDC batches
+    refresh the view by the bilinear rule Δ(A⋈B) = ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB
+    over signed multiplicities — O(|Δ|·fan-out), the join product is
+    never recomputed. Base-table relations are themselves maintained as
+    multiplicity state from the stream (initialized from the catalog
+    tables at the snapshot point), so no base re-scan happens per batch.
+    Same before-image contract as :class:`AggViewSpec`.
+
+    - ``table_a``/``table_b``: base table names (``spark.table``-resolvable)
+    - ``on``: equi-join columns (same names on both sides)
+    - ``row_schema_a``/``row_schema_b``: DDL schemas for parsing CDC
+      payload JSON into base rows (only needed columns)
+    - ``key_cols``: join-output columns whose '|'-join forms the doc id
+      (must be unique per joined row, e.g. both sides' PKs)
+    """
+
+    table_a: str
+    table_b: str
+    on: list[str]
+    row_schema_a: str
+    row_schema_b: str
+    key_cols: list[str]
+
+
+@dataclass
 class ViewDef:
     name: str
     sql: str | None = None
@@ -90,6 +117,7 @@ class ViewDef:
     deps: set[str] = field(default_factory=set)
     parent_table: str | None = None
     agg: AggViewSpec | None = None
+    join: "JoinViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: {changed ids}}) →
     # one-column DataFrame of affected VIEW keys, or None for "unknown →
     # full refresh". Enables SnapshotStore.refresh_partial: the engine

@@ -1,0 +1,148 @@
+"""SyncEngine delta-join lane: two-table join views refresh via the
+bilinear IVM rule — CDC batches produce the signed join delta against
+stored base-relation multiplicity state, emit actions for touched doc
+keys only, persist all three states across batches, and fall back to
+the recompute lane when before-images are missing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink
+from sinker_spark.views import JoinViewSpec, ViewDef
+
+A_SCHEMA = "oid string, cust string"
+B_SCHEMA = "lid string, oid string, qty bigint"
+CDC_COLS = "lsn bigint, schema string, table string, op string, id string, payload string, payload_before string"
+
+
+def _tables(spark, a_rows, b_rows):
+    spark.createDataFrame(a_rows, A_SCHEMA).createOrReplaceTempView("ord")
+    spark.createDataFrame(b_rows, B_SCHEMA).createOrReplaceTempView("item")
+
+
+def _view():
+    def recompute(spark):
+        j = spark.table("ord").join(spark.table("item"), "oid")
+        return j.select(
+            F.concat_ws("|", "oid", "lid").alias("id"),
+            F.struct("oid", "cust", "lid", "qty", F.lit(1).cast("bigint").alias("n_rows")).alias("doc"),
+        )
+
+    return ViewDef(
+        name="order_items",
+        fn=recompute,
+        deps={"ord", "item"},
+        join=JoinViewSpec(
+            table_a="ord",
+            table_b="item",
+            on=["oid"],
+            row_schema_a=A_SCHEMA,
+            row_schema_b=B_SCHEMA,
+            key_cols=["oid", "lid"],
+        ),
+    )
+
+
+def _cdc(spark, records):
+    """records: (lsn, table, op, after|None, before|None)."""
+    rows = [
+        (
+            lsn,
+            "public",
+            table,
+            op,
+            (after or before or {}).get("oid", "?"),
+            json.dumps(after) if after else None,
+            json.dumps(before) if before else None,
+        )
+        for lsn, table, op, after, before in records
+    ]
+    return spark.createDataFrame(rows, CDC_COLS)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [_view()], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    return eng, sink
+
+
+def test_insert_joins_against_stored_state(spark, engine):
+    eng, sink = engine
+    _tables(
+        spark,
+        [("o1", "alice"), ("o2", "bob")],
+        [("l1", "o1", 5), ("l2", "o1", 3)],
+    )
+    # new line for o2 — must join against the STORED ord state
+    batch = _cdc(spark, [(1, "item", "INSERT", {"lid": "l3", "oid": "o2", "qty": 7}, None)])
+    eng.process_cdc_batch(batch, epoch_id=1)
+    assert eng.last_stats["order_items"].get("delta_join") == 1
+    assert sink.get("order_items", "o2|l3") == {
+        "oid": "o2", "cust": "bob", "lid": "l3", "qty": 7, "n_rows": 1,
+    }
+    # untouched docs got no action
+    assert eng.last_stats["order_items"]["upserts"] == 1
+    assert eng.last_stats["order_items"]["deletes"] == 0
+
+
+def test_delete_removes_joined_docs_fanout(spark, engine):
+    eng, sink = engine
+    _tables(
+        spark,
+        [("o1", "alice")],
+        [("l1", "o1", 5), ("l2", "o1", 3)],
+    )
+    # seed states with an empty-ish batch: insert then delete a dummy line
+    eng.process_cdc_batch(
+        _cdc(spark, [(1, "item", "INSERT", {"lid": "lx", "oid": "o1", "qty": 1}, None)]),
+        epoch_id=1,
+    )
+    # deleting the ORDER must delete every joined doc (fan-out through B)
+    batch = _cdc(spark, [(2, "ord", "DELETE", None, {"oid": "o1", "cust": "alice"})])
+    eng.process_cdc_batch(batch, epoch_id=2)
+    assert eng.last_stats["order_items"]["deletes"] == 3  # l1, l2, lx docs
+    assert sink.get("order_items", "o1|l1") is None
+    assert sink.get("order_items", "o1|l2") is None
+
+
+def test_update_emits_upsert_for_changed_rows(spark, engine):
+    eng, sink = engine
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5)])
+    batch = _cdc(
+        spark,
+        [(1, "item", "UPDATE", {"lid": "l1", "oid": "o1", "qty": 9}, {"lid": "l1", "oid": "o1", "qty": 5})],
+    )
+    eng.process_cdc_batch(batch, epoch_id=1)
+    assert eng.last_stats["order_items"].get("delta_join") == 1
+    assert sink.get("order_items", "o1|l1")["qty"] == 9
+
+
+def test_state_persists_across_batches(spark, engine):
+    eng, sink = engine
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5)])
+    eng.process_cdc_batch(
+        _cdc(spark, [(1, "ord", "INSERT", {"oid": "o2", "cust": "bob"}, None)]), epoch_id=1
+    )
+    # second batch: the line insert must see o2 from PERSISTED a-state,
+    # not from the temp view (prove it: change the temp view underneath)
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5)])
+    eng.process_cdc_batch(
+        _cdc(spark, [(2, "item", "INSERT", {"lid": "l9", "oid": "o2", "qty": 2}, None)]), epoch_id=2
+    )
+    assert sink.get("order_items", "o2|l9")["cust"] == "bob"
+
+
+def test_missing_before_image_falls_back_to_recompute(spark, engine):
+    eng, sink = engine
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5)])
+    batch = _cdc(spark, [(1, "item", "DELETE", None, None)])  # no before-image
+    eng.process_cdc_batch(batch, epoch_id=1)
+    stats = eng.last_stats["order_items"]
+    assert "delta_join" not in stats  # recompute lane handled it
