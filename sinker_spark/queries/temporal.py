@@ -224,3 +224,60 @@ def _register_gapfill():
 
 
 _register_gapfill()
+
+
+@query(
+    "ts_subsequence_match",
+    oracle="""
+    WITH wins AS (
+      SELECT user_id, ts, event_id,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+      FROM events),
+    f AS (SELECT user_id, ts, event_id, win FROM wins WHERE len(win) = 8),
+    m1 AS (SELECT user_id, ts, event_id, win,
+                  list_reduce(win, (a, b) -> a + b) / 8 AS m FROM f),
+    m2 AS (SELECT user_id, ts, event_id, win, m,
+                  sqrt(list_reduce(list_transform(win, x -> (x - m) * (x - m)),
+                                   (a, b) -> a + b) / 8) AS s
+           FROM m1),
+    p1 AS (SELECT CAST([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0] AS DOUBLE[]) AS pat,
+                  list_reduce(CAST([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0] AS DOUBLE[]),
+                              (a, b) -> a + b) / 8 AS pm),
+    p2 AS (SELECT pat, pm,
+                  sqrt(list_reduce(list_transform(pat, x -> (x - pm) * (x - pm)),
+                                   (a, b) -> a + b) / 8) AS ps
+           FROM p1)
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id,
+           round(sqrt(list_reduce(
+             list_transform(range(1, 9),
+               i -> ((win[i] - m) / s - (pat[i] - pm) / ps)
+                  * ((win[i] - m) / s - (pat[i] - pm) / ps)),
+             (a, b) -> a + b)), 6) AS zdist
+    FROM m2 CROSS JOIN p2
+    WHERE s > 0
+    ORDER BY zdist, user_id, ts, event_id
+    LIMIT 20""",
+    doc=(
+        "time-series subsequence similarity search (operators/timeseries."
+        "sliding_znorm_match; EDBT'19 streaming-similarity shape): top-20 "
+        "8-point sliding windows per user series closest to an up-trend "
+        "pattern under z-normalized Euclidean distance — one key shuffle, "
+        "HOF distance folds in codegen, TakeOrderedAndProject top-k; "
+        "bit-identical fold order on both engines"
+    ),
+    tags=("timeseries", "similarity-subsequence", "window-frame", "hof"),
+)
+def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.timeseries import sliding_znorm_match
+
+    t = load_tables(spark, sf_dir)
+    out = sliding_znorm_match(t["events"], [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], k=20)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_id",
+        "zdist",
+    )
