@@ -103,45 +103,3 @@ def test_stream_windowed_aggregation_with_watermark(spark, tmp_path):
         ("2024-01-01 00:00", "click"): (2, 3.0),
         ("2024-01-01 01:00", "view"): (1, 5.0),
     }
-
-
-def test_streaming_dedup_within_watermark(spark, tmp_path):
-    """At-least-once CDC delivery → exactly-once effect via
-    dropDuplicatesWithinWatermark: redelivered event ids are suppressed
-    while state for ids older than the watermark is evicted (bounded
-    state — the 100 TB requirement; plain dropDuplicates would keep every
-    id forever)."""
-    src = tmp_path / "dup_events"
-    src.mkdir()
-    lines = [
-        "1\t2024-01-01 10:00:00",
-        "2\t2024-01-01 10:00:10",
-        "1\t2024-01-01 10:00:00",  # exact redelivery
-        "3\t2024-01-01 10:05:00",
-        "2\t2024-01-01 10:00:11",  # same id, drifted ts — still a dup
-    ]
-    with open(src / "b1.txt", "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-
-    deduped = (
-        spark.readStream.format("text")
-        .schema("value string")
-        .load(str(src))
-        .select(
-            F.split("value", "\t").getItem(0).cast("bigint").alias("event_id"),
-            F.split("value", "\t").getItem(1).cast("timestamp").alias("ts"),
-        )
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark(["event_id"])
-    )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("dedup_wm")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_wm").collect())
-    assert got == [1, 2, 3]
