@@ -437,3 +437,35 @@ _sql(
     ),
     tags=("functions-csv", "functions-map", "schema-on-read"),
 )
+
+# --- modern-SQL sugar: GROUP BY ALL + star-EXCEPT -------------------------
+_sql(
+    "battery_modern_sql_sugar",
+    spark_sql="""
+    SELECT * EXCEPT (sum_price)
+    FROM (
+      SELECT o_orderstatus AS status,
+             o_orderpriority AS prio,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_price,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      FROM orders
+      GROUP BY ALL)""",
+    oracle="""
+    SELECT * EXCLUDE (sum_price)
+    FROM (
+      SELECT o_orderstatus AS status,
+             o_orderpriority AS prio,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_price,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      FROM orders
+      GROUP BY ALL)""",
+    doc=(
+        "modern-SQL sugar battery: GROUP BY ALL (keys inferred from the "
+        "non-aggregate projection) + star-EXCEPT column subtraction (DuckDB "
+        "spells it EXCLUDE) — both resolve at analysis time to the same "
+        "plan as the explicit forms"
+    ),
+    tags=("sql-sugar", "B15"),
+)
