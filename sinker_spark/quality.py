@@ -8,7 +8,7 @@ one aggregation, so checks compose into ingest pipelines cheaply.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -31,3 +31,20 @@ def orphan_foreign_keys(child: DataFrame, parent: DataFrame, fk: str, pk: str) -
     """Child rows whose FK has no parent (left-anti join — no payload
     shuffle of the parent side beyond the key column)."""
     return child.join(parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+
+
+def observed(df: DataFrame, name: str, key: str | None = None) -> tuple[DataFrame, Observation]:
+    """Attach zero-cost pipeline metrics to a DataFrame via Spark's
+    Observation API: row count, and null-key count when ``key`` is given.
+
+    The metrics are accumulated DURING whatever action consumes the
+    DataFrame (a sink write, a snapshot materialization) — no second
+    scan, which is the only affordable way to monitor a 100 TB write.
+    Read ``obs.get`` after the action completes. This is the Spark-native
+    replacement for the reference's driver-side row-count monitoring
+    (reference README.md:350-352 polls counts with separate queries)."""
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if key is not None:
+        metrics.append(F.sum(F.col(key).isNull().cast("long")).alias("null_keys"))
+    return df.observe(obs, *metrics), obs

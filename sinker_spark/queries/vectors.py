@@ -180,3 +180,27 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     assigned, _ = kmeans(t["embeddings"], k=4, iterations=3)
     return assigned
+
+
+@query(
+    "ann_ivf_trained_topk",
+    oracle=None,
+    doc=(
+        "end-to-end trained IVF ANN: k-means fit (similarity.kmeans, k=4) "
+        "assigns every vector its learned coarse cell, then ivf_topk "
+        "probes only the query's cell — the full production ANN path "
+        "(train → assign → partitioned probe) in one query; iterative "
+        "float fixpoint → rows-only, recall-vs-brute-force asserted in "
+        "tests/test_operators.py"
+    ),
+    tags=("similarity-ivf", "similarity-train", "iterative"),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.similarity import ivf_topk, kmeans
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    assigned, _ = kmeans(emb, k=4, iterations=2)
+    with_cell = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
+    queries_df = with_cell.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(with_cell, queries_df, k=3, cell_col="cluster")

@@ -248,3 +248,29 @@ def test_kmeans_matches_numpy_lloyds(spark):
     assert len({got[i] for i in range(20)}) == 1
     assert len({got[i] for i in range(20, 40)}) == 1
     assert len({got[i] for i in range(40, 60)}) == 1
+
+
+def test_trained_ivf_recall_vs_brute_force(spark):
+    """IVF over learned k-means cells must recover most of brute-force's
+    true top-k: on well-separated blobs, recall should be perfect (each
+    blob is one cell); nprobe=1 misses only cross-cell neighbors."""
+    import numpy as np
+
+    from sinker_spark.operators.similarity import brute_force_topk, ivf_topk, kmeans
+
+    rng = np.random.RandomState(3)
+    blobs = np.vstack([rng.randn(15, 8) * 0.05 + c for c in (np.ones(8), -np.ones(8))])
+    rows = [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    assigned, _ = kmeans(df, k=2, iterations=3)
+    with_cell = df.join(assigned.select("vec_id", "cluster"), "vec_id")
+    qs = with_cell.where(F.col("vec_id") % 10 == 0)
+
+    ivf = {(r["qid"], r["nid"]) for r in ivf_topk(with_cell, qs, k=3, cell_col="cluster").collect()}
+    bf = {
+        (r["qid"], r["nid"])
+        for r in brute_force_topk(df, qs.drop("cluster"), k=3).collect()
+    }
+    recall = len(ivf & bf) / len(bf)
+    assert recall == 1.0, (recall, sorted(bf - ivf))

@@ -80,3 +80,16 @@ def test_streaming_fast_lane_route_actions(spark, tmp_path):
     # last-write-wins within the batch; delete for a non-existent id is a no-op
     assert sink.get("people", "p-1") == {"name": "Jane"}
     assert ("people", "delete", "p-9") in sink.action_log
+
+
+def test_observed_metrics_piggyback_on_action(spark):
+    """quality.observed: metrics accumulate during the consuming action —
+    no second scan — and report rows + null keys."""
+    from sinker_spark.quality import observed
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("c", 3.0)], "id string, v double"
+    )
+    out, obs = observed(df, "write_metrics", key="id")
+    assert out.count() == 3  # the action that drives the metrics
+    assert obs.get == {"n_rows": 3, "null_keys": 1}
