@@ -469,3 +469,37 @@ _sql(
     ),
     tags=("sql-sugar", "B15"),
 )
+
+# --- XML parsing: from_xml + xpath ---------------------------------------
+_XML_SYNTH = (
+    "concat('<order id=\"', CAST(o_orderkey AS STRING), '\"><status>', o_orderstatus, "
+    "'</status><price>', CAST(o_totalprice AS STRING), '</price><prio>', o_orderpriority, "
+    "'</prio></order>')"
+)
+_sql(
+    "battery_xml_parse",
+    spark_sql=f"""
+    WITH x AS (SELECT o_orderkey, {_XML_SYNTH} AS doc FROM orders)
+    SELECT o_orderkey AS orderkey,
+           from_xml(doc, 'status STRING, price DOUBLE, prio STRING').status AS status,
+           from_xml(doc, 'status STRING, price DOUBLE, prio STRING').price AS price,
+           xpath_string(doc, '/order/prio') AS prio,
+           CAST(xpath_string(doc, '/order/@id') AS BIGINT) AS id_attr
+    FROM x""",
+    oracle=f"""
+    WITH x AS (SELECT o_orderkey, {_XML_SYNTH.replace("AS STRING", "AS VARCHAR")} AS doc
+               FROM orders)
+    SELECT o_orderkey AS orderkey,
+           regexp_extract(doc, '<status>([^<]*)</status>', 1) AS status,
+           CAST(regexp_extract(doc, '<price>([^<]*)</price>', 1) AS DOUBLE) AS price,
+           regexp_extract(doc, '<prio>([^<]*)</prio>', 1) AS prio,
+           CAST(regexp_extract(doc, 'id="([^"]*)"', 1) AS BIGINT) AS id_attr
+    FROM x""",
+    doc=(
+        "XML schema-on-read battery: from_xml with explicit schema + xpath "
+        "element/attribute extraction over synthesized order XML — the "
+        "fourth embedded-format lane beside JSON, CSV, and Variant; oracle "
+        "re-derives each field with regexes"
+    ),
+    tags=("functions-xml", "schema-on-read"),
+)
