@@ -503,3 +503,64 @@ _sql(
     ),
     tags=("functions-xml", "schema-on-read"),
 )
+
+# --- bitmap aggregates: exact mergeable distinct counts -------------------
+_sql(
+    "bitmap_exact_distinct",
+    spark_sql="""
+    SELECT prio, sum(bitmap_count(b)) AS n_distinct_custs
+    FROM (
+      SELECT o_orderpriority AS prio,
+             bitmap_bucket_number(o_custkey) AS bucket,
+             bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+      FROM orders
+      GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey))
+    GROUP BY prio""",
+    oracle="""
+    SELECT o_orderpriority AS prio, COUNT(DISTINCT o_custkey) AS n_distinct_custs
+    FROM orders GROUP BY o_orderpriority""",
+    doc=(
+        "bitmap aggregate family: EXACT distinct counts via per-bucket "
+        "roaring-style bitmaps (bitmap_bucket_number/bit_position/"
+        "construct_agg/count) — the mergeable exact-NDV pattern: persisted "
+        "per-partition bitmaps OR-merge for any rollup without rescanning, "
+        "the exact twin of the HLL sketch lane; oracle is plain "
+        "COUNT(DISTINCT), which the bitmaps must equal exactly"
+    ),
+    tags=("agg-distinct", "bitmap", "sketch"),
+)
+
+# --- map higher-order functions ------------------------------------------
+_sql(
+    "battery_map_hof",
+    spark_sql="""
+    WITH m AS (
+      SELECT o_orderkey,
+             map('cents', CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+                 'key7',  o_orderkey % 7,
+                 'cust10', o_custkey % 10) AS props
+      FROM orders)
+    SELECT o_orderkey AS orderkey,
+           sort_array(transform(map_entries(transform_values(props, (k, v) -> v * 2)),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING)))) AS doubled,
+           size(map_filter(props, (k, v) -> v > 1000)) AS n_big,
+           sort_array(map_keys(map_concat(props, map('extra', CAST(1 AS BIGINT))))) AS keys4
+    FROM m""",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           list_sort(['cents=' || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 AS VARCHAR),
+                      'key7=' || CAST((o_orderkey % 7) * 2 AS VARCHAR),
+                      'cust10=' || CAST((o_custkey % 10) * 2 AS VARCHAR)]) AS doubled,
+           CAST((CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 1000 THEN 1 ELSE 0 END
+               + CASE WHEN o_orderkey % 7 > 1000 THEN 1 ELSE 0 END
+               + CASE WHEN o_custkey % 10 > 1000 THEN 1 ELSE 0 END) AS INT) AS n_big,
+           list_sort(['cents', 'key7', 'cust10', 'extra']) AS keys4
+    FROM orders""",
+    doc=(
+        "map higher-order-function battery: transform_values/map_filter/"
+        "map_concat/map_entries over per-row property maps — oracle "
+        "computes the expected entry lists directly from the scalars, so "
+        "Spark's map semantics are validated against first principles"
+    ),
+    tags=("functions-map", "hof"),
+)
