@@ -515,10 +515,10 @@ _sql(
 @query(
     "array_agg_order_parts",
     oracle="""SELECT l_orderkey AS orderkey,
-                     list(DISTINCT l_partkey ORDER BY l_partkey) AS partkeys,
+                     array_to_string(list(DISTINCT l_partkey ORDER BY l_partkey), ',') AS partkeys,
                      COUNT(*) AS n_items
               FROM lineitem GROUP BY l_orderkey""",
-    doc="B8 array_agg (test_parse_schema_tables.py:8-11): per-order sorted distinct part list; collect_set order pinned via sort_array",
+    doc="B8 array_agg (test_parse_schema_tables.py:8-11): per-order sorted distinct part list; collect_set order pinned via sort_array. Result serialized to CSV string so the harness can hash it (top-level array columns are unhashable in pandas canonicalizers).",
     tags=("B7", "B8"),
 )
 def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +527,7 @@ def array_agg_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy(F.col("l_orderkey").alias("orderkey"))
         .agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("partkeys"),
+            F.concat_ws(",", F.sort_array(F.collect_set("l_partkey"))).alias("partkeys"),
             F.count("*").alias("n_items"),
         )
     )
@@ -861,16 +861,25 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_percentile_prices",
     oracle=None,
-    doc="approx_percentile over order totals per status (t-digest-style sketch; engine-specific → rows-only)",
+    doc="approx_percentile over order totals per status (t-digest-style sketch; engine-specific → rows-only). Percentiles exploded to one row per (status, quantile) so no result column is array-typed (driver canonicalizer can't hash arrays).",
     tags=("approx",),
 )
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return (
+    pcts = (
         t["orders"]
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99"),
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        )
+    )
+    labels = F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))
+    return (
+        pcts.select("status", F.posexplode("pcts").alias("pos", "price"))
+        .select(
+            "status",
+            F.element_at(labels, F.col("pos") + 1).alias("quantile"),
+            "price",
         )
     )
 
