@@ -25,10 +25,18 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
 - ``"quoted identifiers"``        → `` `backticked` ``
 - ``DISTINCT ON (keys) … ORDER BY o`` → row_number() window rewrite
 
+Operator rewrites (``::``, ``->``, ``~``) ignore operator-shaped text
+inside string literals. ``ILIKE``, aggregate ``FILTER (WHERE …)``, and
+``TABLESAMPLE`` pass through untouched — Spark SQL supports them
+natively. Known-unsupported PG constructs (ON CONFLICT, RETURNING,
+FOR UPDATE, SIMILAR TO, jsonb ``@>``-family operators, ``::regclass``)
+raise ``ValueError`` at transpile time instead of surfacing as Spark
+parser errors at refresh time.
+
 This is a pragmatic text-level transpiler covering the reference corpus
 (validated in tests/test_transpile.py and the school-schema golden e2e);
-it is not a full PG grammar — unsupported constructs pass through to
-Spark's parser, which errors loudly rather than silently misexecuting.
+it is not a full PG grammar — anything else passes through to Spark's
+parser, which errors loudly rather than silently misexecuting.
 """
 
 from __future__ import annotations
@@ -56,6 +64,43 @@ def _replace_quoted_idents(sql: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of every ``'…'`` string literal ('' escapes)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j, n - 1) + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _search_code(pat: re.Pattern, sql: str, start: int = 0) -> re.Match | None:
+    """First match of ``pat`` at/after ``start`` whose start is NOT inside a
+    string literal. Operator rewrites must ignore operator-shaped text in
+    literals (``select '~'``, ``like '%->0%'``) — PG treats literal content
+    as opaque and so must we."""
+    spans = _literal_spans(sql)
+    pos = start
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return None
+        if any(s <= m.start() < e for s, e in spans):
+            pos = m.start() + 1
+            continue
+        return m
 
 
 # Postgres type names → Spark SQL types (used in :: casts)
@@ -111,19 +156,50 @@ def _operand_start(sql: str, end: int) -> int:
     return j + 1
 
 
+# PG constructs we knowingly do not support. Better a loud, named error at
+# view-load time than Spark's parser stack trace (or, worse, silent
+# misexecution) at refresh time. Checked outside string literals only.
+_UNSUPPORTED = [
+    (re.compile(r"\bon\s+conflict\b", re.IGNORECASE), "ON CONFLICT"),
+    (re.compile(r"\breturning\b", re.IGNORECASE), "RETURNING"),
+    (re.compile(r"\bfor\s+(update|share|no\s+key\s+update|key\s+share)\b", re.IGNORECASE), "FOR UPDATE/SHARE"),
+    (re.compile(r"\bsimilar\s+to\b", re.IGNORECASE), "SIMILAR TO (use ~ regex or LIKE)"),
+    (re.compile(r"@>|<@|\?\||\?&|#>>|#>"), "jsonb containment/path operators (@>, <@, ?|, ?&, #>, #>>) — use -> / ->> chains"),
+    (re.compile(r"::\s*regclass\b", re.IGNORECASE), "::regclass"),
+]
+
+
+def _reject_unsupported(sql: str) -> None:
+    for pat, name in _UNSUPPORTED:
+        if _search_code(pat, sql) is not None:
+            raise ValueError(
+                f"transpile: unsupported Postgres construct {name!r} in view SQL; "
+                "rewrite the view definition in Spark-compatible SQL"
+            )
+
+
 def _rewrite_pg_casts(sql: str) -> str:
     # expr::type — tight binding on the full left operand (identifier,
-    # quoted identifier, literal, or balanced-paren call/group)
-    pat = re.compile(r"::\s*([A-Za-z_][\w ]*?)(?=[\s,()\[\]]|$)")
+    # quoted identifier, literal, or balanced-paren call/group).
+    # ``elem[]`` array types become ARRAY<elem>.
+    # trailing-: in the lookahead lets chained casts (x::text::int) rewrite
+    # leftmost-first; the outer cast then wraps the CAST(...) paren group.
+    pat = re.compile(r"::\s*([A-Za-z_][\w ]*?)(\[\s*\])?(?=[\s,()\[\]:]|$)")
+    pos = 0
     while True:
-        m = pat.search(sql)
+        m = _search_code(pat, sql, pos)
         if not m:
             return sql
-        t = m.group(1).strip()
-        t = _PG_TYPES.get(t.lower(), t)
+        t = _PG_TYPES.get(m.group(1).strip().lower(), m.group(1).strip())
+        if m.group(2):
+            t = f"ARRAY<{t}>"
         s = _operand_start(sql, m.start())
         operand = sql[s : m.start()].rstrip()
+        if not operand:
+            pos = m.end()
+            continue
         sql = f"{sql[:s]}CAST({operand} AS {t}){sql[m.end():]}"
+        pos = 0
 
 
 def _find_call(sql: str, fname: str) -> tuple[int, int, str] | None:
@@ -214,23 +290,29 @@ def _rewrite_json_arrows(sql: str) -> str:
     (quoted-scalar output has no sensible ES mapping anyway).
     """
     pat = re.compile(r"->(>?)\s*('(?:[^']|'')*'|\d+)")
+    pos = 0
     while True:
-        m = pat.search(sql)
+        m = _search_code(pat, sql, pos)
         if not m:
             return sql
         rhs = m.group(2)
         path = f"'$[{rhs}]'" if rhs.isdigit() else f"'$.{rhs[1:-1]}'"
         s = _operand_start(sql, m.start())
         operand = sql[s : m.start()].rstrip()
+        if not operand:
+            pos = m.end()
+            continue
         sql = f"{sql[:s]}get_json_object({operand}, {path}){sql[m.end():]}"
+        pos = 0
 
 
 def _rewrite_regex_match_ops(sql: str) -> str:
     """PG regex operators on string-literal patterns:
     ``a ~ 'p'`` → RLIKE, ``~*`` case-insensitive, ``!~`` / ``!~*`` negated."""
     pat = re.compile(r"(!?)~(\*?)\s*('(?:[^']|'')*')")
+    pos = 0
     while True:
-        m = pat.search(sql)
+        m = _search_code(pat, sql, pos)
         if not m:
             return sql
         neg, ci, lit = m.groups()
@@ -238,10 +320,14 @@ def _rewrite_regex_match_ops(sql: str) -> str:
             lit = f"'(?i){lit[1:-1]}'"
         s = _operand_start(sql, m.start())
         operand = sql[s : m.start()].rstrip()
+        if not operand:
+            pos = m.end()
+            continue
         repl = f"{operand} RLIKE {lit}"
         if neg:
             repl = f"NOT {repl}"
         sql = f"{sql[:s]}{repl}{sql[m.end():]}"
+        pos = 0
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -461,6 +547,7 @@ def _decorrelate_nested(sql: str) -> str:
 def transpile(sql: str) -> str:
     """Postgres view SQL → Spark SQL."""
     sql = sql.strip().rstrip(";")
+    _reject_unsupported(sql)
     sql = _replace_quoted_idents(sql)
     sql = _rewrite_pg_casts(sql)
     sql = _rewrite_json_arrows(sql)

@@ -115,3 +115,53 @@ def test_jsonb_array_elements_text(spark):
     spark.createDataFrame([(1, '["x", "y"]')], "id long, tags string").createOrReplaceTempView("t")
     got = sorted(r["e"] for r in spark.sql(transpile("select id, e from t, jsonb_array_elements_text(tags) as e")).collect())
     assert got == ["x", "y"]
+
+def test_operators_inside_string_literals_untouched():
+    # '~' as literal content must not trigger the regex-op rewrite
+    # (previously crashed _operand_start with rindex on a missing quote)
+    sql = "select '~', 'abc' from t"
+    assert transpile(sql) == sql
+    # '->0' inside a LIKE pattern must not become get_json_object
+    sql2 = "select a from t where note like '%->0%'"
+    assert transpile(sql2) == sql2
+    # '::' inside a literal is not a cast
+    sql3 = "select ':: not a cast' from t"
+    assert transpile(sql3) == sql3
+
+
+def test_array_type_cast():
+    assert "CAST(x AS ARRAY<STRING>)" in transpile("select x::text[] from t")
+    assert "CAST(y AS ARRAY<BIGINT>)" in transpile("select y::int8[] from t")
+
+
+def test_chained_casts():
+    out = transpile("select x::text::int from t")
+    assert "CAST(CAST(x AS STRING) AS int)" in out
+
+
+def test_ilike_and_filter_passthrough(spark):
+    # Spark SQL supports ILIKE and aggregate FILTER natively — pass through
+    sql = "select count(*) filter (where x > 1) as n from t"
+    assert transpile(sql) == sql
+    sql2 = "select a from t where a ilike '%B%'"
+    assert transpile(sql2) == sql2
+    spark.createDataFrame([("ab", 1), ("cd", 2)], "a string, x int").createOrReplaceTempView("t")
+    assert spark.sql(transpile(sql)).first()["n"] == 1
+    assert spark.sql(transpile(sql2)).first()["a"] == "ab"
+
+
+def test_unsupported_constructs_raise():
+    import pytest
+
+    for bad in [
+        "insert into t values (1) on conflict do nothing",
+        "update t set x = 1 returning id",
+        "select * from t for update",
+        "select * from t where a similar to '%x%'",
+        "select * from t where tags @> '[\"a\"]'",
+        "select 'x'::regclass",
+    ]:
+        with pytest.raises(ValueError, match="unsupported Postgres construct"):
+            transpile(bad)
+    # but the same tokens inside string literals are fine
+    assert transpile("select 'on conflict returning @> similar to' from t") is not None
