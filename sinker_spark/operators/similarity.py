@@ -152,6 +152,12 @@ def kmeans(
         [float(x) for x in r["_v"]]
         for r in base.orderBy("_id").limit(k).collect()
     ]
+    if not centroids:
+        base.unpersist()
+        raise ValueError("kmeans: input has no rows")
+    # fewer rows than k: clamp so the empty-cluster fallback centroids[c]
+    # never indexes past the collected init set
+    k = min(k, len(centroids))
 
     def assign(cents: list[list[float]]) -> DataFrame:
         dists = F.array(*[_sq_dist_to(F.col("_v"), c) for c in cents])

@@ -48,6 +48,11 @@ def sliding_znorm_match(
     ``(key_col, *order_cols, zdist)`` ordered by ascending distance with
     a deterministic (key, order) tie-break."""
     n = len(pattern)
+    if n < 2 or len(set(pattern)) == 1:
+        raise ValueError(
+            "sliding_znorm_match: pattern must have non-zero variance "
+            "(z-normalization is undefined for a constant pattern)"
+        )
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order_cols)

@@ -274,3 +274,34 @@ def test_trained_ivf_recall_vs_brute_force(spark):
     }
     recall = len(ivf & bf) / len(bf)
     assert recall == 1.0, (recall, sorted(bf - ivf))
+
+
+def test_kmeans_clamps_k_to_distinct_rows(spark):
+    from sinker_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0])], "vec_id long, embedding array<double>"
+    )
+    assigned, centroids = kmeans(df, k=8, iterations=3)
+    assert len(centroids) == 2  # clamped from 8
+    rows = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert rows[1] != rows[2]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans(df.where("vec_id < 0"), k=4)
+
+
+def test_sliding_znorm_rejects_constant_pattern(spark):
+    import pytest
+
+    from sinker_spark.operators.timeseries import sliding_znorm_match
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0)], "user_id long, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="non-zero variance"):
+        sliding_znorm_match(df, [3.0, 3.0, 3.0], order_cols=("ts",))
+    with pytest.raises(ValueError, match="non-zero variance"):
+        sliding_znorm_match(df, [3.0], order_cols=("ts",))
