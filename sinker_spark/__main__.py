@@ -83,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
 
     store = SnapshotStore(spark, cfg.snapshot_root)
     eng = SyncEngine(spark, views, sink, store)
-    eng.backfill()
+    # (re)create each sink index with its {index}.json mappings/settings
+    # before the first write (reference sinker.py:74-86)
+    eng.backfill(index_bodies={v.index: cfg.index_settings(v.index) for v in views})
     print(f"backfilled {len(views)} view(s)")
 
     if args.cdc_dir:

@@ -135,9 +135,15 @@ class SyncEngine:
                 f.result()  # re-raise worker exceptions
 
     # -- setup / backfill (reference Sinker.setup, sinker.py:37-43) -------
-    def backfill(self) -> None:
+    def backfill(self, index_bodies: dict[str, dict | None] | None = None) -> None:
         """Materialize every view and push the full snapshot as upserts
-        (reference backfill_stream, sinker.py:60-72)."""
+        (reference backfill_stream, sinker.py:60-72). When ``index_bodies``
+        is given (index name → parsed ``{index}.json`` or None), each
+        view's sink index is dropped and re-created with its mappings and
+        settings first — reference recreate_index, sinker.py:74-86."""
+        if index_bodies is not None and hasattr(self.sink, "recreate_index"):
+            for v in self.views.values():
+                self.sink.recreate_index(v.index, index_bodies.get(v.index))
         self._refresh_views(list(self.views.values()))
 
     # -- one micro-batch (reference Runner.iterate, runner.py:73-117) -----

@@ -46,12 +46,14 @@ class ElasticsearchSink:
         chunk_size: int = DEFAULT_CHUNK,
         max_retries: int = DEFAULT_RETRIES,
         bulk_fn: Callable[[Iterable[dict]], None] | None = None,
+        client_factory: Callable[[], object] | None = None,
     ) -> None:
         self.hosts = hosts or ["http://localhost:9200"]
         self.chunk_size = chunk_size
         self.max_retries = max_retries
         self._bulk_fn = bulk_fn
-        if bulk_fn is None:
+        self._client_factory = client_factory
+        if bulk_fn is None and client_factory is None:
             try:
                 import elasticsearch  # noqa: F401
                 import elasticsearch.helpers  # noqa: F401
@@ -60,6 +62,29 @@ class ElasticsearchSink:
                     "elasticsearch package not installed; pass bulk_fn= to "
                     "ElasticsearchSink or install the client"
                 ) from e
+
+    def _client(self):
+        if self._client_factory is not None:
+            return self._client_factory()
+        from elasticsearch import Elasticsearch  # pragma: no cover
+
+        return Elasticsearch(self.hosts, request_timeout=60)  # pragma: no cover
+
+    def recreate_index(self, index: str, body: dict | None = None) -> None:
+        """Drop and re-create ``index``, passing through the mappings and
+        settings from the user's ``{index}.json`` definition (reference
+        sinker.py:74-86; fixture shape tests/fixtures/courses.json —
+        ``dynamic: strict`` mappings + shard settings). Driver-side: index
+        DDL is a one-shot admin call, not per-partition work."""
+        es = self._client()
+        es.indices.delete(index=index, ignore_unavailable=True)
+        kwargs: dict = {}
+        if body:
+            if body.get("mappings") is not None:
+                kwargs["mappings"] = body["mappings"]
+            if body.get("settings") is not None:
+                kwargs["settings"] = body["settings"]
+        es.indices.create(index=index, **kwargs)
 
     def apply_actions(self, index: str, actions: DataFrame) -> None:
         """foreachPartition bulk write; docs serialized as JSON strings so

@@ -18,7 +18,15 @@ from sinker_spark.ivm import DELETE, UPSERT
 class InMemorySink:
     def __init__(self) -> None:
         self.indices: dict[str, dict[str, object]] = {}
+        self.index_bodies: dict[str, dict | None] = {}  # recreate_index mappings
         self.action_log: list[tuple[str, str, str]] = []  # (index, op, id)
+
+    def recreate_index(self, index: str, body: dict | None = None) -> None:
+        """Delete+create parity with ElasticsearchSink.recreate_index:
+        existing docs are dropped, the mapping body is recorded."""
+        self.indices[index] = {}
+        self.index_bodies[index] = body
+        self.action_log.append((index, "recreate", ""))
 
     def apply_actions(self, index: str, actions: DataFrame) -> None:
         idx = self.indices.setdefault(index, {})
