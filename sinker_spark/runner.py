@@ -154,20 +154,29 @@ class SyncEngine:
         return [v for v in self.views.values() if v.deps & changed_tables]
 
     def process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
-        """Recompute+diff lane. ``collect`` touches only the distinct
-        (table, id) pairs in the batch — bounded by batch size, and only
-        materialized when some dirty view opts into targeted refresh."""
+        """Recompute+diff lane. The only driver-side collect here is the
+        distinct TABLE NAMES in the batch (schema-bounded, a handful of
+        rows); changed IDS stay distributed — targeted-refresh hooks get
+        per-table one-column DataFrames and resolve scopes with
+        semi-joins, so a backfill-sized batch (availableNow replay) never
+        materializes its keys on the driver."""
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
         if not changed:
             return
         dirty = self.dirty_views(changed)
+        ids = None
         if any(v.affected_keys is not None for v in dirty):
-            pairs = cdc.select("table", "id").distinct().collect()
-            changed_ids: dict[str, set[str]] = {}
-            for r in pairs:
-                changed_ids.setdefault(r["table"], set()).add(r["id"])
+            # one shared distinct pass, cached because every hook slices it
+            ids = (
+                cdc.select("table", F.col("id").cast("string").alias("id"))
+                .distinct()
+                .persist()
+            )
+            changed_ids: dict[str, DataFrame] = {
+                t: ids.where(F.col("table") == F.lit(t)).select("id") for t in changed
+            }
         else:
-            changed_ids = {t: set() for t in changed}
+            changed_ids = {}
 
         full, targeted = [], []
         for v in dirty:
@@ -191,6 +200,8 @@ class SyncEngine:
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:
             self._targeted_refresh_one(v, scope, epoch_id)
+        if ids is not None:
+            ids.unpersist()
 
     def _delta_agg_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
         """Delta-maintenance lane for keyed-aggregate views (ivm_delta):

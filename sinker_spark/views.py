@@ -118,12 +118,15 @@ class ViewDef:
     parent_table: str | None = None
     agg: AggViewSpec | None = None
     join: "JoinViewSpec | None" = None
-    # Optional targeted-refresh hook: (spark, {table: {changed ids}}) →
-    # one-column DataFrame of affected VIEW keys, or None for "unknown →
-    # full refresh". Enables SnapshotStore.refresh_partial: the engine
-    # filters the compiled view by these keys (Catalyst pushes the IN
-    # down to the parent-table scan) instead of recomputing the world.
-    affected_keys: Callable[[SparkSession, dict[str, set[str]]], DataFrame | None] | None = None
+    # Optional targeted-refresh hook: (spark, {table: DataFrame of
+    # changed ids, one `id string` column}) → one-column DataFrame of
+    # affected VIEW keys, or None for "unknown → full refresh". Enables
+    # SnapshotStore.refresh_partial: the engine filters the compiled view
+    # by these keys instead of recomputing the world. Hooks resolve
+    # reverse lineage with semi-joins against the id frames — changed
+    # keys never funnel through the driver, so the lane survives
+    # backfill-sized batches (availableNow replays) at 100 TB.
+    affected_keys: Callable[[SparkSession, dict[str, DataFrame]], DataFrame | None] | None = None
 
     def __post_init__(self) -> None:
         if (self.sql is None) == (self.fn is None):
@@ -141,11 +144,13 @@ class ViewDef:
             # refresh is derivable with no user hook.
             parent = self.parent_table
 
-            def _parent_ids(spark: SparkSession, changed: dict[str, set[str]]) -> DataFrame | None:
-                ids = changed.get(parent, set())
+            def _parent_ids(spark: SparkSession, changed: dict[str, DataFrame]) -> DataFrame | None:
                 if set(changed) - {parent}:
                     return None  # unexpected table → full refresh
-                return spark.createDataFrame([(i,) for i in sorted(ids)], f"{self.key} string")
+                ids = changed.get(parent)
+                if ids is None:
+                    return spark.createDataFrame([], f"{self.key} string")
+                return ids.select(F.col(ids.columns[0]).cast("string").alias(self.key))
 
             self.affected_keys = _parent_ids
 

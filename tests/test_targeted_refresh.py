@@ -19,8 +19,10 @@ from tests import school_fixtures as fx
 
 
 def _course_affected_keys(spark, changed_ids):
-    """Reverse lineage for course_mv: map changed source-table ids to
-    affected course ids via the same join graph the view uses.
+    """Reverse lineage for course_mv: map changed source-table id FRAMES
+    to affected course ids via the same join graph the view uses — pure
+    semi-joins, nothing collected to the driver (the hook contract that
+    keeps targeted refresh alive on backfill-sized batches).
 
     Parent-table (course) ids ARE view keys — taken verbatim, never
     looked up (a deleted row can't be found in post-delete state). Child
@@ -34,31 +36,27 @@ def _course_affected_keys(spark, changed_ids):
     teacher = spark.table("teacher")
     student = spark.table("student")
     enrollment = spark.table("enrollment")
+
+    def semi(df, col, ids):
+        return df.join(ids.select(F.col("id").alias(col)), col, "left_semi")
+
     parts = []
-    if changed_ids.get("course"):
-        parts.append(spark.createDataFrame([(i,) for i in changed_ids["course"]], "id string"))
-    if changed_ids.get("teacher"):
-        parts.append(course.where(F.col("teacher_id").isin(*changed_ids["teacher"])).select("id"))
-    if changed_ids.get("person"):
-        pids = list(changed_ids["person"])
-        t_ids = [r["id"] for r in teacher.where(F.col("person_id").isin(*pids)).collect()]
-        s_ids = [r["id"] for r in student.where(F.col("person_id").isin(*pids)).collect()]
-        if t_ids:
-            parts.append(course.where(F.col("teacher_id").isin(*t_ids)).select("id"))
-        if s_ids:
-            parts.append(
-                enrollment.where(F.col("student_id").isin(*s_ids)).select(F.col("course_id").alias("id"))
-            )
-    if changed_ids.get("student"):
+    if "course" in changed_ids:
+        parts.append(changed_ids["course"].select("id"))
+    if "teacher" in changed_ids:
+        parts.append(semi(course, "teacher_id", changed_ids["teacher"]).select("id"))
+    if "person" in changed_ids:
+        pids = changed_ids["person"]
+        t = semi(teacher, "person_id", pids).select(F.col("id").alias("teacher_id"))
+        parts.append(course.join(t, "teacher_id", "left_semi").select("id"))
+        s = semi(student, "person_id", pids).select(F.col("id").alias("student_id"))
+        parts.append(enrollment.join(s, "student_id", "left_semi").select(F.col("course_id").alias("id")))
+    if "student" in changed_ids:
         parts.append(
-            enrollment.where(F.col("student_id").isin(*changed_ids["student"]))
-            .select(F.col("course_id").alias("id"))
+            semi(enrollment, "student_id", changed_ids["student"]).select(F.col("course_id").alias("id"))
         )
-    if changed_ids.get("enrollment"):
-        parts.append(
-            enrollment.where(F.col("id").isin(*changed_ids["enrollment"]))
-            .select(F.col("course_id").alias("id"))
-        )
+    if "enrollment" in changed_ids:
+        parts.append(semi(enrollment, "id", changed_ids["enrollment"]).select(F.col("course_id").alias("id")))
     if not parts:
         return spark.createDataFrame([], "id string")
     out = parts[0]
@@ -143,3 +141,54 @@ def test_unknown_table_falls_back_to_full_refresh(spark, tmp_path):
     # hook returned None → full refresh ran; state unchanged → no actions
     assert calls and {"mystery"} in calls
     assert eng.last_stats["course_mv"] == {"upserts": 0, "deletes": 0}
+
+
+def test_hooks_receive_dataframes_not_collected_sets(spark, tmp_path):
+    """The engine hands hooks per-table id FRAMES; changed ids are never
+    funneled through the driver by the lane itself (the only collect in
+    process_cdc_batch is the distinct table names)."""
+    from pyspark.sql import DataFrame
+
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    seen = []
+
+    def hook(spark_, changed):
+        seen.append({t: isinstance(df, DataFrame) for t, df in changed.items()})
+        return _course_affected_keys(spark_, changed)
+
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses", affected_keys=hook)
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    eng.process_cdc_batch(_cdc(spark, [(1, "person", "UPDATE", "p-4")]))
+    assert seen and all(ok for call in seen for ok in call.values())
+
+
+def test_large_scope_takes_semi_join_path(spark, tmp_path, monkeypatch):
+    """Scope larger than SCOPE_LITERAL_MAX: compile_scoped abandons the
+    literal IN for a left-semi join — bounded driver memory at any scope
+    size — and the targeted refresh still converges to full-refresh
+    state."""
+    monkeypatch.setattr(ViewDef, "SCOPE_LITERAL_MAX", 1)
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses",
+                   affected_keys=_course_affected_keys)
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+
+    scope = spark.createDataFrame([("c-1",), ("c-2",), ("c-3",)], "id string")
+    plan = view.compile_scoped(spark, scope)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan  # 3 keys > max(1) → semi-join, not IN-literal
+
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["person"] = [("p-4", "Prof Matthew") if r[0] == "p-4" else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "person", "UPDATE", "p-4"),
+        (2, "course", "UPDATE", "c-1"),
+        (3, "course", "UPDATE", "c-2"),
+    ]))
+    assert eng.last_stats["course_mv"]["targeted"] == 1
+    assert sink.get("courses", "c-3")["teacher"]["person"]["name"] == "Prof Matthew"
+    assert sink.get("courses", "c-1") == fx.GOLDEN_C1
