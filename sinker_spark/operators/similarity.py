@@ -6,15 +6,23 @@
 - ``brute_force_topk``: queries × corpus with the small side broadcast →
   per-partition score + rank-limited window. The baseline every ANN
   variant is measured against.
-- ``sign_lsh_topk`` / ``sign_near_dups``: random-hyperplane-style LSH
-  using axis sign bits (deterministic, engine-portable). Buckets make the
-  candidate join O(docs·bands) instead of O(docs²) — the 100 TB path.
+- ``sign_near_dups``: single-band axis-sign LSH — simple, oracle-matched,
+  but NOT the scale path: axis-sign bits on biased embedding corpora
+  (post-LayerNorm dims have strongly non-random signs) concentrate mass
+  into few buckets → O(bucket²) verify blowup.
+- ``sign_banded_near_dups``: the 100 TB path. ``bands`` independent
+  difference-hyperplane projections (bit = sign(x[i]−x[j]) for
+  deterministic md5-derived index pairs — zero-mean on biased corpora,
+  so buckets stay balanced where axis signs collapse), pairs from ANY
+  band, plus an optional per-bucket size cap with hash-salt splitting.
 - ``ivf_topk``: inverted-file search over a coarse partition column
   (here the pre-assigned ``label``; in production the centroid id from a
   k-means fit) — probes only matching partitions.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -89,6 +97,115 @@ def sign_near_dups(
     return (
         a.join(b, "sig")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def hyperplane_index_pairs(bits: int, bands: int) -> list[list[tuple[int, int]]]:
+    """Deterministic (i1, i2) dimension-index pairs for every (band, bit),
+    derived from md5 so Spark and any SQL oracle agree byte-for-byte.
+
+    Indices are huge ints reduced mod the runtime vector length n as
+        i1 = h1 % n
+        i2 = (i1 + 1 + h2 % (n-1)) % n      (provably != i1)
+    Returned values are the raw (h1, h2) hashes; callers apply the mod
+    against their engine's ``len(vec)``."""
+    out = []
+    for j in range(bands):
+        row = []
+        for b in range(bits):
+            h1 = int(hashlib.md5(f"{j}:{b}:a".encode()).hexdigest()[:8], 16)
+            h2 = int(hashlib.md5(f"{j}:{b}:b".encode()).hexdigest()[:8], 16)
+            row.append((h1, h2))
+        out.append(row)
+    return out
+
+
+def banded_sign_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key): one row per (vector, band) with the band's
+    difference-hyperplane signature string.
+
+    Each bit is sign(x[i1] − x[i2]) for an md5-derived index pair — a
+    hyperplane with +1/−1 weights on two dimensions. Unlike raw axis
+    signs, the difference of two same-distribution dimensions is
+    ~zero-mean even when every dimension is biased (the post-LayerNorm
+    regime), so the 2^bits buckets stay balanced and the per-bucket
+    verify join stays O(cap²), not O(corpus²)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.size(v)
+    band_cols = []
+    for j, row in enumerate(hyperplane_index_pairs(bits, bands)):
+        bits_exprs = []
+        for h1, h2 in row:
+            i1 = F.lit(h1) % n
+            i2 = (i1 + 1 + F.lit(h2) % (n - 1)) % n
+            diff = F.element_at(v, (i1 + 1).cast("int")) - F.element_at(v, (i2 + 1).cast("int"))
+            bits_exprs.append(F.when(diff >= 0, "1").otherwise("0"))
+        band_cols.append(
+            F.struct(F.lit(j).alias("band"), F.concat_ws("", *bits_exprs).alias("key"))
+        )
+    return (
+        df.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "bk.band", "bk.key")
+    )
+
+
+def sign_banded_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    bands: int = 4,
+    bucket_cap: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: candidates from ANY of
+    ``bands`` independent difference-hyperplane bands, verified with
+    exact cosine ≥ threshold.
+
+    Scale shape: the candidate join keys on (band, key[, salt]) — one
+    shuffle of ``corpus × bands`` rows, never all-pairs. ``bucket_cap``
+    bounds the worst bucket: members of a bucket with n > cap are
+    hash-split into ceil(n/cap) salt groups, capping the per-bucket join
+    at O(cap²) rows regardless of corpus skew. Cross-salt pairs inside an
+    oversized bucket are sacrificed for that band — a true near-dup pair
+    still surfaces through any of the other independent bands, the same
+    recall argument the MinHash banding lane makes. Verification joins
+    vectors back by id (candidate set << corpus), exact cosine decides."""
+    keyed = banded_sign_keys(corpus, id_col, vec_col, bits, bands)
+    if bucket_cap is not None:
+        sizes = keyed.groupBy("band", "key").agg(F.count("*").alias("_n"))
+        keyed = keyed.join(sizes, ["band", "key"]).withColumn(
+            "salt",
+            F.when(
+                F.col("_n") > bucket_cap,
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.ceil(F.col("_n") / bucket_cap)),
+            ).otherwise(F.lit(0)),
+        )
+    else:
+        keyed = keyed.withColumn("salt", F.lit(0))
+    a = keyed.select(F.col(id_col).alias("id_a"), "band", "key", "salt")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band", "key", "salt")
+    pairs = (
+        a.join(b, ["band", "key", "salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = F.col(vec_col).cast("array<double>")
+    va = corpus.select(F.col(id_col).alias("id_a"), v.alias("v_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), v.alias("v_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits).alias("sim"))
         .where(F.col("sim") >= threshold)
     )

@@ -162,6 +162,62 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sign_near_dups(t["embeddings"], threshold=0.2)
 
 
+_BANDED_BITS, _BANDED_BANDS = 6, 4
+
+
+def _banded_oracle(bits: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of operators/similarity.sign_banded_near_dups, built
+    from the SAME md5-derived (h1, h2) hyperplane table so the two
+    engines cannot drift."""
+
+    def band_key(row: list[tuple[int, int]]) -> str:
+        bits_sql = []
+        for h1, h2 in row:
+            i1 = f"({h1} % len(e))"
+            i2 = f"((({h1} % len(e)) + 1 + ({h2} % (len(e) - 1))) % len(e))"
+            bits_sql.append(
+                f"CASE WHEN e[{i1} + 1] - e[{i2} + 1] >= 0 THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits_sql)
+
+    rows = similarity.hyperplane_index_pairs(bits, bands)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, e, {j} AS band, {band_key(row)} AS key FROM v"
+        for j, row in enumerate(rows)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    k AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b
+      FROM k ka JOIN k kb ON ka.band = kb.band AND ka.key = kb.key AND ka.vec_id < kb.vec_id
+    )
+    SELECT id_a, id_b, sim FROM (
+      SELECT c.id_a, c.id_b, {_COS} AS sim
+      FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+    ) t WHERE sim >= {threshold}"""
+
+
+@query(
+    "embedding_near_dup_banded",
+    oracle=_banded_oracle(_BANDED_BITS, _BANDED_BANDS, 0.2),
+    doc=(
+        "embedding near-dup via multi-band difference-hyperplane LSH "
+        "(operators/similarity.sign_banded_near_dups): bit = sign(x[i]-x[j]) "
+        "for md5-derived index pairs — zero-mean on biased (post-LayerNorm) "
+        "corpora where raw axis signs collapse into mega-buckets; candidates "
+        "from ANY band, exact-cosine verify; optional bucket_cap salt-split "
+        "bounds the worst bucket at O(cap²)"
+    ),
+    tags=("dedup-embedding",),
+)
+def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return similarity.sign_banded_near_dups(
+        t["embeddings"], threshold=0.2, bits=_BANDED_BITS, bands=_BANDED_BANDS
+    )
+
+
 @query(
     "kmeans_embedding_clusters",
     oracle=None,

@@ -305,3 +305,66 @@ def test_sliding_znorm_rejects_constant_pattern(spark):
         sliding_znorm_match(df, [3.0, 3.0, 3.0], order_cols=("ts",))
     with pytest.raises(ValueError, match="non-zero variance"):
         sliding_znorm_match(df, [3.0], order_cols=("ts",))
+
+
+def test_banded_sign_lsh_balances_skewed_corpus(spark):
+    """Post-LayerNorm-style corpus: every dimension strictly positive.
+    Raw axis-sign LSH collapses ALL vectors into the single all-ones
+    bucket (O(n²) verify); difference-hyperplane bands stay balanced."""
+    import random
+
+    from sinker_spark.operators import similarity
+
+    rng = random.Random(7)
+    n, dim = 400, 32
+    rows = [(i, [rng.uniform(0.1, 1.0) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # old axis-sign scheme: one mega-bucket
+    from pyspark.sql import functions as F
+
+    axis = df.select(similarity.sign_signature(F.col("embedding"), 16).alias("sig"))
+    assert axis.distinct().count() == 1
+
+    # banded difference hyperplanes: worst bucket is a small fraction of n
+    keyed = similarity.banded_sign_keys(df, bits=6, bands=4)
+    sizes = keyed.groupBy("band", "key").count()
+    worst = sizes.agg(F.max("count")).first()[0]
+    n_buckets = sizes.count()
+    assert n_buckets > 20          # real spread, not a handful of buckets
+    assert worst < n * 0.2         # no mega-bucket (axis-sign gives worst == n)
+
+
+def test_bucket_cap_salt_split_bounds_join_size(spark):
+    """Adversarial corpus where even hyperplane buckets collide (all
+    vectors identical up to tiny noise): bucket_cap splits each oversized
+    bucket into salt groups no larger than ~cap, and the pair join still
+    returns near-dup pairs (within-salt survivors)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sinker_spark.operators import similarity
+
+    rng = random.Random(11)
+    base = [rng.uniform(0.5, 1.0) for _ in range(16)]
+    rows = [(i, [x + rng.uniform(-1e-6, 1e-6) for x in base]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cap = 20
+    keyed = similarity.banded_sign_keys(df, bits=6, bands=2)
+    sizes = keyed.groupBy("band", "key").agg(F.count("*").alias("_n"))
+    salted = keyed.join(sizes, ["band", "key"]).withColumn(
+        "salt",
+        F.when(
+            F.col("_n") > cap,
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.ceil(F.col("_n") / cap)),
+        ).otherwise(F.lit(0)),
+    )
+    worst_salted = salted.groupBy("band", "key", "salt").count().agg(F.max("count")).first()[0]
+    assert worst_salted < 200  # split actually happened
+    assert worst_salted <= cap * 3  # hash split is approximate, but bounded
+
+    out = similarity.sign_banded_near_dups(df, threshold=0.99, bits=6, bands=2, bucket_cap=cap)
+    got = out.limit(5).collect()
+    assert got and all(r["sim"] >= 0.99 for r in got)
