@@ -9,8 +9,14 @@ Design (the 100 TB part is the plumbing, not the codec):
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages: one Python worker per partition, whole batches
   across the JVM↔Python boundary, output schema declared up front;
-- partition sizing: binary rows are big — repartition so a batch of
-  payloads fits executor memory (``target_rows_per_partition``).
+- partition sizing: Python-side memory is bounded per Arrow BATCH
+  (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k rows),
+  not per partition — batches stream — so no defensive repartition (an
+  extra shuffle + full pass over the binary column) is inserted. Balance
+  binary-bearing SCANS at read time via
+  ``spark.sql.files.maxPartitionBytes`` (small values split fat parquet
+  files into more tasks for free); pass ``num_partitions`` only to force
+  an explicit reshuffle, e.g. after a skewing filter.
 
 The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
 ``decode_image`` raises NotImplementedError unless ``fake=True``, which
@@ -61,12 +67,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 def decode_image_features(
     df: DataFrame,
     fake: bool = False,
-    target_rows_per_partition: int = 1024,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Binary payloads → per-item features via Arrow-batched mapInPandas.
 
     With a real codec installed, replace the fake branch with
     ``PIL.Image.open(io.BytesIO(b))``; everything else stays identical.
+    No implicit repartition: Arrow batches bound Python memory, and
+    read-time ``spark.sql.files.maxPartitionBytes`` balances the scan —
+    see the module docstring.
     """
     try:
         if not fake:
@@ -77,11 +86,7 @@ def decode_image_features(
             "to exercise the pipeline with the deterministic structural decoder"
         ) from None
 
-    # binary rows are large: bound rows-per-partition so an Arrow batch of
-    # payloads fits executor memory (cheap count on the id column only)
-    n_rows = df.count()
-    n_parts = max(max(1, df.rdd.getNumPartitions()), n_rows // target_rows_per_partition + 1)
-    sized = df.repartition(n_parts)
+    sized = df.repartition(num_partitions) if num_partitions else df
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,15 +107,16 @@ def resize_images(
     df: DataFrame,
     max_side: int = 32,
     fake: bool = False,
-    target_rows_per_partition: int = 1024,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded-dimension 'resize' stage over binary payloads via
     Arrow-batched mapInPandas: emits (id, width, height, payload) with both
     sides ≤ ``max_side`` and aspect ratio preserved. With a real codec this
     is ``PIL.Image.resize``; the ``fake`` branch derives dimensions via the
     structural decoder and truncates the payload proportionally to the area
-    change — output schema, batching, and partition sizing are the
-    production contract either way."""
+    change — output schema, batching, and partition strategy are the
+    production contract either way. No implicit repartition (see module
+    docstring)."""
     try:
         if not fake:
             import PIL.Image  # noqa: F401
@@ -120,9 +126,7 @@ def resize_images(
             "to exercise the pipeline with the deterministic structural resizer"
         ) from None
 
-    n_rows = df.count()
-    n_parts = max(max(1, df.rdd.getNumPartitions()), n_rows // target_rows_per_partition + 1)
-    sized = df.repartition(n_parts)
+    sized = df.repartition(num_partitions) if num_partitions else df
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -368,3 +368,26 @@ def test_bucket_cap_salt_split_bounds_join_size(spark):
     out = similarity.sign_banded_near_dups(df, threshold=0.99, bits=6, bands=2, bucket_cap=cap)
     got = out.limit(5).collect()
     assert got and all(r["sim"] >= 0.99 for r in got)
+
+
+def test_multimodal_stages_add_no_exchange_or_extra_scan(spark):
+    """decode/resize insert NO repartition (no Exchange) and trigger no
+    eager job at plan-build time: Arrow batches bound Python memory, so
+    the old count()+repartition pass over the binary column is gone."""
+    from pyspark.sql import functions as F
+
+    from sinker_spark.operators import multimodal
+
+    base = spark.range(8).select(
+        F.col("id"), F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias("raw")
+    )
+    mm = multimodal.attach_binary_payload(base, "id", "raw", "image/png")
+    for stage in (
+        multimodal.decode_image_features(mm, fake=True),
+        multimodal.resize_images(mm, max_side=8, fake=True),
+    ):
+        plan = stage._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    # explicit opt-in still reshuffles
+    forced = multimodal.decode_image_features(mm, fake=True, num_partitions=4)
+    assert "Exchange" in forced._jdf.queryExecution().executedPlan().toString()
