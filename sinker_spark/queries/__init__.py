@@ -70,18 +70,23 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order IS registration order IS the order downstream harnesses
+    # sample in. Highest-value lanes first — flagship, engine (IVM/CDC/
+    # streaming/UDF), documents (dedup/text/decontam), vectors (ANN) —
+    # so any prefix-limited correctness sample exercises the engine lanes
+    # before the scalar-function batteries.
     from sinker_spark.queries import (  # noqa: F401
         flagship,
+        engine,
+        documents,
+        vectors,
         relational,
         analytic,
         temporal,
-        documents,
         arrays_maps,
         sql_extras,
         subquery_shapes,
         tpch_extra,
-        vectors,
-        engine,
     )
 
     _LOADED = True
