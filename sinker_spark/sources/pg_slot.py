@@ -1,0 +1,142 @@
+"""Direct-Postgres CDC lane: logical replication slot lifecycle + polling.
+
+Reference parity (runner.py:56-64, query_templates.py:1-3,36): sinker
+creates a ``test_decoding`` logical replication slot, drops/recreates it
+on startup, then polls ``pg_logical_slot_get_changes`` each iteration.
+This module gives a sinker user pointed at a bare Postgres (no
+Kafka/Debezium) the same path on the Spark engine:
+
+- :class:`PostgresSlotSource` owns the slot (create / drop / reset /
+  exists) and drains it into ``(lsn bigint, data string)`` DataFrames —
+  byte-compatible with :func:`sinker_spark.sources.files.stream_cdc_text`,
+  so ``cdc.parse_test_decoding`` and the whole downstream engine are
+  shared between the file, Kafka, and direct-Postgres lanes.
+- :meth:`run_microbatches` is the polling driver loop (reference
+  Runner.run/iterate, runner.py:66-117): drain slot → parse → hand the
+  batch to ``SyncEngine.process_cdc_batch``.
+
+Scale note: ``pg_logical_slot_get_changes`` is inherently a single
+ordered stream consumed on the driver — exactly the reference's
+architecture, kept for parity and small/medium deployments. The lane's
+batches are bounded by ``upto_nchanges``; everything downstream of the
+parse is distributed. At 100 TB-of-changes scale the Kafka/Debezium lane
+(sources/kafka.py) is the right front end: Postgres→Kafka fan-in happens
+once, and Spark consumes partitioned topics in parallel.
+
+The ``psycopg`` driver is not installed in this container, so the
+connection is injectable (``connect_fn``); offline tests replay a
+recorded slot-output fixture through a fake connection, and the
+env-gated live test (tests/test_pg_slot.py) runs when
+``SINKER_SPARK_PG_DSN`` points at a real Postgres.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Reference SQL, verbatim semantics (query_templates.py:1-3,36)
+CHECK_SLOT = "SELECT count(*) FROM PG_REPLICATION_SLOTS where slot_name='{}'"
+DROP_SLOT = "select pg_drop_replication_slot('{}')"
+CREATE_SLOT = "select pg_create_logical_replication_slot('{}', 'test_decoding')"
+GET_CHANGES = "SELECT xid, lsn, data FROM pg_logical_slot_get_changes('{}', NULL, {})"
+
+CDC_TEXT_SCHEMA = "lsn bigint, data string"
+
+
+def lsn_to_long(lsn: str | int | None) -> int | None:
+    """pg_lsn text ``XXXXXXXX/YYYYYYYY`` → 64-bit integer (hi<<32 | lo).
+    Accepts ints (already-converted fixtures) unchanged."""
+    if lsn is None:
+        return None
+    if isinstance(lsn, int):
+        return lsn
+    hi, lo = lsn.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def _default_connect():  # pragma: no cover - env-dependent
+    import psycopg
+
+    return psycopg.connect(autocommit=True)
+
+
+@dataclass
+class PostgresSlotSource:
+    """Owns one logical replication slot and drains it into DataFrames."""
+
+    slot: str = "sinker"  # reference SINKER_REPLICATION_SLOT default (settings.py:19)
+    connect_fn: Callable[[], object] = field(default=_default_connect)
+    batch_size: int = 10_000  # upto_nchanges per poll; NULL = unbounded
+
+    def _execute(self, sql: str):
+        conn = self.connect_fn()
+        try:
+            return conn.execute(sql).fetchall()
+        finally:
+            close = getattr(conn, "close", None)
+            if close:
+                close()
+
+    # -- slot lifecycle (reference runner.py:56-64) -----------------------
+    def slot_exists(self) -> bool:
+        rows = self._execute(CHECK_SLOT.format(self.slot))
+        return bool(rows and rows[0][0] > 0)
+
+    def create_slot(self) -> None:
+        self._execute(CREATE_SLOT.format(self.slot))
+
+    def drop_slot(self) -> None:
+        self._execute(DROP_SLOT.format(self.slot))
+
+    def reset_slot(self) -> None:
+        """Drop-if-exists then create — the reference's startup sequence
+        (stale slots hold WAL and replay already-synced changes)."""
+        if self.slot_exists():
+            self.drop_slot()
+        self.create_slot()
+
+    # -- polling read (reference runner.py:100-106) -----------------------
+    def poll_changes(self, spark: SparkSession) -> DataFrame:
+        """Drain up to ``batch_size`` changes → (lsn bigint, data string).
+
+        CONSUMES the slot position (``get`` variant, like the reference):
+        a drained change never reappears, so downstream must be idempotent
+        — which the per-id upsert/delete sink contract guarantees."""
+        limit = "NULL" if self.batch_size is None else str(self.batch_size)
+        rows = self._execute(GET_CHANGES.format(self.slot, limit))
+        data = [(lsn_to_long(lsn), str(line)) for _xid, lsn, line in rows]
+        return spark.createDataFrame(data, CDC_TEXT_SCHEMA)
+
+    def run_microbatches(
+        self,
+        spark: SparkSession,
+        engine,
+        max_batches: int | None = None,
+        poll_interval: float = 10.0,
+        sleep_fn: Callable[[float], None] | None = None,
+    ) -> int:
+        """Polling sync loop (reference Runner.run, runner.py:66-71):
+        drain → parse test_decoding → process_cdc_batch; sleeps
+        ``poll_interval`` between empty polls. Returns batches processed.
+        ``max_batches`` bounds the loop for tests/availableNow-style
+        drains; None = run forever."""
+        import time
+
+        from sinker_spark.cdc import parse_test_decoding
+
+        sleep = sleep_fn or time.sleep
+        done = 0
+        while max_batches is None or done < max_batches:
+            batch = self.poll_changes(spark)
+            if batch.limit(1).count() == 0:
+                if max_batches is not None:
+                    done += 1
+                    continue
+                sleep(poll_interval)
+                continue
+            engine.process_cdc_batch(parse_test_decoding(batch), epoch_id=done)
+            done += 1
+        return done
