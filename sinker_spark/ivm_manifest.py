@@ -1,0 +1,216 @@
+"""Manifest-committed bucketed snapshot store — MERGE semantics with
+snapshot isolation, the production slot the other two stores trade away
+one half of each:
+
+- ``SnapshotStore`` (ivm.py): atomic version swap, but every refresh
+  rewrites the whole snapshot.
+- ``BucketedSnapshotStore`` (ivm_bucketed.py): rewrites only touched
+  buckets, but dynamic partition overwrite mutates files in place — no
+  atomic multi-bucket commit, and the rebuilt plan must be eagerly
+  checkpointed because the writer would race its own input.
+
+This store does both, the way Delta/Iceberg MERGE does (on a real lake
+those engines fill this slot with the identical interface; this is the
+same commit protocol self-contained on plain parquet + JSON manifests):
+
+- data files are IMMUTABLE: each commit writes new files under
+  ``data/c_{n}/__bucket=B/``; nothing is ever overwritten in place;
+- a manifest (``_manifests/v_{n}.json``) maps every bucket to the commit
+  directory holding its current rows; a targeted merge writes ONLY the
+  touched buckets' new files and copies the other bucket pointers
+  forward — untouched buckets are neither read nor written;
+- the ``_CURRENT`` pointer is swapped by atomic rename: readers see the
+  old complete snapshot until the instant the new complete snapshot is
+  live. A crash mid-commit leaves orphan data files (reclaimed by
+  ``vacuum``) and NO visible change — never a torn snapshot;
+- old manifests remain readable (time travel) until vacuumed;
+- because data files are immutable, the returned delta plan stays valid
+  after the commit — no eager localCheckpoint on the hot path, unlike
+  both other stores.
+
+Cost model at 100 TB: a k-key targeted refresh writes ≤ k bucket files
+of size |snapshot|/N plus one JSON manifest; the commit itself is O(1)
+metadata. Reads open |buckets| directories — size N so a bucket is one
+comfortable task (~128 MB), exactly the bucketed store's guidance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import snapshot_diff, with_doc_hash
+
+
+class ManifestSnapshotStore:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+
+    # -- layout ------------------------------------------------------------
+    def _dir(self, view: str) -> str:
+        return os.path.join(self.root, view)
+
+    def _manifest_path(self, view: str, version: int) -> str:
+        return os.path.join(self._dir(view), "_manifests", f"v_{version}.json")
+
+    def _pointer(self, view: str) -> str:
+        return os.path.join(self._dir(view), "_CURRENT")
+
+    def _bucket(self, key_col) -> F.Column:
+        # hash the STRING form: bucket routing must be representation-
+        # independent (xxhash64(3L) != xxhash64('3'))
+        return F.pmod(F.xxhash64(key_col.cast("string")), F.lit(self.n_buckets)).cast("int")
+
+    # -- manifest bookkeeping ---------------------------------------------
+    def current_version(self, view: str) -> int | None:
+        try:
+            with open(self._pointer(view)) as fh:
+                return json.load(fh)["version"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _manifest(self, view: str, version: int | None = None) -> dict | None:
+        v = version if version is not None else self.current_version(view)
+        if v is None:
+            return None
+        try:
+            with open(self._manifest_path(view, v)) as fh:
+                return json.load(fh)
+        except OSError:
+            raise FileNotFoundError(f"snapshot {view} v_{version} not found (vacuumed?)") from None
+
+    def _commit(self, view: str, buckets: dict[str, str]) -> int:
+        """Write manifest v_{n+1} then atomically swap _CURRENT to it."""
+        v = (self.current_version(view) or 0) + 1
+        mpath = self._manifest_path(view, v)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        with open(mpath, "w") as fh:
+            json.dump({"version": v, "buckets": buckets}, fh, sort_keys=True)
+        tmp = self._pointer(view) + f".tmp.{int(time.time() * 1e6)}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, self._pointer(view))
+        return v
+
+    def _write_commit_files(self, view: str, out: DataFrame, version_hint: int) -> dict[str, str]:
+        """Write bucketed parquet under a fresh commit dir; return
+        {bucket: relative dir} for the buckets that received rows."""
+        commit = f"c_{version_hint}_{int(time.time() * 1e6)}"
+        path = os.path.join(self._dir(view), "data", commit)
+        out.repartition("__bucket").write.partitionBy("__bucket").mode("error").parquet(path)
+        written = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                written[d.split("=", 1)[1]] = os.path.join("data", commit, d)
+        return written
+
+    # -- SnapshotStore interface ------------------------------------------
+    def exists(self, view: str) -> bool:
+        return self.current_version(view) is not None
+
+    def read(self, view: str, version: int | None = None) -> DataFrame | None:
+        m = self._manifest(view, version)
+        if m is None:
+            return None
+        paths = [os.path.join(self._dir(view), rel) for rel in m["buckets"].values()]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def write(self, view: str, df: DataFrame, key: str = "id") -> int:
+        out = with_doc_hash(df.dropDuplicates([key]), key).withColumn(
+            "__bucket", self._bucket(F.col(key))
+        )
+        v_next = (self.current_version(view) or 0) + 1
+        buckets = self._write_commit_files(view, out, v_next)
+        return self._commit(view, buckets)
+
+    def refresh(self, view: str, new_df: DataFrame, key: str = "id") -> DataFrame:
+        """Full recompute-and-diff. The delta plan reads only immutable
+        files of the PRE-commit version, so it needs no checkpoint and
+        stays valid after the swap."""
+        old = self.read(view)
+        delta = snapshot_diff(old.select(key, "doc") if old is not None else None, new_df, key)
+        self.write(view, new_df, key)
+        return delta
+
+    def refresh_partial(
+        self, view: str, new_partial: DataFrame, scope_keys: DataFrame | list, key: str = "id"
+    ) -> DataFrame:
+        """Targeted MERGE: diff within scope; write new files ONLY for
+        buckets containing scoped keys (rebuilt as old-bucket-rows ∉
+        scope ∪ new scoped rows); carry every other bucket's pointer
+        forward unchanged; commit atomically."""
+        if isinstance(scope_keys, list):
+            scope = self.spark.createDataFrame([(str(k),) for k in scope_keys], f"{key} string")
+        else:
+            scope = scope_keys.select(F.col(scope_keys.columns[0]).cast("string").alias(key))
+        scope = scope.distinct()
+        m = self._manifest(view)
+        if m is None:
+            delta = snapshot_diff(None, new_partial, key)
+            self.write(view, new_partial, key)
+            return delta
+
+        old_docs = self.read(view).select(key, "doc")
+        delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
+
+        touched = [
+            str(r["b"]) for r in scope.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
+        ]
+        buckets = dict(m["buckets"])
+        if touched:
+            old_paths = [
+                os.path.join(self._dir(view), buckets[b]) for b in touched if b in buckets
+            ]
+            if old_paths:
+                affected_old = self.spark.read.parquet(*old_paths).select(key, "doc")
+                keep = affected_old.join(scope, key, "left_anti")
+                rebuilt = keep.unionByName(new_partial.select(key, "doc"))
+            else:
+                rebuilt = new_partial.select(key, "doc")
+            out = with_doc_hash(rebuilt.dropDuplicates([key]), key).withColumn(
+                "__bucket", self._bucket(F.col(key))
+            )
+            v_next = m["version"] + 1
+            written = self._write_commit_files(view, out, v_next)
+            for b in touched:
+                buckets.pop(b, None)  # bucket may have emptied entirely
+            buckets.update(written)
+            self._commit(view, buckets)
+        return delta
+
+    def vacuum(self, view: str, keep_last: int = 2) -> list[str]:
+        """Delete commit directories unreferenced by the newest
+        ``keep_last`` manifests (and prune older manifests). Returns the
+        removed commit dirs."""
+        import shutil
+
+        cur = self.current_version(view)
+        if cur is None:
+            return []
+        mdir = os.path.join(self._dir(view), "_manifests")
+        versions = sorted(
+            int(f[2:-5]) for f in os.listdir(mdir) if f.startswith("v_") and f.endswith(".json")
+        )
+        keep_versions = [v for v in versions if v > cur - keep_last]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            for rel in self._manifest(view, v)["buckets"].values():
+                referenced.add(rel.split(os.sep)[1])  # data/<commit>/__bucket=B
+        data_dir = os.path.join(self._dir(view), "data")
+        removed = []
+        for commit in os.listdir(data_dir):
+            if commit not in referenced:
+                shutil.rmtree(os.path.join(data_dir, commit))
+                removed.append(commit)
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(self._manifest_path(view, v))
+        return removed
