@@ -25,6 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--definitions", required=True, help="dir with {view}.sql + views_to_indices.json")
     ap.add_argument("--source-parquet", required=True, help="dir with {table}.parquet source tables")
     ap.add_argument("--cdc-dir", help="dir of CDC text files (<lsn>\\t<test_decoding line>)")
+    ap.add_argument("--pg-dsn", help="Postgres DSN: poll a test_decoding logical replication "
+                                     "slot directly (reference runner.py:56-64), no Kafka needed")
+    ap.add_argument("--slot", default="sinker", help="replication slot name (with --pg-dsn)")
+    ap.add_argument("--store", choices=["versioned", "bucketed", "manifest"], default="versioned",
+                    help="snapshot store: versioned (atomic full rewrite), bucketed "
+                         "(partial rewrite, in-place), manifest (partial rewrite + "
+                         "atomic commit + time travel)")
     ap.add_argument("--dry-run", action="store_true", help="compile + explain only")
     ap.add_argument("--once", action="store_true", help="drain CDC backlog then exit (availableNow)")
     ap.add_argument("--poll-interval", type=int, default=None)
@@ -81,14 +88,40 @@ def main(argv: list[str] | None = None) -> int:
         sink = InMemorySink()
         print("elasticsearch client unavailable -> using in-memory sink (offline mode)", file=sys.stderr)
 
-    store = SnapshotStore(spark, cfg.snapshot_root)
+    if args.store == "bucketed":
+        from sinker_spark.ivm_bucketed import BucketedSnapshotStore
+
+        store = BucketedSnapshotStore(spark, cfg.snapshot_root)
+    elif args.store == "manifest":
+        from sinker_spark.ivm_manifest import ManifestSnapshotStore
+
+        store = ManifestSnapshotStore(spark, cfg.snapshot_root)
+    else:
+        store = SnapshotStore(spark, cfg.snapshot_root)
     eng = SyncEngine(spark, views, sink, store)
+
+    if args.pg_dsn:
+        # reference startup order (runner.py:52-64): reset the slot BEFORE
+        # backfill so changes during backfill land in the slot, not the void
+        from sinker_spark.sources.pg_slot import PostgresSlotSource
+
+        def _connect():
+            import psycopg
+
+            return psycopg.connect(args.pg_dsn, autocommit=True)
+
+        slot_src = PostgresSlotSource(slot=args.slot, connect_fn=_connect)
+        slot_src.reset_slot()
+
     # (re)create each sink index with its {index}.json mappings/settings
     # before the first write (reference sinker.py:74-86)
     eng.backfill(index_bodies={v.index: cfg.index_settings(v.index) for v in views})
     print(f"backfilled {len(views)} view(s)")
 
-    if args.cdc_dir:
+    if args.pg_dsn:
+        slot_src.run_microbatches(spark, eng, max_batches=1 if args.once else None,
+                                  poll_interval=cfg.poll_interval)
+    elif args.cdc_dir:
         from sinker_spark.cdc import parse_test_decoding
         from sinker_spark.sources.files import stream_cdc_text
 

@@ -63,3 +63,18 @@ def test_cli_dry_run_and_backfill(spark, tmp_path):
     assert "index people: 4 docs" in run.stdout
     assert "index courses: 3 docs" in run.stdout
     assert "in-memory sink (offline mode)" in run.stderr
+
+
+def test_cli_manifest_store_backfill(spark, tmp_path):
+    _write_definitions(tmp_path / "defs")
+    _write_tables(spark, tmp_path / "tables")
+
+    run = _run_cli(tmp_path, "--definitions", str(tmp_path / "defs"),
+                   "--source-parquet", str(tmp_path / "tables"),
+                   "--store", "manifest")
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "backfilled 2 view(s)" in run.stdout
+    # manifest layout on disk: _CURRENT pointer + versioned manifest
+    snap = tmp_path / "snap" / "person_mv"
+    assert (snap / "_CURRENT").exists()
+    assert (snap / "_manifests" / "v_1.json").exists()
