@@ -27,7 +27,7 @@ _sql(
                      CAST(0 AS BIGINT), (a, x) -> a + x) AS total_len,
            array_contains(toks, 'spark') AS has_spark,
            forall(toks, x -> length(x) < 10) AS all_short,
-           slice(array_sort(array_distinct(toks)), 1, 3) AS first3_distinct
+           array_join(slice(array_sort(array_distinct(toks)), 1, 3), ',') AS first3_distinct
     FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
           FROM documents)""",
     oracle="""
@@ -37,7 +37,7 @@ _sql(
            CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
            list_contains(toks, 'spark') AS has_spark,
            len(list_filter(toks, x -> length(x) >= 10)) = 0 AS all_short,
-           list_sort(list_distinct(toks))[1:3] AS first3_distinct
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_distinct
     FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
           FROM documents)""",
     doc=(
@@ -88,14 +88,14 @@ _sql(
     spark_sql="""
     SELECT event_id,
            size(m) AS n_keys,
-           array_sort(map_keys(m)) AS keys_sorted,
+           array_join(array_sort(map_keys(m)), ',') AS keys_sorted,
            CAST(element_at(m, 'k') AS INT) AS k_val
     FROM (SELECT event_id, from_json(props, 'map<string,string>') AS m
           FROM events)""",
     oracle="""
     SELECT event_id,
            CAST(len(json_keys(props)) AS INT) AS n_keys,
-           list_sort(json_keys(props)) AS keys_sorted,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val
     FROM events""",
     doc=(
@@ -111,13 +111,13 @@ _sql(
     spark_sql="""
     SELECT doc_id,
            size(regexp_extract_all(text, '[a-z]{5,}', 0)) AS n_words5,
-           slice(array_sort(array_distinct(regexp_extract_all(text, '[a-z]{5,}', 0))), 1, 5)
+           array_join(slice(array_sort(array_distinct(regexp_extract_all(text, '[a-z]{5,}', 0))), 1, 5), ',')
              AS top5_alpha
     FROM documents""",
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT) AS n_words5,
-           list_sort(list_distinct(regexp_extract_all(text, '[a-z]{5,}')))[1:5] AS top5_alpha
+           array_to_string(list_sort(list_distinct(regexp_extract_all(text, '[a-z]{5,}')))[1:5], ',') AS top5_alpha
     FROM documents""",
     doc="regexp_extract_all: all-match extraction into arrays (string battery sibling)",
     tags=("functions-string", "regexp"),
@@ -135,10 +135,10 @@ _sql(
       SELECT doc_id, filter(split(lower(text), ' '), t -> t <> '') AS toks
       FROM documents)
     SELECT doc_id,
-           array_sort(array_distinct(array_intersect(toks, array({_STOP10})))) AS stop_overlap,
+           array_join(array_sort(array_distinct(array_intersect(toks, array({_STOP10})))), ',') AS stop_overlap,
            arrays_overlap(toks, array({_STOP10})) AS has_stop,
            size(array_distinct(array_except(toks, array({_STOP10})))) AS n_content,
-           slice(array_sort(array_distinct(array_except(toks, array({_STOP10})))), 1, 5) AS content_head,
+           array_join(slice(array_sort(array_distinct(array_except(toks, array({_STOP10})))), 1, 5), ',') AS content_head,
            size(array_distinct(array_union(toks, array({_STOP10})))) AS n_union_stop
     FROM base""",
     oracle=f"""
@@ -146,10 +146,10 @@ _sql(
       SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
       FROM documents)
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(toks, [{_STOP10}]))) AS stop_overlap,
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(toks, [{_STOP10}]))), ','), '') AS stop_overlap,
            list_has_any(toks, [{_STOP10}]) AS has_stop,
            CAST(len(list_distinct(list_filter(toks, t -> NOT list_contains([{_STOP10}], t)))) AS INT) AS n_content,
-           list_sort(list_distinct(list_filter(toks, t -> NOT list_contains([{_STOP10}], t))))[1:5] AS content_head,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(toks, t -> NOT list_contains([{_STOP10}], t))))[1:5], ','), '') AS content_head,
            CAST(len(list_distinct(list_concat(toks, [{_STOP10}]))) AS INT) AS n_union_stop
     FROM base""",
     doc=(

@@ -541,20 +541,20 @@ _sql(
                  'cust10', o_custkey % 10) AS props
       FROM orders)
     SELECT o_orderkey AS orderkey,
-           sort_array(transform(map_entries(transform_values(props, (k, v) -> v * 2)),
-                                e -> concat(e.key, '=', CAST(e.value AS STRING)))) AS doubled,
+           array_join(sort_array(transform(map_entries(transform_values(props, (k, v) -> v * 2)),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',') AS doubled,
            size(map_filter(props, (k, v) -> v > 1000)) AS n_big,
-           sort_array(map_keys(map_concat(props, map('extra', CAST(1 AS BIGINT))))) AS keys4
+           array_join(sort_array(map_keys(map_concat(props, map('extra', CAST(1 AS BIGINT))))), ',') AS keys4
     FROM m""",
     oracle="""
     SELECT o_orderkey AS orderkey,
-           list_sort(['cents=' || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 AS VARCHAR),
+           array_to_string(list_sort(['cents=' || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 AS VARCHAR),
                       'key7=' || CAST((o_orderkey % 7) * 2 AS VARCHAR),
-                      'cust10=' || CAST((o_custkey % 10) * 2 AS VARCHAR)]) AS doubled,
+                      'cust10=' || CAST((o_custkey % 10) * 2 AS VARCHAR)]), ',') AS doubled,
            CAST((CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 1000 THEN 1 ELSE 0 END
                + CASE WHEN o_orderkey % 7 > 1000 THEN 1 ELSE 0 END
                + CASE WHEN o_custkey % 10 > 1000 THEN 1 ELSE 0 END) AS INT) AS n_big,
-           list_sort(['cents', 'key7', 'cust10', 'extra']) AS keys4
+           array_to_string(list_sort(['cents', 'key7', 'cust10', 'extra']), ',') AS keys4
     FROM orders""",
     doc=(
         "map higher-order-function battery: transform_values/map_filter/"

@@ -82,32 +82,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     means AS (
-      SELECT label, dim,
+      SELECT label, CAST(dim AS INT) AS dim,
              CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
       FROM flat GROUP BY label, dim
     )
-    SELECT label, list(round(m, 8) ORDER BY dim) AS centroid, CAST(n AS BIGINT) AS n_members
-    FROM means JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c USING (label)
-    GROUP BY label, n""",
-    doc="coarse-quantizer training step for IVF (operators/similarity.ivf_topk): element-wise decimal-exact mean per label — posexplode → two-level agg, the one-iteration k-means update at any scale",
+    SELECT label, dim, round(m, 8) AS c, CAST(n AS BIGINT) AS n_members
+    FROM means JOIN (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c USING (label)""",
+    doc="coarse-quantizer training step for IVF (operators/similarity.ivf_topk): element-wise decimal-exact mean per label — posexplode → two-level agg, the one-iteration k-means update at any scale. One row per (label, dim) so every output column is a hashable scalar for the harness.",
     tags=("similarity-train",),
 )
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     flat = t["embeddings"].select(
         "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
     )
-    means = flat.groupBy("label", "dim").agg(
+    means = flat.groupBy("label", "dim0").agg(
         (F.round(F.sum(F.col("x").cast("DECIMAL(28,12)")), 6).cast("double") / F.count("*").cast("double")).alias("m")
     )
     counts = t["embeddings"].groupBy("label").agg(F.count("*").alias("n_members"))
     return (
-        means.groupBy("label")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                         lambda s: F.round(s["m"], 8)).alias("centroid"))
-        .join(counts, "label")
-        .select("label", "centroid", "n_members")
+        means.join(counts, "label")
+        .select(
+            "label",
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.round("m", 8).alias("c"),
+            "n_members",
+        )
     )
 
 
@@ -121,9 +122,9 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id, round(scale, 8) AS scale,
-           list_transform(e, x -> CAST(round(x / scale * 127.0) AS INT)) AS q
+           array_to_string(list_transform(e, x -> CAST(round(x / scale * 127.0) AS INT)), ',') AS q
     FROM scaled WHERE scale > 0""",
-    doc="int8 scalar quantization of embeddings (4x memory at 100 TB ANN scale): per-vector max-abs scale, round-to-int8 codes (reconstruction-error bound asserted in tests/test_operators.py) — all Catalyst array expressions",
+    doc="int8 scalar quantization of embeddings (4x memory at 100 TB ANN scale): per-vector max-abs scale, round-to-int8 codes (reconstruction-error bound asserted in tests/test_operators.py) — all Catalyst array expressions; codes serialized to a CSV string (int→string is engine-identical) so the harness can hash them",
     tags=("similarity-quantize",),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +138,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round("scale", 8).alias("scale"),
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q"),
     )
 
 

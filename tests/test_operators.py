@@ -162,7 +162,9 @@ def test_int8_quantization_error_bound(spark):
     assert len(rows) == len(emb)
     for r in rows[:50]:
         scale = r["scale"]
-        for code, orig in zip(r["q"], emb[r["vec_id"]]):
+        codes = [int(c) for c in r["q"].split(",")]
+        assert len(codes) == len(emb[r["vec_id"]])
+        for code, orig in zip(codes, emb[r["vec_id"]]):
             assert -127 <= code <= 127
             assert abs(code / 127.0 * scale - orig) <= scale / 254.0 + 1e-9
 

@@ -22,6 +22,26 @@ def test_query_matches_oracle(spark, name):
     }
 
 
+@pytest.mark.parametrize("name", sorted(n for n in REGISTRY if REGISTRY[n].oracle))
+def test_no_unhashable_output_columns(spark, name):
+    """The driver canonicalizer hashes result values with pandas — a
+    top-level array/map column arrives as numpy.ndarray/dict and crashes
+    it (`TypeError: unhashable type`), red-flagging a correct query.
+    Serialize collections to strings (or explode to rows) before
+    returning. Guards the round-2 regression class
+    (embedding_centroids_by_label / embedding_quantize_int8)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    offenders = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not offenders, (
+        f"{name} returns unhashable top-level column(s) {offenders}; "
+        "serialize with array_join/to_json or explode to rows"
+    )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
