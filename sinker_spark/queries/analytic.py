@@ -184,13 +184,16 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_orders_deterministic",
-    oracle=None,
-    doc="TABLESAMPLE-style sampling via deterministic hash-mod filter (sample() RNG differs per engine; hash-mod sampling is reproducible and partition-pruning-friendly — rows-only because Spark and DuckDB hash differently, correctness asserted by the 10% bound in tests)",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS INT) % 10 = 0""",
+    doc="TABLESAMPLE-style ~10% sampling via deterministic md5-mod filter: reproducible across engines AND across cluster sizes (unlike sample(), whose RNG is partition-layout-dependent) — the property a training-data pipeline needs for resumable/auditable subsampling",
     tags=("sampling",),
 )
 def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["orders"].where(F.pmod(F.hash("o_orderkey"), F.lit(10)) == 0).select("o_orderkey", "o_totalprice")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    return t["orders"].where(bucket == 0).select("o_orderkey", "o_totalprice")
 
 
 # --- window value functions (first/last/nth with explicit frames) --------

@@ -327,8 +327,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_signatures",
-    oracle=None,
-    doc="SimHash 60-bit signatures via md5 bit votes (operators/dedup.simhash64) — bit-twiddling is Spark-expression-specific; verified against a pure-Python reference in tests/test_operators.py (driver: rows-only)",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h60 FROM tok),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h60 >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id""",
+    doc="SimHash 60-bit signatures via md5 bit votes (operators/dedup.simhash64) — oracle replays the identical md5→bit-vote→majority construction in DuckDB ('0x'||hex cast = Spark conv(hex,16,10)), so the bit-twiddling is cross-engine verified end to end; also checked against a pure-Python reference in tests/test_operators.py",
     tags=("dedup-simhash",),
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

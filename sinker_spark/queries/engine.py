@@ -181,8 +181,20 @@ def zscore_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udaf_zscore_pandas",
-    oracle=None,
-    doc="UDAF-style grouped-map applyInPandas z-score (functions.zscore_by_group): Arrow-batched, one shuffle on the group key; rows-only here, equality-vs-SQL-twin asserted in tests/test_functions.py",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_orderstatus AS status,
+             {dsum_expr('o_totalprice')} / CAST(COUNT(*) AS DOUBLE) AS mu,
+             {dsum_expr('o_totalprice * o_totalprice')} AS sumsq,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey AS orderkey, s.status,
+           round((o.o_totalprice - s.mu)
+                 / sqrt((s.sumsq - CAST(s.n AS DOUBLE) * s.mu * s.mu) / CAST(s.n - 1 AS DOUBLE)),
+                 6) AS zscore
+    FROM orders o JOIN stats s ON o.o_orderstatus = s.status""",
+    doc="UDAF-style grouped-map applyInPandas z-score (functions.zscore_by_group): Arrow-batched, one shuffle on the group key; numpy mean/std(ddof=1) agrees with the decimal-exact SQL formulation within the 6-decimal rounding, so the pandas lane is oracle-checked, not just rows-only",
     tags=("udf", "pandas"),
 )
 def udaf_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
