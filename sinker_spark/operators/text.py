@@ -230,3 +230,63 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         (total > 0).alias("has_pii"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Chunk-level exact dedup — the distributed shape of substring-level
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): split every document into consecutive
+    ``chunk_tokens``-token chunks, keep only the globally-first occurrence
+    of each distinct chunk (first by ``(doc_id, position)``), and rebuild
+    the cleaned text from the survivors.
+
+    Output: ``(id, n_chunks, n_dup_chunks, clean_text)``.
+
+    Scale shape: ~n_tokens/chunk_tokens rows flow through exactly two
+    hash shuffles — one on the chunk value for the first-occurrence
+    window, one back on the document id for reassembly. No all-pairs
+    comparison anywhere; a suffix-array pass (the paper's exact
+    algorithm) is not cluster-friendly, while this chunked variant is
+    embarrassingly partition-parallel at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    ct = chunk_tokens
+    base = df.select(F.col(id_col), tokens(text_col).alias("toks")).where(F.size("toks") > 0)
+    chunks = (
+        base.select(
+            id_col,
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), (F.ceil(F.size("toks") / F.lit(float(ct)))).cast("int") - 1)
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.array_join(F.slice("toks", F.col("pos") * ct + 1, ct), " ").alias("chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    ranked = chunks.select(id_col, "pos", "chunk", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("int").alias("n_dup_chunks"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

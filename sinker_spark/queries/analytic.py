@@ -397,3 +397,70 @@ _sql(
     ),
     tags=("functions-try", "functions-conditional"),
 )
+
+
+@query(
+    "cms_manual_estimates",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+            FROM documents) t
+      GROUP BY t.token
+    ),
+    expanded AS (
+      SELECT token, true_cnt, r.r AS row_id,
+             CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || token), 1, 4) AS INT) % 64 AS bucket
+      FROM tok, (SELECT unnest(range(0, 4)) AS r) r
+    ),
+    sketch AS (
+      SELECT row_id, bucket, SUM(true_cnt) AS cnt
+      FROM expanded GROUP BY row_id, bucket
+    )
+    SELECT e.token, MAX(e.true_cnt) AS true_cnt, CAST(MIN(s.cnt) AS BIGINT) AS est
+    FROM expanded e JOIN sketch s ON s.row_id = e.row_id AND s.bucket = e.bucket
+    GROUP BY e.token""",
+    doc=(
+        "hand-rolled Count-Min Sketch with explicit md5 hash rows (depth 4 x "
+        "width 64), cross-engine verified: build the sketch from token "
+        "counts, then probe every token (estimate = min over rows of its "
+        "bucket count; guaranteed >= true count). Unlike count_min_sketch's "
+        "opaque bytes this construction is engine-portable, and the sketch "
+        "is a 256-row mergeable relation: at 100 TB per-partition partial "
+        "sketches OR-merge in one map-side-combined aggregation and the "
+        "probe joins against a broadcast of those 256 rows"
+    ),
+    tags=("sketch", "approx", "heavy-hitters"),
+)
+def cms_manual_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    expanded = tok.select(
+        "token",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_id"),
+    ).select(
+        "token",
+        "true_cnt",
+        "row_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("row_id").cast("string"), "token")), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % 64
+        ).alias("bucket"),
+    )
+    sketch = expanded.groupBy("row_id", "bucket").agg(F.sum("true_cnt").alias("cnt"))
+    return (
+        expanded.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("token")
+        .agg(F.max("true_cnt").alias("true_cnt"), F.min("cnt").alias("est"))
+    )

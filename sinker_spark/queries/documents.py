@@ -727,3 +727,39 @@ def seqpack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return base.withColumn("bin_id", F.floor(prior / 512).cast("bigint"))
+
+
+@query(
+    "chunk_dedup_clean",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i*10+1 : i*10+10], ' ') AS chunk
+      FROM base, unnest(range(0, CAST(ceil(len(toks)/10.0) AS INT))) AS t(i)
+      WHERE len(toks) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_chunks,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text
+    FROM ranked GROUP BY doc_id""",
+    doc=(
+        "chunk-level exact dedup (operators/text.chunk_dedup): consecutive "
+        "10-token chunks, global first-occurrence wins (ordered by doc_id, "
+        "pos), cleaned text rebuilt from survivors — the distributed shape "
+        "of substring-level training-data dedup (Lee et al. 2022); two "
+        "bounded shuffles, no all-pairs"
+    ),
+    tags=("dedup-chunk", "training-pipeline"),
+)
+def chunk_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.chunk_dedup(t["documents"], chunk_tokens=10)

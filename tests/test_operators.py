@@ -393,3 +393,44 @@ def test_multimodal_stages_add_no_exchange_or_extra_scan(spark):
     # explicit opt-in still reshuffles
     forced = multimodal.decode_image_features(mm, fake=True, num_partitions=4)
     assert "Exchange" in forced._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- chunk-level dedup (substring-dedup shape) --------------------------
+def test_chunk_dedup_removes_cross_doc_repeats(spark):
+    from sinker_spark.operators.text import chunk_dedup
+
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"          # one exact 10-token chunk
+    df = spark.createDataFrame(
+        [(1, a + " unique tail tokens here"),      # first occurrence wins
+         (2, a + " different suffix entirely"),    # shares chunk 0 with doc 1
+         (3, "totally fresh content nothing shared")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=10).collect()}
+    assert out[1]["n_dup_chunks"] == 0
+    assert out[1]["clean_text"].startswith(a)
+    assert out[2]["n_dup_chunks"] == 1            # chunk 0 seen in doc 1 first
+    assert a not in out[2]["clean_text"]
+    assert out[2]["clean_text"] == "different suffix entirely"
+    assert out[3]["n_dup_chunks"] == 0
+    assert out[3]["clean_text"] == "totally fresh content nothing shared"
+
+
+def test_chunk_dedup_intra_doc_repeat(spark):
+    from sinker_spark.operators.text import chunk_dedup
+
+    rep = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(7, rep + " " + rep)], "doc_id bigint, text string")
+    row = chunk_dedup(df, chunk_tokens=10).collect()[0]
+    assert row["n_chunks"] == 2 and row["n_dup_chunks"] == 1
+    assert row["clean_text"] == rep
+
+
+def test_cms_estimates_never_undercount(spark):
+    from sinker_spark.queries import REGISTRY, _load
+    from tests.conftest import SF_SMALL
+
+    _load()
+    rows = REGISTRY["cms_manual_estimates"].fn(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["est"] >= r["true_cnt"] for r in rows)
