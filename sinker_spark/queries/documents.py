@@ -763,3 +763,75 @@ def seqpack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunk_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return text.chunk_dedup(t["documents"], chunk_tokens=10)
+
+
+@query(
+    "domain_mix_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+               / 16777216.0 AS u
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS INT)
+               AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, CAST(r.replica AS INT) AS replica
+    FROM n, unnest(range(1, n_copies + 1)) AS r(replica)
+    WHERE n_copies > 0""",
+    doc=(
+        "domain-mixture resampling (operators/curation.weighted_resample): "
+        "src0 upsampled 2.5x, src1 downsampled 0.5x, src2 dropped, rest "
+        "kept — floor(w) replicas + one md5-Bernoulli extra, expected "
+        "multiplicity exactly w, deterministic across engines and cluster "
+        "layouts; pure per-row map, zero shuffle"
+    ),
+    tags=("sampling", "curation", "training-pipeline"),
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.curation import weighted_resample
+
+    t = load_tables(spark, sf_dir)
+    out = weighted_resample(
+        t["documents"], {"src0": 2.5, "src1": 0.5, "src2": 0.0}, default_weight=1.0
+    )
+    return out.select("doc_id", "source", "replica")
+
+
+@query(
+    "token_budget_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM ranked
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM running WHERE cum_tokens <= 400""",
+    doc=(
+        "per-source token budget (operators/curation.token_budget_cap): "
+        "md5-priority order, keep while the inclusive running token total "
+        "<= 400 — the 'cap this domain at N tokens' recipe step, "
+        "deterministic on any cluster; one shuffle (the per-source "
+        "running-sum window)"
+    ),
+    tags=("sampling", "curation", "training-pipeline"),
+)
+def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.curation import token_budget_cap
+
+    t = load_tables(spark, sf_dir)
+    return token_budget_cap(t["documents"], budget_tokens=400)

@@ -434,3 +434,39 @@ def test_cms_estimates_never_undercount(spark):
     rows = REGISTRY["cms_manual_estimates"].fn(spark, SF_SMALL).collect()
     assert rows
     assert all(r["est"] >= r["true_cnt"] for r in rows)
+
+
+def test_weighted_resample_multiplicities(spark):
+    from sinker_spark.operators.curation import weighted_resample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", "x") for i in range(200)], "doc_id bigint, source string, text string"
+    )
+    out = weighted_resample(df, {"s0": 3.0, "s1": 0.0}).collect()
+    # s0: exactly 3 replicas per doc (integer weight, no Bernoulli part)
+    per_doc = {}
+    for r in out:
+        assert r["source"] == "s0"
+        per_doc.setdefault(r["doc_id"], []).append(r["replica"])
+    assert len(per_doc) == 100
+    assert all(sorted(v) == [1, 2, 3] for v in per_doc.values())
+    # fractional weight: expected count ~ w * n, deterministic across reruns
+    out2 = weighted_resample(df, {"s0": 1.5, "s1": 1.0})
+    n1 = out2.count()
+    assert n1 == weighted_resample(df, {"s0": 1.5, "s1": 1.0}).count()
+    assert 200 < n1 < 300  # 100*1.5 + 100*1.0 in expectation = 250
+
+
+def test_token_budget_cap_inclusive_boundary(spark):
+    from sinker_spark.operators.curation import token_budget_cap
+
+    df = spark.createDataFrame(
+        [(i, "only", "a b c d e") for i in range(10)],  # 5 tokens each
+        "doc_id bigint, source string, text string",
+    )
+    kept = token_budget_cap(df, budget_tokens=25).collect()
+    assert len(kept) == 5  # 5 docs * 5 tokens fill the budget exactly
+    assert max(r["cum_tokens"] for r in kept) == 25
+    # determinism: same keep-set on rerun
+    again = token_budget_cap(df, budget_tokens=25).collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in again}
