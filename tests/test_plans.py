@@ -220,3 +220,22 @@ def test_seqpack_single_partitioned_window(spark):
     plan = _plan(spark, "seqpack_token_bins")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "hashpartitioning" in plan and "SinglePartition" not in plan
+
+
+def test_curation_and_chunk_dedup_shuffle_budgets(spark):
+    """The new curation/dedup lanes honor their documented shuffle
+    budgets: resample is a pure map (0 exchanges), token budget is one
+    windowed shuffle, chunk dedup is exactly two (chunk window +
+    reassembly), and the CMS probe joins a broadcast sketch."""
+    import re
+
+    def n_exchanges(name: str) -> int:
+        # formatted explain lists operators as "(N) Exchange"; count nodes,
+        # not the Arguments detail lines
+        return len(re.findall(r"\(\d+\) Exchange", _plan(spark, name)))
+
+    assert n_exchanges("domain_mix_resample") == 0
+    assert n_exchanges("token_budget_per_source") == 1
+    assert n_exchanges("chunk_dedup_clean") == 2
+    plan = _plan(spark, "cms_manual_estimates")
+    assert "BroadcastHashJoin" in plan, "sketch probe must broadcast the 256-row sketch"
