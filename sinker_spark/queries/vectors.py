@@ -261,3 +261,61 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cell = emb.join(assigned.select("vec_id", "cluster"), "vec_id")
     queries_df = with_cell.where(F.col("vec_id") % 100 == 0)
     return ivf_topk(with_cell, queries_df, k=3, cell_col="cluster")
+
+
+_QR_IDOT = (
+    "list_sum(list_transform(range(1, len(a.codes) + 1), i -> a.codes[i] * b.codes[i]))"
+    " / (sqrt(list_sum(list_transform(a.codes, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(b.codes, x -> x * x))))"
+)
+
+
+@query(
+    "ann_quantized_rerank_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(round(x / s * 127.0) AS BIGINT)) AS codes
+      FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s FROM v) t
+      WHERE s > 0
+    ),
+    cand AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, a.e AS qe, b.e AS ne,
+             round({_QR_IDOT}, 6) AS asim
+      FROM (SELECT * FROM c WHERE vec_id < 10) a JOIN c b ON a.vec_id <> b.vec_id
+    ),
+    short AS (
+      SELECT qid, nid, qe, ne FROM (
+        SELECT qid, nid, qe, ne,
+               row_number() OVER (PARTITION BY qid ORDER BY asim DESC, nid) AS pr
+        FROM cand) t WHERE pr <= 25
+    ),
+    exact AS (
+      SELECT qid, nid,
+             round(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ne[i]))
+                   / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ne, x -> x * x)))), 6) AS sim
+      FROM short
+    )
+    SELECT qid, nid, sim, rank FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM exact
+    ) t WHERE rank <= 5""",
+    doc=(
+        "two-stage ANN (operators/similarity.quantized_rerank_topk): int8 "
+        "code prefilter (integer dots — exact, order-independent; scale "
+        "cancels in cosine) shortlists 25 per query, exact double cosine "
+        "reranks to top-5 — the memory-bound production pattern: codes are "
+        "4x smaller hot data, floats touched only for the shortlist"
+    ),
+    tags=("similarity-topk", "similarity-quantize"),
+)
+def ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.quantized_rerank_topk(emb, queries, k=5, prefilter=25).select(
+        "qid", "nid", "sim", "rank"
+    )

@@ -49,6 +49,36 @@ def test_parse_debezium(spark):
     assert json.loads(row["payload"])["name"] == "Jane"
 
 
+def test_parse_debezium_schema_drift_new_columns(spark):
+    """Source-side DDL adds a column mid-stream: the after-map schema is
+    open (map<string,string>), so never-seen columns flow straight into
+    the payload JSON — no parser change, no crash, no silent drop."""
+    envs = [
+        {"payload": {"op": "c", "lsn": 1,
+                     "source": {"schema": "public", "table": "person"},
+                     "before": None, "after": {"id": "p-1", "name": "A"}}},
+        # later record carries a brand-new column
+        {"payload": {"op": "u", "lsn": 2,
+                     "source": {"schema": "public", "table": "person"},
+                     "before": {"id": "p-1", "name": "A"},
+                     "after": {"id": "p-1", "name": "A", "nickname": "Ace"}}},
+    ]
+    df = spark.createDataFrame([(json.dumps(e),) for e in envs], "value string")
+    rows = {r["lsn"]: r for r in parse_debezium_json(df).collect()}
+    assert "nickname" not in json.loads(rows[1]["payload"])
+    assert json.loads(rows[2]["payload"])["nickname"] == "Ace"
+
+
+def test_parse_debezium_malformed_envelope_drops_to_nulls(spark):
+    """Garbage on the topic must not kill the stream: from_json yields
+    nulls, and the null-table rows are filterable, not fatal."""
+    df = spark.createDataFrame([("not json at all",), ("{}",)], "value string")
+    out = parse_debezium_json(df)
+    rows = out.collect()
+    assert len(rows) == 2 and all(r["table"] is None for r in rows)
+    assert out.where("table IS NOT NULL").count() == 0
+
+
 def test_latest_per_key_compaction(spark):
     df = spark.createDataFrame(
         [

@@ -470,3 +470,20 @@ def test_token_budget_cap_inclusive_boundary(spark):
     # determinism: same keep-set on rerun
     again = token_budget_cap(df, budget_tokens=25).collect()
     assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in again}
+
+
+def test_quantized_rerank_recall_vs_brute_force(spark):
+    from sinker_spark.catalog import load_tables
+    from tests.conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["qid"], r["nid"]) for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    two_stage = {(r["qid"], r["nid"])
+                 for r in similarity.quantized_rerank_topk(emb, queries, k=5, prefilter=25).collect()}
+    # int8 prefilter at 25 candidates should recover most exact neighbors
+    assert len(two_stage & exact) / len(exact) >= 0.8
+    # every rank list is exactly k long
+    from collections import Counter
+    per_q = Counter(q for q, _ in two_stage)
+    assert all(v == 5 for v in per_q.values())
