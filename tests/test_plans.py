@@ -239,3 +239,26 @@ def test_curation_and_chunk_dedup_shuffle_budgets(spark):
     assert n_exchanges("chunk_dedup_clean") == 2
     plan = _plan(spark, "cms_manual_estimates")
     assert "BroadcastHashJoin" in plan, "sketch probe must broadcast the 256-row sketch"
+
+
+def test_no_unbounded_join_strategies_anywhere(spark):
+    """Global plan hygiene over the ENTIRE registry: no CartesianProduct
+    ever, and BroadcastNestedLoopJoin only where a bounded side is
+    broadcast by design (ANN query batches, the band dimension of the
+    range join, the tiny×tiny cross join). A new query that trips this
+    either broadcasts a bounded side deliberately (add it here with the
+    reason) or gets rewritten."""
+    allowed_bnlj = {
+        "ann_cosine_topk",          # broadcast query batch × corpus scan
+        "ann_quantized_rerank_topk",  # same, int8 prefilter stage
+        "range_join_price_bands",   # broadcast band dimension, range predicate
+        "cross_join_region_status",  # both sides bounded dims
+    }
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        plan = spec.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
