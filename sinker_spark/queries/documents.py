@@ -835,3 +835,56 @@ def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return token_budget_cap(t["documents"], budget_tokens=400)
+
+
+@query(
+    "bm25_relevance_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    lens AS (SELECT id, CAST(len(tk) AS INT) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(ROUND(SUM(CAST(dl AS DECIMAL(28,6))), 6) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM lens
+    ),
+    hits AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT id, unnest(tk) AS term FROM toks) t
+      WHERE term IN ('spark', 'join', 'data')
+      GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.id, h.term,
+             CAST(round(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (h.tf * (1.2 + 1))
+               / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS s_micro
+      FROM hits h
+      JOIN dfreq d USING (term)
+      CROSS JOIN stats s
+      JOIN lens l ON l.id = h.id
+    )
+    SELECT id, CAST(COUNT(*) AS INT) AS n_terms_hit,
+           CAST(SUM(s_micro) AS DOUBLE) / 1e6 AS score
+    FROM scored GROUP BY id""",
+    doc=(
+        "Lucene-flavored BM25 over the documents corpus for query terms "
+        "('spark','join','data') — the sink-side (Elasticsearch) relevance "
+        "model re-expressed on the lake (operators/relevance.bm25_scores). "
+        "Per-term scores accumulate as integer micro-units so the sum is "
+        "order-independent across engines and partitionings; corpus stats "
+        "and per-term df broadcast into the scoring join"
+    ),
+    tags=("relevance", "bm25", "text-search"),
+)
+def bm25_relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.relevance import bm25_scores
+
+    t = load_tables(spark, sf_dir)
+    return bm25_scores(t["documents"], ["spark", "join", "data"])

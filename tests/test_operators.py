@@ -487,3 +487,27 @@ def test_quantized_rerank_recall_vs_brute_force(spark):
     from collections import Counter
     per_q = Counter(q for q, _ in two_stage)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a controlled corpus: rarer terms score higher (idf),
+    higher tf scores higher, and longer docs are penalized (length norm)."""
+    from sinker_spark.operators.relevance import bm25_scores
+
+    docs = [
+        (1, "rare common filler filler"),
+        (2, "common filler filler filler"),
+        (3, "rare rare common filler"),
+        (4, "rare " + "filler " * 40),  # long doc, one hit
+        (5, "common words everywhere common"),
+        (6, "no query words at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["id"]: r for r in bm25_scores(df, ["rare", "common"]).collect()}
+    assert 6 not in out                      # no hits → no row
+    assert out[3]["score"] > out[1]["score"]  # extra rare hit raises the score
+    assert out[1]["score"] > out[2]["score"]  # rare term (higher idf) outranks common-only
+    # length normalization: same tf of 'rare', much longer doc scores lower
+    one_rare_short = bm25_scores(df, ["rare"]).collect()
+    scores = {r["id"]: r["score"] for r in one_rare_short}
+    assert scores[1] > scores[4]
