@@ -132,3 +132,45 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Per-node triangle participation counts — the standard distributed
+    triangle algorithm: canonicalize to ``u < v`` edges, build wedges
+    (e1.v = e2.u), close them against a third edge, count each triangle
+    exactly once (``u < v < w`` ordering), then explode the three corners
+    for per-node totals.
+
+    Output: ``(node, n_triangles)`` for nodes in ≥1 triangle.
+
+    Scale shape: two equi-joins on vertex keys — O(Σ deg(v)²) wedge rows,
+    never all-triples. Heavy-hitter vertices dominate Σ deg²; the classic
+    mitigation (orient edges low-degree → high-degree before wedging,
+    which bounds wedges at O(m^1.5)) drops in by replacing the id
+    ordering with a (degree, id) ordering — the join structure below is
+    unchanged.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    wedge = (
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")
+    )
+    tri = wedge.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

@@ -1036,3 +1036,62 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, src="cust_nation", dst="supp_nation", weight="n_lines", iterations=8)
     return ranks.select(F.col("node").alias("nation"), F.round("rank", 9).alias("rank_r9"))
+
+
+@query(
+    "triangle_count_trade_graph",
+    oracle="""
+    WITH pairs AS (
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, COUNT(*) AS n_lines
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY cn.n_name, sn.n_name
+    ),
+    e AS (
+      SELECT DISTINCT least(cust_nation, supp_nation) AS u,
+             greatest(cust_nation, supp_nation) AS v
+      FROM pairs
+      WHERE n_lines >= 3 AND cust_nation <> supp_nation
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e1.v = e2.u) w
+      JOIN e e3 ON e3.u = w.a AND e3.v = w.c
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri) t
+    GROUP BY node""",
+    doc=(
+        "per-node triangle counts over the nation trade graph "
+        "(operators/graph.triangle_count): canonical u<v<w ordered-edge "
+        "joins count each triangle once — O(Σ deg²) wedges, never "
+        "all-triples; completes the graph lane (components, PageRank, "
+        "triangles)"
+    ),
+    tags=("graph-triangles",),
+)
+def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    cn = t["nation"].select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sn = t["nation"].select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    edges = pairs.where(
+        (F.col("n_lines") >= 3) & (F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return triangle_count(edges, src="cust_nation", dst="supp_nation")

@@ -51,3 +51,17 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles, every node in 3; an appended path node joins none."""
+    from sinker_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 4)], "u int, v int")
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    # duplicate + reversed edges must not inflate counts
+    edges_dup = spark.createDataFrame(k4 + [(b, a) for a, b in k4], "u int, v int")
+    out2 = {r["node"]: r["n_triangles"] for r in triangle_count(edges_dup).collect()}
+    assert out2 == {0: 3, 1: 3, 2: 3, 3: 3}
