@@ -281,3 +281,73 @@ def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "zdist",
     )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered
+    ),
+    runs AS (
+      SELECT user_id, CAST(version AS INT) AS version,
+             MIN(event_type) AS event_type,
+             MIN(ts) AS vf, CAST(COUNT(*) AS INT) AS n_events
+      FROM versioned GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY version),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current,
+           n_events
+    FROM runs""",
+    doc=(
+        "SCD Type-2 reconstruction from an event log: consecutive "
+        "same-value runs collapse into versioned validity intervals "
+        "(valid_from, valid_to, is_current) per user — the warehouse "
+        "history-table shape the CDC lanes feed; two windows + one "
+        "aggregation, all partitioned by the entity key (one shuffle)"
+    ),
+    tags=("scd2", "window-frames", "cdc"),
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    versioned = t["events"].select(
+        "user_id", "event_type", "ts", F.sum(chg).over(w).alias("version")
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("vf"),
+        F.count("*").cast("int").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return runs.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        "event_type",
+        F.date_format("vf", fmt).alias("valid_from"),
+        F.date_format(F.lead("vf").over(wv), fmt).alias("valid_to"),
+        F.lead("vf").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
