@@ -351,3 +351,48 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("vf").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT strftime(s.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', s.cohort_week, a.week) / 7 AS INT) AS weeks_since,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_active
+    FROM signup s JOIN activity a ON a.user_id = s.user_id
+    WHERE a.week >= s.cohort_week
+    GROUP BY s.cohort_week, weeks_since""",
+    doc=(
+        "cohort retention matrix: users cohorted by first-signup week, "
+        "counted distinct in each subsequent activity week — the classic "
+        "product-analytics rollup; signup side is one filtered aggregation, "
+        "activity side a distinct projection, one join on the user key "
+        "(both engines truncate weeks to Monday)"
+    ),
+    tags=("cohort", "retention", "funnel"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    return (
+        signup.join(activity, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
