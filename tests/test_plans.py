@@ -253,6 +253,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "ann_quantized_rerank_topk",  # same, int8 prefilter stage
         "range_join_price_bands",   # broadcast band dimension, range predicate
         "cross_join_region_status",  # both sides bounded dims
+        "bm25_relevance_scores",    # one-row corpus-stats (N, avgdl) broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
