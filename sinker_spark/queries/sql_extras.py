@@ -564,3 +564,122 @@ _sql(
     ),
     tags=("functions-map", "hof"),
 )
+
+# --- manual HyperLogLog: explicit md5 registers, cross-engine verified ---
+# 64 registers (6 bucket bits), 54-bit rank field. Registers are pure
+# integers; the estimator avoids float-sum order entirely: with
+# R = max register, Z = sum(2^-r) = S / 2^R where S = sum(2^(R-r)) is an
+# exact BIGINT — so the only float ops are one division and the alpha
+# multiply, identical in both engines. Linear-counting correction below
+# 2.5m uses ln(), pinned by round(4).
+# explicit DOUBLE casts: Spark parses bare decimal literals as DECIMAL
+# (decimal division truncates differently than IEEE); DuckDB promotes to
+# DOUBLE — cast both so alpha is the identical double in both engines
+_HLL_ALPHA = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))"
+)
+_sql(
+    "hll_manual_distinct_customers",
+    spark_sql=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS prio,
+             CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h60
+      FROM orders
+    ),
+    rho AS (
+      SELECT prio, pmod(h60, 64) AS bucket,
+             CASE WHEN h60 DIV 64 = 0 THEN 55
+                  ELSE 54 - length(bin(h60 DIV 64)) + 1 END AS r
+      FROM h
+    ),
+    regs AS (SELECT prio, bucket, MAX(r) AS r FROM rho GROUP BY prio, bucket),
+    reg64 AS (
+      SELECT p.prio, b.bucket, COALESCE(regs.r, 0) AS r
+      FROM (SELECT DISTINCT prio FROM regs) p
+      CROSS JOIN (SELECT explode(sequence(0, 63)) AS bucket) b
+      LEFT JOIN regs ON regs.prio = p.prio AND regs.bucket = b.bucket
+    ),
+    winmax AS (
+      SELECT prio, bucket, r, MAX(r) OVER (PARTITION BY prio) AS rmax FROM reg64
+    ),
+    agg AS (
+      SELECT prio, rmax,
+             SUM(shiftleft(CAST(1 AS BIGINT), rmax - r)) AS s,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM winmax GROUP BY prio, rmax
+    ),
+    est AS (
+      SELECT prio,
+             {_HLL_ALPHA} * 4096.0 * power(2.0, CAST(rmax AS DOUBLE))
+               / CAST(s AS DOUBLE) AS e_raw,
+             v
+      FROM agg
+    )
+    SELECT e.prio,
+           -- floor-based 4-decimal rounding: identical float ops in both
+           -- engines (ROUND(double, n) semantics differ at half-ulp
+           -- boundaries between Spark's BigDecimal HALF_UP and DuckDB's)
+           CAST(FLOOR((CASE WHEN e.e_raw <= CAST(160.0 AS DOUBLE) AND e.v > 0
+                            THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(e.v AS DOUBLE))
+                            ELSE e.e_raw END) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) AS hll_estimate,
+           x.exact_distinct
+    FROM est e
+    JOIN (SELECT o_orderpriority AS prio, COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders GROUP BY o_orderpriority) x ON x.prio = e.prio""",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS prio,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+      FROM orders
+    ),
+    rho AS (
+      SELECT prio, h60 % 64 AS bucket,
+             CASE WHEN h60 // 64 = 0 THEN 55
+                  ELSE 54 - length(bin(h60 // 64)) + 1 END AS r
+      FROM h
+    ),
+    regs AS (SELECT prio, bucket, MAX(r) AS r FROM rho GROUP BY prio, bucket),
+    reg64 AS (
+      SELECT p.prio, b.bucket, COALESCE(regs.r, 0) AS r
+      FROM (SELECT DISTINCT prio FROM regs) p
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN regs ON regs.prio = p.prio AND regs.bucket = b.bucket
+    ),
+    winmax AS (
+      SELECT prio, bucket, r, MAX(r) OVER (PARTITION BY prio) AS rmax FROM reg64
+    ),
+    agg AS (
+      SELECT prio, rmax,
+             SUM(CAST(1 AS BIGINT) << CAST(rmax - r AS INT)) AS s,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM winmax GROUP BY prio, rmax
+    ),
+    est AS (
+      SELECT prio,
+             {_HLL_ALPHA} * 4096.0 * power(2.0, CAST(rmax AS DOUBLE))
+               / CAST(s AS DOUBLE) AS e_raw,
+             v
+      FROM agg
+    )
+    SELECT e.prio,
+           CAST(FLOOR((CASE WHEN e.e_raw <= CAST(160.0 AS DOUBLE) AND e.v > 0
+                            THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(e.v AS DOUBLE))
+                            ELSE e.e_raw END) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) AS hll_estimate,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est e
+    JOIN (SELECT o_orderpriority AS prio, COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders GROUP BY o_orderpriority) x ON x.prio = e.prio""",
+    doc=(
+        "hand-rolled HyperLogLog (64 registers from explicit md5 bits) "
+        "with linear-counting small-range correction, next to the exact "
+        "distinct count — unlike approx_count_distinct's opaque sketch "
+        "this construction is engine-portable and fully oracle-verified. "
+        "Registers are per-(group, bucket) MAXes → mergeable map-side "
+        "partials (64 rows per group regardless of input size); the "
+        "estimator is integer-exact up to one float division"
+    ),
+    tags=("sketch", "approx", "agg-distinct", "hll"),
+)

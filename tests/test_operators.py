@@ -511,3 +511,43 @@ def test_bm25_ranking_properties(spark):
     one_rare_short = bm25_scores(df, ["rare"]).collect()
     scores = {r["id"]: r["score"] for r in one_rare_short}
     assert scores[1] > scores[4]
+
+
+def test_hll_manual_error_bound(spark):
+    """The 64-register HLL estimate must land within ~3 standard errors
+    (1.04/sqrt(64) ≈ 13% → 39%) of the exact distinct count per group."""
+    from sinker_spark.queries import REGISTRY, _load
+    from tests.conftest import SF_SMALL
+
+    _load()
+    rows = REGISTRY["hll_manual_distinct_customers"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_distinct"]
+        assert exact > 0
+        assert abs(r["hll_estimate"] - exact) / exact <= 0.39, r
+
+
+def test_hll_linear_counting_branch_engine_parity(spark):
+    """The small-range (linear counting) branch is float math — assert
+    Spark and DuckDB produce bit-identical estimates for every possible
+    zero-register count v in 1..63 under the shared floor-rounding."""
+    import duckdb
+
+    expr = (
+        "CAST(FLOOR((CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE)))"
+        " * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        " / CAST(10000.0 AS DOUBLE)"
+    )
+    sp = {
+        r["v"]: r["e"]
+        for r in spark.sql(
+            f"SELECT v, {expr} AS e FROM (SELECT explode(sequence(1, 63)) AS v)"
+        ).collect()
+    }
+    du = dict(
+        duckdb.sql(
+            f"SELECT v, {expr} AS e FROM (SELECT unnest(range(1, 64)) AS v)"
+        ).fetchall()
+    )
+    assert sp == du
