@@ -888,3 +888,86 @@ def bm25_relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return bm25_scores(t["documents"], ["spark", "join", "data"])
+
+
+@query(
+    "curation_pipeline_end_to_end",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    quality AS (
+      SELECT doc_id, text, t, len(t) AS n_tokens FROM base WHERE len(t) >= 25),
+    canon AS (
+      SELECT doc_id, text, t, n_tokens FROM (
+        SELECT doc_id, text, t, n_tokens,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS cid
+        FROM quality) x WHERE doc_id = cid),
+    corpus AS (SELECT * FROM canon WHERE doc_id % 20 <> 0),
+    sh_c AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(list_transform(t, (x, i) ->
+                 CASE WHEN i + 3 <= len(t)
+                      THEN array_to_string(t[i:i+3], ' ') END),
+                 s -> s IS NOT NULL))) AS shingle
+      FROM corpus),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_filter(list_transform(t, (x, i) ->
+                 CASE WHEN i + 3 <= len(t)
+                      THEN array_to_string(t[i:i+3], ' ') END),
+                 s -> s IS NOT NULL))) AS shingle
+      FROM base WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM sh_c c JOIN bench b USING (shingle)),
+    clean AS (
+      SELECT corpus.doc_id, corpus.n_tokens FROM corpus
+      LEFT JOIN contaminated ct ON corpus.doc_id = ct.doc_id
+      WHERE ct.doc_id IS NULL)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS h
+          FROM clean) z""",
+    doc=(
+        "the full curation recipe as ONE verified unit: quality gate "
+        "(>=25 tokens) -> exact-dedup canonical survivors -> benchmark "
+        "decontamination (drop docs sharing any 4-shingle with the "
+        "held-out doc_id%20 split) -> leakage-free hash split assignment. "
+        "Composes operators/text + operators/dedup exactly as a user "
+        "would; every stage is the bounded-shuffle shape documented in "
+        "SCALING.md, and the composition is oracle-matched end to end"
+    ),
+    tags=("training-pipeline", "curation", "dedup-exact", "decontamination", "split"),
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    n_tok = F.size(text.tokens("text"))
+    quality = docs.select("doc_id", "text", n_tok.alias("n_tokens")).where(
+        F.col("n_tokens") >= 25
+    )
+    w = Window.partitionBy(F.md5("text"))
+    canon = (
+        quality.withColumn("cid", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("cid"))
+        .drop("cid")
+    )
+    corpus = canon.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    overlap = text.ngram_decontaminate(corpus, bench, n=4).select("doc_id")
+    clean = corpus.join(overlap, "doc_id", "left_anti")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return clean.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
+    )
