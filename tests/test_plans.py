@@ -254,6 +254,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "range_join_price_bands",   # broadcast band dimension, range predicate
         "cross_join_region_status",  # both sides bounded dims
         "bm25_relevance_scores",    # one-row corpus-stats (N, avgdl) broadcast
+        "hll_manual_distinct_customers",  # groups × 64-bucket register spine, both bounded
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
