@@ -860,9 +860,28 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_percentile_prices",
-    oracle=None,
-    doc="approx_percentile over order totals per status (t-digest-style sketch; engine-specific → rows-only). Percentiles exploded to one row per (status, quantile) so no result column is array-typed (driver canonicalizer can't hash arrays).",
-    tags=("approx",),
+    oracle="""
+    SELECT status, quantile, price FROM (
+      SELECT o_orderstatus AS status, 'p50' AS quantile,
+             quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS price
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, 'p90', quantile_disc(CAST(o_totalprice AS DOUBLE), 0.9)
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, 'p99', quantile_disc(CAST(o_totalprice AS DOUBLE), 0.99)
+      FROM orders GROUP BY o_orderstatus) u""",
+    doc=(
+        "approx_percentile over order totals per status, run in the "
+        "sketch's exactness regime: the GK summary is rank-exact once "
+        "accuracy > 2n (here 1e6 vs ~50k rows/group), so the sketch output "
+        "IS the discrete order statistic and hash-matches DuckDB's "
+        "quantile_disc — the approximate lane gets a full oracle instead "
+        "of rows-only (boundary semantics cross-checked in "
+        "tests/test_operators.py). Percentiles exploded to one row per "
+        "(status, quantile) so no result column is array-typed."
+    ),
+    tags=("approx", "percentile"),
 )
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -870,7 +889,9 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+            F.percentile_approx(
+                F.col("o_totalprice").cast("double"), [0.5, 0.9, 0.99], 1000000
+            ).alias("pcts"),
         )
     )
     labels = F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))

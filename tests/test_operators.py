@@ -551,3 +551,23 @@ def test_hll_linear_counting_branch_engine_parity(spark):
         ).fetchall()
     )
     assert sp == du
+
+
+def test_approx_percentile_exactness_regime_boundaries(spark):
+    """approx_percentile with accuracy >> n must return the identical
+    discrete order statistic as DuckDB's quantile_disc — including the
+    integral-rank boundary cases that could expose definition drift."""
+    import duckdb
+
+    for n in (4, 5, 6, 10, 101):
+        vals = [float(i + 1) for i in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        sp = df.agg(
+            F.percentile_approx("x", [0.25, 0.5, 0.75, 0.95], 1000000).alias("p")
+        ).collect()[0]["p"]
+        du = duckdb.sql(
+            "SELECT [quantile_disc(x,0.25),quantile_disc(x,0.5),"
+            "quantile_disc(x,0.75),quantile_disc(x,0.95)] "
+            f"FROM (SELECT unnest({vals}) AS x)"
+        ).fetchall()[0][0]
+        assert list(sp) == [float(v) for v in du], n
