@@ -193,6 +193,11 @@ class SyncEngine:
             if v.join is not None and (changed & v.deps) <= {v.join.table_a, v.join.table_b}:
                 if self._delta_join_refresh(v, cdc, epoch_id):
                     continue
+            # HLL distinct-count lane: INSERT-only batches MAX-merge into
+            # stored registers (monotone — deletes/updates fall back)
+            if v.distinct is not None and (changed & v.deps) <= {v.distinct.table}:
+                if self._hll_distinct_refresh(v, cdc, epoch_id):
+                    continue
             # each view's hook sees only the changed tables it depends on
             relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
             scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
@@ -282,6 +287,77 @@ class SyncEngine:
         }
         logger.info("delta-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
+        return True
+
+    def _hll_distinct_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """HLL register lane for approximate distinct-count views
+        (ivm_hll): MAX-merge the batch's inserted values into stored
+        per-(group, bucket) registers and emit upserted estimates for the
+        touched groups only — O(batch) compute, never a fact scan, and
+        idempotent under replay (MAX-merge). Registers are monotone, so
+        a batch containing DELETE or UPDATE rows for the fact table
+        returns False and the recompute lane rebuilds registers exactly.
+
+        Same snapshot-point initialization contract as the delta-agg
+        lane; state persists as ``{view}__hllstate`` keyed by
+        ``group|bucket``."""
+        from sinker_spark import ivm_hll
+
+        spec = view.distinct
+        rows = cdc.where(F.col("table") == spec.table)
+        if rows.where(F.col("op").isin("DELETE", "UPDATE")).limit(1).count():
+            return False
+
+        batch = (
+            rows.where(F.col("payload").isNotNull())
+            .select(F.from_json(F.col("payload"), spec.row_schema).alias("r"))
+            .select("r.*")
+            .withColumn(ivm_delta.OP_COL, F.lit(ivm_delta.INSERT))
+        )
+
+        state_name = f"{view.name}__hllstate"
+        packed = self.store.read(state_name)
+        if packed is None:
+            state = ivm_hll.initial_hll_state(
+                self.spark.table(spec.table), spec.keys, spec.value_col
+            )
+        else:
+            state = packed.select("doc.*")
+        new_state = ivm_hll.apply_hll_delta(
+            state, batch, spec.keys, spec.value_col
+        ).localCheckpoint(eager=True)  # pin before the store swap
+
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        touched = batch.select(*spec.keys).distinct()
+        estimates = ivm_hll.hll_estimate(
+            new_state.join(touched, spec.keys, "left_semi"), spec.keys
+        )
+        upserts = estimates.select(
+            group_id.alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct(
+                *[F.col(k).alias(k) for k in spec.keys],
+                F.col("n_distinct_est"),
+            ).alias("doc"),
+        )
+        n_up = upserts.count()
+        self.sink.apply_actions(view.index, upserts)
+
+        self.store.write(
+            state_name,
+            new_state.select(
+                F.concat_ws(
+                    "|", *[F.col(k).cast("string") for k in spec.keys], F.col("bucket")
+                ).alias(view.key),
+                F.struct(*spec.keys, "bucket", "r").alias("doc"),
+            ),
+            key=view.key,
+        )
+        self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "hll_distinct": 1}
+        logger.info(
+            "hll-distinct refreshed view %s (epoch %s): %s",
+            view.name, epoch_id, self.last_stats[view.name],
+        )
         return True
 
     def _delta_join_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:

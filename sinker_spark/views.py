@@ -81,6 +81,32 @@ class AggViewSpec:
 
 
 @dataclass
+class DistinctViewSpec:
+    """Declares a view as per-key APPROXIMATE distinct counts over one
+    fact table, eligible for the HLL register lane (ivm_hll): INSERT-only
+    CDC batches MAX-merge into stored registers — O(batch), no fact
+    scan, and idempotent under at-least-once replay. Registers are
+    monotone, so any DELETE or UPDATE in the batch (either could remove
+    a counted value) falls back to the recompute lane, which rebuilds
+    the registers from the fact table.
+
+    - ``table``: fact table name
+    - ``keys``: group-by columns; the doc id is their '|'-join
+    - ``value_col``: the column whose distinct values are counted
+    - ``row_schema``: DDL schema for parsing CDC payload JSON
+
+    The emitted document is ``struct(keys…, n_distinct_est double)`` —
+    the estimator is the cross-engine-verified math of the
+    ``hll_manual_distinct_customers`` gate query.
+    """
+
+    table: str
+    keys: list[str]
+    value_col: str
+    row_schema: str
+
+
+@dataclass
 class JoinViewSpec:
     """Declares a view as an equi-join of two base tables, making it
     eligible for the delta-join lane (ivm_delta.join_delta): CDC batches
@@ -118,6 +144,7 @@ class ViewDef:
     parent_table: str | None = None
     agg: AggViewSpec | None = None
     join: "JoinViewSpec | None" = None
+    distinct: "DistinctViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables
