@@ -464,3 +464,139 @@ def cms_manual_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.max("true_cnt").alias("true_cnt"), F.min("cnt").alias("est"))
     )
+
+
+@query(
+    "ols_trend_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      FROM orders GROUP BY o_orderpriority, o_orderdate
+    ),
+    m AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(ROUND(SUM(y), 2) AS DOUBLE) AS sy,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2)) * y), 2) AS DOUBLE) AS sxy
+      FROM daily GROUP BY prio
+    )
+    SELECT prio, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m""",
+    doc=(
+        "per-priority OLS trend of daily revenue (the regr_slope/"
+        "regr_intercept surface, computed from decimal-exact moments "
+        "instead of the built-ins so the float result is order-independent "
+        "and engine-identical): slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) "
+        "with Sy/Sxy accumulated as DECIMAL and x integer — two map-side-"
+        "combined aggregations, deterministic at any parallelism"
+    ),
+    tags=("functions-stats", "regression", "trend"),
+)
+def ols_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio,
+             datediff(o_orderdate, DATE '1992-01-01') AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      FROM orders GROUP BY o_orderpriority, o_orderdate
+    ),
+    m AS (
+      SELECT prio,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(ROUND(SUM(y), 2) AS DOUBLE) AS sy,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2)) * y), 2) AS DOUBLE) AS sxy
+      FROM daily GROUP BY prio
+    )
+    SELECT prio, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m""")
+
+
+@query(
+    "basket_pair_mining",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS orderkey, l_partkey % 50 AS item
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.orderkey = b.orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    ),
+    freq AS (SELECT item, COUNT(*) AS n FROM items GROUP BY item),
+    n_orders AS (SELECT COUNT(DISTINCT orderkey) AS total FROM items)
+    SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
+           round(CAST(p.support AS DOUBLE) / CAST(fa.n AS DOUBLE), 6) AS conf_a_to_b,
+           round(CAST(p.support AS DOUBLE) * CAST(t.total AS DOUBLE)
+                 / (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    CROSS JOIN n_orders t
+    WHERE p.support >= 3""",
+    doc=(
+        "market-basket pair mining over order lines (items coarsened to "
+        "50 part classes so baskets co-occur): pairwise support via a "
+        "basket self-join — O(Σ basket²) bounded by basket size, never "
+        "corpus² — plus confidence and lift from broadcast item "
+        "frequencies; the pairwise core of association-rule mining"
+    ),
+    tags=("basket", "association-rules", "join-self"),
+)
+def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    items = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("orderkey"), (F.col("l_partkey") % 50).alias("item"))
+        .distinct()
+    )
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.orderkey") == F.col("b.orderkey")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("support"))
+    )
+    freq = items.groupBy("item").agg(F.count("*").alias("n"))
+    total = items.select(F.count_distinct("orderkey").alias("total"))
+    return (
+        pairs.join(F.broadcast(freq).withColumnRenamed("item", "item_a").withColumnRenamed("n", "n_a"), "item_a")
+        .join(F.broadcast(freq).withColumnRenamed("item", "item_b").withColumnRenamed("n", "n_b"), "item_b")
+        .join(F.broadcast(total))
+        .where(F.col("support") >= 3)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(F.col("support").cast("double") / F.col("n_a").cast("double"), 6).alias("conf_a_to_b"),
+            F.round(
+                F.col("support").cast("double") * F.col("total").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

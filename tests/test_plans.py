@@ -255,6 +255,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "cross_join_region_status",  # both sides bounded dims
         "bm25_relevance_scores",    # one-row corpus-stats (N, avgdl) broadcast
         "hll_manual_distinct_customers",  # groups × 64-bucket register spine, both bounded
+        "basket_pair_mining",       # one-row total-baskets broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
