@@ -48,3 +48,34 @@ def observed(df: DataFrame, name: str, key: str | None = None) -> tuple[DataFram
     if key is not None:
         metrics.append(F.sum(F.col(key).isNull().cast("long")).alias("null_keys"))
     return df.observe(obs, *metrics), obs
+
+
+def expectations(df: DataFrame, checks: dict[str, "F.Column"]) -> DataFrame:
+    """Declarative expectation suite (the dbt-test / Great Expectations
+    analog): each named check is a boolean Column that must hold per
+    row; the result is one row per check with its violation count and
+    pass flag.
+
+    All checks evaluate in a SINGLE scan — each compiles to a
+    conditional count inside one aggregation (map-side combined), so a
+    20-check suite over 100 TB costs one pass, not 20. Uniqueness and
+    FK checks need joins/grouping — use ``duplicate_keys`` /
+    ``orphan_foreign_keys`` and union the summaries.
+    """
+    # violation = check not TRUE (false OR null): a NULL comparison fails
+    # the expectation — when(cond, 0).otherwise(1) lands NULLs in the
+    # violation branch, where ~cond would silently skip them
+    aggs = [
+        F.sum(F.when(cond, 0).otherwise(1)).cast("bigint").alias(name)
+        for name, cond in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    out = None
+    for name in checks:
+        row = wide.select(
+            F.lit(name).alias("check"),
+            F.col(name).alias("n_violations"),
+            (F.col(name) == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

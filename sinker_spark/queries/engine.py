@@ -418,3 +418,46 @@ def ivm_delta_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("__mult").alias("mult"),
     )
+
+
+@query(
+    "quality_expectations_suite",
+    oracle="""
+    WITH wide AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS custkey_not_null,
+        CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS status_in_domain,
+        CAST(SUM(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'
+                 THEN 0 ELSE 1 END) AS BIGINT) AS orderdate_in_range,
+        CAST(SUM(CASE WHEN length(o_orderpriority) > 0 THEN 0 ELSE 1 END) AS BIGINT) AS priority_nonempty
+      FROM orders)
+    SELECT 'price_positive' AS check_name, price_positive AS n_violations, price_positive = 0 AS passed FROM wide
+    UNION ALL SELECT 'custkey_not_null', custkey_not_null, custkey_not_null = 0 FROM wide
+    UNION ALL SELECT 'status_in_domain', status_in_domain, status_in_domain = 0 FROM wide
+    UNION ALL SELECT 'orderdate_in_range', orderdate_in_range, orderdate_in_range = 0 FROM wide
+    UNION ALL SELECT 'priority_nonempty', priority_nonempty, priority_nonempty = 0 FROM wide""",
+    doc=(
+        "declarative data-quality expectation suite (quality.expectations "
+        "— the dbt-test analog): range / not-null / domain / date-window / "
+        "non-empty checks over orders, ALL evaluated in one scan as "
+        "conditional counts inside a single map-side-combined aggregation "
+        "— a 20-check suite at 100 TB costs one pass, not 20"
+    ),
+    tags=("B22", "quality", "expectations"),
+)
+def quality_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.quality import expectations
+
+    t = load_tables(spark, sf_dir)
+    out = expectations(
+        t["orders"],
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "orderdate_in_range": F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+            "priority_nonempty": F.length("o_orderpriority") > 0,
+        },
+    )
+    return out.withColumnRenamed("check", "check_name")

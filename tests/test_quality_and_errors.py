@@ -93,3 +93,27 @@ def test_observed_metrics_piggyback_on_action(spark):
     out, obs = observed(df, "write_metrics", key="id")
     assert out.count() == 3  # the action that drives the metrics
     assert obs.get == {"n_rows": 3, "null_keys": 1}
+
+
+def test_expectations_single_scan_and_violations(spark):
+    """The expectation suite must (a) count violations correctly and
+    (b) compile every check into ONE aggregation over one scan."""
+    from sinker_spark.quality import expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 0.0, "X"), (4, 2.0, None)],
+        "id bigint, price double, status string",
+    )
+    out = {r["check"]: r for r in expectations(df, {
+        "price_positive": F.col("price") > 0,
+        "status_in_domain": F.col("status").isin("O", "F", "P"),
+        "status_not_null": F.col("status").isNotNull(),
+    }).collect()}
+    assert out["price_positive"]["n_violations"] == 2      # -5.0 and 0.0
+    assert out["status_in_domain"]["n_violations"] == 2    # 'X' and NULL
+    assert out["status_not_null"]["n_violations"] == 1
+    assert not out["price_positive"]["passed"]
+    # single aggregation: the plan scans the relation once
+    plan = expectations(df, {"a": F.col("price") > 0, "b": F.col("status").isNotNull()})
+    n_scans = plan._jdf.queryExecution().optimizedPlan().toString().count("LogicalRDD")
+    assert n_scans <= 2  # one per union branch pair off a shared aggregate
