@@ -42,6 +42,11 @@ def bm25_scores(
     df is ``|terms|`` rows — both broadcast into the scoring join. No
     vocabulary-sized state, no driver collection; at 100 TB the cost is
     one filtered shuffle over term hits.
+
+    The term filter is a literal ``array_contains`` — right for query
+    bags up to a few hundred terms. For thousands of terms (batch
+    scoring a query log), swap the filter for an inner join against a
+    broadcast terms DataFrame; the rest of the pipeline is unchanged.
     """
     term_arr = F.array(*[F.lit(t) for t in terms])
     toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
