@@ -971,3 +971,63 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "feature_hashing_vectors",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 4) AS INT) % 16 AS dim,
+             COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, dim
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(range(0, 16),
+             d -> CAST(coalesce(list_sum(list_transform(
+                    list_filter(list_zip(dims_l, cnts_l), p -> p[1] = d),
+                    p -> p[2])), 0) AS VARCHAR)), ',') AS tf_vec,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, list(dim) AS dims_l, list(cnt) AS cnts_l, SUM(cnt) AS n_tokens
+      FROM dims GROUP BY doc_id
+    ) g""",
+    doc=(
+        "feature-hashing (hashing-trick) term-frequency vectors: every "
+        "token md5-hashes into one of 16 fixed dimensions — the classic "
+        "vocabulary-free featurizer (no dictionary state, collision-"
+        "tolerant, identical on any cluster); one (doc, dim) aggregation "
+        "shuffle, vector serialized to CSV ints (engine-identical). "
+        "Bridges the text lanes to the vector/ANN lanes at 100 TB scale"
+    ),
+    tags=("text-features", "hashing-trick", "training-pipeline"),
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t["documents"]
+        .select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 16).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = dims.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "cnt"))).alias("m"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)).cast("string"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.array_join(vec, ",").alias("tf_vec"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
