@@ -1031,3 +1031,57 @@ def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(vec, ",").alias("tf_vec"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "weighted_sample_ares",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             pow(CAST(CAST('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE)
+                   / CAST(16777216.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, rank FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rank
+      FROM pri
+    ) t WHERE rank <= 3""",
+    doc=(
+        "weighted reservoir sampling (Efraimidis-Spirakis A-Res): "
+        "priority = u^(1/w) with a deterministic md5 uniform and weight "
+        "w = doc length — top-3 per source by priority IS a weighted "
+        "sample without replacement, reproducible on any cluster (the "
+        "float priority is identical IEEE ops on identical inputs in "
+        "both engines). One rank-limited window per stratum — the "
+        "weighted counterpart of the md5-mod uniform sampler"
+    ),
+    tags=("sampling", "curation", "training-pipeline"),
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ares:"), F.col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(16777216.0).cast("double")
+    )
+    pri = (
+        t["documents"]
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.pow(u, F.lit(1.0).cast("double") / F.col("n_chars").cast("double")).alias("priority"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pri.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "rank")
+    )
