@@ -228,3 +228,66 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def positional_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """(id, pos, shingle) rows — one per shingle OCCURRENCE (0-based
+    token position, duplicates kept), the relation span detection needs."""
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at("__toks", i + j + 1) for j in range(n)]))
+    return staged.select(F.col(id_col), F.posexplode(sh).alias("pos", "shingle"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_span: int = 12,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Exact duplicated-substring spans across document pairs — the
+    span-level dedup signal of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed relationally
+    instead of via a suffix array.
+
+    A length-``s`` token span shared by docs A and B appears as
+    ``s - n + 1`` consecutive matching n-shingles on one diagonal
+    (pos_a - pos_b constant). So: positional-shingle both sides, equi-join
+    on the shingle, then a gaps-and-islands pass per (pair, diagonal) —
+    ``island = pos_a - row_number()`` — turns each maximal run into one
+    group whose size recovers the span length.
+
+    Scale shape: the only corpus-sized shuffle keys on the shingle
+    string (hash-distributed, never all-pairs); ``df_cap`` drops
+    shingles occurring in more than ``df_cap`` documents first —
+    boilerplate n-grams are exactly the quadratic-fan-out keys, and
+    spans made solely of them are stock phrases, not plagiarized spans
+    (the suffix-array implementations make the same cut). The window
+    runs per (id_a, id_b, diagonal) partition — bounded by the shorter
+    document, never global."""
+    sh = positional_shingle_rows(df, id_col, text_col, n)
+    docfreq = sh.groupBy("shingle").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    kept = sh.join(docfreq.where(F.col("__df") <= df_cap).select("shingle"), "shingle")
+    a = kept.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "shingle")
+    b = kept.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "shingle")
+    m = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg(F.min("pos_a").alias("start_a"), F.count("*").alias("__c"))
+        .select(
+            "id_a",
+            "id_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            (F.col("__c") + F.lit(n - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+    )

@@ -385,3 +385,110 @@ def quantized_rerank_topk(
     )
     w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    pairwise cosine is computed only WITHIN a coarse cluster, and a row
+    is dropped when a lower-id row of the same cluster sits within the
+    similarity threshold.
+
+    The keep rule is greedy-by-id ("dup iff ANY lower-id in-cluster
+    neighbor with cos >= t"), which is deterministic, order-independent
+    and exactly SQL-expressible — no iterative fixpoint. Output: every
+    vector with its cluster, keep decision, and the earliest lower-id
+    neighbor that shadows it (NULL for kept rows).
+
+    Scale shape: ONE shuffle on the cluster id; per-cluster cost is
+    O(|cluster|²) vector dots, which is the SemDeDup contract — the
+    cluster count is chosen (k ≈ sqrt(N) upstream k-means, here the
+    embedding table's label) precisely to bound cluster size. Skewed
+    mega-clusters would use the same salt-cap treatment as
+    sign_banded_near_dups; the exact variant keeps every pair so the
+    keep decision stays exact."""
+    v = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    a = v.select("cluster", F.col(id_col).alias("id_a"), F.col("e").alias("e_a"))
+    b = v.select("cluster", F.col(id_col).alias("id_b"), F.col("e").alias("e_b"))
+    shadow = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(F.round(cosine(F.col("e_a"), F.col("e_b")), round_digits) >= threshold)
+        .groupBy("cluster", "id_a")
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        v.join(shadow.withColumnRenamed("id_a", id_col), ["cluster", id_col], "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
+def random_projection_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (md5-seeded, engine-portable:
+    sign(i,j) = +1 iff the first hex digit of md5("rp|i|j") is even).
+    Materialized as Python literals so BOTH engines fold it into the
+    projection expression — no randomness at runtime, no state."""
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            d = hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()
+            row.append(1 if int(d[0], 16) % 2 == 0 else -1)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    corpus: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project ``in_dim`` embeddings to
+    ``out_dim`` with a deterministic ±1 matrix, scaled by 1/sqrt(out_dim)
+    (Achlioptas 2003 — database-friendly random projections). Output one
+    (vec_id, j, p) row per projected coordinate so every result column
+    is a hashable scalar.
+
+    Scale shape: pure per-row projection — the sign matrix is a folded
+    literal, each output coordinate is a fixed left-to-right chain of
+    multiply-adds (identical IEEE order in any engine), no shuffle, no
+    UDF. At 100 TB this pipelines with the scan; the sketch then feeds
+    cheaper downstream ANN/clustering at out_dim/in_dim the width."""
+    signs = random_projection_signs(in_dim, out_dim)
+    e = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / (out_dim ** 0.5)
+    cols = []
+    for j in range(out_dim):
+        term: Column | None = None
+        for i in range(in_dim):
+            t = F.element_at(e, i + 1) * F.lit(float(signs[j][i]))
+            term = t if term is None else term + t
+        cols.append(F.round(term * F.lit(scale), round_digits).alias(f"__p{j}"))
+    # 8 independent projected columns, then stack to (j, p) rows: keeps
+    # every multiply-add chain its own codegen'd expression — a single
+    # explode(array(struct...)) of all chains is one giant Generate
+    # expression and trips janino's 64 KB method limit into interpreted
+    # fallback (observed at in_dim=64).
+    staged = corpus.select(F.col(id_col), *cols)
+    stack = ", ".join(f"{j}, __p{j}" for j in range(out_dim))
+    return staged.select(
+        F.col(id_col), F.expr(f"stack({out_dim}, {stack}) AS (j, p)")
+    )

@@ -290,3 +290,47 @@ def chunk_dedup(
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+def token_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_term: int = 9,
+) -> DataFrame:
+    """Token-distribution drift per group: truncated KL divergence
+    KL(p_group || p_corpus) over the group's observed vocabulary, with
+    add-one smoothing on both sides — the mixture-drift monitor a
+    training pipeline runs per source/snapshot to catch a crawl slice
+    going off-distribution.
+
+    Determinism: each term p·ln(p/q) is rounded to ``round_term``
+    digits and accumulated in exact DECIMAL, so the sum is independent
+    of partitioning AND engine (a raw double sum is neither).
+
+    Scale shape: two map-side-combinable aggregations (per-group token
+    counts, corpus token counts); the tok-keyed join is vocabulary-sized
+    on both sides (hash-distributed; AQE broadcasts the corpus counts
+    when they fit). No row ever leaves the JVM."""
+    toks = df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok"))
+    grp_tok = toks.groupBy("grp", "tok").agg(F.count("*").alias("c_gt"))
+    grp_tot = toks.groupBy("grp").agg(F.count("*").alias("n_g"))
+    corpus_tok = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    vocab = toks.select(F.count_distinct("tok").alias("v"), F.count("*").alias("n"))
+    p = F.col("c_gt").cast("double") + F.lit(1.0)
+    q = F.col("c_t").cast("double") + F.lit(1.0)
+    pn = (F.col("n_g") + F.col("v")).cast("double")
+    qn = (F.col("n") + F.col("v")).cast("double")
+    term = F.round((p / pn) * F.log((p / pn) / (q / qn)), round_term)
+    return (
+        grp_tok.join(corpus_tok, "tok")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("grp")
+        .agg(
+            F.round(F.sum(term.cast("DECIMAL(28,12)")), 6).cast("double").alias("kl"),
+            F.count("*").alias("n_terms"),
+        )
+        .select(F.col("grp").alias(group_col), "kl", "n_terms")
+    )

@@ -80,6 +80,7 @@ def _load() -> None:
         engine,
         documents,
         vectors,
+        scale_patterns,
         relational,
         analytic,
         temporal,

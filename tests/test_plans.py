@@ -256,6 +256,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "bm25_relevance_scores",    # one-row corpus-stats (N, avgdl) broadcast
         "hll_manual_distinct_customers",  # groups × 64-bucket register spine, both bounded
         "basket_pair_mining",       # one-row total-baskets broadcast
+        "token_drift_by_source",    # one-row (vocab-size, corpus-size) broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
