@@ -98,3 +98,32 @@ def bm25_scores(
             (F.sum("s_micro").cast("double") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "id", k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (BM25 ⊕ vector ANN) that
+    Elasticsearch 8.x exposes as ``rrf``; re-expressed on the lake.
+
+    Each input must carry ``(id, rank)`` (rank 1-based). Score =
+    Σ_lists 1/(k + rank), accumulated in integer nano-units so the sum
+    is order-independent across engines and partitionings (the rounded
+    1e9/(k+rank) value can only sit on a .5 boundary when k+rank is a
+    multiple of 2^10 — far beyond any practical shortlist depth).
+
+    Scale shape: union of shortlist-sized relations (each already
+    rank-limited upstream) → one groupBy on the id. Nothing here touches
+    the corpus — fusion cost ∝ Σ shortlist sizes."""
+    parts = [r.select(F.col(id_col).alias("id"), F.col("rank")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    micro = F.round(F.lit(1e9) / (F.lit(k) + F.col("rank"))).cast("bigint")
+    return (
+        u.select("id", micro.alias("s_nano"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("int").alias("n_lists"),
+            (F.sum("s_nano").cast("double") / F.lit(1e9)).alias("rrf"),
+        )
+    )

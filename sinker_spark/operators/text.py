@@ -334,3 +334,44 @@ def token_kl_divergence(
         )
         .select(F.col("grp").alias(group_col), "kl", "n_terms")
     )
+
+
+def unigram_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram model — the
+    perplexity-style quality filter (CCNet / Wenzek et al. 2020 shape,
+    with the corpus itself as the LM): documents whose token
+    distribution is "surprising" relative to the corpus score high and
+    get reviewed/dropped. H(d) = −(1/n_d) Σ_tok ln q(tok), q = corpus
+    unigram frequency (every doc token is in the corpus by construction,
+    so no smoothing term is needed).
+
+    Determinism: per-token ln q is rounded to nano-units and summed as
+    BIGINT (order-independent), one float division at the end.
+
+    Scale shape: token explode → vocabulary-keyed count agg →
+    vocabulary-keyed join back (AQE broadcasts the counts when they
+    fit) → doc-keyed agg. Two map-side-combinable shuffles, no Python."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    total = toks.select(F.count("*").alias("n"))
+    lnq_nano = F.round(
+        F.log(F.col("c_t").cast("double") / F.col("n").cast("double")) * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        toks.join(corpus, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lnq_nano.alias("lnq"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_tokens"), F.sum("lnq").alias("s"))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                -(F.col("s").cast("double") / F.lit(1e9)) / F.col("n_tokens").cast("double"), 6
+            ).alias("cross_entropy"),
+        )
+    )

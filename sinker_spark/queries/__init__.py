@@ -81,6 +81,8 @@ def _load() -> None:
         documents,
         vectors,
         scale_patterns,
+        retrieval,
+        statistics,
         relational,
         analytic,
         temporal,

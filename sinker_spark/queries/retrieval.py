@@ -1,0 +1,152 @@
+"""Hybrid retrieval and model-based quality lanes: BM25 ⊕ vector-ANN
+fusion via reciprocal-rank fusion, and the corpus-unigram cross-entropy
+(perplexity-style) document filter.
+
+The documents and embeddings tables are id-aligned (vec_id == doc_id),
+so the two retrieval modalities rank the same corpus — exactly the
+hybrid-search setup Elasticsearch 8.x serves with its `rrf` retriever,
+re-expressed on the lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sinker_spark.catalog import load_tables
+from sinker_spark.operators import relevance, similarity, text
+from sinker_spark.queries import query
+
+_TERMS = ("spark", "join", "data")
+_SHORTLIST = 50
+_TOPK = 20
+
+# BM25 ranking CTEs (mirrors operators/relevance.bm25_scores — same text
+# as the bm25_relevance_scores oracle) + vector ranking CTEs (cosine to
+# the vec_id=0 query vector, ann_cosine_topk shape) + nano-unit RRF.
+_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+lens AS (SELECT id, CAST(len(tk) AS INT) AS dl FROM toks),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(ROUND(SUM(CAST(dl AS DECIMAL(28,6))), 6) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM lens),
+hits AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM toks) t
+  WHERE term IN {str(_TERMS)}
+  GROUP BY id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+bm AS (
+  SELECT id, CAST(SUM(s_micro) AS DOUBLE) / 1e6 AS score
+  FROM (
+    SELECT h.id,
+           CAST(round(
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (h.tf * (1.2 + 1))
+             / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+             * 1e6) AS BIGINT) AS s_micro
+    FROM hits h
+    JOIN dfreq d USING (term)
+    CROSS JOIN stats s
+    JOIN lens l ON l.id = h.id) sc
+  GROUP BY id),
+bmr AS (
+  SELECT id, rank FROM (
+    SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank FROM bm) r
+  WHERE rank <= {_SHORTLIST}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sims AS (
+  SELECT b.vec_id AS id,
+         round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+           / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS sim
+  FROM (SELECT * FROM v WHERE vec_id = 0) a
+  JOIN v b ON a.vec_id <> b.vec_id),
+vr AS (
+  SELECT id, rank FROM (
+    SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INT) AS rank FROM sims) r
+  WHERE rank <= {_SHORTLIST}),
+u AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM vr),
+fused AS (
+  SELECT id, CAST(COUNT(*) AS INT) AS n_lists,
+         CAST(SUM(CAST(round(1e9 / (60 + rank)) AS BIGINT)) AS DOUBLE) / 1e9 AS rrf
+  FROM u GROUP BY id)
+SELECT id, n_lists, rrf, fused_rank FROM (
+  SELECT id, n_lists, rrf,
+         CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS fused_rank
+  FROM fused) f
+WHERE fused_rank <= {_TOPK}
+"""
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=_RRF_ORACLE,
+    doc=(
+        "hybrid retrieval: BM25 lexical shortlist ⊕ cosine vector "
+        "shortlist (query = vec 0) fused with reciprocal-rank fusion "
+        "(operators/relevance.rrf_fuse, Cormack et al. 2009; the ES 8.x "
+        "`rrf` retriever on the lake). Each modality rank-limits to 50 "
+        "before fusion, so the fuse step touches shortlists, never the "
+        "corpus; RRF contributions accumulate in integer nano-units — "
+        "order-independent across engines/partitionings"
+    ),
+    tags=("relevance", "similarity-topk", "hybrid-search", "rrf"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lex = relevance.bm25_scores(t["documents"], list(_TERMS))
+    wl = Window.orderBy(F.desc("score"), F.asc("id"))
+    lex_r = (
+        lex.withColumn("rank", F.row_number().over(wl))
+        .where(F.col("rank") <= _SHORTLIST)
+        .select("id", "rank")
+    )
+    emb = t["embeddings"]
+    vec_r = (
+        similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=_SHORTLIST)
+        .select(F.col("nid").alias("id"), "rank")
+    )
+    fused = relevance.rrf_fuse([lex_r, vec_r])
+    wf = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= _TOPK)
+        .select("id", "n_lists", "rrf", "fused_rank")
+    )
+
+
+@query(
+    "doc_cross_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents),
+    corpus AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(-(CAST(SUM(lnq) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS cross_entropy
+    FROM (
+      SELECT doc_id,
+             CAST(round(ln(CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS lnq
+      FROM toks JOIN corpus USING (tok) CROSS JOIN tot) terms
+    GROUP BY doc_id""",
+    doc=(
+        "perplexity-style quality filter (operators/text."
+        "unigram_cross_entropy, CCNet shape with the corpus as LM): "
+        "per-document cross-entropy under corpus unigram frequencies — "
+        "high = off-distribution, review/drop. Per-token ln q accumulates "
+        "in integer nano-units (order-independent); vocabulary-keyed "
+        "count + join, doc-keyed rollup — two map-side-combinable shuffles"
+    ),
+    tags=("text-quality", "perplexity", "training-pipeline"),
+)
+def doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.unigram_cross_entropy(t["documents"])

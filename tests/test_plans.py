@@ -257,6 +257,9 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "hll_manual_distinct_customers",  # groups × 64-bucket register spine, both bounded
         "basket_pair_mining",       # one-row total-baskets broadcast
         "token_drift_by_source",    # one-row (vocab-size, corpus-size) broadcast
+        "hybrid_search_rrf",        # broadcast 1-query vector batch (ann pattern)
+        "doc_cross_entropy",        # one-row corpus-token-total broadcast
+        "chi_square_source_lang",   # one-row corpus-total broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):

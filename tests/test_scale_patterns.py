@@ -205,3 +205,70 @@ def test_jl_projection_preserves_distances_roughly(spark):
             d_out = np.linalg.norm(proj[i] - proj[j])
             ratios.append(d_out / d_in)
     assert 0.5 < min(ratios) and max(ratios) < 1.6, (min(ratios), max(ratios))
+
+
+# ---- RRF fusion ---------------------------------------------------------
+
+
+def test_rrf_fuse_math(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2)], "id bigint, rank int")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "id bigint, rank int")
+    from sinker_spark.operators.relevance import rrf_fuse
+
+    out = {r["id"]: (r["n_lists"], r["rrf"]) for r in rrf_fuse([a, b]).collect()}
+    assert out[11][0] == 2  # in both lists
+    assert out[10][0] == 1 and out[12][0] == 1
+    # 11 ranks (2,1): 1/62 + 1/61; 10 ranks (1,): 1/61
+    assert abs(out[11][1] - (round(1e9 / 62) + round(1e9 / 61)) / 1e9) < 1e-12
+    assert abs(out[10][1] - round(1e9 / 61) / 1e9) < 1e-12
+    assert out[11][1] > out[10][1] > out[12][1]
+
+
+# ---- unigram cross-entropy ----------------------------------------------
+
+
+def test_cross_entropy_uniform_corpus(spark):
+    import math
+
+    # 4 docs, 4 distinct tokens each appearing once -> q = 1/4 for all;
+    # every doc's cross-entropy is ln(4)
+    docs = [(1, "a b"), (2, "c d")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    from sinker_spark.operators.text import unigram_cross_entropy
+
+    rows = unigram_cross_entropy(df).collect()
+    for r in rows:
+        assert abs(r["cross_entropy"] - math.log(4)) < 1e-6
+
+
+def test_cross_entropy_rare_tokens_score_higher(spark):
+    common = " ".join(["the"] * 20)
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, "xylo quux zarf blorp")],
+        "doc_id bigint, text string",
+    )
+    from sinker_spark.operators.text import unigram_cross_entropy
+
+    ce = {r["doc_id"]: r["cross_entropy"] for r in unigram_cross_entropy(df).collect()}
+    assert ce[3] > ce[1], "rare-token doc must be more surprising"
+
+
+# ---- Z-order ------------------------------------------------------------
+
+
+def test_zorder_interleave_bits():
+    # pure-python reference of the interleave the lane computes
+    def z(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    # locality property: nearby (x,y) share high bits / stay in-range
+    assert z(0, 0) == 0
+    assert z(1, 0) == 1 and z(0, 1) == 2 and z(1, 1) == 3
+    assert z(0xFFFF, 0xFFFF) == (1 << 32) - 1
+    # monotone block property: all points in a 256x256 tile share zval >> 16
+    tile = {z(x, y) >> 16 for x in range(256, 260) for y in range(512, 516)}
+    assert len(tile) == 1
