@@ -198,6 +198,11 @@ class SyncEngine:
             if v.distinct is not None and (changed & v.deps) <= {v.distinct.table}:
                 if self._hll_distinct_refresh(v, cdc, epoch_id):
                     continue
+            # Bloom membership lane: INSERT-only batches bit_or into the
+            # stored word relation (monotone — deletes/updates fall back)
+            if v.membership is not None and (changed & v.deps) <= {v.membership.table}:
+                if self._bloom_membership_refresh(v, cdc, epoch_id):
+                    continue
             # each view's hook sees only the changed tables it depends on
             relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
             scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
@@ -356,6 +361,75 @@ class SyncEngine:
         self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "hll_distinct": 1}
         logger.info(
             "hll-distinct refreshed view %s (epoch %s): %s",
+            view.name, epoch_id, self.last_stats[view.name],
+        )
+        return True
+
+    def _bloom_membership_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Bloom membership lane (ivm_bloom): bit_or the batch's inserted
+        values into the stored word relation and upsert only the words
+        whose bits changed — O(batch) compute, never a fact scan, and
+        idempotent under replay (bit_or). Bits are monotone, so a batch
+        containing DELETE or UPDATE rows returns False and the recompute
+        lane rebuilds the words exactly.
+
+        The view's documents ARE the filter: (word_idx, word) rows a
+        consumer broadcast-joins to probe (operators/bloom.probe). State
+        persists as ``{view}__bloomstate`` keyed by word_idx."""
+        from sinker_spark import ivm_bloom
+
+        spec = view.membership
+        rows = cdc.where(F.col("table") == spec.table)
+        if rows.where(F.col("op").isin("DELETE", "UPDATE")).limit(1).count():
+            return False
+
+        batch = (
+            rows.where(F.col("payload").isNotNull())
+            .select(F.from_json(F.col("payload"), spec.row_schema).alias("r"))
+            .select("r.*")
+            .withColumn(ivm_delta.OP_COL, F.lit(ivm_delta.INSERT))
+        )
+
+        state_name = f"{view.name}__bloomstate"
+        packed = self.store.read(state_name)
+        if packed is None:
+            state = ivm_bloom.initial_bloom_state(
+                self.spark.table(spec.table), spec.value_col, spec.m_bits
+            )
+        else:
+            state = packed.select("doc.*")
+        new_state = ivm_bloom.apply_bloom_delta(
+            state, batch, spec.value_col, spec.m_bits
+        ).localCheckpoint(eager=True)  # pin before the store swap
+
+        # upsert only words the batch touched (word set of the batch keys)
+        touched = (
+            ivm_bloom.apply_bloom_delta(
+                new_state.limit(0), batch, spec.value_col, spec.m_bits
+            )
+            .select("word_idx")
+            .distinct()
+        )
+        changed_words = new_state.join(touched, "word_idx", "left_semi")
+        upserts = changed_words.select(
+            F.col("word_idx").cast("string").alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct("word_idx", "word").alias("doc"),
+        )
+        n_up = upserts.count()
+        self.sink.apply_actions(view.index, upserts)
+
+        self.store.write(
+            state_name,
+            new_state.select(
+                F.col("word_idx").cast("string").alias(view.key),
+                F.struct("word_idx", "word").alias("doc"),
+            ),
+            key=view.key,
+        )
+        self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "bloom_membership": 1}
+        logger.info(
+            "bloom-membership refreshed view %s (epoch %s): %s",
             view.name, epoch_id, self.last_stats[view.name],
         )
         return True

@@ -107,6 +107,34 @@ class DistinctViewSpec:
 
 
 @dataclass
+class MembershipViewSpec:
+    """Declares a view as a maintained MEMBERSHIP filter (Bloom word
+    relation) over one fact column, eligible for the bit_or lane
+    (ivm_bloom): INSERT-only CDC batches OR new bits into the stored
+    words — O(batch), no fact scan, idempotent under at-least-once
+    replay (bit_or is idempotent). Bits are monotone, so any DELETE or
+    UPDATE in the batch falls back to the recompute lane, which rebuilds
+    the words from the fact table.
+
+    - ``table``: fact table name
+    - ``value_col``: the column whose values form the membership set
+    - ``m_bits``: filter width (words = m_bits/32 rows — the view is
+      always tiny and broadcastable by consumers)
+    - ``row_schema``: DDL schema for parsing CDC payload JSON
+
+    The emitted documents are ``struct(word_idx int, word bigint)`` —
+    the exact relation operators/bloom.probe consumes; a hit means
+    "maybe present, verify exact", so maintenance false positives can
+    never corrupt a consumer's answer.
+    """
+
+    table: str
+    value_col: str
+    m_bits: int
+    row_schema: str
+
+
+@dataclass
 class JoinViewSpec:
     """Declares a view as an equi-join of two base tables, making it
     eligible for the delta-join lane (ivm_delta.join_delta): CDC batches
@@ -145,6 +173,7 @@ class ViewDef:
     agg: AggViewSpec | None = None
     join: "JoinViewSpec | None" = None
     distinct: "DistinctViewSpec | None" = None
+    membership: "MembershipViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables
