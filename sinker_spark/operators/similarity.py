@@ -492,3 +492,65 @@ def random_projection(
     return staged.select(
         F.col(id_col), F.expr(f"stack({out_dim}, {stack}) AS (j, p)")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "id",
+    score_col: str = "rel",
+    vec_col: str = "e",
+    round_digits: int = 6,
+) -> list[tuple]:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) of
+    a SHORTLIST: greedily pick the candidate maximizing
+    ``λ·relevance − (1−λ)·max_cosine_to_already_selected``.
+
+    Greedy selection is inherently sequential, so this runs k driver
+    iterations — but each iteration is one Spark job over the shortlist
+    relation (tens of rows by construction: an upstream ANN/BM25 stage
+    already rank-limited it), the selected vectors fold into the scoring
+    expression as literals (no join, no shuffle), and exactly ONE row is
+    collected per step. Driver memory is O(k·dim), never corpus-sized.
+    Ties break by id; scores are rounded before comparison so the
+    selection is reproducible at any parallelism.
+
+    Returns the selected rows as (rank, id, rel, mmr) tuples — a
+    driver-side list by design (k rows; callers needing a DataFrame
+    create one, as the gate query does)."""
+    selected: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    remaining = candidates.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("rel"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).persist()
+    try:
+        for step in range(k):
+            if sel_vecs:
+                sims = [
+                    cosine(F.col("e"), F.array(*[F.lit(float(x)) for x in sv]))
+                    for sv in sel_vecs
+                ]
+                max_sim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            else:
+                max_sim = F.lit(0.0)
+            mmr = F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim, round_digits
+            )
+            top = (
+                remaining.withColumn("mmr", mmr)
+                .orderBy(F.desc("mmr"), F.asc("id"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            selected.append((step + 1, row["id"], row["rel"], row["mmr"]))
+            sel_vecs.append(list(row["e"]))
+            remaining = remaining.where(F.col("id") != row["id"])
+        return selected
+    finally:
+        remaining.unpersist()

@@ -150,3 +150,30 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return text.unigram_cross_entropy(t["documents"])
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=None,
+    doc=(
+        "MMR diversified rerank (operators/similarity.mmr_rerank): top-5 "
+        "from the 30-candidate cosine shortlist for query vec 0, greedily "
+        "trading relevance against redundancy (λ=0.7). Sequential by "
+        "definition → k bounded driver iterations over the shortlist, "
+        "selected vectors folded as literals (no join per step), one row "
+        "collected per step. No SQL oracle (iterative greedy choice); "
+        "pytest cross-checks the selection against a pure-python greedy "
+        "reference (tests/test_scale_patterns.py)"
+    ),
+    tags=("similarity-rerank", "mmr", "diversity"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    shortlist = (
+        similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=30)
+        .join(emb.select(F.col("vec_id").alias("nid"), "embedding"), "nid")
+        .select(F.col("nid").alias("id"), F.col("sim").alias("rel"), F.col("embedding").alias("e"))
+    )
+    picked = similarity.mmr_rerank(shortlist, k=5, lam=0.7)
+    return spark.createDataFrame(picked, "rank int, id bigint, rel double, mmr double")

@@ -396,3 +396,79 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+from sinker_spark.catalog import register_views  # noqa: E402
+
+
+def _sql(name: str, spark_sql: str, oracle: str, doc: str = "", tags: tuple[str, ...] = ()):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    query(name, oracle=oracle, doc=doc, tags=tags)(fn)
+    return fn
+
+
+# --- linear interpolation between surrounding observations ---------------
+# The gap-fill sibling beyond LOCF: each purchase event gets the value
+# linearly interpolated between the user's surrounding click events.
+# Shape identical in both engines (one user-keyed window shuffle); only
+# the IGNORE NULLS placement and epoch spelling differ, so the two texts
+# are generated from one template.
+
+_INTERP_BODY = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, {epoch} AS t
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, event_type, t,
+             {lv_t} OVER wprev AS prev_t,
+             {lv_v} OVER wprev AS prev_v,
+             {fv_t} OVER wnext AS next_t,
+             {fv_v} OVER wnext AS next_v
+      FROM e
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wnext AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           ROUND(prev_v + (next_v - prev_v)
+                 * (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)), 6)
+             AS interp_value
+    FROM w
+    WHERE event_type = 'purchase' AND prev_t IS NOT NULL AND next_t IS NOT NULL
+"""
+
+_CLICK_T = "CASE WHEN event_type = 'click' THEN t END"
+_CLICK_V = "CASE WHEN event_type = 'click' THEN value END"
+
+_sql(
+    "interpolate_purchase_values",
+    spark_sql=_INTERP_BODY.format(
+        epoch="unix_micros(CAST(ts AS TIMESTAMP))",
+        lv_t=f"last_value({_CLICK_T}) IGNORE NULLS",
+        lv_v=f"last_value({_CLICK_V}) IGNORE NULLS",
+        fv_t=f"first_value({_CLICK_T}) IGNORE NULLS",
+        fv_v=f"first_value({_CLICK_V}) IGNORE NULLS",
+    ),
+    oracle=_INTERP_BODY.format(
+        epoch="epoch_us(ts)",
+        lv_t=f"last_value({_CLICK_T} IGNORE NULLS)",
+        lv_v=f"last_value({_CLICK_V} IGNORE NULLS)",
+        fv_t=f"first_value({_CLICK_T} IGNORE NULLS)",
+        fv_v=f"first_value({_CLICK_V} IGNORE NULLS)",
+    ),
+    doc=(
+        "linear interpolation across event gaps (the LOCF lane's exact "
+        "sibling): each purchase gets the value interpolated between the "
+        "user's surrounding clicks — IGNORE-NULLS frame windows find both "
+        "neighbors in ONE user-keyed shuffle (no self-join, no explode); "
+        "the interpolation fraction is integer-microsecond arithmetic "
+        "(unix_micros ≡ DuckDB epoch_us, exact) with one rounded IEEE "
+        "multiply-add"
+    ),
+    tags=("timeseries-interpolate", "window-frames", "gap-fill"),
+)

@@ -260,6 +260,8 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "hybrid_search_rrf",        # broadcast 1-query vector batch (ann pattern)
         "doc_cross_entropy",        # one-row corpus-token-total broadcast
         "chi_square_source_lang",   # one-row corpus-total broadcast
+        "benford_first_digit_qa",   # one-row digit-total broadcast
+        "mmr_diversified_topk",     # broadcast 1-query vector batch (ann pattern)
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):

@@ -272,3 +272,46 @@ def test_zorder_interleave_bits():
     # monotone block property: all points in a 256x256 tile share zval >> 16
     tile = {z(x, y) >> 16 for x in range(256, 260) for y in range(512, 516)}
     assert len(tile) == 1
+
+
+# ---- MMR rerank ---------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(12, 8))
+    rels = [round(float(x), 6) for x in rng.uniform(0.2, 1.0, 12)]
+    df = spark.createDataFrame(
+        [(i, rels[i], [float(x) for x in vecs[i]]) for i in range(12)],
+        "id bigint, rel double, e array<double>",
+    )
+    got = similarity.mmr_rerank(df, k=4, lam=0.7)
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    selected, remaining = [], list(range(12))
+    for _ in range(4):
+        best = None
+        for i in remaining:
+            ms = max((cos(vecs[i], vecs[j]) for j in selected), default=0.0)
+            mmr = round(0.7 * rels[i] - 0.3 * ms, 6)
+            cand = (-mmr, i)
+            if best is None or cand < best:
+                best = cand
+        selected.append(best[1])
+        remaining.remove(best[1])
+    assert [r[1] for r in got] == selected
+    # diversity: MMR must not pick two near-identical vectors early when
+    # a diverse alternative exists
+    dup = np.array(vecs[selected[0]])
+    df2 = spark.createDataFrame(
+        [(1, 0.9, [float(x) for x in dup]),
+         (2, 0.89, [float(x) for x in dup * 1.001]),
+         (3, 0.5, [float(x) for x in rng.normal(size=8)])],
+        "id bigint, rel double, e array<double>",
+    )
+    picked = [r[1] for r in similarity.mmr_rerank(df2, k=2, lam=0.5)]
+    assert picked == [1, 3], picked
