@@ -554,3 +554,143 @@ def mmr_rerank(
         return selected
     finally:
         remaining.unpersist()
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, s): each vector split into ``m`` contiguous ``sub_dim``
+    subvectors — the product-quantization decomposition (Jégou et al.
+    2011). Pure per-row explode of array slices; no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("m"),
+                F.slice(v, j * sub_dim + 1, sub_dim).alias("s"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(parts).alias("p")).select(
+        id_col, "p.m", "p.s"
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Ordered left-fold squared L2 distance of two array<double> cols."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, m, c): the ``codebook_k`` lowest-id corpus vectors'
+    subvectors — a deterministic sampled codebook (k-means init without
+    iterations; swap in per-subspace k-means offline when recall demands
+    it). k·m rows total — KBs at any corpus size."""
+    return pq_subvectors(
+        corpus.where(F.col(id_col) < codebook_k), m, sub_dim, id_col, vec_col
+    ).select(F.col(id_col).alias("cid"), "m", F.col("s").alias("c"))
+
+
+def pq_distances(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, m, cid, dist): rounded squared-L2 from every vector's m-th
+    subvector to every codebook centroid of subspace m. The codebook is
+    broadcast, so this is one corpus scan with no shuffle."""
+    sub = pq_subvectors(vectors, m, sub_dim, id_col, vec_col)
+    return sub.join(F.broadcast(codebook), "m").select(
+        id_col,
+        "m",
+        "cid",
+        F.round(_sq_dist(F.col("s"), F.col("c")), round_digits).alias("dist"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, m, code, dist): PQ codes — per subspace, the argmin-distance
+    centroid id (ties break toward the lower centroid id; distances are
+    rounded first so the argmin is engine- and partitioning-stable).
+
+    This is the 100 TB ANN storage shape: m bytes/vector (here m=8 →
+    8 bytes vs 256 bytes of float32), computed in one scan with the
+    codebook broadcast. The per-(id, m) argmin is a rank-limited window
+    keyed by the id — one shuffle on the vector id, nothing pairwise."""
+    cb = pq_codebook(corpus, m, sub_dim, codebook_k, id_col, vec_col)
+    d = pq_distances(corpus, cb, m, sub_dim, id_col, vec_col, round_digits)
+    w = Window.partitionBy(id_col, "m").orderBy("dist", "cid")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "m", F.col("cid").alias("code"), "dist")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    sub_dim: int = 8,
+    codebook_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate nearest neighbors
+    by summing, per subspace, the query→centroid distance of each corpus
+    vector's stored code (Jégou et al. 2011, Eq. 13).
+
+    Scale shape: the query LUT is queries × m × codebook_k rows (KBs) and
+    broadcasts; corpus codes are scanned once and aggregated by
+    (qid, nid) — map-side partial sums bound the shuffle at one row per
+    (partition, query, neighbor-in-shortlist). Per-subspace distances are
+    rounded then summed as DECIMAL so the total is exact in any
+    aggregation order; ties rank by neighbor id."""
+    cb = pq_codebook(corpus, m, sub_dim, codebook_k, id_col, vec_col)
+    codes = pq_encode(corpus, m, sub_dim, codebook_k, id_col, vec_col, round_digits)
+    lut = pq_distances(queries, cb, m, sub_dim, id_col, vec_col, round_digits).select(
+        F.col(id_col).alias("qid"), "m", "cid", F.col("dist").alias("qdist")
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cid"]),
+        )
+        .where(F.col("qid") != F.col(id_col))
+        .groupBy("qid", F.col(id_col).alias("nid"))
+        .agg(
+            F.sum(F.col("qdist").cast("DECIMAL(18,6)")).cast("double").alias("adist")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adist", F.asc("nid"))
+    return approx.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
