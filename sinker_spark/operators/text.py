@@ -375,3 +375,71 @@ def unigram_cross_entropy(
             ).alias("cross_entropy"),
         )
     )
+
+
+# The eight function words Gopher's "stop word" rule checks for (Rae et
+# al. 2021, Table A1 — document must contain at least 2 of them).
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 25,
+    max_words: int = 80,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 6.0,
+    max_word_len: int = 20,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 1,
+) -> DataFrame:
+    """Gopher-style quality RULES (Rae et al. 2021 §A1.1): per-document
+    hard pass/fail gates — word-count bounds, mean-word-length band,
+    longest-word cap, fraction-of-words-with-an-alphabetic-char floor,
+    and a minimum count of distinct function words. Emits the measured
+    features, one boolean per rule, and the conjunction ``passes``.
+
+    Thresholds default to this corpus' regime (10-99 word synthetic
+    docs — e.g. the function-word floor is 1 because the synthetic
+    vocabulary carries only 'the'); production uses Gopher's published
+    50/100k/2-stopword values. Pure per-row
+    Catalyst array expressions — no shuffle, no UDF, pipelines with the
+    scan at 100 TB."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len = F.round(F.when(n > 0, sum_len.cast("double") / nd).otherwise(0.0), 6)
+    max_len = F.coalesce(F.array_max(F.transform(toks, lambda t: F.length(t))), F.lit(0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio = F.round(F.when(n > 0, n_alpha.cast("double") / nd).otherwise(0.0), 6)
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, lambda t: F.lower(t))), stops)
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        max_len.alias("max_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_distinct_stopwords"),
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_max_word_len": F.col("max_word_len") <= max_word_len,
+        "ok_alpha_ratio": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("n_distinct_stopwords") >= min_distinct_stopwords,
+    }
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    passes = None
+    for name in rules:
+        c = F.col(name)
+        passes = c if passes is None else (passes & c)
+    return out.withColumn("passes", passes)

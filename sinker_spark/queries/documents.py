@@ -1085,3 +1085,52 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "rank")
     )
+
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_words,
+             round(CASE WHEN len(toks) > 0
+                   THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS mean_word_len,
+             CAST(coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS INT) AS max_word_len,
+             round(CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS alpha_word_ratio,
+             CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+                                     [{_GOPHER_STOPS}])) AS INT) AS n_distinct_stopwords
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, max_word_len, alpha_word_ratio, n_distinct_stopwords,
+           (n_words >= 25 AND n_words <= 80) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 6.0) AS ok_mean_word_len,
+           (max_word_len <= 20) AS ok_max_word_len,
+           (alpha_word_ratio >= 0.8) AS ok_alpha_ratio,
+           (n_distinct_stopwords >= 1) AS ok_stopwords,
+           ((n_words >= 25 AND n_words <= 80) AND (mean_word_len >= 3.0 AND mean_word_len <= 6.0)
+            AND (max_word_len <= 20) AND (alpha_word_ratio >= 0.8)
+            AND (n_distinct_stopwords >= 1)) AS passes
+    FROM feat""",
+    doc=(
+        "Gopher-style hard quality gates (operators/text.gopher_rules, Rae "
+        "et al. 2021 §A1.1): word-count bounds, mean-word-length band, "
+        "longest-word cap, alphabetic-word-ratio floor, a distinct "
+        "function-word floor — measured features + per-rule booleans + the "
+        "conjunction. The rule-filter stage of a training-data pipeline; "
+        "pure per-row Catalyst expressions, pipelines with the 100 TB scan"
+    ),
+    tags=("text-quality", "training-pipeline", "gopher-rules"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.gopher_rules(t["documents"])

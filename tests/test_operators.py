@@ -656,3 +656,29 @@ def test_pq_adc_recall_vs_exact_l2(spark):
         qv, rv = qmap[r["qid"]], rmap[r["nid"]]
         exact_d = sum((a - b) * (a - b) for a, b in zip(qv, rv))
         assert abs(exact_d - r["adist"]) < 1e-4, (r["qid"], r["nid"], exact_d, r["adist"])
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Crafted docs trip each Gopher gate independently; a good doc
+    passes all of them."""
+    from sinker_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over lazy dogs " * 4  # 36 words, has 'the'
+    docs = [
+        (1, good.strip()),
+        (2, "too short text"),                                   # word count low
+        (3, ("word " * 100).strip()),                            # word count high
+        (4, ("the " + "ab " * 30).strip()),                      # mean word len < 3
+        (5, ("the " + "extraordinarily-hyphenated-compound " * 30).strip()),  # mean/max len high
+        (6, ("the " + "1234 " * 30).strip()),                    # alpha ratio low
+        (7, ("fox " * 30).strip()),                              # no function words
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_word_count"] and not out[2]["passes"]
+    assert not out[3]["ok_word_count"]
+    assert not out[4]["ok_mean_word_len"]
+    assert not out[5]["ok_mean_word_len"] and not out[5]["ok_max_word_len"]
+    assert not out[6]["ok_alpha_ratio"]
+    assert not out[7]["ok_stopwords"]
