@@ -1027,15 +1027,64 @@ _sql(
 
 
 # --- iterative graph algorithms ------------------------------------------
+def _pagerank_oracle(iterations: int, damping: float) -> str:
+    """DuckDB twin of operators/graph.pagerank on the nation trade graph:
+    the fixed iteration count is UNROLLED into chained CTEs (standard SQL
+    forbids aggregates in recursive terms), each mirroring one Spark
+    round — contribution join+sum, dangling-mass anti-join, rank update
+    with the identical IEEE expression. Final ranks round to 9 digits in
+    both engines, absorbing float group-sum ordering drift (~1e-14 after
+    8 rounds vs the 1e-9 rounding grain)."""
+    parts = [
+        """
+    WITH pairs AS MATERIALIZED (
+      SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY cn.n_name, sn.n_name
+    ),
+    outw AS MATERIALIZED (SELECT src, SUM(w) AS out_w FROM pairs GROUP BY src),
+    e AS MATERIALIZED (SELECT pairs.src, pairs.dst, pairs.w / outw.out_w AS p
+          FROM pairs JOIN outw ON pairs.src = outw.src),
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    srcs AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    c{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(e.p * {prev}.rank) AS c
+             FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY e.dst),
+    d{i} AS MATERIALIZED (SELECT coalesce(SUM({prev}.rank), 0.0) AS dmass
+             FROM {prev} LEFT JOIN srcs ON {prev}.node = srcs.node
+             WHERE srcs.node IS NULL),
+    r{i} AS MATERIALIZED (SELECT nodes.node,
+                    (1.0 - {damping}) / nn.n
+                    + {damping} * (coalesce(c{i}.c, 0.0) + d{i}.dmass / nn.n) AS rank
+             FROM nodes CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+        )
+        prev = f"r{i}"
+    return (
+        ",".join(parts)
+        + f"\n    SELECT node AS nation, round(rank, 9) AS rank_r9 FROM {prev}"
+    )
+
+
 @query(
     "pagerank_nation_trade",
-    oracle=None,
+    oracle=_pagerank_oracle(iterations=8, damping=0.85),
     doc=(
         "weighted PageRank (operators/graph.pagerank) over the customer-"
         "nation → supplier-nation trade graph (Q7-shape edge extraction); "
-        "iterative rank/edge join loop with localCheckpoint lineage cuts — "
-        "rows-only (iterative float fixpoint isn't SQL), numpy-verified in "
-        "tests/test_graph.py"
+        "iterative rank/edge join loop with localCheckpoint lineage cuts. "
+        "Oracle-matched by UNROLLING the 8 fixed iterations into chained "
+        "DuckDB CTEs; ranks rounded to 9 digits in both engines"
     ),
     tags=("graph-pagerank", "iterative"),
 )
