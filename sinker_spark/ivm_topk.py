@@ -1,0 +1,171 @@
+"""Incremental top-k view maintenance: O(|changes|) refresh for
+"top k rows per group" views.
+
+The reference refreshes every view by full recompute + diff (reference
+query_templates.py:13 ``REFRESH MATERIALIZED VIEW CONCURRENTLY``); the
+delta lanes in :mod:`sinker_spark.ivm_delta` cover keyed aggregates and
+joins. Ranked views (``row_number() <= k`` per group — leaderboards,
+latest-N-events-per-entity, top-spenders) are the remaining common shape
+where a per-batch fact scan is unaffordable at 100 TB. They are not
+self-maintainable under deletes either: evicting a stored row may promote
+a row the state never kept. The classic fix (e.g. STREAM/DSMS ranked-view
+maintenance) is a **buffered top-(k+b) state**:
+
+- State keeps the top ``k + buffer`` rows per group (the view serves the
+  first k), plus a delta-maintained per-group total row count.
+- **Insert**: union the batch rows into the touched groups' stored rows,
+  re-rank those groups only, truncate back to k+buffer. A batch touches
+  |Δ| groups → cost O(|Δ| · (k+buffer)), never a fact scan.
+- **Delete of a stored row**: remove it and re-rank the group; the
+  buffer rows backfill the vacancy.
+- **Delete of an unstored row**: it ranked below k+buffer, so the top-k
+  cannot change — only the group's total count decrements.
+- **Buffer exhaustion**: after folding, a group whose stored row count
+  fell below min(k, total) has evicted rows it now needs. Those groups
+  come back from :func:`apply_topk_delta` as the *dirty set* for a
+  recompute scoped to just those group keys (the same hybrid as
+  ``ivm_delta.dirty_minmax_groups`` — the fallback scan is key-pruned,
+  not global). Larger ``buffer`` trades state size for fallback rate.
+
+Updates arrive as delete(old)+insert(new), as everywhere in the CDC
+layer. All steps are batch-sized joins against a state that holds
+≤ (k+buffer) rows per group — the state is view-sized, the work is
+change-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sinker_spark.ivm_delta import DELETE, OP_COL
+
+_N = "__n_total"
+
+
+def _ranked_truncate(rows: DataFrame, keys: list[str], order_col: str, id_col: str, limit: int) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        rows.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= limit)
+        .drop("__rk")
+    )
+
+
+def initial_topk_state(
+    fact: DataFrame,
+    keys: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    buffer: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """One-time build → (rows_state, counts_state).
+
+    rows_state: the top k+buffer fact rows per group (full fact columns,
+    ordered by ``order_col`` desc, ``id_col`` asc tiebreak).
+    counts_state: (keys..., __n_total) — delta-maintained group sizes,
+    the oracle for "does this group have evicted rows"."""
+    rows = _ranked_truncate(fact, keys, order_col, id_col, k + buffer)
+    counts = fact.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias(_N))
+    return rows, counts
+
+
+def apply_topk_delta(
+    rows_state: DataFrame,
+    counts_state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    buffer: int = 2,
+    op_col: str = OP_COL,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold one CDC batch → (new_rows_state, new_counts_state,
+    dirty_groups).
+
+    ``changes`` carries fact columns + ``op_col`` ∈ {insert, delete};
+    updates as delete(old)+insert(new). ``dirty_groups`` (keys only) are
+    the buffer-exhausted groups needing a scoped recompute via
+    :func:`recompute_groups`; every other group's new state is exact."""
+    fact_cols = [c for c in changes.columns if c != op_col]
+    inserts = changes.where(F.col(op_col) != DELETE).select(*fact_cols)
+    deletes = changes.where(F.col(op_col) == DELETE).select(*fact_cols)
+    touched = changes.select(*keys).distinct()
+
+    # untouched groups pass through unchanged; touched groups re-rank
+    untouched = rows_state.join(touched, keys, "left_anti")
+    touched_rows = rows_state.join(touched, keys, "semi")
+    after_delete = touched_rows.join(deletes.select(*keys, id_col), [*keys, id_col], "left_anti")
+    refolded = _ranked_truncate(
+        after_delete.unionByName(inserts.select(*after_delete.columns)),
+        keys,
+        order_col,
+        id_col,
+        k + buffer,
+    )
+    new_rows = untouched.unionByName(refolded)
+
+    sign = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1))
+    delta_n = changes.groupBy(*keys).agg(F.sum(sign).cast("bigint").alias(_N))
+    new_counts = (
+        counts_state.unionByName(delta_n)
+        .groupBy(*keys)
+        .agg(F.sum(_N).cast("bigint").alias(_N))
+        .where(F.col(_N) > 0)
+    )
+
+    # dirty: the stored set covers the true top-s of the SURVIVING OLD
+    # fact rows, where s = surviving old stored rows — batch inserts are
+    # fully known and cannot stand in for evicted old rows (an evicted
+    # row may outrank every insert). A group needs recovery exactly when
+    # s_old < min(k, surviving old total): the top-k then reaches past
+    # what the state kept. Inserts alone never trip this (s_old stays at
+    # its initial ≥ min(k+buffer, n) coverage).
+    n_del = deletes.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__ndel"))
+    s_old = after_delete.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__sold"))
+    dirty = (
+        counts_state.join(touched, keys, "semi")
+        .join(n_del, keys, "left")
+        .join(s_old, keys, "left")
+        .where(
+            F.coalesce(F.col("__sold"), F.lit(0))
+            < F.least(
+                F.lit(k).cast("bigint"),
+                F.col(_N) - F.coalesce(F.col("__ndel"), F.lit(0)),
+            )
+        )
+        .select(*keys)
+    )
+    return new_rows, new_counts, dirty
+
+
+def recompute_groups(
+    rows_state: DataFrame,
+    fact: DataFrame,
+    dirty: DataFrame,
+    keys: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    buffer: int = 2,
+) -> DataFrame:
+    """Scoped fallback: re-derive the dirty groups' top-(k+buffer) from
+    the fact table — the group-key filter semi-joins (or broadcasts) into
+    the fact scan, so cost is O(dirty groups' rows), not a full scan —
+    and splice them into the state."""
+    fresh = _ranked_truncate(
+        fact.join(F.broadcast(dirty), keys, "semi"), keys, order_col, id_col, k + buffer
+    )
+    return rows_state.join(dirty, keys, "left_anti").unionByName(
+        fresh.select(*rows_state.columns)
+    )
+
+
+def topk_view(rows_state: DataFrame, keys: list[str], order_col: str, id_col: str, k: int) -> DataFrame:
+    """The served view: first k of the stored k+buffer rows per group,
+    with their ranks."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(id_col))
+    return rows_state.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

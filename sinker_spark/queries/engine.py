@@ -461,3 +461,59 @@ def quality_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.withColumnRenamed("check", "check_name")
+
+
+@query(
+    "ivm_topk_orders",
+    oracle="""
+    WITH final_fact AS (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+    )
+    SELECT custkey, orderkey, cents, rank FROM (
+      SELECT custkey, orderkey, cents,
+             row_number() OVER (PARTITION BY custkey ORDER BY cents DESC, orderkey) AS rank
+      FROM final_fact) t
+    WHERE rank <= 3""",
+    doc=(
+        "incremental top-k view maintenance (ivm_topk): buffered "
+        "top-(k+buffer) state per customer initialized without every-7th "
+        "order, then one CDC batch inserts them and deletes every-5th — "
+        "inserts fold in O(batch), deletes absorb into the buffer, and "
+        "buffer-exhausted groups route through the scoped dirty-group "
+        "recompute before serving. Oracle recomputes the final top-3 "
+        "from scratch, so the full fold+heal protocol must land exactly"
+    ),
+    tags=("A11", "ivm", "ivm-topk", "window"),
+)
+def ivm_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_topk import (
+        apply_topk_delta,
+        initial_topk_state,
+        recompute_groups,
+        topk_view,
+    )
+
+    t = load_tables(spark, sf_dir)
+    fact = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    keys, k, buf = ["custkey"], 3, 2
+    init_fact = fact.where(F.col("orderkey") % 7 != 0)
+    rows, counts = initial_topk_state(init_fact, keys, "cents", "orderkey", k, buf)
+    batch = (
+        fact.where(F.col("orderkey") % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            fact.where((F.col("orderkey") % 5 == 0) & (F.col("orderkey") % 7 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    rows, counts, dirty = apply_topk_delta(rows, counts, batch, keys, "cents", "orderkey", k, buf)
+    final_fact = fact.where(~((F.col("orderkey") % 5 == 0) & (F.col("orderkey") % 7 != 0)))
+    rows = recompute_groups(rows, final_fact, dirty, keys, "cents", "orderkey", k, buf)
+    return topk_view(rows, keys, "cents", "orderkey", k)

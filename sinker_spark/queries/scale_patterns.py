@@ -385,3 +385,65 @@ def _jl_oracle() -> str:
 def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return similarity.random_projection(t["embeddings"], in_dim=_JL_IN, out_dim=_JL_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: cumulative-sum bin packing of small files
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 16384  # bin capacity in chars (stand-in for bytes)
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor(CAST(coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                        / {_COMPACT_TARGET}) AS BIGINT) AS bin
+      FROM documents
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY source, bin""",
+    doc=(
+        "lakehouse compaction planner: next-fit bin packing of small files "
+        "(documents stand in, n_chars = file size) into ~16 KB output bins "
+        "via an EXCLUSIVE running sum — bin = floor(cumsum_before/target), "
+        "so every bin reaches capacity before the next opens and each item "
+        "lands deterministically. Partitioned by source directory exactly "
+        "like real table-maintenance planners (Delta OPTIMIZE/Iceberg "
+        "rewrite_data_files plan per partition), so the window never "
+        "crosses directories and parallelism = #partitions at 100 TB. "
+        "Output: the per-bin rewrite manifest"
+    ),
+    tags=("compaction", "layout", "maintenance", "window"),
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = t["documents"].select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("double")
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return assigned.groupBy("source", "bin").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

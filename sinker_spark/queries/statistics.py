@@ -288,3 +288,81 @@ _sql(
     ),
     tags=("stats", "quality", "benford"),
 )
+
+
+# --- Kolmogorov–Smirnov two-sample test -----------------------------------
+@query(
+    "ks_two_sample_order_totals",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM b),
+    ecdf AS (
+      SELECT round(abs(CAST(SUM(c1) OVER w AS DOUBLE) / tot.n1
+                       - CAST(SUM(c2) OVER w AS DOUBLE) / tot.n2), 6) AS d
+      FROM b CROSS JOIN tot
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n_open, CAST(tot.n2 AS BIGINT) AS n_filled,
+           (SELECT MAX(d) FROM ecdf) AS ks_d,
+           round(1.358 * sqrt((tot.n1 + tot.n2) / (CAST(tot.n1 AS DOUBLE) * tot.n2)), 6) AS crit_95,
+           ((SELECT MAX(d) FROM ecdf)
+            > round(1.358 * sqrt((tot.n1 + tot.n2) / (CAST(tot.n1 AS DOUBLE) * tot.n2)), 6)) AS reject_95
+    FROM tot""",
+    doc=(
+        "two-sample Kolmogorov–Smirnov test: do open ('O') and filled "
+        "('F') orders draw totals from the same distribution? ECDFs "
+        "evaluated on dollar-floored bins — binning bounds the ordered "
+        "relation by the PRICE RANGE, not the row count, so the one "
+        "unpartitioned cumulative window stays ~600k rows at ANY fact "
+        "size (the scale trick; the pre-bin groupBy is an ordinary "
+        "map-side-combined shuffle). Integer cumulative counts divide to "
+        "identical doubles in both engines; D and the α=0.05 critical "
+        "value round to 6. The drift-detection sibling of the KL/chi² "
+        "lanes for continuous columns"
+    ),
+    tags=("stats", "hypothesis-test", "drift"),
+)
+def ks_two_sample_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["orders"]
+        .where(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy(F.floor("o_totalprice").cast("bigint").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("bigint").alias("c1"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("c2"),
+        )
+    )
+    tot = b.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = b.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.abs(
+                F.sum("c1").over(w).cast("double") / F.col("n1")
+                - F.sum("c2").over(w).cast("double") / F.col("n2")
+            ),
+            6,
+        ).alias("d")
+    )
+    d_max = ecdf.agg(F.max("d").alias("ks_d"))
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1").cast("double") * F.col("n2"))),
+        6,
+    )
+    return (
+        tot.crossJoin(F.broadcast(d_max))
+        .select(
+            F.col("n1").cast("bigint").alias("n_open"),
+            F.col("n2").cast("bigint").alias("n_filled"),
+            F.col("ks_d"),
+            crit.alias("crit_95"),
+            (F.col("ks_d") > crit).alias("reject_95"),
+        )
+    )
