@@ -152,18 +152,74 @@ def doc_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_cross_entropy(t["documents"])
 
 
+def _mmr_oracle(k: int, lam: float, shortlist: int) -> str:
+    """DuckDB twin of operators/similarity.mmr_rerank: the k greedy
+    selection steps are UNROLLED into chained materialized CTEs (greedy
+    argmax is sequential, but a FIXED k is just k nested queries). Each
+    step scores the remaining shortlist with the identical IEEE
+    expression — round(lam*rel − (1−lam)·max_cos_to_selected, 6), raw
+    (unrounded) cosines under the max exactly as the Spark side computes
+    them — and picks the (mmr desc, id) argmax. Redundancy penalties use
+    a correlated MAX over the ≤k-row selected set."""
+    cos_raw = (
+        "(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * s.e[i]))"
+        " / (sqrt(list_sum(list_transform(c.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(s.e, x -> x * x)))))"
+    )
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS MATERIALIZED (SELECT e FROM v WHERE vec_id = 0),
+    short AS MATERIALIZED (
+      SELECT id, rel, e FROM (
+        SELECT b.vec_id AS id,
+               round(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * q.e[i]))
+                     / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.e, x -> x * x)))), 6) AS rel,
+               b.e,
+               row_number() OVER (ORDER BY round(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * q.e[i]))
+                     / (sqrt(list_sum(list_transform(b.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.e, x -> x * x)))), 6) DESC, b.vec_id) AS rk
+        FROM v b CROSS JOIN q WHERE b.vec_id <> 0) t
+      WHERE rk <= {shortlist}
+    ),
+    sel0 AS MATERIALIZED (SELECT id, rel, e, 0 AS rank, 0.0 AS mmr FROM short WHERE FALSE)"""
+    ]
+    prev = "sel0"
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+    cand{i} AS MATERIALIZED (
+      SELECT c.id, c.rel, c.e,
+             round({lam} * c.rel - (1.0 - {lam}) *
+                   coalesce((SELECT MAX({cos_raw}) FROM {prev} s), 0.0), 6) AS mmr
+      FROM short c WHERE c.id NOT IN (SELECT id FROM {prev})
+    ),
+    pick{i} AS MATERIALIZED (
+      SELECT id, rel, e, {i} AS rank, mmr FROM cand{i} ORDER BY mmr DESC, id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"""
+        )
+        prev = f"sel{i}"
+    return (
+        ",".join(parts)
+        + f"\n    SELECT CAST(rank AS INT) AS rank, id, rel, mmr FROM {prev}"
+    )
+
+
 @query(
     "mmr_diversified_topk",
-    oracle=None,
+    oracle=_mmr_oracle(k=5, lam=0.7, shortlist=30),
     doc=(
         "MMR diversified rerank (operators/similarity.mmr_rerank): top-5 "
         "from the 30-candidate cosine shortlist for query vec 0, greedily "
         "trading relevance against redundancy (λ=0.7). Sequential by "
         "definition → k bounded driver iterations over the shortlist, "
         "selected vectors folded as literals (no join per step), one row "
-        "collected per step. No SQL oracle (iterative greedy choice); "
-        "pytest cross-checks the selection against a pure-python greedy "
-        "reference (tests/test_scale_patterns.py)"
+        "collected per step. Oracle-matched by UNROLLING the 5 greedy "
+        "steps into chained DuckDB CTEs (correlated MAX redundancy "
+        "penalty per step); also cross-checked against a pure-python "
+        "greedy reference (tests/test_scale_patterns.py)"
     ),
     tags=("similarity-rerank", "mmr", "diversity"),
 )
