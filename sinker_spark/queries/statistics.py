@@ -366,3 +366,86 @@ def ks_two_sample_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_d") > crit).alias("reject_95"),
         )
     )
+
+
+# --- two-proportion z-test (A/B experiment readout) -----------------------
+@query(
+    "ab_test_two_proportion_z",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+           (abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))) > 1.959964) AS reject_95
+    FROM wide""",
+    doc=(
+        "two-proportion z-test (pooled), the A/B-experiment readout "
+        "sibling of the chi²/KS lanes: users split into variants by "
+        "user_id parity, conversion = any high-value purchase (>150); z from the "
+        "pooled rate, two-sided rejection at α=0.05 (±1.959964). One "
+        "per-user aggregation (map-side combined) + a 2-row arm rollup — "
+        "nothing here grows with event volume beyond the first groupBy"
+    ),
+    tags=("stats", "hypothesis-test", "ab-test"),
+)
+def ab_test_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    assign = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > F.lit(1.959964)).alias("reject_95"),
+    )
