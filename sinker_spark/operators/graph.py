@@ -174,3 +174,47 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: str,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Hop-bounded single-source shortest paths (Bellman–Ford rounds in
+    min-plus algebra) → (node, dist): the cheapest ≤``rounds``-hop path
+    cost from ``source`` to every reached node.
+
+    Each round relaxes every edge once: dist' = min(dist, min over
+    in-edges of dist[src] + cost) — one equi-join of the frontier
+    against the edge list plus one min-aggregation on dst, the same
+    O(|V|+|E|)-per-round shape as :func:`pagerank`. Costs must be
+    integral (BIGINT): min-plus over integers is exact, so the result is
+    engine- and partitioning-independent with no float rounding anywhere.
+    A fixed ``rounds`` (≥ graph diameter for full SSSP) keeps the loop
+    bounded and the semantics well-defined either way: "cheapest path
+    using at most k hops" — and makes the computation SQL-unrollable for
+    the oracle. Unreached nodes emit no row."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(cost).cast("bigint").alias("cost"),
+    ).localCheckpoint(eager=True)
+    dist = e.sparkSession.createDataFrame([(source, 0)], "node string, dist bigint")
+    for i in range(rounds):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("cost")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

@@ -1165,3 +1165,73 @@ def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_lines") >= 3) & (F.col("cust_nation") != F.col("supp_nation"))
     )
     return triangle_count(edges, src="cust_nation", dst="supp_nation")
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """DuckDB twin of operators/graph.sssp on the nation trade graph:
+    Bellman–Ford rounds unrolled into chained materialized CTEs —
+    pure BIGINT min-plus, so the match is exact with no float caveats."""
+    parts = [
+        """
+    WITH pairs AS MATERIALIZED (
+      SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS cost
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY cn.n_name, sn.n_name
+    ),
+    d0 AS MATERIALIZED (SELECT 'NATION_1' AS node, CAST(0 AS BIGINT) AS dist)"""
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT pairs.dst AS node, d.dist + pairs.cost AS dist
+        FROM pairs JOIN {prev} d ON pairs.src = d.node
+      ) u GROUP BY node
+    )"""
+        )
+        prev = f"d{i}"
+    return ",".join(parts) + f"\n    SELECT node AS nation, dist FROM {prev}"
+
+
+@query(
+    "sssp_nation_trade",
+    oracle=_sssp_oracle(rounds=3),
+    doc=(
+        "hop-bounded single-source shortest paths (operators/graph.sssp): "
+        "cheapest ≤3-hop route from NATION_1 over the nation trade graph "
+        "with integer edge costs (lineitem counts, self-loops excluded) — "
+        "Bellman–Ford min-plus rounds, one frontier⋈edges join + min-agg "
+        "per round. Integer arithmetic end to end → the unrolled-CTE "
+        "oracle matches exactly, no float rounding anywhere"
+    ),
+    tags=("graph-sssp", "iterative"),
+)
+def sssp_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.graph import sssp
+
+    t = load_tables(spark, sf_dir)
+    cn = t["nation"].select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sn = t["nation"].select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count("*").cast("bigint").alias("cost"))
+    )
+    d = sssp(edges, source="NATION_1", rounds=3, src="cust_nation", dst="supp_nation")
+    return d.select(F.col("node").alias("nation"), "dist")

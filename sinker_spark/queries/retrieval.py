@@ -233,3 +233,52 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = similarity.mmr_rerank(shortlist, k=5, lam=0.7)
     return spark.createDataFrame(picked, "rank int, id bigint, rel double, mmr double")
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, tok.pos AS pos, tok.t AS token FROM (
+        SELECT doc_id,
+               unnest(list_filter(list_transform(string_split(text, ' '),
+                                                 (t, i) -> {'pos': i - 1, 't': t}),
+                                  x -> x.t <> '')) AS tok
+        FROM documents) u
+    ),
+    postings AS (
+      SELECT token, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS tf,
+             string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+      FROM tk GROUP BY token, doc_id
+    ),
+    docfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY token)
+    SELECT p.token, p.doc_id, p.tf, p.positions, d.df
+    FROM postings p JOIN docfreq d ON p.token = d.token""",
+    doc=(
+        "positional inverted index built lake-side: (token, doc_id) "
+        "postings with term frequency, sorted position list, and document "
+        "frequency — the structure the reference delegates to the "
+        "Elasticsearch sink (reference sinker.py:74-86 index setup), "
+        "re-expressed as two shuffles (posexplode → (token,doc) agg → "
+        "token df join). At 100 TB postings partition by token — the "
+        "natural layout for BM25/phrase queries — and df is "
+        "vocabulary-sized, broadcastable back onto the postings"
+    ),
+    tags=("retrieval", "inverted-index", "text-search", "B9"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tk = (
+        t["documents"]
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .where(F.col("token") != "")
+    )
+    postings = tk.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.array_join(F.sort_array(F.collect_list(F.col("pos"))).cast("array<string>"), ",").alias(
+            "positions"
+        ),
+    )
+    docfreq = postings.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    return postings.join(docfreq, "token").select("token", "doc_id", "tf", "positions", "df")

@@ -65,3 +65,26 @@ def test_triangle_count_known_graph(spark):
     edges_dup = spark.createDataFrame(k4 + [(b, a) for a, b in k4], "u int, v int")
     out2 = {r["node"]: r["n_triangles"] for r in triangle_count(edges_dup).collect()}
     assert out2 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_sssp_prefers_cheap_multi_hop_and_respects_bound(spark):
+    from sinker_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),  # direct but expensive
+            ("a", "c", 1),
+            ("c", "b", 2),   # a→c→b = 3 beats direct 10
+            ("b", "d", 1),   # d reachable only via b (3 hops from a)
+            ("x", "y", 1),   # disconnected from a
+        ],
+        "src string, dst string, cost bigint",
+    )
+    d3 = {r["node"]: r["dist"] for r in sssp(edges, "a", rounds=3).collect()}
+    assert d3 == {"a": 0, "c": 1, "b": 3, "d": 4}
+    # hop bound: with 1 round the 2-hop shortcut is invisible
+    d1 = {r["node"]: r["dist"] for r in sssp(edges, "a", rounds=1).collect()}
+    assert d1 == {"a": 0, "b": 10, "c": 1}
+    # extra rounds beyond convergence change nothing
+    d5 = {r["node"]: r["dist"] for r in sssp(edges, "a", rounds=5).collect()}
+    assert d5 == d3
