@@ -443,3 +443,104 @@ def gopher_rules(
         c = F.col(name)
         passes = c if passes is None else (passes & c)
     return out.withColumn("passes", passes)
+
+
+def _bpe_merge_step(acc, x):
+    """One fold step of the greedy left-to-right pair merge: ``acc`` is
+    the space-joined merged prefix, ``x`` the next symbol; outer columns
+    ``a``/``b`` (the pair being merged) are captured from the joined
+    best-pair row. Greedy non-overlap falls out of the fold: once a pair
+    merges, the new trailing symbol is ``a||b`` ≠ ``a``."""
+    suffix_ok = (F.length(acc) > F.length(F.col("a"))) & (
+        F.substring(
+            acc,
+            (F.length(acc) - F.length(F.col("a"))).cast("int"),
+            (F.length(F.col("a")) + 1).cast("int"),
+        )
+        == F.concat(F.lit(" "), F.col("a"))
+    )
+    return (
+        F.when(acc == "", x)
+        .when(
+            (x == F.col("b")) & ((acc == F.col("a")) | suffix_ok),
+            F.concat(
+                F.substring(acc, F.lit(1), (F.length(acc) - F.length(F.col("a"))).cast("int")),
+                F.col("a"),
+                F.col("b"),
+            ),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), x))
+    )
+
+
+def bpe_train(df: DataFrame, merges: int = 6, text_col: str = "text") -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) as pure
+    dataflow → the learned merge table (step, a, b, merged, pair_count).
+
+    The corpus compresses to a WORD-FREQUENCY table first (BPE's classic
+    trick: pair statistics only need each distinct word once, weighted),
+    so every iteration runs on a vocabulary-sized relation regardless of
+    corpus size — at 100 TB the one corpus-sized job is the initial word
+    count; the loop touches |vocab| rows per round. Each round:
+
+    1. pair counts: explode adjacent symbol pairs, SUM(freq) — integer
+       weights, so the argmax is exact and engine-independent,
+    2. best pair: global (count desc, a, b) argmax — one row,
+    3. merge: broadcast the best pair and fold every word's symbol
+       sequence through a greedy left-to-right string-accumulator merge
+       (identical lambda in the DuckDB oracle via list_reduce).
+
+    No driver-side data beyond Spark's own 1-row limit plans; the merge
+    table unions k single-row relations. Words are whitespace tokens,
+    symbols start as characters + a '</w>' end marker."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i.cast("int"), F.lit(1).cast("int")),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    words = vocab.select("word", "freq", syms.alias("syms")).localCheckpoint(eager=True)
+    merge_rows = None
+    for step_i in range(1, merges + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("pr"),
+        )
+        counts = pairs.groupBy("pr.a", "pr.b").agg(
+            F.sum("freq").cast("bigint").alias("pair_count")
+        )
+        best = (
+            counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        row = best.select(
+            F.lit(step_i).cast("int").alias("step"),
+            "a",
+            "b",
+            F.concat("a", "b").alias("merged"),
+            "pair_count",
+        )
+        merge_rows = row if merge_rows is None else merge_rows.unionByName(row)
+        words = (
+            words.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                "word",
+                "freq",
+                F.split(F.aggregate("syms", F.lit(""), _bpe_merge_step), " ").alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merge_rows

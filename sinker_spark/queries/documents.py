@@ -1134,3 +1134,80 @@ _GOPHER_STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return text.gopher_rules(t["documents"])
+
+
+def _bpe_oracle(merges: int) -> str:
+    """DuckDB twin of operators/text.bpe_train: the fixed merge count is
+    unrolled into chained materialized CTEs; the greedy left-to-right
+    pair merge is the IDENTICAL string-accumulator fold (list_reduce vs
+    Spark F.aggregate), and pair statistics are integer-weighted so every
+    argmax matches exactly."""
+    parts = [
+        """
+    WITH v AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        FROM documents) u
+      GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms
+      FROM v
+    )"""
+    ]
+    prev = "w0"
+    fold = (
+        "list_reduce(list_prepend('', syms), (acc, x) -> "
+        "CASE WHEN acc = '' THEN x "
+        "WHEN x = best{i}.b AND (acc = best{i}.a OR (length(acc) > length(best{i}.a) "
+        "AND substr(acc, length(acc) - length(best{i}.a), length(best{i}.a) + 1) = ' ' || best{i}.a)) "
+        "THEN substr(acc, 1, length(acc) - length(best{i}.a)) || best{i}.a || best{i}.b "
+        "ELSE acc || ' ' || x END)"
+    )
+    for i in range(1, merges + 1):
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+        SELECT freq, pr.a AS a, pr.b AS b FROM (
+          SELECT freq, unnest(list_transform(range(1, len(syms)),
+                              j -> {{'a': syms[j], 'b': syms[j + 1]}})) AS pr
+          FROM {prev}) x) u
+      GROUP BY a, b
+    ),
+    best{i} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM p{i} ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT word, freq, string_split({fold.replace('{i}', str(i))}, ' ') AS syms
+      FROM {prev} CROSS JOIN best{i}
+    )"""
+        )
+        prev = f"w{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, a, b, a || b AS merged, pair_count FROM best{i}"
+        for i in range(1, merges + 1)
+    )
+    return ",".join(parts) + "\n    " + selects
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(merges=6),
+    doc=(
+        "BPE tokenizer training (operators/text.bpe_train, Sennrich et "
+        "al. 2016): the first 6 learned merge rules over the documents "
+        "corpus — corpus → word-frequency table once (the only "
+        "corpus-sized job at 100 TB), then per round an integer-weighted "
+        "adjacent-pair count, a deterministic (count desc, pair) argmax, "
+        "and a broadcast greedy left-to-right merge fold over the "
+        "vocabulary. Oracle-matched by unrolling the 6 rounds into "
+        "chained CTEs running the identical fold via list_reduce"
+    ),
+    tags=("text-tokenize", "bpe", "training-pipeline", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return text.bpe_train(t["documents"], merges=6)

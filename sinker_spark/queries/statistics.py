@@ -449,3 +449,68 @@ def ab_test_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > F.lit(1.959964)).alias("reject_95"),
     )
+
+
+# --- exact AUC via the Mann–Whitney rank-sum ------------------------------
+@query(
+    "auc_mann_whitney_order_totals",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT p, n,
+             coalesce(SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+      FROM b
+    ),
+    agg AS (
+      SELECT CAST(SUM(p * (2 * n_below + n)) AS BIGINT) AS num2,
+             CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2.0 * (CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) - 1.0, 6) AS gini
+    FROM agg""",
+    doc=(
+        "exact AUC / Mann–Whitney U: does order total rank 'F' (filled) "
+        "orders above the rest? Rank-sum computed from per-dollar-bin "
+        "counts — 2·U stays integral (tie bins contribute n/2 exactly), "
+        "so the statistic is engine-exact before the one final division. "
+        "Binning bounds the ordered relation by the price RANGE (same "
+        "scale trick as the KS lane): the cumulative window rides ~600k "
+        "bin rows at ANY fact size, after an ordinary map-side-combined "
+        "groupBy. The model-eval lane (classifier ranking quality) of "
+        "the stats family; gini = 2·AUC − 1"
+    ),
+    tags=("stats", "model-eval", "auc"),
+)
+def auc_mann_whitney_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["orders"]
+        .groupBy(F.floor("o_totalprice").cast("bigint").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("p"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1)).cast("bigint").alias("n"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.select(
+        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_below")
+    )
+    agg = cum.agg(
+        F.sum(F.col("p") * (2 * F.col("n_below") + F.col("n"))).cast("bigint").alias("num2"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("n").cast("bigint").alias("n_neg"),
+    )
+    auc = F.col("num2").cast("double") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )

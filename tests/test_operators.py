@@ -682,3 +682,38 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out[5]["ok_mean_word_len"] and not out[5]["ok_max_word_len"]
     assert not out[6]["ok_alpha_ratio"]
     assert not out[7]["ok_stopwords"]
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checkable corpus: 'low' x4 + 'lower' x2 + 'new' x3. First
+    merge must be the most frequent adjacent pair with lexicographic
+    tiebreak, and merges compose (learned symbols join later pairs)."""
+    from sinker_spark.operators.text import bpe_train
+
+    docs = [(1, "low low lower new"), (2, "low lower new new"), (3, "low")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [(r["step"], r["a"], r["b"], r["merged"], r["pair_count"]) for r in
+           bpe_train(df, merges=3).orderBy("step").collect()]
+
+    # python reference implementation of the same greedy algorithm
+    vocab = {"low": 4, "lower": 2, "new": 3}
+    words = {w: [*w, "</w>"] for w in vocab}
+    expect = []
+    for step in range(1, 4):
+        counts: dict[tuple, int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, a, b, a + b, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == expect
