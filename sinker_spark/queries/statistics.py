@@ -514,3 +514,100 @@ def auc_mann_whitney_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(auc, 6).alias("auc"),
         F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
     )
+
+
+# --- logistic regression by gradient descent ------------------------------
+def _logreg_oracle(iterations: int, lr: float) -> str:
+    """DuckDB twin of operators/ml.logreg_gd: iterations unrolled into
+    chained CTEs. Gradients are rounded-DECIMAL sums (exact in any
+    order) and sigmoid outputs round to 9 before use, so both engines
+    walk the identical weight trajectory — libm ulp differences never
+    reach a sum."""
+    dd = "CAST({} AS DOUBLE)"
+    parts = [
+        f"""
+    WITH feat AS MATERIALIZED (
+      SELECT o_totalprice / {dd.format('100000.0')} AS x1,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) / {dd.format('1000.0')} AS x2,
+             CASE WHEN o_orderstatus = 'F' THEN {dd.format('1.0')} ELSE {dd.format('0.0')} END AS y
+      FROM orders
+    ),
+    nrow AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feat),
+    it0 AS MATERIALIZED (SELECT {dd.format('0.0')} AS w0, {dd.format('0.0')} AS w1, {dd.format('0.0')} AS w2)"""
+    ]
+    prev = "it0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    s{i} AS MATERIALIZED (
+      SELECT y, x1, x2,
+             round({dd.format('1.0')} / ({dd.format('1.0')} + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9) AS p
+      FROM feat CROSS JOIN {prev} w
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT SUM(CAST(round(p - y, 12) AS DECIMAL(28,12))) AS g0,
+             SUM(CAST(round((p - y) * x1, 12) AS DECIMAL(28,12))) AS g1,
+             SUM(CAST(round((p - y) * x2, 12) AS DECIMAL(28,12))) AS g2
+      FROM s{i}
+    ),
+    it{i} AS MATERIALIZED (
+      SELECT w.w0 - {dd.format(lr)} * (CAST(g.g0 AS DOUBLE) / nrow.n) AS w0,
+             w.w1 - {dd.format(lr)} * (CAST(g.g1 AS DOUBLE) / nrow.n) AS w1,
+             w.w2 - {dd.format(lr)} * (CAST(g.g2 AS DOUBLE) / nrow.n) AS w2
+      FROM {prev} w CROSS JOIN g{i} g CROSS JOIN nrow
+    )"""
+        )
+        prev = f"it{i}"
+    return (
+        ",".join(parts)
+        + f"""
+    , scored AS MATERIALIZED (
+      SELECT y,
+             round({dd.format('1.0')} / ({dd.format('1.0')} + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9) AS p
+      FROM feat CROSS JOIN {prev} w
+    ),
+    metrics AS MATERIALIZED (
+      SELECT SUM(CAST(round(-(y * ln(least(greatest(p, {dd.format('0.000000001')}), {dd.format('0.999999999')}))
+                              + ({dd.format('1.0')} - y) * ln({dd.format('1.0')} - least(greatest(p, {dd.format('0.000000001')}), {dd.format('0.999999999')}))), 12) AS DECIMAL(28,12))) AS ll,
+             CAST(SUM(CASE WHEN (p >= {dd.format('0.5')} AND y = {dd.format('1.0')})
+                             OR (p < {dd.format('0.5')} AND y = {dd.format('0.0')}) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM scored
+    )
+    SELECT round(w.w0, 6) AS w0, round(w.w1, 6) AS w1, round(w.w2, 6) AS w2,
+           round(CAST(m.ll AS DOUBLE) / nrow.n, 6) AS log_loss,
+           round(CAST(m.n_correct AS DOUBLE) / nrow.n, 6) AS accuracy,
+           CAST(nrow.n AS BIGINT) AS n
+    FROM {prev} w CROSS JOIN metrics m CROSS JOIN nrow"""
+    )
+
+
+@query(
+    "logreg_gd_orders",
+    oracle=_logreg_oracle(iterations=3, lr=0.5),
+    doc=(
+        "binary logistic regression trained by full-batch gradient "
+        "descent (operators/ml.logreg_gd): does (total price, order age) "
+        "predict 'F' status? 3 iterations, weights live in a one-row "
+        "broadcast relation — no driver math; gradients accumulate as "
+        "rounded DECIMALs (exact in any order) and sigmoids round to 9 "
+        "before summing, so the training trajectory is bit-reproducible "
+        "at any parallelism AND matches the unrolled-CTE oracle. Per "
+        "iteration: one feature-relation scan + map-side-combined "
+        "3-term reduction — the batch-GD scale shape; outputs weights, "
+        "log-loss, training accuracy"
+    ),
+    tags=("ml-train", "iterative", "stats", "model-eval"),
+)
+def logreg_gd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.operators.ml import logreg_gd
+
+    t = load_tables(spark, sf_dir)
+    feat = t["orders"].select(
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x1"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("bigint")
+            / F.lit(1000.0)
+        ).alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    return logreg_gd(feat, ["x1", "x2"], "y", iterations=3, lr=0.5)

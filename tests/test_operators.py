@@ -717,3 +717,21 @@ def test_bpe_train_learns_expected_merges(spark):
                     i += 1
             words[w] = out
     assert got == expect
+
+
+def test_logreg_gd_learns_separable_data(spark):
+    """GD on linearly separable data: loss far below the 0-weight
+    baseline (ln 2), accuracy near 1, and sign of the learned slope
+    matches the generating rule."""
+    from sinker_spark.operators.ml import logreg_gd
+
+    rows = [(x / 10.0, 0.0, 1.0 if x >= 0 else 0.0) for x in range(-50, 50)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    out = logreg_gd(df, ["x1", "x2"], "y", iterations=10, lr=1.0).collect()[0]
+    assert out["n"] == 100
+    assert out["w1"] > 0.5          # positive slope on the separating feature
+    assert out["log_loss"] < 0.45   # well under ln2 ≈ 0.693
+    assert out["accuracy"] >= 0.95
+    # determinism: identical rerun
+    again = logreg_gd(df, ["x1", "x2"], "y", iterations=10, lr=1.0).collect()[0]
+    assert out == again

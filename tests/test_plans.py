@@ -264,6 +264,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "mmr_diversified_topk",     # broadcast 1-query vector batch (ann pattern)
         "ks_two_sample_order_totals",  # one-row totals / one-row max-D broadcasts
         "bpe_train_merges",         # one-row best-pair broadcast per merge round
+        "logreg_gd_orders",         # one-row weight/gradient broadcasts per GD step
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
