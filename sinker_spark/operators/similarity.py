@@ -277,7 +277,10 @@ def kmeans(
     k = min(k, len(centroids))
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        dists = F.array(*[_sq_dist_to(F.col("_v"), c) for c in cents])
+        # distances round to 9 before the argmin (ties then break toward
+        # the lower cluster index via first-min array_position), so the
+        # assignment is engine- and parallelism-exact
+        dists = F.array(*[F.round(_sq_dist_to(F.col("_v"), c), 9) for c in cents])
         return base.select(
             "_id",
             "_v",
@@ -287,10 +290,20 @@ def kmeans(
 
     for _ in range(iterations):
         assigned = assign(centroids)
+        # centroid update as an exact decimal mean (rounded-12 summands,
+        # order-independent sum, one double division) — the collected
+        # centroid literals are therefore bit-identical to what any SQL
+        # twin of this loop computes, making the whole fixpoint
+        # oracle-matchable (see queries/vectors._kmeans_oracle_ctes)
         new_rows = (
             assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("mean"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("val"), 12).cast("DECIMAL(28,12)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("mean")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}

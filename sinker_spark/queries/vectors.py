@@ -219,15 +219,85 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_ctes(k: int, iterations: int) -> tuple[str, str]:
+    """DuckDB twin of operators/similarity.kmeans: Lloyd's iterations
+    unrolled into chained materialized CTEs. Returns (sql_prefix,
+    final_assignment_cte) where the final CTE has (vec_id, e, cluster,
+    dist) — dist is the rounded-9 squared distance of the winning
+    cluster. Exactness contract shared with the operator: distances
+    round to 9 before the (dist, cid) argmin; centroid updates are
+    rounded-12 DECIMAL means; empty clusters keep their previous
+    centroid."""
+    sq = (
+        "round(list_sum(list_transform(range(1, len(v.e) + 1),"
+        " t -> (v.e[t] - c.c[t]) * (v.e[t] - c.c[t]))), 9)"
+    )
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS c
+      FROM v ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 2):
+        parts.append(
+            f"""
+    d{i} AS MATERIALIZED (
+      SELECT v.vec_id, v.e, c.cid, {sq} AS dist
+      FROM v CROSS JOIN {prev} c
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, e, cid AS cluster, dist FROM (
+        SELECT vec_id, e, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{i}) t
+      WHERE rn = 1
+    )"""
+        )
+        if i == iterations + 1:
+            break  # final pass assigns only; no further update
+        parts.append(
+            f"""
+    u{i} AS MATERIALIZED (
+      SELECT cluster AS cid, CAST(dim AS INT) AS dim,
+             CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM (
+        SELECT a.cluster, generate_subscripts(a.e, 1) AS dim, unnest(a.e) AS x
+        FROM a{i} a) f
+      GROUP BY cluster, dim
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, coalesce(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY dim) AS c FROM u{i} GROUP BY cid) n
+      ON p.cid = n.cid
+    )"""
+        )
+        prev = f"c{i}"
+    return ",".join(parts), f"a{iterations + 1}"
+
+
+_KM_PREFIX, _KM_FINAL = _kmeans_oracle_ctes(k=4, iterations=3)
+
+
 @query(
     "kmeans_embedding_clusters",
-    oracle=None,
+    oracle=_KM_PREFIX
+    + f"""
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, round(sqrt(dist), 6) AS dist
+    FROM {_KM_FINAL}""",
     doc=(
         "Lloyd's k-means (operators/similarity.kmeans, k=4, 3 iterations): "
         "the coarse-quantizer trainer for the IVF lane — assignment is a "
         "shuffle-free per-row argmin over a centroid literal, update is one "
-        "k×dim-bounded aggregation per pass; iterative float fixpoint → "
-        "rows-only, numpy-verified in tests/test_operators.py"
+        "k×dim-bounded aggregation per pass. The iterative float fixpoint "
+        "is oracle-matched: distances round to 9 before the argmin and "
+        "centroid means are rounded-DECIMAL-exact, so the unrolled-CTE "
+        "twin walks the identical trajectory; also numpy-verified in "
+        "tests/test_operators.py"
     ),
     tags=("similarity-train", "iterative", "kmeans"),
 )
@@ -239,15 +309,27 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+_KM2_PREFIX, _KM2_FINAL = _kmeans_oracle_ctes(k=4, iterations=2)
+
+
 @query(
     "ann_ivf_trained_topk",
-    oracle=None,
+    oracle=_KM2_PREFIX
+    + f"""
+    , cells AS MATERIALIZED (SELECT vec_id, e, cluster FROM {_KM2_FINAL})
+    SELECT qid, nid, sim, rank FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS} AS sim,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+      FROM (SELECT * FROM cells WHERE vec_id % 100 = 0) a
+      JOIN cells b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ) t WHERE rank <= 3""",
     doc=(
         "end-to-end trained IVF ANN: k-means fit (similarity.kmeans, k=4) "
         "assigns every vector its learned coarse cell, then ivf_topk "
         "probes only the query's cell — the full production ANN path "
-        "(train → assign → partitioned probe) in one query; iterative "
-        "float fixpoint → rows-only, recall-vs-brute-force asserted in "
+        "(train → assign → partitioned probe) in one query. Oracle-"
+        "matched via the unrolled exact-k-means CTEs + the cell-join "
+        "probe; recall-vs-brute-force also asserted in "
         "tests/test_operators.py"
     ),
     tags=("similarity-ivf", "similarity-train", "iterative"),
