@@ -203,6 +203,11 @@ class SyncEngine:
             if v.membership is not None and (changed & v.deps) <= {v.membership.table}:
                 if self._bloom_membership_refresh(v, cdc, epoch_id):
                     continue
+            # top-k lane: buffered top-(k+buffer) fold; buffer-exhausted
+            # groups heal via a key-scoped recompute inside the lane
+            if v.topk is not None and (changed & v.deps) <= {v.topk.table}:
+                if self._topk_refresh(v, cdc, epoch_id):
+                    continue
             # each view's hook sees only the changed tables it depends on
             relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
             scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
@@ -291,6 +296,128 @@ class SyncEngine:
             "delta_agg": 1,
         }
         logger.info("delta-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
+
+    def _topk_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Top-k maintenance lane (ivm_topk): fold the batch into the
+        buffered top-(k+buffer) row state + delta-maintained group
+        totals, heal buffer-exhausted groups with a recompute scoped to
+        just those group keys (against the catalog fact table, which the
+        lane — like every recompute lane — assumes mirrors the applied
+        CDC), and emit one ranked-array document per touched group.
+        Returns False when a delete/update arrives without its
+        before-image."""
+        from sinker_spark import ivm_topk
+
+        spec = view.topk
+        rows = cdc.where(F.col("table") == spec.table)
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), spec.row_schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        batch = parsed("payload", ivm_delta.INSERT)
+        if has_before:
+            batch = batch.unionByName(parsed("payload_before", ivm_delta.DELETE))
+
+        rows_name = f"{view.name}__topkrows"
+        counts_name = f"{view.name}__topkcounts"
+        packed_rows = self.store.read(rows_name)
+        packed_counts = self.store.read(counts_name)
+        if packed_rows is None or packed_counts is None:
+            rows_state, counts_state = ivm_topk.initial_topk_state(
+                self.spark.table(spec.table).select(
+                    *[c for c in batch.columns if c != ivm_delta.OP_COL]
+                ),
+                spec.keys,
+                spec.order_col,
+                spec.id_col,
+                spec.k,
+                spec.buffer,
+            )
+        else:
+            rows_state = packed_rows.select("doc.*")
+            counts_state = packed_counts.select("doc.*")
+
+        new_rows, new_counts, dirty = ivm_topk.apply_topk_delta(
+            rows_state, counts_state, batch, spec.keys, spec.order_col, spec.id_col,
+            spec.k, spec.buffer,
+        )
+        n_dirty = dirty.count()
+        if n_dirty:
+            new_rows = ivm_topk.recompute_groups(
+                new_rows,
+                self.spark.table(spec.table),
+                dirty,
+                spec.keys,
+                spec.order_col,
+                spec.id_col,
+                spec.k,
+                spec.buffer,
+            )
+        new_rows = new_rows.localCheckpoint(eager=True)
+        new_counts = new_counts.localCheckpoint(eager=True)
+
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        touched = batch.select(*spec.keys).distinct()
+        served = ivm_topk.topk_view(new_rows, spec.keys, spec.order_col, spec.id_col, spec.k)
+        docs = served.groupBy(*spec.keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct("rank", spec.id_col, spec.order_col))
+            ).alias("top")
+        )
+        sink_doc = F.struct(*[F.col(k).alias(k) for k in spec.keys], F.col("top"))
+        upserts = docs.join(touched, spec.keys, "left_semi").select(
+            group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(new_counts, spec.keys, "left_anti").select(
+            group_id.alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        row_id = F.concat_ws(
+            "|", *[F.col(k).cast("string") for k in spec.keys], F.col(spec.id_col).cast("string")
+        )
+        fact_cols = [c for c in batch.columns if c != ivm_delta.OP_COL]
+        self.store.write(
+            rows_name,
+            new_rows.select(row_id.alias(view.key), F.struct(*fact_cols).alias("doc")),
+            key=view.key,
+        )
+        self.store.write(
+            counts_name,
+            new_counts.select(
+                group_id.alias(view.key),
+                F.struct(*spec.keys, F.col(ivm_topk._N)).alias("doc"),
+            ),
+            key=view.key,
+        )
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "topk": 1,
+            "dirty_groups": n_dirty,
+        }
+        logger.info("top-k refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
         return True
 

@@ -135,6 +135,39 @@ class MembershipViewSpec:
 
 
 @dataclass
+class TopKViewSpec:
+    """Declares a view as "top k rows per group, ranked by a score
+    column" — leaderboards, latest-N-per-entity — eligible for the
+    buffered top-(k+buffer) lane (ivm_topk): inserts re-rank only the
+    touched groups' ≤(k+buffer) stored rows, deletes backfill from the
+    buffer, and only buffer-exhausted groups pay a key-scoped recompute
+    against the catalog fact table (which the lane assumes mirrors the
+    applied CDC, the same contract as every recompute lane). Same
+    before-image requirement as :class:`AggViewSpec`.
+
+    - ``table``: fact table name (``spark.table``-resolvable)
+    - ``keys``: group columns; the doc id is their '|'-join
+    - ``order_col``: ranking column (descending; must be present in
+      ``row_schema``)
+    - ``id_col``: row identity + deterministic tiebreak column
+    - ``k`` / ``buffer``: served size / delete-absorbing slack
+    - ``row_schema``: DDL schema for parsing CDC payload JSON
+
+    The emitted document is ``struct(keys…, top: array<struct(rank,
+    <id_col>, <order_col>)>)`` sorted by rank; a view's sql/fn (the
+    recompute lane) must produce the same shape.
+    """
+
+    table: str
+    keys: list[str]
+    order_col: str
+    id_col: str
+    k: int
+    buffer: int
+    row_schema: str
+
+
+@dataclass
 class JoinViewSpec:
     """Declares a view as an equi-join of two base tables, making it
     eligible for the delta-join lane (ivm_delta.join_delta): CDC batches
@@ -174,6 +207,7 @@ class ViewDef:
     join: "JoinViewSpec | None" = None
     distinct: "DistinctViewSpec | None" = None
     membership: "MembershipViewSpec | None" = None
+    topk: "TopKViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables
