@@ -611,3 +611,46 @@ def logreg_gd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
     )
     return logreg_gd(feat, ["x1", "x2"], "y", iterations=3, lr=0.5)
+
+
+# --- k-anonymity / l-diversity audit --------------------------------------
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           (COUNT(*) >= 5) AS k5_ok,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END) AS BIGINT) AS l_distinct,
+           (COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END) >= 2) AS l2_ok
+    FROM customer
+    GROUP BY 1, 2, 3""",
+    doc=(
+        "privacy-audit lane: k-anonymity (every quasi-identifier "
+        "combination — nation × segment × $1000 balance band — must "
+        "cover ≥ k individuals) and l-diversity (≥ l distinct sensitive "
+        "values per group, here debt-vs-credit standing) as one "
+        "re-identification-risk report over the customer table. One "
+        "map-side-combined groupBy; the release-gating check a "
+        "training-data pipeline runs before exporting user-derived "
+        "records at 100 TB"
+    ),
+    tags=("privacy", "governance", "quality", "B15"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sensitive = F.when(F.col("c_acctbal") < 0, "debt").otherwise("credit")
+    return (
+        t["customer"]
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            (F.count("*") >= 5).alias("k5_ok"),
+            F.countDistinct(sensitive).cast("bigint").alias("l_distinct"),
+            (F.countDistinct(sensitive) >= 2).alias("l2_ok"),
+        )
+    )

@@ -472,3 +472,47 @@ _sql(
     ),
     tags=("timeseries-interpolate", "window-frames", "gap-fill"),
 )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (SELECT event_type, SUM(n) AS t FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type, c.n,
+           round(CAST(c.n AS DOUBLE) / tot.t, 6) AS p
+    FROM c JOIN tot ON c.event_type = tot.event_type""",
+    doc=(
+        "first-order Markov transition matrix over user event streams: "
+        "P(next event type | current), from per-user lead() sequences "
+        "(ties broken by event_id so the sequence is deterministic). One "
+        "user-keyed window shuffle + a type×type aggregate (≤ |types|² "
+        "rows at any scale); integer counts divide to identical doubles "
+        "in both engines. The sequence-mining/product-analytics lane: "
+        "churn paths, funnel leakage, next-action prediction priors"
+    ),
+    tags=("sequence-mining", "markov", "window", "temporal"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return c.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )
