@@ -654,3 +654,140 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct(sensitive) >= 2).alias("l2_ok"),
         )
     )
+
+
+# --- exact weighted median per group --------------------------------------
+@query(
+    "weighted_median_price_by_status",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderstatus AS status,
+             CAST(floor(o_totalprice) AS BIGINT) AS price_bin,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT status, price_bin, wt,
+             SUM(wt) OVER (PARTITION BY status ORDER BY price_bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY status) AS total
+      FROM w
+    )
+    SELECT status, CAST(MIN(price_bin) AS BIGINT) AS weighted_median_bin,
+           CAST(MIN(total) AS BIGINT) AS n
+    FROM c WHERE 2 * cum >= total
+    GROUP BY status""",
+    doc=(
+        "exact weighted median per group (lowest value whose cumulative "
+        "weight reaches half the total — the 2·cum ≥ total rule keeps "
+        "everything integral, no float midpoints): order totals "
+        "dollar-binned so the per-group ordered relation is bounded by "
+        "the price RANGE at any fact size (the KS/AUC scale trick), "
+        "weights = bin counts. The robust-center sibling of the "
+        "exact-percentile lane, and the pattern for any weighted "
+        "quantile (ship-weights, token-weights) at 100 TB"
+    ),
+    tags=("stats", "percentile", "window", "robust"),
+)
+def weighted_median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.floor("o_totalprice").cast("bigint").alias("price_bin"),
+        )
+        .agg(F.count("*").cast("bigint").alias("wt"))
+    )
+    cum_w = Window.partitionBy("status").orderBy("price_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy("status")
+    c = w.select(
+        "status",
+        "price_bin",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("status")
+        .agg(
+            F.min("price_bin").cast("bigint").alias("weighted_median_bin"),
+            F.min("total").cast("bigint").alias("n"),
+        )
+    )
+
+
+# --- Spearman rank correlation --------------------------------------------
+@query(
+    "spearman_acctbal_vs_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey AS custkey, c.c_acctbal AS bal,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    r AS (
+      SELECT custkey,
+             2 * rank() OVER (ORDER BY bal) + CAST(count(*) OVER (PARTITION BY bal) AS BIGINT) - 2 AS rb2,
+             2 * rank() OVER (ORDER BY total_spend) + CAST(count(*) OVER (PARTITION BY total_spend) AS BIGINT) - 2 AS rs2
+      FROM spend
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rb2) AS BIGINT) AS sb, CAST(SUM(rs2) AS BIGINT) AS ss,
+             CAST(SUM(rb2 * rs2) AS BIGINT) AS sbs,
+             CAST(SUM(rb2 * rb2) AS BIGINT) AS sbb, CAST(SUM(rs2 * rs2) AS BIGINT) AS sss
+      FROM r
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * sbs - CAST(sb AS DOUBLE) * ss)
+                 / (sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)
+                    * sqrt(CAST(n AS DOUBLE) * sss - CAST(ss AS DOUBLE) * ss)), 6) AS rho
+    FROM m""",
+    doc=(
+        "Spearman rank correlation between account balance and lifetime "
+        "spend: average ranks carried as DOUBLED integers (2·rank + "
+        "ties − 2), so every rank statistic (sums, products) is exactly "
+        "integral until the one final Pearson-on-ranks division — "
+        "engine-identical with no float accumulation anywhere. The "
+        "nonparametric sibling of the corr() battery; monotone-but-"
+        "nonlinear association survives where Pearson washes out"
+    ),
+    tags=("stats", "correlation", "window", "robust"),
+)
+def spearman_acctbal_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("bal"))
+        .agg(F.sum(F.col("o_totalprice").cast("DECIMAL(18,2)")).cast("double").alias("total_spend"))
+    )
+    rb2 = (
+        2 * F.rank().over(Window.orderBy("bal"))
+        + F.count("*").over(Window.partitionBy("bal")).cast("bigint")
+        - 2
+    )
+    rs2 = (
+        2 * F.rank().over(Window.orderBy("total_spend"))
+        + F.count("*").over(Window.partitionBy("total_spend")).cast("bigint")
+        - 2
+    )
+    r = spend.select(rb2.alias("rb2"), rs2.alias("rs2"))
+    m = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rb2").cast("bigint").alias("sb"),
+        F.sum("rs2").cast("bigint").alias("ss"),
+        F.sum(F.col("rb2") * F.col("rs2")).cast("bigint").alias("sbs"),
+        F.sum(F.col("rb2") * F.col("rb2")).cast("bigint").alias("sbb"),
+        F.sum(F.col("rs2") * F.col("rs2")).cast("bigint").alias("sss"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sbs") - F.col("sb").cast("double") * F.col("ss")) / (
+        F.sqrt(nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+        * F.sqrt(nd * F.col("sss") - F.col("ss").cast("double") * F.col("ss"))
+    )
+    return m.select("n", F.round(rho, 6).alias("rho"))
