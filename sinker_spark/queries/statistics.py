@@ -754,7 +754,11 @@ def weighted_median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFra
         "integral until the one final Pearson-on-ranks division — "
         "engine-identical with no float accumulation anywhere. The "
         "nonparametric sibling of the corr() battery; monotone-but-"
-        "nonlinear association survives where Pearson washes out"
+        "nonlinear association survives where Pearson washes out. Scale "
+        "note: exact global ranks imply a total-order window (here one "
+        "row per customer-with-orders); at 100 TB switch to the binned "
+        "formulation — rank sums derived from per-bin cumulative counts, "
+        "exactly as the ks/auc lanes bound their ordered relations"
     ),
     tags=("stats", "correlation", "window", "robust"),
 )
