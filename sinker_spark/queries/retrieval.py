@@ -282,3 +282,74 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docfreq = postings.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
     return postings.join(docfreq, "token").select("token", "doc_id", "tf", "positions", "df")
+
+
+@query(
+    "token_pmi_pairs",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+      HAVING COUNT(*) >= 20
+    )
+    SELECT p.tok_a, p.tok_b, p.c_ab, da.c AS c_a, db.c AS c_b,
+           round(ln((CAST(nd.n AS DOUBLE) * p.c_ab)
+                    / (CAST(da.c AS DOUBLE) * db.c)), 6) AS pmi
+    FROM pairs p
+    JOIN df da ON p.tok_a = da.tok
+    JOIN df db ON p.tok_b = db.tok
+    CROSS JOIN nd""",
+    doc=(
+        "document-level pointwise mutual information of token pairs "
+        "(PMI = ln(N·c_ab/(c_a·c_b)), the classic collocation/embedding "
+        "statistic): distinct tokens per doc, co-occurrence via an "
+        "in-doc self-join — O(doc_len²) per document, bounded by the "
+        "doc-length cap rather than corpus size — then integer counts "
+        "all the way to one final ln (rounded 6; 1-ulp libm drift "
+        "cannot cross the rounding grain at these magnitudes). "
+        "Support-thresholded (c_ab ≥ 20) so the pair relation stays "
+        "vocabulary-, not corpus-, sized. Feeds co-occurrence "
+        "embeddings, collocation detection, topic seeds"
+    ),
+    tags=("text-stats", "pmi", "collocation", "training-pipeline"),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dt = (
+        t["documents"]
+        .select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    nd = dt.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    df_ = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= 20)
+    )
+    da = df_.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    db = df_.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    out = (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(nd))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("c_ab"))
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+        ),
+        6,
+    )
+    return out.select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))

@@ -505,3 +505,48 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         emb, queries_df, k=5, m=_PQ_M, sub_dim=_PQ_SUB, codebook_k=_PQ_K
     ).select("qid", "nid", "adist", "rank")
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS qid, a.label AS q_label, b.vec_id AS nid, b.label AS n_label,
+             {_COS} AS sim
+      FROM (SELECT * FROM v WHERE vec_id < 20) a
+      JOIN v b ON a.label <> b.label
+    )
+    SELECT qid, q_label, nid, n_label, sim, rank FROM (
+      SELECT qid, q_label, nid, n_label, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM scored
+    ) t WHERE rank <= 3""",
+    doc=(
+        "hard-negative mining for contrastive embedding training: for "
+        "each anchor, the 3 most-similar vectors with a DIFFERENT label "
+        "— maximally confusing negatives, the standard dense-retrieval "
+        "training-batch construction (in-batch negatives upgrade). Same "
+        "broadcast-anchors × one-corpus-scan shape as ann_cosine_topk "
+        "with the label inequality fused into the join predicate; at "
+        "100 TB compose with the IVF cell filter to cut the scan"
+    ),
+    tags=("similarity-topk", "training-pipeline", "contrastive"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("q_label"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("n_label"), F.col("embedding").alias("nvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("q_label") != F.col("n_label")).select(
+        "qid", "q_label", "nid", "n_label",
+        F.round(similarity.cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)

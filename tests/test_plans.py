@@ -265,6 +265,8 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "ks_two_sample_order_totals",  # one-row totals / one-row max-D broadcasts
         "bpe_train_merges",         # one-row best-pair broadcast per merge round
         "logreg_gd_orders",         # one-row weight/gradient broadcasts per GD step
+        "token_pmi_pairs",          # one-row corpus-doc-count broadcast
+        "hard_negative_mining",     # broadcast bounded anchor batch (ann pattern)
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
