@@ -31,6 +31,11 @@ Updates arrive as delete(old)+insert(new), as everywhere in the CDC
 layer. All steps are batch-sized joins against a state that holds
 ≤ (k+buffer) rows per group — the state is view-sized, the work is
 change-sized.
+
+Special cases worth naming: k=1 IS incremental per-group MAX (invert
+the sort for MIN) — this lane therefore also closes the min/max gap
+that ``ivm_delta.dirty_minmax_groups`` routes around for plain
+aggregate views, with the buffer playing the "runner-up cache" role.
 """
 
 from __future__ import annotations
