@@ -550,3 +550,88 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = _W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
+def _ivfpq_oracle(m: int, sub_dim: int, k_cb: int, n_queries: int, topk: int) -> str:
+    """DuckDB twin of operators/similarity.ivfpq_residual_topk: exact
+    decimal cell centroids → residuals → the PQ encode/argmin CTEs on
+    residuals → cell-restricted ADC."""
+    sub_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS m, rv[{j * sub_dim + 1}:{(j + 1) * sub_dim}] AS s FROM r"
+        for j in range(m)
+    )
+    return f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cm AS MATERIALIZED (
+      SELECT label, CAST(dim AS INT) AS dim,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 6) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mn
+      FROM (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM v) f
+      GROUP BY label, dim
+    ),
+    cc AS MATERIALIZED (SELECT label, list(mn ORDER BY dim) AS cvec FROM cm GROUP BY label),
+    r AS MATERIALIZED (
+      SELECT v.vec_id, v.label AS cell,
+             list_transform(range(1, len(v.e) + 1), i -> v.e[i] - cc.cvec[i]) AS rv
+      FROM v JOIN cc ON v.label = cc.label
+    ),
+    sub AS MATERIALIZED ({sub_selects}),
+    cb AS MATERIALIZED (SELECT vec_id AS cid, m, s AS c FROM sub WHERE vec_id < {k_cb}),
+    d AS MATERIALIZED (
+      SELECT sub.vec_id, sub.m, cb.cid,
+             round(list_sum(list_transform(range(1, {sub_dim + 1}),
+                    i -> (sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i]))), 6) AS dist
+      FROM sub JOIN cb ON sub.m = cb.m
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid, dist,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+        FROM d) t
+      WHERE rn = 1
+    ),
+    cells AS MATERIALIZED (SELECT vec_id, cell FROM r),
+    lut AS MATERIALIZED (
+      SELECT d.vec_id AS qid, cells.cell AS qcell, d.m, d.cid, d.dist AS qdist
+      FROM d JOIN cells ON d.vec_id = cells.vec_id
+      WHERE d.vec_id < {n_queries}
+    ),
+    approx AS MATERIALIZED (
+      SELECT lut.qid, codes.vec_id AS nid,
+             CAST(SUM(CAST(lut.qdist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      FROM codes
+      JOIN cells ON codes.vec_id = cells.vec_id
+      JOIN lut ON codes.m = lut.m AND codes.code = lut.cid AND cells.cell = lut.qcell
+      WHERE codes.vec_id <> lut.qid
+      GROUP BY 1, 2
+    )
+    SELECT qid, nid, adist, rank FROM (
+      SELECT qid, nid, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+      FROM approx
+    ) t WHERE rank <= {topk}"""
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(_PQ_M, _PQ_SUB, _PQ_K, n_queries=10, topk=5),
+    doc=(
+        "IVF-PQ search (operators/similarity.ivfpq_residual_topk, Jégou "
+        "et al. 2011 §V) — the production big-corpus vector index: "
+        "coarse cells prune the scan to the query's cell (nprobe=1), "
+        "and in-cell vectors are stored as 8-byte PQ codes of their "
+        "RESIDUAL from the exact-decimal cell centroid (residuals are "
+        "near-zero-mean → better quantization per codebook bit). ADC "
+        "over a broadcast per-(query, cell) LUT with DECIMAL-exact "
+        "partial sums; centroids and codebook broadcast everywhere. "
+        "~32x less I/O on 1/cells of the corpus at 100 TB"
+    ),
+    tags=("similarity-ivf", "similarity-pq", "similarity-topk"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_residual_topk(
+        emb, queries_df, k=5, m=_PQ_M, sub_dim=_PQ_SUB, codebook_k=_PQ_K
+    ).select("qid", "nid", "adist", "rank")

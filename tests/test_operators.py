@@ -735,3 +735,42 @@ def test_logreg_gd_learns_separable_data(spark):
     # determinism: identical rerun
     again = logreg_gd(df, ["x1", "x2"], "y", iterations=10, lr=1.0).collect()[0]
     assert out == again
+
+
+def test_ivfpq_residual_beats_raw_pq_reconstruction(spark):
+    """Residual encoding is the point of IVF-PQ: with the same codebook
+    budget, quantization error on residuals (vectors centered on their
+    cell centroid) must be lower on average than raw-vector PQ error;
+    rank lists stay exactly k long and stay within the query's cell."""
+    from sinker_spark.catalog import load_tables
+    from tests.conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+
+    out = similarity.ivfpq_residual_topk(emb, queries, k=5).collect()
+    from collections import Counter
+    per_q = Counter(r["qid"] for r in out)
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert labels[r["nid"]] == labels[r["qid"]]  # nprobe=1: same cell only
+
+    # mean quantization error: residual PQ < raw PQ (same codebook size)
+    cents = similarity.cell_centroids(emb)
+    resid = (
+        emb.join(F.broadcast(cents), F.col("label") == F.col("cell"))
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), F.col("cvec"), lambda a, b: a - b
+            ).alias("rvec"),
+        )
+    )
+    raw_err = (
+        similarity.pq_encode(emb).agg(F.avg("dist")).collect()[0][0]
+    )
+    res_err = (
+        similarity.pq_encode(resid, vec_col="rvec").agg(F.avg("dist")).collect()[0][0]
+    )
+    assert res_err < raw_err, (res_err, raw_err)
