@@ -1211,3 +1211,63 @@ def _bpe_oracle(merges: int) -> str:
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return text.bpe_train(t["documents"], merges=6)
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 10, 8
+
+
+@query(
+    "rag_chunk_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(least(start + {_CHUNK_SIZE}, len(t)) AS INT) AS end_tok,
+           array_to_string(t[start + 1 : least(start + {_CHUNK_SIZE}, len(t))], ' ') AS chunk_text,
+           md5(CAST(doc_id AS VARCHAR) || '|' || CAST(CAST(start / {_CHUNK_STRIDE} AS INT) AS VARCHAR)) AS chunk_id
+    FROM spans
+    WHERE start = 0 OR len(t) - start > {_CHUNK_SIZE} - {_CHUNK_STRIDE}""",
+    doc=(
+        "RAG/training chunking: sliding windows of 10 tokens with "
+        "stride 8 (2-token overlap preserves context across cuts), "
+        "emitting stable md5 chunk ids and token-offset spans — the "
+        "document→chunk explode every retrieval-augmented or "
+        "long-context training pipeline runs before embedding. Tail "
+        "windows already fully contained in their predecessor are "
+        "suppressed. Pure per-row sequence explode: no shuffle, "
+        "pipelines with the 100 TB scan; chunk count ≈ n_tokens/stride"
+    ),
+    tags=("chunking", "rag", "training-pipeline", "B9"),
+)
+def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", text.tokens("text").alias("t"))
+    n = F.size("t")
+    spans = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))).alias("start"),
+    ).where(
+        (F.col("start") == 0)
+        | (F.size("t") - F.col("start") > _CHUNK_SIZE - _CHUNK_STRIDE)
+    )
+    end = F.least(F.col("start") + _CHUNK_SIZE, F.size("t"))
+    idx = (F.col("start") / _CHUNK_STRIDE).cast("int")
+    return spans.select(
+        "doc_id",
+        idx.alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_tok"),
+        end.cast("int").alias("end_tok"),
+        F.array_join(
+            F.slice("t", F.col("start") + 1, end - F.col("start")), " "
+        ).alias("chunk_text"),
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), idx.cast("string"))).alias("chunk_id"),
+    )
