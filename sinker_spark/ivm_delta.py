@@ -201,3 +201,17 @@ def changes_to_mult(changes: DataFrame, op_col: str = OP_COL) -> DataFrame:
     cols = [c for c in base.columns if c != _MULT]
     net = base.groupBy(*cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
     return net.where(F.col(_MULT) != 0)
+
+
+def join_delta_to_changes(delta: DataFrame, op_col: str = OP_COL) -> DataFrame:
+    """Signed join-delta rows → plain change rows for the aggregate fold:
+    a row with net multiplicity m becomes |m| copies tagged insert (m>0)
+    or delete (m<0). |m| is bounded by the per-batch join fan-out, so the
+    explode is change-sized. This is the composition glue for maintaining
+    Δ(γ(A⋈B)): the bilinear join rule feeds the linear aggregate fold."""
+    sign = F.when(F.col(_MULT) > 0, F.lit(INSERT)).otherwise(F.lit(DELETE))
+    return (
+        delta.withColumn(op_col, sign)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.abs(F.col(_MULT)).cast("int"))))
+        .drop(_MULT, "__copy")
+    )

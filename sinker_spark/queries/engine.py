@@ -517,3 +517,59 @@ def ivm_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_fact = fact.where(~((F.col("orderkey") % 5 == 0) & (F.col("orderkey") % 7 != 0)))
     rows = recompute_groups(rows, final_fact, dirty, keys, "cents", "orderkey", k, buf)
     return topk_view(rows, keys, "cents", "orderkey", k)
+
+
+@query(
+    "ivm_join_agg_orders",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 97 <> 0),
+    l AS (SELECT l_orderkey, l_quantity FROM lineitem
+          WHERE NOT (l_orderkey % 5 = 0 AND l_orderkey % 7 <> 0))
+    SELECT o.o_custkey AS custkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey""",
+    doc=(
+        "composed IVM — aggregate over a join, Δ(γ(A⋈B)) "
+        "(ivm_delta.join_delta → join_delta_to_changes → "
+        "apply_agg_delta): per-customer line counts/quantity sums over "
+        "orders⋈lineitem, state initialized without every-7th line, then "
+        "ONE batch inserts those, deletes every-5th line AND deletes "
+        "every-97th order (two-sided change incl. the ΔA⋈ΔB term) — all "
+        "folded through signed multiplicities, never recomputing the "
+        "join. Oracle recomputes the final aggregate from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-join", "ivm-delta", "composition"),
+)
+def ivm_join_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark import ivm_delta
+
+    t = load_tables(spark, sf_dir)
+    o_full = t["orders"].select("o_orderkey", "o_custkey")
+    l_full = t["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    keys, sums = ["o_custkey"], {"sum_qty_dec": "CAST(l_quantity AS DECIMAL(18,2))"}
+    o_init = o_full
+    l_init = l_full.where(F.col("o_orderkey") % 7 != 0)
+    a_state = ivm_delta.relation_state(o_init)
+    b_state = ivm_delta.relation_state(l_init)
+    agg = ivm_delta.initial_agg_state(o_init.join(l_init, "o_orderkey"), keys, sums)
+    a_ch = o_full.where(F.col("o_orderkey") % 97 == 0).withColumn("__op", F.lit("delete"))
+    b_ch = (
+        l_full.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            l_full.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    delta = ivm_delta.join_delta(a_state, b_state, a_ch, b_ch, ["o_orderkey"])
+    new_agg = ivm_delta.apply_agg_delta(
+        agg, ivm_delta.join_delta_to_changes(delta), keys, sums
+    )
+    return new_agg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("__cnt").alias("n_rows"),
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+    )

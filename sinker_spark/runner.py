@@ -193,6 +193,11 @@ class SyncEngine:
             if v.join is not None and (changed & v.deps) <= {v.join.table_a, v.join.table_b}:
                 if self._delta_join_refresh(v, cdc, epoch_id):
                     continue
+            # composed lane: aggregate over a join — join delta feeds the
+            # aggregate fold through signed multiplicities
+            if v.joinagg is not None and (changed & v.deps) <= {v.joinagg.table_a, v.joinagg.table_b}:
+                if self._join_agg_refresh(v, cdc, epoch_id):
+                    continue
             # HLL distinct-count lane: INSERT-only batches MAX-merge into
             # stored registers (monotone — deletes/updates fall back)
             if v.distinct is not None and (changed & v.deps) <= {v.distinct.table}:
@@ -660,6 +665,119 @@ class SyncEngine:
             "delta_join": 1,
         }
         logger.info("delta-join refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
+
+    def _join_agg_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Composed maintenance lane for γ_keys(A ⋈ B) views: the
+        bilinear join delta (signed multiplicities) expands into change
+        rows and folds into the stored (count, sums) aggregate state —
+        O(|Δ|·fan-out), with base relations kept as multiplicity state
+        so no table is ever rescanned. Same before-image contract and
+        snapshot-point initialization as the other delta lanes; returns
+        False (→ recompute lane) when before-images are missing."""
+        spec = view.joinagg
+        rows = cdc.where(F.col("table").isin(spec.table_a, spec.table_b))
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(table: str, schema: str, col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col("table") == table)
+                .where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        def batch_for(table: str, schema: str) -> DataFrame:
+            b = parsed(table, schema, "payload", ivm_delta.INSERT)
+            if has_before:
+                b = b.unionByName(parsed(table, schema, "payload_before", ivm_delta.DELETE))
+            return b
+
+        a_ch = batch_for(spec.table_a, spec.row_schema_a)
+        b_ch = batch_for(spec.table_b, spec.row_schema_b)
+
+        def read_state(suffix: str) -> DataFrame | None:
+            packed = self.store.read(f"{view.name}__{suffix}")
+            return None if packed is None else packed.select("doc.*")
+
+        a_state = read_state("ja_a_state")
+        b_state = read_state("ja_b_state")
+        agg_state = read_state("ja_agg_state")
+        if a_state is None or b_state is None or agg_state is None:
+            a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
+            a_state = ivm_delta.relation_state(a_tab)
+            b_state = ivm_delta.relation_state(b_tab)
+            agg_state = ivm_delta.initial_agg_state(a_tab.join(b_tab, spec.on), spec.keys, spec.sums)
+
+        delta = ivm_delta.join_delta(a_state, b_state, a_ch, b_ch, spec.on)
+        delta = delta.localCheckpoint(eager=True)  # consumed twice (fold + touched)
+        new_agg = ivm_delta.apply_agg_delta(
+            agg_state, ivm_delta.join_delta_to_changes(delta), spec.keys, spec.sums
+        ).localCheckpoint(eager=True)
+        new_a = ivm_delta.apply_join_state(
+            a_state, ivm_delta.changes_to_mult(a_ch)
+        ).localCheckpoint(eager=True)
+        new_b = ivm_delta.apply_join_state(
+            b_state, ivm_delta.changes_to_mult(b_ch)
+        ).localCheckpoint(eager=True)
+
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        touched = delta.select(*spec.keys).distinct()
+        sink_doc = F.struct(
+            *[F.col(k).alias(k) for k in spec.keys],
+            F.col(ivm_delta._CNT).alias("n_rows"),
+            *[F.col(sm).cast("double").alias(sm) for sm in spec.sums],
+        )
+        upserts = new_agg.join(touched, spec.keys, "left_semi").select(
+            group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(new_agg, spec.keys, "left_anti").select(
+            group_id.alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        def write_rel_state(suffix: str, df: DataFrame) -> None:
+            data = [c for c in df.columns if c != ivm_delta._MULT]
+            rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in data])))
+            self.store.write(
+                f"{view.name}__{suffix}",
+                df.select(rid.alias(view.key), F.struct(*df.columns).alias("doc")),
+                key=view.key,
+            )
+
+        write_rel_state("ja_a_state", new_a)
+        write_rel_state("ja_b_state", new_b)
+        agg_doc = F.struct(
+            *[F.col(k).alias(k) for k in spec.keys],
+            F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
+            *[F.col(sm) for sm in spec.sums],
+        )
+        self.store.write(
+            f"{view.name}__ja_agg_state",
+            new_agg.select(group_id.alias(view.key), agg_doc.alias("doc")),
+            key=view.key,
+        )
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "join_agg": 1,
+        }
+        logger.info("join-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
         return True
 

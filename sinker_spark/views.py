@@ -195,6 +195,37 @@ class JoinViewSpec:
 
 
 @dataclass
+class JoinAggViewSpec:
+    """Declares a view as a KEYED AGGREGATE OVER A TWO-TABLE EQUI-JOIN —
+    γ_keys(A ⋈ B) with count/sum aggregates — the composed lane: the
+    bilinear join rule (ivm_delta.join_delta) produces the view's signed
+    delta and, because the aggregate fold is linear in multiplicities,
+    it pipes straight into the delta-agg fold
+    (ivm_delta.join_delta_to_changes → apply_agg_delta). Refresh is
+    O(|Δ|·fan-out); neither the join product nor either base table is
+    ever recomputed. Same before-image contract as :class:`AggViewSpec`;
+    base relations are maintained as multiplicity state exactly like
+    :class:`JoinViewSpec`.
+
+    - ``table_a``/``table_b``, ``on``, ``row_schema_a``/``row_schema_b``:
+      as in :class:`JoinViewSpec`
+    - ``keys``: group-by columns of the aggregate (join-output columns)
+    - ``sums``: state column → SQL expression over join-output columns,
+      pre-cast to DECIMAL (as in :class:`AggViewSpec`)
+
+    The emitted document is ``struct(keys…, n_rows, <sums as double>)``.
+    """
+
+    table_a: str
+    table_b: str
+    on: list[str]
+    row_schema_a: str
+    row_schema_b: str
+    keys: list[str]
+    sums: dict[str, str]
+
+
+@dataclass
 class ViewDef:
     name: str
     sql: str | None = None
@@ -208,6 +239,7 @@ class ViewDef:
     distinct: "DistinctViewSpec | None" = None
     membership: "MembershipViewSpec | None" = None
     topk: "TopKViewSpec | None" = None
+    joinagg: "JoinAggViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables

@@ -34,20 +34,7 @@ def _expected(orders, lines):
     return {k: v for k, v in out.items() if v[0] > 0}
 
 
-def _agg_from_join_delta(delta):
-    """Join-delta rows (… __mult) → agg-fold change rows: a row with
-    multiplicity m folds as m signed unit changes — expand the sign out
-    of |m| copies via explode so apply_agg_delta sees plain inserts and
-    deletes. |m| is tiny (per-batch fan-out), so the explode is bounded."""
-    sign = F.when(F.col(ivm_delta._MULT) > 0, F.lit(ivm_delta.INSERT)).otherwise(
-        F.lit(ivm_delta.DELETE)
-    )
-    copies = F.explode(F.sequence(F.lit(1), F.abs(F.col(ivm_delta._MULT)).cast("int")))
-    return (
-        delta.withColumn(ivm_delta.OP_COL, sign)
-        .withColumn("__copy", copies)
-        .drop(ivm_delta._MULT, "__copy")
-    )
+_agg_from_join_delta = ivm_delta.join_delta_to_changes
 
 
 def test_agg_over_join_maintained_through_both_sides(spark):
