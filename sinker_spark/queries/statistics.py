@@ -795,3 +795,88 @@ def spearman_acctbal_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * F.col("sss") - F.col("ss").cast("double") * F.col("ss"))
     )
     return m.select("n", F.round(rho, 6).alias("rho"))
+
+
+# --- deterministic bootstrap (m-out-of-n subsampling) ---------------------
+_BOOT_B = 20
+
+
+@query(
+    "bootstrap_mean_total_replicas",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    drawn AS (
+      SELECT reps.b,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders CROSS JOIN reps
+      WHERE CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(reps.b AS VARCHAR)), 1, 6) AS INT) AS DOUBLE)
+            / 16777216.0 < 0.632
+    ),
+    means AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4) AS mean_total
+      FROM drawn GROUP BY b
+    ),
+    ranked AS (
+      SELECT means.*,
+             row_number() OVER (ORDER BY mean_total, b) AS lo_rk,
+             row_number() OVER (ORDER BY mean_total DESC, b DESC) AS hi_rk
+      FROM means
+    )
+    SELECT b, n, mean_total,
+           (SELECT mean_total FROM ranked WHERE lo_rk = 2) AS ci_lo,
+           (SELECT mean_total FROM ranked WHERE hi_rk = 2) AS ci_hi
+    FROM means""",
+    doc=(
+        "deterministic bootstrap of the mean order total: 20 "
+        "m-out-of-n subsample replicas drawn by md5(orderkey|replica) "
+        "< 0.632 (the e-fold inclusion rate) — reproducible at any "
+        "parallelism, no RNG state; replica means are exact integer-cent "
+        "sums / counts, and the 2nd-lowest/2nd-highest replica means "
+        "bracket a ~90% percentile CI. One fact scan fanned ×B with "
+        "map-side-combined sums — at 100 TB replicas share the scan and "
+        "the shuffle carries B rows per partition. The "
+        "uncertainty-quantification lane of the stats family"
+    ),
+    tags=("stats", "bootstrap", "sampling"),
+)
+def bootstrap_mean_total_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("bigint").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("b").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(16777216.0)
+    )
+    drawn = (
+        t["orders"]
+        .crossJoin(F.broadcast(reps))
+        .where(u < 0.632)
+        .select(
+            "b",
+            (F.col("o_totalprice").cast("DECIMAL(18,2)") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    means = drawn.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("cents").cast("double") / F.count("*") / F.lit(100.0), 4).alias("mean_total"),
+    )
+    lo = Window.orderBy("mean_total", "b")
+    hi = Window.orderBy(F.desc("mean_total"), F.desc("b"))
+    ranked = means.select(
+        "b", "mean_total",
+        F.row_number().over(lo).alias("lo_rk"),
+        F.row_number().over(hi).alias("hi_rk"),
+    )
+    ci_lo = ranked.where(F.col("lo_rk") == 2).select(F.col("mean_total").alias("ci_lo"))
+    ci_hi = ranked.where(F.col("hi_rk") == 2).select(F.col("mean_total").alias("ci_hi"))
+    return means.crossJoin(F.broadcast(ci_lo)).crossJoin(F.broadcast(ci_hi))

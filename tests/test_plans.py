@@ -267,6 +267,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "logreg_gd_orders",         # one-row weight/gradient broadcasts per GD step
         "token_pmi_pairs",          # one-row corpus-doc-count broadcast
         "hard_negative_mining",     # broadcast bounded anchor batch (ann pattern)
+        "bootstrap_mean_total_replicas",  # B-row replica spine + one-row CI broadcasts
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
