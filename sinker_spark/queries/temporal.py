@@ -516,3 +516,124 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
     )
+
+
+@query(
+    "kaplan_meier_signup_to_purchase",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT s.user_id, MIN(e.ts) AS purchase_ts
+      FROM su s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id
+    ),
+    last_seen AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT su.user_id,
+             CASE WHEN pu.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS event,
+             CAST(date_diff('second', su.signup_ts,
+                            coalesce(pu.purchase_ts, last_seen.last_ts)) // 3600 AS BIGINT) AS t
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+      JOIN last_seen ON su.user_id = last_seen.user_id
+    ),
+    tab AS (
+      SELECT t, CAST(SUM(event) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS removed
+      FROM subj GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM subj) -
+             coalesce(SUM(removed) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM tab
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             SUM(CASE WHEN d >= n_risk THEN NULL
+                      ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 12) AS DECIMAL(28,12)) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+      FROM risk
+    )
+    SELECT t AS hours_since_signup, n_risk, d AS n_events,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(CAST(log_s AS DOUBLE)), 6) END AS survival
+    FROM km WHERE d > 0""",
+    doc=(
+        "Kaplan–Meier survival estimator for signup→first-purchase with "
+        "right-censoring (never-purchasers censored at last activity): "
+        "S(t) = Π(1 − d/n_risk) over event times. Determinism: each "
+        "factor's ln rounds to 12 and accumulates as an ordered DECIMAL "
+        "running sum (exact), exp+round(6) at the end — libm ulp drift "
+        "never survives; the terminal all-convert time (factor 0) short-"
+        "circuits to survival 0 instead of ln(0). The time-to-event lane (conversion "
+        "curves, churn hazard); the ordered relation is distinct "
+        "durations (bounded by the observation window in hours), not "
+        "users, so the window is small at any user count"
+    ),
+    tags=("survival", "stats", "temporal", "funnel"),
+)
+def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    su = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    pu = (
+        su.join(ev, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    subj = (
+        su.join(pu, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0).alias("event"),
+            (
+                (
+                    F.unix_timestamp(F.coalesce("purchase_ts", "last_ts"))
+                    - F.unix_timestamp("signup_ts")
+                )
+                / 3600
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    total = subj.count()
+    tab = subj.groupBy("t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("removed"),
+    )
+    prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = tab.select(
+        "t",
+        "d",
+        (F.lit(total) - F.coalesce(F.sum("removed").over(prev), F.lit(0))).alias("n_risk"),
+    )
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    term = F.when(F.col("d") >= F.col("n_risk"), F.lit(None)).otherwise(
+        F.round(F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 12).cast(
+            "DECIMAL(28,12)"
+        )
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(term).over(cum).alias("log_s"),
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(cum).alias("hit_zero"),
+    )
+    return km.where(F.col("d") > 0).select(
+        F.col("t").alias("hours_since_signup"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("log_s").cast("double")), 6))
+        .alias("survival"),
+    )
