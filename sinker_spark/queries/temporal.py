@@ -637,3 +637,48 @@ def kaplan_meier_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.round(F.exp(F.col("log_s").cast("double")), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM paths)
+    SELECT path, n, round(CAST(n AS DOUBLE) / tot.t, 6) AS share
+    FROM paths CROSS JOIN tot""",
+    doc=(
+        "behavioral path mining: every 3-event path a user walks "
+        "(deterministic per-user order: ts then event_id) with counts "
+        "and corpus share — the higher-order companion of the Markov "
+        "transition lane, feeding journey analysis and funnel design. "
+        "One user-keyed window shuffle; the path relation is ≤ |types|³ "
+        "rows at any event volume"
+    ),
+    tags=("sequence-mining", "paths", "window", "temporal"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = paths.agg(F.sum("n").alias("t"))
+    return paths.crossJoin(F.broadcast(tot)).select(
+        "path", "n", F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share")
+    )

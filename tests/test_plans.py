@@ -268,6 +268,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "token_pmi_pairs",          # one-row corpus-doc-count broadcast
         "hard_negative_mining",     # broadcast bounded anchor batch (ann pattern)
         "bootstrap_mean_total_replicas",  # B-row replica spine + one-row CI broadcasts
+        "event_path_trigrams",      # one-row path-total broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
