@@ -134,3 +134,24 @@ def test_state_survives_batches_and_missing_before_image_falls_back(spark, engin
     # malformed delete (no before-image) → recompute lane
     eng.process_cdc_batch(_cdc(spark, [(3, "ja_lines", "DELETE", None, None)]))
     assert "join_agg" not in eng.last_stats["cust_line_totals"]
+
+
+def test_state_persists_across_engine_restart(spark, tmp_path):
+    """A NEW SyncEngine over the same store resumes the aggregate and
+    base-relation states — the post-restart fold reflects pre-restart
+    changes that are NOT in the catalog tables."""
+    store = SnapshotStore(spark, str(tmp_path / "snap2"))
+    eng1 = SyncEngine(spark, [_view()], InMemorySink(), store)
+    _facts(spark, ORDERS, LINES)
+    eng1.process_cdc_batch(_cdc(spark, [
+        (1, "ja_lines", "INSERT", {"order_id": 2, "qty": 9}, None),
+    ]))
+
+    sink2 = InMemorySink()
+    eng2 = SyncEngine(spark, [_view()], sink2, store)
+    eng2.process_cdc_batch(_cdc(spark, [
+        (2, "ja_lines", "DELETE", None, {"order_id": 2, "qty": 9}),
+    ]))
+    assert eng2.last_stats["cust_line_totals"].get("join_agg") == 1
+    # net effect of insert-then-delete across the restart is zero
+    assert _doc(sink2, "a") == (3, 35.0)

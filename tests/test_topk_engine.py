@@ -168,3 +168,24 @@ def test_state_survives_across_batches(spark, engine):
         (4, "DELETE", None, {"game": "chess", "player": "p7", "score": 98}),
     ]))
     assert _top(sink, "chess") == [(1, "p1", 100), (2, "p2", 90)]
+
+
+def test_state_persists_across_engine_restart(spark, tmp_path):
+    """A NEW SyncEngine over the same snapshot store must resume the
+    top-k state (rows + counts) written by its predecessor."""
+    store = SnapshotStore(spark, str(tmp_path / "snap2"))
+    sink1 = InMemorySink()
+    eng1 = SyncEngine(spark, [_view()], sink1, store)
+    _fact(spark, BASE)
+    eng1.process_cdc_batch(_cdc(spark, [(1, "INSERT", {"game": "chess", "player": "p9", "score": 95}, None)]))
+    assert _top(sink1, "chess") == [(1, "p1", 100), (2, "p9", 95)]
+
+    sink2 = InMemorySink()
+    eng2 = SyncEngine(spark, [_view()], sink2, store)
+    eng2.process_cdc_batch(_cdc(spark, [
+        (2, "DELETE", None, {"game": "chess", "player": "p1", "score": 100}),
+    ]))
+    assert eng2.last_stats["leaderboard"].get("topk") == 1
+    # p9 (inserted before the restart) must still rank — proof the rows
+    # state was read back, not re-initialized from the fact table
+    assert _top(sink2, "chess") == [(1, "p9", 95), (2, "p2", 90)]
