@@ -353,3 +353,62 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return out.select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+
+
+@query(
+    "ctfidf_cluster_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT e.label, unnest(list_filter(string_split(d.text, ' '), t -> t <> '')) AS term
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    tf AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY label, term),
+    ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+    a AS (SELECT CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(DISTINCT label) AS DOUBLE) AS avg_class_tokens FROM tf)
+    SELECT label, term, tf, score, rank FROM (
+      SELECT tf.label, tf.term, tf.tf,
+             round(tf.tf * ln(1.0 + a.avg_class_tokens / ft.f), 6) AS score,
+             row_number() OVER (PARTITION BY tf.label
+                                ORDER BY round(tf.tf * ln(1.0 + a.avg_class_tokens / ft.f), 6) DESC, tf.term) AS rank
+      FROM tf JOIN ft ON tf.term = ft.term CROSS JOIN a
+    ) t WHERE rank <= 5""",
+    doc=(
+        "c-TF-IDF topic terms (the BERTopic class-based TF-IDF): top-5 "
+        "characteristic terms per embedding cluster — class term "
+        "frequency × ln(1 + avg-class-tokens / corpus term frequency) — "
+        "bridging the vector lane (cluster labels) and the text lane "
+        "(term stats) through the aligned doc/vec ids. Integer counts "
+        "up to one rounded ln; term relation is vocabulary×classes "
+        "sized; the per-class rank is a tiny window. The "
+        "topic-labeling step after any clustering/SemDeDup pass"
+    ),
+    tags=("topic-modeling", "text-stats", "similarity-train", "training-pipeline"),
+)
+def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select("label", F.explode(text.tokens("text")).alias("term"))
+    )
+    tf = tok.groupBy("label", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    ft = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("f"))
+    a = tf.agg(
+        (F.sum("tf").cast("double") / F.countDistinct("label").cast("double")).alias(
+            "avg_class_tokens"
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(ft), "term")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "label",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(1.0) + F.col("avg_class_tokens") / F.col("f")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)

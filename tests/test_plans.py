@@ -269,6 +269,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "hard_negative_mining",     # broadcast bounded anchor batch (ann pattern)
         "bootstrap_mean_total_replicas",  # B-row replica spine + one-row CI broadcasts
         "event_path_trigrams",      # one-row path-total broadcast
+        "ctfidf_cluster_terms",     # one-row avg-class-tokens broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
