@@ -880,3 +880,173 @@ def bootstrap_mean_total_replicas(spark: SparkSession, sf_dir: str) -> DataFrame
     ci_lo = ranked.where(F.col("lo_rk") == 2).select(F.col("mean_total").alias("ci_lo"))
     ci_hi = ranked.where(F.col("hi_rk") == 2).select(F.col("mean_total").alias("ci_hi"))
     return means.crossJoin(F.broadcast(ci_lo)).crossJoin(F.broadcast(ci_hi))
+
+
+# --- trimmed & winsorized means -------------------------------------------
+@query(
+    "trimmed_winsorized_means",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS wt
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, wt,
+             coalesce(SUM(wt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             SUM(wt) OVER () AS n
+      FROM b
+    ),
+    bounds AS (
+      SELECT MAX(n) AS n, MAX(n) // 10 AS lo, MAX(n) - MAX(n) // 10 AS hi,
+             MIN(CASE WHEN below + wt > n // 10 THEN bin END) AS p10_bin,
+             MIN(CASE WHEN below + wt >= n - n // 10 THEN bin END) AS p90_bin
+      FROM c
+    ),
+    kept AS (
+      SELECT c.bin, c.wt,
+             GREATEST(0, LEAST(c.below + c.wt, bounds.hi) - GREATEST(c.below, bounds.lo)) AS k,
+             LEAST(GREATEST(c.bin, bounds.p10_bin), bounds.p90_bin) AS clamped
+      FROM c CROSS JOIN bounds
+    )
+    SELECT CAST(bounds.n AS BIGINT) AS n,
+           CAST(bounds.p10_bin AS BIGINT) AS p10_bin,
+           CAST(bounds.p90_bin AS BIGINT) AS p90_bin,
+           round(CAST((SELECT SUM(bin * k) FROM kept) AS DOUBLE)
+                 / (SELECT SUM(k) FROM kept), 6) AS trimmed_mean,
+           round(CAST((SELECT SUM(clamped * wt) FROM kept) AS DOUBLE) / bounds.n, 6) AS winsorized_mean
+    FROM bounds""",
+    doc=(
+        "robust central tendency: 10%-per-tail TRIMMED mean (drop the "
+        "tails) and WINSORIZED mean (clamp the tails to the p10/p90 "
+        "boundary) of order totals, computed on dollar bins with pure "
+        "integer rank arithmetic — per bin, the count of its rows whose "
+        "global rank lands inside (n/10, n−n/10] comes straight from "
+        "cumulative bin weights, no row-level sort. Same price-range-"
+        "bounded ordered relation as the KS/AUC/median lanes; completes "
+        "the robust family (MAD, weighted median, Spearman)"
+    ),
+    tags=("stats", "robust", "window"),
+)
+def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["orders"]
+        .groupBy(F.floor("o_totalprice").cast("bigint").alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("wt"))
+    )
+    prev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    allw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = b.select(
+        "bin",
+        "wt",
+        F.coalesce(F.sum("wt").over(prev), F.lit(0)).alias("below"),
+        F.sum("wt").over(allw).alias("n"),
+    )
+    bounds = c.agg(
+        F.max("n").alias("n"),
+        (F.max("n") / 10).cast("bigint").alias("lo"),
+        (F.max("n") - (F.max("n") / 10).cast("bigint")).alias("hi"),
+        F.min(F.when(F.col("below") + F.col("wt") > (F.col("n") / 10).cast("bigint"), F.col("bin"))).alias("p10_bin"),
+        F.min(
+            F.when(
+                F.col("below") + F.col("wt") >= F.col("n") - (F.col("n") / 10).cast("bigint"),
+                F.col("bin"),
+            )
+        ).alias("p90_bin"),
+    )
+    kept = c.drop("n").crossJoin(F.broadcast(bounds)).select(
+        "bin",
+        "wt",
+        "n",
+        "p10_bin",
+        "p90_bin",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("below") + F.col("wt"), F.col("hi"))
+            - F.greatest(F.col("below"), F.col("lo")),
+        ).alias("k"),
+        F.least(F.greatest(F.col("bin"), F.col("p10_bin")), F.col("p90_bin")).alias("clamped"),
+    )
+    return kept.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("p10_bin").cast("bigint").alias("p10_bin"),
+        F.max("p90_bin").cast("bigint").alias("p90_bin"),
+        F.round(
+            F.sum(F.col("bin") * F.col("k")).cast("double") / F.sum("k"), 6
+        ).alias("trimmed_mean"),
+        F.round(
+            F.sum(F.col("clamped") * F.col("wt")).cast("double") / F.max("n"), 6
+        ).alias("winsorized_mean"),
+    )
+
+
+# --- difference-in-differences --------------------------------------------
+@query(
+    "diff_in_diff_orders",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS treated,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) / COUNT(*) AS mean_total
+      FROM orders GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_total END) AS t_post,
+             MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_total END) AS t_pre,
+             MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_total END) AS c_post,
+             MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_total END) AS c_pre,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(t_pre, 4) AS treated_pre, round(t_post, 4) AS treated_post,
+           round(c_pre, 4) AS control_pre, round(c_post, 4) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate
+    FROM wide""",
+    doc=(
+        "difference-in-differences: the 2×2 (treated × pre/post) mean "
+        "order totals and the DiD estimate (Δtreated − Δcontrol) — "
+        "treatment = customer-key parity, cutover 1997-01-01. Cell means "
+        "are exact-DECIMAL sums over one map-side-combined aggregation; "
+        "the causal-inference readout lane beside the A/B z-test "
+        "(observational pre/post designs where randomization isn't "
+        "available). 4 cells regardless of fact size"
+    ),
+    tags=("stats", "causal", "ab-test"),
+)
+def diff_in_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["orders"]
+        .groupBy(
+            (F.col("o_custkey") % 2).cast("int").alias("treated"),
+            F.when(
+                F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"), 1
+            ).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (
+                F.round(F.sum(F.col("o_totalprice").cast("DECIMAL(18,2)")), 2).cast("double")
+                / F.count("*")
+            ).alias("mean_total"),
+        )
+    )
+    def cell(tr, po):
+        return F.max(F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("mean_total")))
+    wide = cells.agg(
+        cell(1, 1).alias("t_post"), cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"), cell(0, 0).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round("t_pre", 4).alias("treated_pre"),
+        F.round("t_post", 4).alias("treated_post"),
+        F.round("c_pre", 4).alias("control_pre"),
+        F.round("c_post", 4).alias("control_post"),
+        F.round((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4).alias(
+            "did_estimate"
+        ),
+    )
