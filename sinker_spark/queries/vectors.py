@@ -635,3 +635,57 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_residual_topk(
         emb, queries_df, k=5, m=_PQ_M, sub_dim=_PQ_SUB, codebook_k=_PQ_K
     ).select("qid", "nid", "adist", "rank")
+
+
+@query(
+    "ann_recall_mrr_eval",
+    oracle=f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS MATERIALIZED (SELECT * FROM v WHERE vec_id < 20),
+    exact AS MATERIALIZED (
+      SELECT qid, nid FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+        FROM q a JOIN v b ON a.vec_id <> b.vec_id
+      ) t WHERE rank <= 5
+    ),
+    approx AS MATERIALIZED (
+      SELECT qid, nid, rank FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+        FROM q a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      ) t WHERE rank <= 5
+    )
+    SELECT e.qid,
+           round(CAST(COUNT(a.nid) AS DOUBLE) / 5.0, 6) AS recall_at_5,
+           round(coalesce(1.0 / MIN(a.rank), 0.0), 6) AS mrr
+    FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+    GROUP BY e.qid""",
+    doc=(
+        "index-quality evaluation AS A QUERY: recall@5 and MRR of the "
+        "IVF (cell-pruned) neighbor lists against exact brute-force "
+        "cosine, per query — the engine measures its own ANN index "
+        "inside the same dataflow (ground truth on a query SAMPLE, the "
+        "standard offline eval at 100 TB where exhaustive truth on the "
+        "full corpus is unaffordable). Composition of two existing "
+        "oracle-matched lanes joined on (query, neighbor)"
+    ),
+    tags=("similarity-eval", "model-eval", "similarity-topk"),
+)
+def ann_recall_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries_df = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5).select("qid", "nid")
+    approx = similarity.ivf_topk(emb, queries_df, k=5).select(
+        "qid", F.col("nid").alias("a_nid"), "rank"
+    )
+    joined = exact.join(
+        approx,
+        (exact["qid"] == approx["qid"]) & (exact["nid"] == approx["a_nid"]),
+        "left",
+    ).select(exact["qid"].alias("q"), "a_nid", "rank")
+    return joined.groupBy(F.col("q").alias("qid")).agg(
+        F.round(F.count("a_nid").cast("double") / F.lit(5.0), 6).alias("recall_at_5"),
+        F.round(F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)), 6).alias("mrr"),
+    )

@@ -270,6 +270,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "bootstrap_mean_total_replicas",  # B-row replica spine + one-row CI broadcasts
         "event_path_trigrams",      # one-row path-total broadcast
         "ctfidf_cluster_terms",     # one-row avg-class-tokens broadcast
+        "trimmed_winsorized_means",  # one-row rank-bounds broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
