@@ -412,3 +412,75 @@ def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("term"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
+@query(
+    "zipf_slope_tokens",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents) u
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT round(ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)), 9) AS lx,
+             round(ln(CAST(f AS DOUBLE)), 9) AS ly
+      FROM tf
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(lx AS DECIMAL(28,12))) AS sx,
+             SUM(CAST(ly AS DECIMAL(28,12))) AS sy,
+             SUM(CAST(round(lx * ly, 9) AS DECIMAL(28,12))) AS sxy,
+             SUM(CAST(round(lx * lx, 9) AS DECIMAL(28,12))) AS sxx
+      FROM ranked
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m""",
+    doc=(
+        "Zipf power-law fit of the token frequency distribution: OLS "
+        "slope of ln(freq) on ln(rank) — natural corpora sit near −1, "
+        "so the slope is a one-number naturalness/synthetic-data QA "
+        "signal (this token-soup corpus reads much flatter, which is "
+        "exactly what the check should flag). Rank from one "
+        "vocabulary-sized window; logs round to 9 then accumulate as "
+        "DECIMAL so the regression is engine-exact"
+    ),
+    tags=("text-stats", "zipf", "quality", "stats"),
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    ranked = tf.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9).alias("lx"),
+        F.round(F.log(F.col("f").cast("double")), 9).alias("ly"),
+    )
+    dec = "DECIMAL(28,12)"
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 9).cast(dec)).alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+    )

@@ -447,3 +447,80 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping effectiveness: would min/max file stats prune this predicate?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_skipping_estimate",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, n_chars,
+             CAST(floor(CAST(coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                        / {_COMPACT_TARGET}) AS BIGINT) AS bin,
+             doc_id
+      FROM documents
+    ),
+    stats AS (
+      SELECT source, bin,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_files
+      FROM assigned GROUP BY source, bin
+    ),
+    judged AS (
+      SELECT source, bin, n_files,
+             -- predicate under test: n_chars BETWEEN 400 AND 500;
+             -- a file skips when its [min,max] cannot overlap it
+             CASE WHEN max_chars < 400 OR min_chars > 500 THEN 1 ELSE 0 END AS skipped
+      FROM stats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(skipped) AS BIGINT) AS bins_skipped,
+           round(CAST(SUM(skipped) AS DOUBLE) / COUNT(*), 6) AS skip_fraction
+    FROM judged GROUP BY source""",
+    doc=(
+        "data-skipping effectiveness estimator: reusing the compaction "
+        "planner's bins as files, compute per-file min/max stats for "
+        "n_chars and judge — per source directory — what fraction of "
+        "files a `BETWEEN 400 AND 500` predicate would prune via "
+        "zone-map elimination (skip iff [min,max] ∩ predicate = ∅, the "
+        "parquet row-group / Delta file-stats rule). The layout-quality "
+        "audit to run BEFORE paying for a Z-ORDER rewrite: low skip "
+        "fractions here quantify exactly what clustering would buy"
+    ),
+    tags=("layout", "data-skipping", "maintenance", "compaction"),
+)
+def data_skipping_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = t["documents"].select(
+        "source",
+        "n_chars",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("double")
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    stats = assigned.groupBy("source", "bin").agg(
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.count("*").cast("bigint").alias("n_files"),
+    )
+    skipped = F.when((F.col("max_chars") < 400) | (F.col("min_chars") > 500), 1).otherwise(0)
+    return stats.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum(skipped).cast("bigint").alias("bins_skipped"),
+        F.round(F.sum(skipped).cast("double") / F.count("*"), 6).alias("skip_fraction"),
+    )
