@@ -689,3 +689,99 @@ def ann_recall_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("a_nid").cast("double") / F.lit(5.0), 6).alias("recall_at_5"),
         F.round(F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)), 6).alias("mrr"),
     )
+
+
+@query(
+    "ann_ndcg_eval",
+    oracle=f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS MATERIALIZED (SELECT * FROM v WHERE vec_id < 20),
+    exact AS MATERIALIZED (
+      SELECT qid, nid, rank AS erank FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+        FROM q a JOIN v b ON a.vec_id <> b.vec_id
+      ) t WHERE rank <= 5
+    ),
+    approx AS MATERIALIZED (
+      SELECT qid, nid, rank AS arank FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+        FROM q a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      ) t WHERE rank <= 5
+    ),
+    dcg AS (
+      SELECT a.qid,
+             SUM(CAST(round((1.0 / e.erank) / (ln(a.arank + 1.0) / ln(2.0)), 9) AS DECIMAL(28,12))) AS dcg
+      FROM approx a JOIN exact e ON a.qid = e.qid AND a.nid = e.nid
+      GROUP BY a.qid
+    ),
+    idcg AS (
+      SELECT qid,
+             SUM(CAST(round((1.0 / erank) / (ln(erank + 1.0) / ln(2.0)), 9) AS DECIMAL(28,12))) AS idcg
+      FROM exact GROUP BY qid
+    )
+    SELECT i.qid,
+           round(coalesce(CAST(d.dcg AS DOUBLE), 0.0), 6) AS dcg,
+           round(CAST(i.idcg AS DOUBLE), 6) AS idcg,
+           round(coalesce(CAST(d.dcg AS DOUBLE), 0.0) / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_5
+    FROM idcg i LEFT JOIN dcg d ON i.qid = d.qid""",
+    doc=(
+        "nDCG@5 of the IVF neighbor lists against exact cosine truth "
+        "(graded gain = 1/exact-rank, log2 position discount) — "
+        "completes the ranking-eval family beside recall@5/MRR: nDCG "
+        "rewards putting the BEST neighbors early, not just finding "
+        "them. Per-term discounts round to 9 and accumulate as DECIMAL "
+        "(ln-ratio log2 keeps both engines on the same libm shape); "
+        "same sampled-ground-truth scale contract as ann_recall_mrr_eval"
+    ),
+    tags=("similarity-eval", "model-eval", "similarity-topk"),
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries_df = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5).select(
+        "qid", "nid", F.col("rank").alias("erank")
+    )
+    approx = similarity.ivf_topk(emb, queries_df, k=5).select(
+        F.col("qid").alias("aqid"), F.col("nid").alias("anid"), F.col("rank").alias("arank")
+    )
+    dec = "DECIMAL(28,12)"
+    ln2 = F.log(F.lit(2.0))
+    dcg = (
+        approx.join(
+            exact, (F.col("aqid") == F.col("qid")) & (F.col("anid") == F.col("nid"))
+        )
+        .groupBy(F.col("aqid"))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.lit(1.0) / F.col("erank"))
+                    / (F.log(F.col("arank") + F.lit(1.0)) / ln2),
+                    9,
+                ).cast(dec)
+            ).alias("dcg")
+        )
+    )
+    idcg = exact.groupBy("qid").agg(
+        F.sum(
+            F.round(
+                (F.lit(1.0) / F.col("erank")) / (F.log(F.col("erank") + F.lit(1.0)) / ln2),
+                9,
+            ).cast(dec)
+        ).alias("idcg")
+    )
+    return (
+        idcg.join(dcg, idcg["qid"] == dcg["aqid"], "left")
+        .select(
+            "qid",
+            F.round(F.coalesce(F.col("dcg").cast("double"), F.lit(0.0)), 6).alias("dcg"),
+            F.round(F.col("idcg").cast("double"), 6).alias("idcg"),
+            F.round(
+                F.coalesce(F.col("dcg").cast("double"), F.lit(0.0))
+                / F.col("idcg").cast("double"),
+                6,
+            ).alias("ndcg_at_5"),
+        )
+    )

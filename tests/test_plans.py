@@ -272,6 +272,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "ctfidf_cluster_terms",     # one-row avg-class-tokens broadcast
         "trimmed_winsorized_means",  # one-row rank-bounds broadcast
         "ann_recall_mrr_eval",      # broadcast bounded query batch (ann pattern, exact stage)
+        "ann_ndcg_eval",            # broadcast bounded query batch (ann pattern, exact stage)
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
