@@ -1050,3 +1050,67 @@ def diff_in_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_estimate"
         ),
     )
+
+
+# --- Gini concentration of customer spend ---------------------------------
+@query(
+    "gini_customer_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk
+      FROM spend
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(rk * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n, total AS total_cents,
+           round(2.0 * weighted / (CAST(n AS DOUBLE) * total)
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+    FROM m""",
+    doc=(
+        "Gini coefficient of per-customer lifetime spend (the Lorenz "
+        "rank formula G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n, ascending "
+        "order with custkey tiebreak): revenue-concentration / "
+        "whale-dependence in one number. Integer cents and integer "
+        "ranks keep every sum exact until the final two divisions. "
+        "Scale note: the rank window orders CUSTOMERS (entity-bounded, "
+        "not fact-bounded); beyond that, the same binned-rank "
+        "reformulation as the trimmed-means lane applies"
+    ),
+    tags=("stats", "concentration", "window"),
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("DECIMAL(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select("cents", F.row_number().over(w).cast("bigint").alias("rk"))
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("weighted"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.col("total").alias("total_cents"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (nd * F.col("total")) - (nd + F.lit(1.0)) / nd, 6
+        ).alias("gini"),
+    )
