@@ -1114,3 +1114,134 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * F.col("weighted") / (nd * F.col("total")) - (nd + F.lit(1.0)) / nd, 6
         ).alias("gini"),
     )
+
+
+# --- supplier concentration (HHI) per nation ------------------------------
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, l.l_suppkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ),
+    m AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS total,
+             SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS sumsq
+      FROM rev GROUP BY nation
+    )
+    SELECT nation, n_suppliers,
+           round(CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi,
+           round(1.0 / n_suppliers, 6) AS hhi_floor
+    FROM m""",
+    doc=(
+        "Herfindahl–Hirschman supplier-concentration index per nation: "
+        "Σ share² of each supplier's lineitem revenue — computed as "
+        "Σcents² / (Σcents)² with DECIMAL(38) squares, so nothing "
+        "floats until the one final division (a float Σshare² would be "
+        "summation-order-dependent). hhi_floor = 1/n is the perfectly "
+        "competitive reference. The supply-chain-risk sibling of the "
+        "Gini lane; two map-side-combined aggregations, nation-keyed"
+    ),
+    tags=("stats", "concentration", "B15"),
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice").cast("DECIMAL(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    m = rev.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("cents").cast(dec)).alias("total"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("sumsq"),
+    )
+    return m.select(
+        "nation",
+        "n_suppliers",
+        F.round(
+            F.col("sumsq").cast("double") / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+        F.round(F.lit(1.0) / F.col("n_suppliers"), 6).alias("hhi_floor"),
+    )
+
+
+# --- Pareto 80/20 point ----------------------------------------------------
+@query(
+    "pareto_8020_customers",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rk,
+             SUM(cents) OVER () AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM spend
+    )
+    SELECT CAST(MIN(rk) AS BIGINT) AS k_customers,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           round(CAST(MIN(rk) AS DOUBLE) / MAX(n), 6) AS customer_fraction,
+           round(CAST(MIN(cum) AS DOUBLE) / MAX(total), 6) AS revenue_share
+    FROM ranked WHERE 5 * cum >= 4 * total""",
+    doc=(
+        "Pareto 80/20 point: the smallest top-k customer set (by spend, "
+        "descending, custkey tiebreak) whose cumulative revenue reaches "
+        "80% — the 5·cum ≥ 4·total rule keeps the threshold integral. "
+        "MIN(cum) is well-defined because cum is monotone along rk. "
+        "Companion readout to the Gini lane; same entity-bounded rank "
+        "window"
+    ),
+    tags=("stats", "concentration", "window"),
+)
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("DECIMAL(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    cum_w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    all_w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = spend.select(
+        F.sum("cents").over(cum_w).alias("cum"),
+        F.row_number().over(Window.orderBy(F.desc("cents"), F.asc("o_custkey"))).cast("bigint").alias("rk"),
+        F.sum("cents").over(all_w).alias("total"),
+        F.count("*").over(all_w).cast("bigint").alias("n"),
+    )
+    return (
+        ranked.where(5 * F.col("cum") >= 4 * F.col("total"))
+        .agg(
+            F.min("rk").cast("bigint").alias("k_customers"),
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(F.min("rk").cast("double") / F.max("n"), 6).alias("customer_fraction"),
+            F.round(F.min("cum").cast("double") / F.max("total"), 6).alias("revenue_share"),
+        )
+    )
