@@ -484,3 +484,85 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / nd, 6).alias("intercept"),
     )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle="""
+    WITH first_seen AS (
+      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents) u
+      GROUP BY tok
+    ),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM first_seen GROUP BY first_doc
+    ),
+    tokens_per_doc AS (
+      SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    growth AS (
+      SELECT round(ln(CAST(SUM(t.n_toks) OVER w AS DOUBLE)), 9) AS lx,
+             round(ln(CAST(SUM(coalesce(n.new_terms, 0)) OVER w AS DOUBLE)), 9) AS ly
+      FROM tokens_per_doc t LEFT JOIN new_per_doc n ON t.doc_id = n.doc_id
+      WINDOW w AS (ORDER BY t.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(lx AS DECIMAL(28,12))) AS sx, SUM(CAST(ly AS DECIMAL(28,12))) AS sy,
+             SUM(CAST(round(lx * ly, 9) AS DECIMAL(28,12))) AS sxy,
+             SUM(CAST(round(lx * lx, 9) AS DECIMAL(28,12))) AS sxx
+      FROM growth
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS heaps_beta
+    FROM m""",
+    doc=(
+        "Heaps'-law vocabulary-growth fit: OLS slope β of ln(vocab size) "
+        "on ln(tokens seen) along the doc_id corpus order — natural text "
+        "sits at β≈0.4-0.6; a tiny fixed vocabulary (this synthetic "
+        "corpus) reads near 0, which is the synthetic-data tell the QA "
+        "check exists to catch. First occurrences via one token groupBy "
+        "(min doc), growth via one ordered cumulative window over DOC "
+        "counts (doc-bounded, not token-bounded); logs round to 9 into "
+        "DECIMAL sums — engine-exact like the Zipf twin"
+    ),
+    tags=("text-stats", "heaps", "quality", "stats"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    new_per_doc = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_terms")
+    )
+    tokens_per_doc = t["documents"].select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_toks")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    growth = (
+        tokens_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            F.round(F.log(F.sum("n_toks").over(w).cast("double")), 9).alias("lx"),
+            F.round(
+                F.log(F.sum(F.coalesce("new_terms", F.lit(0))).over(w).cast("double")), 9
+            ).alias("ly"),
+        )
+    )
+    dec = "DECIMAL(28,12)"
+    m = growth.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 9).cast(dec)).alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast(dec)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    beta = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        nd * F.col("sxx").cast("double") - sx * sx
+    )
+    return m.select("n", F.round(beta, 6).alias("heaps_beta"))

@@ -682,3 +682,68 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.crossJoin(F.broadcast(tot)).select(
         "path", "n", F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share")
     )
+
+
+@query(
+    "interevent_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING COUNT(gap_s) >= 2
+    )
+    SELECT user_id, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps) / (n_gaps - 1)), 6) AS sd_gap_s,
+           round((sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps) / (n_gaps - 1))
+                  - CAST(s1 AS DOUBLE) / n_gaps)
+                 / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_gaps) / (n_gaps - 1))
+                    + CAST(s1 AS DOUBLE) / n_gaps), 6) AS burstiness
+    FROM m""",
+    doc=(
+        "inter-event burstiness per user (Goh & Barabási 2008): "
+        "B = (σ−μ)/(σ+μ) of the gaps between consecutive events — "
+        "B→−1 periodic, ≈0 Poisson, →1 bursty; separates bot-like "
+        "regular traffic from human bursts. Integer second-gaps keep "
+        "the moment sums exact (one lag window on the user key, then "
+        "identical IEEE arithmetic in both engines)"
+    ),
+    tags=("temporal", "stats", "burstiness", "window"),
+)
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("bigint").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps")) / (
+        F.col("n_gaps") - 1
+    )
+    sd = F.sqrt(var)
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )
