@@ -747,3 +747,134 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 6).alias("sd_gap_s"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
     )
+
+
+@query(
+    "acf_daily_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l AS lag, d.x AS x0, d2.x AS x1
+      FROM daily d
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS l) lags
+      JOIN daily d2 ON d2.d = d.d + CAST(lags.l AS INT)
+    ),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
+             CAST(SUM(x0 * x1) AS BIGINT) AS s01,
+             CAST(SUM(x0 * x0) AS BIGINT) AS s00, CAST(SUM(x1 * x1) AS BIGINT) AS s11
+      FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           round((CAST(n AS DOUBLE) * s01 - CAST(s0 AS DOUBLE) * s1)
+                 / (sqrt(CAST(n AS DOUBLE) * s00 - CAST(s0 AS DOUBLE) * s0)
+                    * sqrt(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)), 6) AS acf
+    FROM m""",
+    doc=(
+        "autocorrelation of the daily order-count series at lags 1-3 "
+        "(Pearson of (x_t, x_{t+lag}) pairs via a self-join on the date "
+        "spine): the canonical seasonality/trend screen before any "
+        "forecasting. Integer counts keep all five sums exact until the "
+        "final correlation arithmetic; the daily relation is bounded by "
+        "the calendar, not the fact volume"
+    ),
+    tags=("temporal", "timeseries", "stats", "acf"),
+)
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    d0 = daily.select("d", F.col("x").alias("x0"))
+    d1 = daily.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    lagged = (
+        d0.crossJoin(F.broadcast(lags))
+        .join(d1, F.expr("d1 = date_add(d, lag)"))
+    )
+    m = lagged.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x0").cast("bigint").alias("s0"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum(F.col("x0") * F.col("x1")).cast("bigint").alias("s01"),
+        F.sum(F.col("x0") * F.col("x0")).cast("bigint").alias("s00"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+    )
+    nd = F.col("n").cast("double")
+    acf = (nd * F.col("s01") - F.col("s0").cast("double") * F.col("s1")) / (
+        F.sqrt(nd * F.col("s00") - F.col("s0").cast("double") * F.col("s0"))
+        * F.sqrt(nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1"))
+    )
+    return m.select("lag", "n", F.round(acf, 6).alias("acf"))
+
+
+@query(
+    "cusum_order_volume_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    target AS (
+      -- reference level + slack: k = ceil(mean) computed as integers
+      SELECT (SUM(x) + COUNT(*) - 1) // COUNT(*) AS k FROM daily
+    ),
+    cum AS (
+      SELECT d, x,
+             SUM(x - target.k) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM daily CROSS JOIN target
+    ),
+    s AS (
+      -- CUSUM⁺ via the prefix-min identity: S_t = c_t − min_{i≤t} c_i
+      SELECT d, x, c - LEAST(MIN(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_plus
+      FROM cum
+    ),
+    h AS (SELECT 5 * k AS h FROM target)
+    SELECT CAST(s.d AS VARCHAR) AS day, s.x AS n_orders,
+           CAST(s.s_plus AS BIGINT) AS cusum_plus,
+           (s.s_plus > h.h) AS drifted
+    FROM s CROSS JOIN h""",
+    doc=(
+        "CUSUM upward-drift detection on daily order volume: the "
+        "sequential recursion S_t = max(0, S_{t−1} + x_t − k) rewritten "
+        "as the window-expressible prefix-min identity S_t = c_t − "
+        "min(0, min_{i≤t} c_i) over the cumulative (x−k) sum — pure "
+        "integer arithmetic on a calendar-bounded relation, alarm at "
+        "S > 5k. The change-point sibling of the KL/chi²/KS drift "
+        "lanes for MONITORING a stream's level rather than comparing "
+        "two snapshots"
+    ),
+    tags=("temporal", "timeseries", "drift", "cusum", "window"),
+)
+def cusum_order_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    target = daily.agg(
+        ((F.sum("x") + F.count("*") - 1) / F.count("*")).cast("bigint").alias("k")
+    )
+    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.crossJoin(F.broadcast(target)).select(
+        "d", "x", "k", F.sum(F.col("x") - F.col("k")).over(cum_w).alias("c")
+    )
+    s = cum.select(
+        "d",
+        "x",
+        "k",
+        (F.col("c") - F.least(F.min("c").over(cum_w), F.lit(0))).alias("s_plus"),
+    )
+    return s.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("x").alias("n_orders"),
+        F.col("s_plus").cast("bigint").alias("cusum_plus"),
+        (F.col("s_plus") > 5 * F.col("k")).alias("drifted"),
+    )

@@ -273,6 +273,8 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "trimmed_winsorized_means",  # one-row rank-bounds broadcast
         "ann_recall_mrr_eval",      # broadcast bounded query batch (ann pattern, exact stage)
         "ann_ndcg_eval",            # broadcast bounded query batch (ann pattern, exact stage)
+        "acf_daily_orders",         # 3-row lag-spine broadcast
+        "cusum_order_volume_drift",  # one-row target/threshold broadcasts
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
