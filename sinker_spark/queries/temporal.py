@@ -878,3 +878,83 @@ def cusum_order_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_plus").cast("bigint").alias("cusum_plus"),
         (F.col("s_plus") > 5 * F.col("k")).alias("drifted"),
     )
+
+
+@query(
+    "runs_test_daily_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    lvl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS total FROM daily),
+    signs AS (
+      -- above/below the MEAN level, compared in integers (x·nd > total)
+      SELECT d, CASE WHEN x * lvl.nd > lvl.total THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN lvl
+    ),
+    runs AS (
+      SELECT CAST(SUM(CASE WHEN above <> lag_above OR lag_above IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(SUM(above) AS BIGINT) AS n1,
+             CAST(SUM(1 - above) AS BIGINT) AS n2
+      FROM (SELECT above, lag(above) OVER (ORDER BY d) AS lag_above FROM signs) s
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round(1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2), 6) AS expected_runs,
+           round((r - (1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2)))
+                 / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+                        / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2) * (n1 + n2 - 1.0))), 6) AS z
+    FROM runs""",
+    doc=(
+        "Wald–Wolfowitz runs test on the daily order-count series "
+        "(above/below the exact mean level, compared in integers as "
+        "x·n_days > total so no day is dropped and both sides are "
+        "non-empty on any non-constant series): too "
+        "few runs ⇒ trending/clustered, too many ⇒ oscillating — the "
+        "randomness screen complementing ACF/CUSUM. Run counting is one "
+        "lag over the calendar-bounded series; everything is integer "
+        "until the closed-form mean/variance of the run count"
+    ),
+    tags=("temporal", "stats", "hypothesis-test", "timeseries"),
+)
+def runs_test_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    lvl = daily.agg(
+        F.count("*").cast("bigint").alias("nd"), F.sum("x").cast("bigint").alias("total")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(lvl))
+        .select(
+            "d",
+            F.when(F.col("x") * F.col("nd") > F.col("total"), 1).otherwise(0).alias("above"),
+        )
+    )
+    lw = Window.orderBy("d")
+    runs = signs.select("above", F.lag("above").over(lw).alias("lag_above")).agg(
+        F.sum(
+            F.when(
+                F.col("lag_above").isNull() | (F.col("above") != F.col("lag_above")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("above")).cast("bigint").alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    exp_r = F.lit(1.0) + F.lit(2.0) * F.col("n1") * F.col("n2") / (n1d + n2d)
+    var_r = (F.lit(2.0) * F.col("n1") * F.col("n2") * (F.lit(2.0) * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))) / (
+        (n1d + n2d) * (n1d + n2d) * (F.col("n1") + F.col("n2") - F.lit(1.0))
+    )
+    return runs.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.round(exp_r, 6).alias("expected_runs"),
+        F.round((F.col("r") - exp_r) / F.sqrt(var_r), 6).alias("z"),
+    )

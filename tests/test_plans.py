@@ -275,6 +275,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "ann_ndcg_eval",            # broadcast bounded query batch (ann pattern, exact stage)
         "acf_daily_orders",         # 3-row lag-spine broadcast
         "cusum_order_volume_drift",  # one-row target/threshold broadcasts
+        "runs_test_daily_orders",   # one-row mean-level broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
