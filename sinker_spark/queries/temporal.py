@@ -958,3 +958,87 @@ def runs_test_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_r, 6).alias("expected_runs"),
         F.round((F.col("r") - exp_r) / F.sqrt(var_r), 6).alias("z"),
     )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s,
+             CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x HAVING COUNT(*) > 1) g
+    )
+    SELECT s.s AS mk_s, s.n AS n_days,
+           round((CAST(s.n AS DOUBLE) * (s.n - 1) * (2 * s.n + 5) - coalesce(ties.tie_term, 0)) / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                      WHEN s.s < 0 THEN (s.s + 1)
+                      ELSE 0 END
+                 / sqrt((CAST(s.n AS DOUBLE) * (s.n - 1) * (2 * s.n + 5) - coalesce(ties.tie_term, 0)) / 18.0), 6) AS z
+    FROM s CROSS JOIN ties""",
+    doc=(
+        "Mann–Kendall monotone-trend test on daily order volume: "
+        "S = Σ sign(x_j − x_i) over all day pairs (the nonparametric "
+        "trend detector robust to outliers and any distribution), with "
+        "the tie-corrected variance and continuity-corrected z. The "
+        "pair self-join is O(days²) — CALENDAR-bounded, so it never "
+        "grows with fact volume (the same argument as every daily-series "
+        "lane); S and the tie term are pure integers"
+    ),
+    tags=("temporal", "stats", "hypothesis-test", "trend", "join-theta"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s_df = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    n_df = daily.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    m = s_df.crossJoin(F.broadcast(n_df)).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var_s = (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")) / F.lit(18.0)
+    z_num = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(F.lit(0))
+    )
+    return m.select(
+        F.col("s").alias("mk_s"),
+        F.col("n").alias("n_days"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z_num / F.sqrt(var_s), 6).alias("z"),
+    )
