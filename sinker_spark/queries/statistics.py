@@ -1245,3 +1245,97 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("cum").cast("double") / F.max("total"), 6).alias("revenue_share"),
         )
     )
+
+
+# --- Theil index with between/within decomposition ------------------------
+@query(
+    "theil_index_decomposition",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, n.n_name AS nation,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c.c_custkey, n.n_name
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS x FROM spend),
+    terms AS (
+      SELECT nation,
+             SUM(CAST(round((CAST(cents AS DOUBLE) / tot.x)
+                            * ln(CAST(cents AS DOUBLE) * tot.n / tot.x), 12) AS DECIMAL(28,12))) AS t_contrib,
+             CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(cents) AS BIGINT) AS x_g
+      FROM spend CROSS JOIN tot
+      GROUP BY nation, tot.n, tot.x
+    ),
+    between_t AS (
+      SELECT SUM(CAST(round((CAST(x_g AS DOUBLE) / tot.x)
+                            * ln((CAST(x_g AS DOUBLE) / tot.x) / (CAST(n_g AS DOUBLE) / tot.n)), 12)
+                      AS DECIMAL(28,12))) AS tb
+      FROM terms CROSS JOIN tot GROUP BY tot.n, tot.x
+    )
+    SELECT t.nation, t.n_g AS n_customers,
+           round(CAST(t.t_contrib AS DOUBLE), 6) AS theil_contribution,
+           round(CAST((SELECT SUM(t_contrib) FROM terms) AS DOUBLE), 6) AS theil_total,
+           round(CAST((SELECT tb FROM between_t) AS DOUBLE), 6) AS theil_between
+    FROM terms t""",
+    doc=(
+        "Theil T inequality index of customer spend, decomposed by "
+        "nation: T = Σ (x_i/X)·ln(x_i·n/X), with each nation's additive "
+        "contribution and the between-group component (how much "
+        "inequality is ACROSS nations vs within them — the property "
+        "Gini lacks). Per-term products round to 12 and accumulate as "
+        "DECIMAL, so the decomposition is engine-exact; two "
+        "map-side-combined aggregations, no rank window at all"
+    ),
+    tags=("stats", "concentration", "inequality"),
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("DECIMAL(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = spend.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("cents").cast("bigint").alias("x")
+    )
+    dec = "DECIMAL(28,12)"
+    with_tot = spend.crossJoin(F.broadcast(tot))
+    term = F.round(
+        (F.col("cents").cast("double") / F.col("x"))
+        * F.log(F.col("cents").cast("double") * F.col("n") / F.col("x")),
+        12,
+    ).cast(dec)
+    terms = with_tot.groupBy("nation", "n", "x").agg(
+        F.sum(term).alias("t_contrib"),
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("x_g"),
+    )
+    btm = F.round(
+        (F.col("x_g").cast("double") / F.col("x"))
+        * F.log(
+            (F.col("x_g").cast("double") / F.col("x"))
+            / (F.col("n_g").cast("double") / F.col("n"))
+        ),
+        12,
+    ).cast(dec)
+    between_t = terms.agg(F.sum(btm).alias("tb"))
+    total_t = terms.agg(F.sum("t_contrib").alias("tt"))
+    return (
+        terms.crossJoin(F.broadcast(total_t))
+        .crossJoin(F.broadcast(between_t))
+        .select(
+            "nation",
+            F.col("n_g").alias("n_customers"),
+            F.round(F.col("t_contrib").cast("double"), 6).alias("theil_contribution"),
+            F.round(F.col("tt").cast("double"), 6).alias("theil_total"),
+            F.round(F.col("tb").cast("double"), 6).alias("theil_between"),
+        )
+    )

@@ -277,6 +277,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "cusum_order_volume_drift",  # one-row target/threshold broadcasts
         "runs_test_daily_orders",   # one-row mean-level broadcast
         "mann_kendall_trend",       # calendar-bounded day-pair theta join + one-row broadcasts
+        "theil_index_decomposition",  # one-row corpus-totals broadcasts
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
