@@ -1042,3 +1042,57 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_s, 6).alias("var_s"),
         F.round(z_num / F.sqrt(var_s), 6).alias("z"),
     )
+
+
+@query(
+    "peak_open_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+             CAST(COUNT(*) AS BIGINT) AS placed
+      FROM orders GROUP BY 1
+    ),
+    sliding AS (
+      SELECT ed, placed,
+             CAST(SUM(placed) OVER (ORDER BY ed RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+      FROM daily
+    )
+    SELECT CAST(strftime(DATE '1970-01-01' + CAST(ed AS INT), '%Y-%m-%d') AS VARCHAR) AS day,
+           placed, open_orders, rank FROM (
+      SELECT ed, placed, open_orders,
+             row_number() OVER (ORDER BY open_orders DESC, ed) AS rank
+      FROM sliding
+    ) t WHERE rank <= 10""",
+    doc=(
+        "interval-concurrency via a VALUE-based sliding window: treating "
+        "each order as open for 7 days, the trailing RANGE frame over "
+        "epoch-day integers counts concurrently-open orders per day — "
+        "peak load = top-10 days. RANGE (not ROWS) is the point: gap "
+        "days in the spine still bound the frame by VALUE distance, so "
+        "missing days can't silently widen the window. Calendar-bounded "
+        "relation; the capacity-planning lane"
+    ),
+    tags=("temporal", "window", "range-frame", "timeseries"),
+)
+def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint").alias("ed"))
+        .agg(F.count("*").cast("bigint").alias("placed"))
+    )
+    w = Window.orderBy("ed").rangeBetween(-6, 0)
+    sliding = daily.select(
+        "ed", "placed", F.sum("placed").over(w).cast("bigint").alias("open_orders")
+    )
+    rk = Window.orderBy(F.desc("open_orders"), F.asc("ed"))
+    return (
+        sliding.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.date_format(F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed").cast("int")), "yyyy-MM-dd").alias("day"),
+            "placed",
+            "open_orders",
+            "rank",
+        )
+    )
