@@ -799,3 +799,55 @@ def ivfpq_residual_topk(
     )
     w = Window.partitionBy("qid").orderBy("adist", F.asc("nid"))
     return approx.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF search with nprobe > 1: each query probes its ``nprobe``
+    nearest coarse cells (by rounded exact-decimal centroid distance,
+    cell-id tiebreak) instead of only its own — the recall knob every
+    IVF deployment turns when nprobe=1 misses cross-cell neighbors.
+
+    Scale shape: centroids broadcast (cells × dim); the probe set is
+    queries × nprobe rows and broadcasts into the cell equi-join, so the
+    corpus scan fraction is nprobe/cells — still never all-pairs."""
+    cents = cell_centroids(corpus, cell_col, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    qd = q.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "qvec",
+        "cell",
+        F.round(_sq_dist(F.col("qvec"), F.col("cvec")), 9).alias("cdist"),
+    )
+    w = Window.partitionBy("qid").orderBy("cdist", "cell")
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)

@@ -785,3 +785,60 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_5"),
         )
     )
+
+
+@query(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cm AS MATERIALIZED (
+      SELECT label, CAST(dim AS INT) AS dim,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 6) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mn
+      FROM (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM v) f
+      GROUP BY label, dim
+    ),
+    cc AS MATERIALIZED (SELECT label AS cell, list(mn ORDER BY dim) AS cvec FROM cm GROUP BY label),
+    q AS MATERIALIZED (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+    qd AS MATERIALIZED (
+      SELECT q.qid, q.qe, cc.cell,
+             round(list_sum(list_transform(range(1, len(q.qe) + 1),
+                    t -> (q.qe[t] - cc.cvec[t]) * (q.qe[t] - cc.cvec[t]))), 9) AS cdist
+      FROM q CROSS JOIN cc
+    ),
+    probes AS MATERIALIZED (
+      SELECT qid, qe, cell FROM (
+        SELECT qid, qe, cell, cdist,
+               row_number() OVER (PARTITION BY qid ORDER BY cdist, cell) AS pr
+        FROM qd) t
+      WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.qid, b.vec_id AS nid,
+             round(list_sum(list_transform(range(1, len(p.qe) + 1), i -> p.qe[i] * b.e[i]))
+                   / (sqrt(list_sum(list_transform(p.qe, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS sim
+      FROM probes p JOIN v b ON b.label = p.cell AND b.vec_id <> p.qid
+    )
+    SELECT qid, nid, sim, rank FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM scored
+    ) t WHERE rank <= 5""",
+    doc=(
+        "multi-probe IVF (operators/similarity.ivf_multiprobe_topk, "
+        "nprobe=2): each query searches its TWO nearest coarse cells by "
+        "exact-decimal centroid distance — the recall knob for the "
+        "cross-cell neighbors nprobe=1 misses, at 2/cells of the corpus "
+        "scanned. Probe set = queries × nprobe rows, broadcast into the "
+        "cell equi-join; recall ≥ the single-probe lane by construction"
+    ),
+    tags=("similarity-ivf", "similarity-topk"),
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_multiprobe_topk(emb, queries_df, k=5, nprobe=2).select(
+        "qid", "nid", "sim", "rank"
+    )

@@ -774,3 +774,22 @@ def test_ivfpq_residual_beats_raw_pq_reconstruction(spark):
         similarity.pq_encode(resid, vec_col="rvec").agg(F.avg("dist")).collect()[0][0]
     )
     assert res_err < raw_err, (res_err, raw_err)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recover at least as much of the exact top-5 as
+    nprobe=1 (its candidate set is a superset), and both rank lists stay
+    exactly k long."""
+    from collections import Counter
+
+    from sinker_spark.catalog import load_tables
+    from tests.conftest import SF_SMALL
+
+    emb = load_tables(spark, SF_SMALL)["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["qid"], r["nid"]) for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    p1 = {(r["qid"], r["nid"]) for r in similarity.ivf_topk(emb, queries, k=5).collect()}
+    p2 = {(r["qid"], r["nid"]) for r in similarity.ivf_multiprobe_topk(emb, queries, k=5, nprobe=2).collect()}
+    assert len(p2 & exact) >= len(p1 & exact)
+    per_q = Counter(q for q, _ in p2)
+    assert all(v == 5 for v in per_q.values())
