@@ -566,3 +566,74 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd * F.col("sxx").cast("double") - sx * sx
     )
     return m.select("n", F.round(beta, 6).alias("heaps_beta"))
+
+
+@query(
+    "doc_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)), j -> {'w1': t[j], 'w2': t[j + 1]})) AS pr
+        FROM toks WHERE len(t) >= 2) u
+    ),
+    model AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM model GROUP BY w1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM model),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(-ln((CAST(m.c12 AS DOUBLE) + 1.0) / (u.c1 + vocab.v)), 12) AS DECIMAL(28,12)) AS nll
+      FROM bg b
+      JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      JOIN uni u ON b.w1 = u.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
+           round(exp(CAST(SUM(nll) AS DOUBLE) / COUNT(*)), 4) AS perplexity
+    FROM scored GROUP BY doc_id""",
+    doc=(
+        "per-document bigram perplexity under the corpus's own add-one-"
+        "smoothed bigram model: the fluency/outlier score CCNet-style "
+        "pipelines compute with a KenLM — here the LM itself is trained "
+        "in the same dataflow (two count aggregations). High-perplexity "
+        "docs are the weird ones to route to review/filtering. Integer "
+        "counts → one rounded ln per bigram → DECIMAL per-doc sums: "
+        "engine-exact; the model relation is bigram-vocabulary-sized "
+        "and joins on its natural key. Extends the unigram "
+        "cross-entropy lane to sequence structure"
+    ),
+    tags=("text-stats", "perplexity", "quality", "training-pipeline"),
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.w1", "pr.w2")
+    model = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    uni = model.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = model.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    nll = F.round(
+        -F.log((F.col("c12").cast("double") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 12
+    ).cast("DECIMAL(28,12)")
+    scored = (
+        bg.join(model, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("cross_entropy"),
+        F.round(F.exp(F.sum("nll").cast("double") / F.count("*")), 4).alias("perplexity"),
+    )

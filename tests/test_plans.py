@@ -279,6 +279,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "mann_kendall_trend",       # calendar-bounded day-pair theta join + one-row broadcasts
         "theil_index_decomposition",  # one-row corpus-totals broadcasts
         "ann_ivf_multiprobe_topk",  # broadcast query×centroid batch (ann pattern)
+        "doc_bigram_perplexity",    # one-row vocabulary-size broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
