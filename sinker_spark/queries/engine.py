@@ -573,3 +573,62 @@ def ivm_join_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cnt").alias("n_rows"),
         F.col("sum_qty_dec").cast("double").alias("sum_qty"),
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@query(
+    "profile_orders_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    doc=(
+        "table profiling — the 'describe my data' primitive every "
+        "engine ships: per column of orders, row count, null count, "
+        "exact distinct count, min and max (stringified so one relation "
+        "carries every type). One aggregation pass per column over the "
+        "same scan (Spark runs them as parallel jobs; at 100 TB swap "
+        "exact distincts for approx_count_distinct — the approx lane "
+        "next door). Timestamps render in DuckDB's canonical form in "
+        "both engines. The onboarding/data-contract companion to the "
+        "quality-expectation suite"
+    ),
+    tags=("profiling", "quality", "B19"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    parts = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+
+        def render(x, c=c):
+            # min/max on the NATIVE type (numeric order, not lexicographic),
+            # stringified after — timestamps in DuckDB's canonical form
+            if dict(o.dtypes)[c].startswith("timestamp"):
+                return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+            return x.cast("string")
+
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+                render(F.min(col)).alias("min_val"),
+                render(F.max(col)).alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -842,3 +842,57 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_multiprobe_topk(emb, queries_df, k=5, nprobe=2).select(
         "qid", "nid", "sim", "rank"
     )
+
+
+@query(
+    "embedding_standardize_dims",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    flat AS (
+      SELECT vec_id, CAST(dim AS INT) AS dim, x FROM (
+        SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM v) f
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 9) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(ROUND(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))), 9) AS DOUBLE) / COUNT(*) AS m2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim,
+           round((f.x - s.mu) / sqrt(s.m2 - s.mu * s.mu), 6) AS z
+    FROM flat f JOIN stats s ON f.dim = s.dim
+    WHERE f.vec_id < 10""",
+    doc=(
+        "per-dimension embedding standardization (whitening-lite): "
+        "z = (x − μ_d)/σ_d with decimal-exact population moments per "
+        "dimension — kills the dimension-scale imbalance that skews "
+        "cosine/L2 on anisotropic embedding spaces (the cheap first "
+        "step of post-processing à la Mu et al. 2017 all-but-the-top). "
+        "Stats relation is dim-sized and broadcasts back onto the scan; "
+        "output sampled to 10 vectors × 64 dims of scalar rows"
+    ),
+    tags=("similarity-quantize", "vectors", "preprocessing"),
+)
+def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    flat = t["embeddings"].select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x")
+    ).select("vec_id", (F.col("dim0") + 1).cast("int").alias("dim"), "x")
+    dec = "DECIMAL(28,12)"
+    stats = flat.groupBy("dim").agg(
+        (F.round(F.sum(F.col("x").cast(dec)), 9).cast("double") / F.count("*")).alias("mu"),
+        (F.round(F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec)), 9).cast("double") / F.count("*")).alias("m2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        flat.where(F.col("vec_id") < 10)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                (F.col("x") - F.col("mu")) / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")), 6
+            ).alias("z"),
+        )
+    )
