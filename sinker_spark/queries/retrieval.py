@@ -637,3 +637,63 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("cross_entropy"),
         F.round(F.exp(F.sum("nll").cast("double") / F.count("*")), 4).alias("perplexity"),
     )
+
+
+@query(
+    "source_vocab_jaccard",
+    oracle="""
+    WITH sv AS (
+      SELECT DISTINCT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sv GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source""",
+    doc=(
+        "corpus-diversity matrix: vocabulary Jaccard similarity between "
+        "every source pair — near-1 pairs signal mirrored/duplicated "
+        "crawl sources worth deduplicating at the SOURCE level before "
+        "any per-document pass. Intersections via one token equi-join "
+        "of the distinct (source, token) relation (vocabulary-bounded); "
+        "all counts integral to the final ratio"
+    ),
+    tags=("text-stats", "dedup-source", "training-pipeline", "join-self"),
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sv = (
+        t["documents"]
+        .select("source", F.explode(text.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = sv.select(F.col("source").alias("src_a"), "tok")
+    b = sv.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_inter", "n_a", "n_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1096,3 +1096,69 @@ def peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT ed FROM du),
+    dau AS (SELECT ed, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY ed),
+    wau AS (
+      SELECT days.ed, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days JOIN du ON du.ed BETWEEN days.ed - 6 AND days.ed
+      GROUP BY days.ed
+    )
+    SELECT CAST(strftime(DATE '1970-01-01' + CAST(d.ed AS INT), '%Y-%m-%d') AS VARCHAR) AS day,
+           d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.ed = w.ed""",
+    doc=(
+        "DAU/WAU stickiness per active day: daily actives over trailing-"
+        "7-day actives — the canonical product-engagement ratio. WAU "
+        "needs distinct users per WINDOW (not summable from daily "
+        "counts), so the day spine range-joins the distinct (day, user) "
+        "relation — fan-out ≤7× a relation already bounded by "
+        "days × users, then one distinct-count per day. Integer counts "
+        "to one final division"
+    ),
+    tags=("temporal", "engagement", "join-range", "timeseries"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    du = (
+        t["events"]
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("ed"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("ed").distinct()
+    dau = du.groupBy("ed").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.ed").between(F.col("d.ed") - 6, F.col("d.ed")),
+        )
+        .groupBy(F.col("d.ed").alias("ed"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "ed")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

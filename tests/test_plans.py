@@ -280,6 +280,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "theil_index_decomposition",  # one-row corpus-totals broadcasts
         "ann_ivf_multiprobe_topk",  # broadcast query×centroid batch (ann pattern)
         "doc_bigram_perplexity",    # one-row vocabulary-size broadcast
+        "dau_wau_stickiness",       # calendar-bounded day-spine range join
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
