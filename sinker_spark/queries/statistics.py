@@ -1339,3 +1339,81 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tb").cast("double"), 6).alias("theil_between"),
         )
     )
+
+
+# --- Q-Q decile comparison -------------------------------------------------
+@query(
+    "qq_deciles_open_vs_filled",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderstatus AS status, CAST(floor(o_totalprice) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT status, bin, wt,
+             SUM(wt) OVER (PARTITION BY status ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY status) AS n
+      FROM b
+    ),
+    dec AS (SELECT unnest(range(1, 10)) AS q),
+    qv AS (
+      -- type-1 quantile on bins: smallest bin whose cum reaches ceil(q·n/10),
+      -- thresholds kept integral as 10·cum ≥ q·n
+      SELECT dec.q, c.status, MIN(c.bin) AS v
+      FROM c CROSS JOIN dec
+      WHERE 10 * c.cum >= dec.q * c.n
+      GROUP BY dec.q, c.status
+    )
+    SELECT CAST(o.q AS INT) AS decile, o.v AS open_val, f.v AS filled_val,
+           CAST(o.v - f.v AS BIGINT) AS qq_diff
+    FROM (SELECT * FROM qv WHERE status = 'O') o
+    JOIN (SELECT * FROM qv WHERE status = 'F') f ON o.q = f.q""",
+    doc=(
+        "Q-Q decile table: the nine inner deciles of open-order vs "
+        "filled-order totals side by side with their differences — "
+        "WHERE the KS lane's distributions diverge, not just whether. "
+        "Type-1 quantiles on dollar bins with the 10·cum ≥ q·n integer "
+        "threshold (no float quantile interpolation to disagree on); "
+        "same price-range-bounded relation as every binned-rank lane"
+    ),
+    tags=("stats", "percentile", "drift", "window"),
+)
+def qq_deciles_open_vs_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    b = (
+        t["orders"]
+        .where(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.floor("o_totalprice").cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").cast("bigint").alias("wt"))
+    )
+    cw = Window.partitionBy("status").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("status")
+    c = b.select(
+        "status", "bin", F.sum("wt").over(cw).alias("cum"), F.sum("wt").over(tw).alias("n")
+    )
+    dec = spark.range(1, 10).select(F.col("id").cast("bigint").alias("q"))
+    qv = (
+        c.crossJoin(F.broadcast(dec))
+        .where(10 * F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "status")
+        .agg(F.min("bin").alias("v"))
+    )
+    o = qv.where(F.col("status") == "O").select(F.col("q"), F.col("v").alias("open_val"))
+    f_ = qv.where(F.col("status") == "F").select(F.col("q").alias("qf"), F.col("v").alias("filled_val"))
+    return (
+        o.join(f_, o["q"] == f_["qf"])
+        .select(
+            F.col("q").cast("int").alias("decile"),
+            "open_val",
+            "filled_val",
+            (F.col("open_val") - F.col("filled_val")).cast("bigint").alias("qq_diff"),
+        )
+    )

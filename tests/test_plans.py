@@ -281,6 +281,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "ann_ivf_multiprobe_topk",  # broadcast query×centroid batch (ann pattern)
         "doc_bigram_perplexity",    # one-row vocabulary-size broadcast
         "dau_wau_stickiness",       # calendar-bounded day-spine range join
+        "qq_deciles_open_vs_filled",  # 9-row decile-spine broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
