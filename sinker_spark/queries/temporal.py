@@ -1162,3 +1162,43 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "new_vs_repeat_orders_monthly",
+    oracle="""
+    WITH seq AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    )
+    SELECT month,
+           CAST(SUM(is_first) AS BIGINT) AS new_customers,
+           CAST(SUM(1 - is_first) AS BIGINT) AS repeat_orders,
+           round(CAST(SUM(1 - is_first) AS DOUBLE) / COUNT(*), 6) AS repeat_share
+    FROM seq GROUP BY month""",
+    doc=(
+        "acquisition-vs-retention mix per month: each order classified "
+        "as the customer's FIRST (deterministic by date, orderkey "
+        "tiebreak) or a repeat, aggregated monthly — the growth-"
+        "accounting readout behind cohort charts. One customer-keyed "
+        "window + one calendar-bounded aggregation; integer counts to "
+        "the final share"
+    ),
+    tags=("temporal", "cohort", "window", "engagement"),
+)
+def new_vs_repeat_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = t["orders"].select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return seq.groupBy("month").agg(
+        F.sum("is_first").cast("bigint").alias("new_customers"),
+        F.sum(F.lit(1) - F.col("is_first")).cast("bigint").alias("repeat_orders"),
+        F.round(F.sum(F.lit(1) - F.col("is_first")).cast("double") / F.count("*"), 6).alias(
+            "repeat_share"
+        ),
+    )

@@ -896,3 +896,87 @@ def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@query(
+    "embedding_outlier_flags",
+    oracle="""
+    WITH v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cm AS MATERIALIZED (
+      SELECT label, CAST(dim AS INT) AS dim,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(28,12))), 6) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mn
+      FROM (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM v) f
+      GROUP BY label, dim
+    ),
+    cc AS MATERIALIZED (SELECT label, list(mn ORDER BY dim) AS cvec FROM cm GROUP BY label),
+    d AS MATERIALIZED (
+      SELECT v.vec_id, v.label,
+             round(list_sum(list_transform(range(1, len(v.e) + 1),
+                    t -> (v.e[t] - cc.cvec[t]) * (v.e[t] - cc.cvec[t]))), 9) AS dist
+      FROM v JOIN cc ON v.label = cc.label
+    ),
+    thr AS MATERIALIZED (
+      -- per-label p95 of the MICRO-binned distance (round 4): smallest
+      -- binned value whose cumulative count reaches ceil(0.95·n),
+      -- thresholds integral as 20·cum ≥ 19·n
+      SELECT label, MIN(db) AS p95 FROM (
+        SELECT label, round(dist, 4) AS db,
+               SUM(1) OVER (PARTITION BY label ORDER BY round(dist, 4)
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM d) t
+      WHERE 20 * cum >= 19 * n
+      GROUP BY label
+    )
+    SELECT d.vec_id, d.label, round(d.dist, 4) AS dist,
+           thr.p95, (round(d.dist, 4) > thr.p95) AS is_outlier
+    FROM d JOIN thr ON d.label = thr.label""",
+    doc=(
+        "embedding outlier flags: each vector's squared distance to its "
+        "cluster's exact-decimal centroid, flagged beyond the per-"
+        "cluster p95 (type-1 quantile on micro-binned distances, "
+        "20·cum ≥ 19·n integer thresholding) — the mislabeled/noise "
+        "pruning pass before contrastive training or SemDeDup. "
+        "Centroids broadcast; the quantile rides a per-cluster window "
+        "over distinct binned distances"
+    ),
+    tags=("vectors", "quality", "outlier", "similarity-train"),
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = similarity.cell_centroids(emb)
+    d = (
+        emb.join(F.broadcast(cents), F.col("label") == F.col("cell"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                similarity._sq_dist(
+                    F.col("embedding").cast("array<double>"), F.col("cvec")
+                ),
+                9,
+            ).alias("dist"),
+        )
+    )
+    db = F.round(F.col("dist"), 4)
+    cw = Window.partitionBy("label").orderBy(db).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nw = Window.partitionBy("label")
+    thr = (
+        d.select("label", db.alias("db"), F.count("*").over(cw).alias("cum"), F.count("*").over(nw).alias("n"))
+        .where(20 * F.col("cum") >= 19 * F.col("n"))
+        .groupBy("label")
+        .agg(F.min("db").alias("p95"))
+    )
+    return d.join(F.broadcast(thr), "label").select(
+        "vec_id",
+        "label",
+        F.round("dist", 4).alias("dist"),
+        "p95",
+        (F.round("dist", 4) > F.col("p95")).alias("is_outlier"),
+    )
