@@ -1271,3 +1271,53 @@ def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
         F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), idx.cast("string"))).alias("chunk_id"),
     )
+
+
+@query(
+    "effective_language_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    m AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * n) AS BIGINT) AS sumsq,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY source
+    )
+    SELECT source, n_langs, total,
+           round(CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * total), 6) AS simpson,
+           round((CAST(total AS DOUBLE) * total) / sumsq, 6) AS effective_langs
+    FROM m""",
+    doc=(
+        "corpus language diversity per source: Simpson concentration "
+        "Σp² and its inverse — the EFFECTIVE number of languages (10 "
+        "equal languages → 10.0; one dominant → ~1) — the "
+        "mixture-balance readout a multilingual training pipeline "
+        "checks before setting sampling temperatures. Integer counts "
+        "and squares (Σn²/N²) until the final divisions; one "
+        "map-side-combined aggregation per level"
+    ),
+    tags=("text-stats", "diversity", "training-pipeline", "B15"),
+)
+def effective_language_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["documents"].groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n"))
+    m = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sumsq"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    return m.select(
+        "source",
+        "n_langs",
+        "total",
+        F.round(
+            F.col("sumsq").cast("double") / (F.col("total").cast("double") * F.col("total")), 6
+        ).alias("simpson"),
+        F.round(
+            (F.col("total").cast("double") * F.col("total")) / F.col("sumsq"), 6
+        ).alias("effective_langs"),
+    )
