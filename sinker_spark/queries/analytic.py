@@ -600,3 +600,71 @@ def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1990-01-01' AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary_cents,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+    FROM scored""",
+    doc=(
+        "RFM customer segmentation — the classic CRM workhorse: "
+        "recency (last order date), frequency (order count), monetary "
+        "(lifetime cents) each quintiled by ntile with custkey "
+        "tiebreaks (deterministic at any parallelism), packed into the "
+        "3-digit RFM code (555 = best). Entity-bounded rank windows; "
+        "every measured value integral. Downstream of this code sit "
+        "campaign targeting and churn-risk tiers"
+    ),
+    tags=("analytics", "segmentation", "window", "cohort"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    rfm = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max(F.col("o_orderdate").cast("date")), F.lit("1990-01-01").cast("date"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum((F.col("o_totalprice").cast("DECIMAL(18,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary_cents", "o_custkey")
+    scored = rfm.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )
