@@ -524,3 +524,86 @@ def data_skipping_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(skipped).cast("bigint").alias("bins_skipped"),
         F.round(F.sum(skipped).cast("double") / F.count("*"), 6).alias("skip_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous-hash resharding: minimal movement when the shard count grows
+# ---------------------------------------------------------------------------
+
+
+def _hrw_oracle(n_old: int, n_new: int) -> str:
+    def hs(s: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || '{s}'), 1, 8) AS BIGINT)"
+        )
+
+    old_list = ", ".join(hs(s) for s in range(n_old))
+    new_list = ", ".join(hs(s) for s in range(n_new))
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(list_indexof([{old_list}], list_aggregate([{old_list}], 'max')) - 1 AS INT) AS shard_old,
+             CAST(list_indexof([{new_list}], list_aggregate([{new_list}], 'max')) - 1 AS INT) AS shard_new,
+             CAST(doc_id % {n_old} AS INT) AS mod_old,
+             CAST(doc_id % {n_new} AS INT) AS mod_new
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw,
+           round(CAST(SUM(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS frac_hrw,
+           CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS BIGINT) AS moved_modulo,
+           round(CAST(SUM(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS frac_modulo
+    FROM assigned"""
+
+
+_HRW_OLD, _HRW_NEW = 8, 10
+
+
+@query(
+    "rendezvous_shard_rebalance",
+    oracle=_hrw_oracle(_HRW_OLD, _HRW_NEW),
+    doc=(
+        "resharding-cost analysis with rendezvous (highest-random-"
+        "weight) hashing: every doc's shard is argmax over shards of "
+        "md5(key|shard), so growing 8→10 shards moves ONLY keys a new "
+        "shard now wins (~2/10 of data — the consistent-hashing "
+        "minimum), vs naive modulo placement which reshuffles ~90%. "
+        "Both assignments and the movement fractions computed side by "
+        "side — the partition-layout migration planner for stateful "
+        "stores at 100 TB, where 'rebalance' means physically copying "
+        "the moved fraction. Pure per-row md5 expressions, no shuffle"
+    ),
+    tags=("layout", "sharding", "maintenance", "scale-pattern"),
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def h(s: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(str(s)))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+        )
+
+    old_arr = F.array(*[h(s) for s in range(_HRW_OLD)])
+    new_arr = F.array(*[h(s) for s in range(_HRW_NEW)])
+    assigned = t["documents"].select(
+        (F.array_position(old_arr, F.array_max(old_arr)) - 1).cast("int").alias("shard_old"),
+        (F.array_position(new_arr, F.array_max(new_arr)) - 1).cast("int").alias("shard_new"),
+        (F.col("doc_id") % _HRW_OLD).cast("int").alias("mod_old"),
+        (F.col("doc_id") % _HRW_NEW).cast("int").alias("mod_new"),
+    )
+    moved_h = F.sum(F.when(F.col("shard_old") != F.col("shard_new"), 1).otherwise(0))
+    moved_m = F.sum(F.when(F.col("mod_old") != F.col("mod_new"), 1).otherwise(0))
+    return assigned.agg(
+        F.count("*").cast("bigint").alias("n"),
+        moved_h.cast("bigint").alias("moved_hrw"),
+        F.round(moved_h.cast("double") / F.count("*"), 6).alias("frac_hrw"),
+        moved_m.cast("bigint").alias("moved_modulo"),
+        F.round(moved_m.cast("double") / F.count("*"), 6).alias("frac_modulo"),
+    )
