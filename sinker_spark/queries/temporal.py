@@ -1202,3 +1202,52 @@ def new_vs_repeat_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_share"
         ),
     )
+
+
+@query(
+    "dow_profile_uniformity",
+    oracle="""
+    WITH dow AS (
+      SELECT CAST((isodow(CAST(o_orderdate AS DATE)) - 1) AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM dow)
+    SELECT dow.dow, dow.n,
+           round(CAST(dow.n AS DOUBLE) / tot.total, 6) AS share,
+           round((dow.n - tot.total / 7.0) * (dow.n - tot.total / 7.0) / (tot.total / 7.0), 6) AS chi2_term,
+           ((dow.n - tot.total / 7.0) * (dow.n - tot.total / 7.0) / (tot.total / 7.0) > 12.592 / 7.0) AS outsized
+    FROM dow CROSS JOIN tot""",
+    doc=(
+        "day-of-week order-volume profile with per-day χ² terms against "
+        "the uniform expectation (Monday=0; outsized flags a day whose "
+        "term alone exceeds its share of the df=6 α=0.05 critical value "
+        "12.592): the weekly-seasonality screen for batch-window "
+        "planning and synthetic-data QA (uniform weekdays are a "
+        "generator tell, strong weekend dips are organic). 7 rows at "
+        "any fact size; integer counts to the final float terms"
+    ),
+    tags=("temporal", "seasonal", "stats", "quality"),
+)
+def dow_profile_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dow = (
+        t["orders"]
+        .groupBy(
+            F.pmod(F.dayofweek(F.col("o_orderdate").cast("date")) + 5, F.lit(7))
+            .cast("int")
+            .alias("dow")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = dow.agg(F.sum("n").cast("bigint").alias("total"))
+    j = dow.crossJoin(F.broadcast(tot))
+    exp = F.col("total") / F.lit(7.0)
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return j.select(
+        "dow",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(term, 6).alias("chi2_term"),
+        (term > F.lit(12.592) / F.lit(7.0)).alias("outsized"),
+    )

@@ -283,6 +283,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "dau_wau_stickiness",       # calendar-bounded day-spine range join
         "qq_deciles_open_vs_filled",  # 9-row decile-spine broadcast
         "cluster_silhouette_lite",  # k-row centroid-relation broadcast
+        "dow_profile_uniformity",   # one-row total broadcast
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
