@@ -208,10 +208,16 @@ def join_delta_to_changes(delta: DataFrame, op_col: str = OP_COL) -> DataFrame:
     a row with net multiplicity m becomes |m| copies tagged insert (m>0)
     or delete (m<0). |m| is bounded by the per-batch join fan-out, so the
     explode is change-sized. This is the composition glue for maintaining
-    Δ(γ(A⋈B)): the bilinear join rule feeds the linear aggregate fold."""
+    Δ(γ(A⋈B)): the bilinear join rule feeds the linear aggregate fold.
+
+    m=0 rows are dropped up front: ``sequence(1, 0)`` would otherwise
+    default to a descending step and yield [1, 0] — two spurious
+    delete-tagged copies — for callers that don't pre-filter net-zero
+    multiplicities the way :func:`join_delta` does."""
     sign = F.when(F.col(_MULT) > 0, F.lit(INSERT)).otherwise(F.lit(DELETE))
     return (
-        delta.withColumn(op_col, sign)
+        delta.where(F.col(_MULT) != 0)
+        .withColumn(op_col, sign)
         .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.abs(F.col(_MULT)).cast("int"))))
         .drop(_MULT, "__copy")
     )

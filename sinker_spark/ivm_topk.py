@@ -13,14 +13,26 @@ maintenance) is a **buffered top-(k+b) state**:
 
 - State keeps the top ``k + buffer`` rows per group (the view serves the
   first k), plus a delta-maintained per-group total row count.
-- **Insert**: union the batch rows into the touched groups' stored rows,
-  re-rank those groups only, truncate back to k+buffer. A batch touches
-  |Δ| groups → cost O(|Δ| · (k+buffer)), never a fact scan.
+- **Prefix invariant** (the correctness keystone): the stored set is
+  always a *true prefix* of the group's full ordering — exactly the
+  top-s fact rows for s = stored count. Deletes preserve this for free
+  (removing rows from a prefix leaves a prefix of the survivors).
+  Inserts preserve it only if gated at the **watermark** — the sort key
+  of the weakest surviving stored row: when the group has unstored fact
+  rows, an insert ranking below the watermark may interleave with rows
+  the state never kept, so it is *dropped* (the count still increments;
+  a later scoped recompute re-derives it from the fact table if ever
+  needed). Inserts above the watermark — and all inserts when the state
+  holds the whole group — fold in exactly.
+- **Insert**: union the admitted batch rows into the touched groups'
+  stored rows, re-rank those groups only, truncate back to k+buffer. A
+  batch touches |Δ| groups → cost O(|Δ| · (k+buffer)), never a fact scan.
 - **Delete of a stored row**: remove it and re-rank the group; the
   buffer rows backfill the vacancy.
-- **Delete of an unstored row**: it ranked below k+buffer, so the top-k
-  cannot change — only the group's total count decrements.
-- **Buffer exhaustion**: after folding, a group whose stored row count
+- **Delete of an unstored row**: it ranked below the stored prefix, so
+  the stored rows cannot change — only the group's count decrements.
+- **Buffer exhaustion**: thanks to the prefix invariant the stored count
+  IS the coverage, so after folding, a group whose stored row count
   fell below min(k, total) has evicted rows it now needs. Those groups
   come back from :func:`apply_topk_delta` as the *dirty set* for a
   recompute scoped to just those group keys (the same hybrid as
@@ -104,8 +116,68 @@ def apply_topk_delta(
     untouched = rows_state.join(touched, keys, "left_anti")
     touched_rows = rows_state.join(touched, keys, "semi")
     after_delete = touched_rows.join(deletes.select(*keys, id_col), [*keys, id_col], "left_anti")
+
+    # Watermark gate (prefix invariant): per touched group, find the
+    # weakest surviving stored old row — (order, id) of the LAST row in
+    # desc(order)/asc(id) ordering — and the surviving stored count. An
+    # insert is admitted iff the state will still be a true top-s prefix
+    # of the group's fact rows afterwards:
+    #   * the group has no unstored surviving old rows (state held the
+    #     whole group — n_old_surviving <= s_old, or group is brand new),
+    #     OR
+    #   * the insert ranks strictly above the watermark (so no unstored
+    #     old row can interleave between it and the stored prefix).
+    # Dropped inserts still count into __n_total; if coverage ever falls
+    # below k the dirty/recompute path re-derives them from the fact
+    # table. Without this gate, same-batch inserts ranking below
+    # never-stored old rows inflate the stored count and a later batch
+    # can miss the dirty flag (multi-batch unsoundness).
+    w_grp = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(id_col))
+    wm = (
+        after_delete.withColumn("__rk", F.row_number().over(w_grp))
+        .withColumn("__sold", F.max("__rk").over(Window.partitionBy(*keys)))
+        .where(F.col("__rk") == F.col("__sold"))
+        .select(
+            *keys,
+            F.col(order_col).alias("__wm_ord"),
+            F.col(id_col).alias("__wm_id"),
+            F.col("__sold").cast("bigint").alias("__sold"),
+        )
+    )
+    n_del = deletes.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__ndel"))
+    grp_info = (
+        counts_state.join(touched, keys, "semi")
+        .join(n_del, keys, "left")
+        .join(wm, keys, "left")
+        .select(
+            *keys,
+            (F.col(_N) - F.coalesce(F.col("__ndel"), F.lit(0))).alias("__nold"),
+            F.coalesce(F.col("__sold"), F.lit(0)).alias("__sold"),
+            "__wm_ord",
+            "__wm_id",
+        )
+    )
+    admitted = (
+        inserts.join(grp_info, keys, "left")
+        .where(
+            F.col("__nold").isNull()  # brand-new group: state holds everything
+            | (F.col("__nold") <= F.col("__sold"))  # no unstored old rows
+            | (
+                (F.col("__sold") > 0)
+                & (
+                    (F.col(order_col) > F.col("__wm_ord"))
+                    | (
+                        (F.col(order_col) == F.col("__wm_ord"))
+                        & (F.col(id_col) < F.col("__wm_id"))
+                    )
+                )
+            )
+        )
+        .select(*fact_cols)
+    )
+
     refolded = _ranked_truncate(
-        after_delete.unionByName(inserts.select(*after_delete.columns)),
+        after_delete.unionByName(admitted.select(*after_delete.columns)),
         keys,
         order_col,
         id_col,
@@ -122,25 +194,18 @@ def apply_topk_delta(
         .where(F.col(_N) > 0)
     )
 
-    # dirty: the stored set covers the true top-s of the SURVIVING OLD
-    # fact rows, where s = surviving old stored rows — batch inserts are
-    # fully known and cannot stand in for evicted old rows (an evicted
-    # row may outrank every insert). A group needs recovery exactly when
-    # s_old < min(k, surviving old total): the top-k then reaches past
-    # what the state kept. Inserts alone never trip this (s_old stays at
-    # its initial ≥ min(k+buffer, n) coverage).
-    n_del = deletes.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__ndel"))
-    s_old = after_delete.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__sold"))
+    # dirty: with the prefix invariant, the NEW stored count is exactly
+    # the number of top positions the state covers. A group needs
+    # recovery iff that coverage falls below min(k, new total): the
+    # served top-k would reach past what the state kept. Checked on the
+    # post-fold state, so it is sound across arbitrarily many batches.
+    s_new = refolded.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__snew"))
     dirty = (
-        counts_state.join(touched, keys, "semi")
-        .join(n_del, keys, "left")
-        .join(s_old, keys, "left")
+        new_counts.join(touched, keys, "semi")
+        .join(s_new, keys, "left")
         .where(
-            F.coalesce(F.col("__sold"), F.lit(0))
-            < F.least(
-                F.lit(k).cast("bigint"),
-                F.col(_N) - F.coalesce(F.col("__ndel"), F.lit(0)),
-            )
+            F.coalesce(F.col("__snew"), F.lit(0))
+            < F.least(F.lit(k).cast("bigint"), F.col(_N))
         )
         .select(*keys)
     )

@@ -92,30 +92,39 @@ class IncrementalMinHashIndex:
         """
         old = self.signatures()
         new_sigs = None
-        gone = [r for r in (deleted_ids or [])]
+        id_schema = old.select("doc_id").schema
+        gone_ids = self.spark.createDataFrame(
+            [(i,) for i in (deleted_ids or [])], id_schema
+        )
+        changed_ids = self.spark.createDataFrame([], id_schema)
         if changed_docs is not None:
             new_sigs = (
                 minhash_signatures(changed_docs, id_col, text_col, k=self.k, n=self.n)
                 .withColumnRenamed(id_col, "doc_id")
             )
+            # ids only — cheap distinct on the delta, and it avoids
+            # computing the signature pipeline once for the id list and
+            # again for the merge
+            changed_ids = (
+                changed_docs.select(F.col(id_col).alias("doc_id")).distinct()
+            )
 
-        # merge: drop superseded/deleted ids, add fresh signatures.
+        # merge: drop superseded/deleted ids, add fresh signatures — all
+        # as anti-joins against the delta-id FRAME, never a collected id
+        # set (a backfill-sized availableNow replay would otherwise build
+        # a multi-million-literal IN plan and spike driver memory; same
+        # shape as the runner's targeted-refresh lane).
         # localCheckpoint BEFORE overwrite: the merged plan reads self.path,
         # and dynamic/full overwrite of a path the plan still reads from
         # silently loses rows (see ivm_bucketed for the same hazard).
-        touched = set(gone)
-        if changed_docs is not None:
-            # ids only — cheap distinct on the (small) delta, and it avoids
-            # computing the signature pipeline once for the id list and
-            # again for the merge
-            touched.update(r[0] for r in changed_docs.select(id_col).distinct().collect())
-        merged = old.where(~F.col("doc_id").isin(list(touched))) if touched else old
+        touched_ids = changed_ids.unionByName(gone_ids).distinct()
+        merged = old.join(touched_ids, "doc_id", "left_anti")
         if new_sigs is not None:
             merged = merged.unionByName(new_sigs)
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(self.path)
 
-        if new_sigs is None or not touched:
+        if new_sigs is None:
             return merged.select(
                 F.col("doc_id").alias("id_a"),
                 F.col("doc_id").alias("id_b"),
@@ -125,7 +134,8 @@ class IncrementalMinHashIndex:
         # candidate generation: probe the full index with the delta's band
         # keys. The delta is broadcast; the index relation is scanned once,
         # shuffle-free on the candidate side.
-        delta_sigs = merged.where(F.col("doc_id").isin([t for t in touched if t not in gone]))
+        live_changed = changed_ids.join(gone_ids, "doc_id", "left_anti")
+        delta_sigs = merged.join(live_changed, "doc_id", "left_semi")
         probe = banded_keys(delta_sigs, "doc_id", self.bands).select(
             F.col("doc_id").alias("id_p"), "band", "band_key"
         )

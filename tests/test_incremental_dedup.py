@@ -84,3 +84,40 @@ def test_incremental_agrees_with_batch(spark, tmp_path):
         .collect()
     }
     assert seen == batch
+
+
+def test_large_delta_merge_is_dataframe_native(spark, tmp_path):
+    """A backfill-sized delta (100k changed ids) must flow through
+    update() as DataFrame joins — no driver-side id set, no literal-IN
+    plan. Guarded two ways: (a) the module source contains no collect()
+    and no isin() (the old driver-materializing merge), and (b) a 100k-id
+    delta actually runs and leaves the index in the exact expected state."""
+    import inspect
+
+    from sinker_spark.operators import dedup_incremental
+
+    src = inspect.getsource(dedup_incremental)
+    assert ".collect()" not in src
+    assert ".isin(" not in src
+
+    idx = IncrementalMinHashIndex(spark, str(tmp_path / "bigsig"), k=4, bands=2)
+    base = spark.range(0, 120_000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("stable shared prefix words here token "), F.col("id")).alias("text"),
+    )
+    idx.bootstrap(base)
+    assert idx.signatures().count() == 120_000
+
+    # delta: re-text 100k existing ids and delete 5k others
+    delta = spark.range(0, 100_000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("rewritten body entirely new tokens "), F.col("id")).alias("text"),
+    )
+    deleted = [f"doc{i}" for i in range(100_000, 105_000)]
+    pairs = idx.update(delta, deleted_ids=deleted)
+    # merge result: 120k - 5k deleted, with the 100k superseded in place
+    assert idx.signatures().count() == 115_000
+    assert idx.signatures().select("doc_id").distinct().count() == 115_000
+    # the pairs plan is a join pipeline, not a literal IN over batch ids
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert " IN (" not in plan

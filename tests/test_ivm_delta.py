@@ -158,3 +158,19 @@ def test_join_delta_empty_batch_is_empty(spark):
     empty_a = spark.createDataFrame([], "k int, x int, __op string")
     empty_b = spark.createDataFrame([], "k int, y string, __op string")
     assert join_delta(a, b, empty_a, empty_b, ["k"]).count() == 0
+
+
+def test_join_delta_to_changes_drops_net_zero_multiplicity(spark):
+    """Regression: m=0 rows must yield NO change rows — sequence(1, 0)
+    defaults to a descending step and would emit [1, 0], i.e. two
+    spurious delete-tagged copies, for any caller that doesn't pre-filter
+    the way join_delta does."""
+    from sinker_spark.ivm_delta import DELETE, INSERT, join_delta_to_changes
+
+    delta = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 2), (3, "c", -1)], "k int, v string, __mult bigint"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["__op"]) for r in join_delta_to_changes(delta).collect()
+    )
+    assert got == [(2, "b", INSERT), (2, "b", INSERT), (3, "c", DELETE)]

@@ -191,3 +191,64 @@ def test_inserts_cannot_mask_evicted_rows(spark):
     remaining = [r for r in BASE if r[1] > 3 or r[0] == "b"] + [("a", 200, 1), ("a", 201, 2)]
     rows3 = recompute_groups(rows2, _fact(spark, remaining), dirty, KEYS, "score", "id", K, BUF)
     assert _view_dict(rows3) == _expected_topk(remaining)
+
+
+def test_multibatch_inserts_cannot_inflate_coverage(spark):
+    """Regression (multi-batch unsoundness): batch 1 deletes 2 of a's
+    top rows and inserts 5 low-score rows — deletes stay inside the
+    buffer (s_old=3 >= k) so the group is rightly NOT dirty, but the
+    low inserts rank below a's never-stored rows (scores 94/93/92) and
+    must NOT be folded into the stored prefix. Batch 2 then deletes one
+    more top row: coverage drops to 2 < k and the group MUST go dirty
+    (the old code counted the batch-1 inserts as coverage, skipped the
+    dirty flag, and served a score-5 insert over the true 94/93/92)."""
+    live = {(g, i): s for (g, i, s) in BASE}
+    rows, counts = initial_topk_state(_fact(spark, BASE), KEYS, "score", "id", K, BUF)
+
+    batch1_ops = [("a", 1, 99, "delete"), ("a", 2, 98, "delete")] + [
+        ("a", 300 + j, j + 1, "insert") for j in range(5)  # scores 1..5
+    ]
+    batch1 = spark.createDataFrame(batch1_ops, f"grp string, id bigint, score bigint, {OP_COL} string")
+    rows, counts, dirty = apply_topk_delta(rows, counts, batch1, KEYS, "score", "id", K, BUF)
+    for g, i, s, op in batch1_ops:
+        live.pop((g, i), None) if op == "delete" else live.__setitem__((g, i), s)
+    assert dirty.count() == 0  # s_old=3 >= k: served top-3 {97,96,95} is exact
+    assert _view_dict(rows) == _expected_topk([(g, i, s) for (g, i), s in live.items()])
+    # the low inserts must not be sitting in the stored state as fake buffer
+    stored_a = {r["id"] for r in rows.where("grp = 'a'").collect()}
+    assert stored_a == {3, 4, 5}, stored_a
+
+    batch2 = _fact(spark, [("a", 3, 97)]).withColumn(OP_COL, F.lit("delete"))
+    rows, counts, dirty = apply_topk_delta(rows, counts, batch2, KEYS, "score", "id", K, BUF)
+    live.pop(("a", 3))
+    assert [r["grp"] for r in dirty.collect()] == ["a"]  # coverage 2 < k
+    fact_now = _fact(spark, [(g, i, s) for (g, i), s in live.items()])
+    rows = recompute_groups(rows, fact_now, dirty, KEYS, "score", "id", K, BUF)
+    served = _view_dict(rows)
+    assert served == _expected_topk([(g, i, s) for (g, i), s in live.items()])
+    # the healed top-3 is 96/95/94 — never a batch-1 low insert
+    assert {v[0] for k, v in served.items() if k[0] == "a"} == {96, 95, 94}
+
+
+def test_insert_above_watermark_extends_prefix(spark):
+    """An insert that outranks the weakest stored row IS admitted and
+    genuinely extends coverage: after deletes shrink the buffer, such an
+    insert keeps the group clean where a below-watermark insert would
+    not have."""
+    rows, counts = initial_topk_state(_fact(spark, BASE), KEYS, "score", "id", K, BUF)
+    # delete a's ranks 1-2 (buffer absorbs), insert score 98.5-ish (98 ties
+    # broken by id) above the new watermark (95, id=5)
+    batch = spark.createDataFrame(
+        [("a", 1, 99, "delete"), ("a", 2, 98, "delete"), ("a", 400, 98, "insert")],
+        f"grp string, id bigint, score bigint, {OP_COL} string",
+    )
+    rows, counts, dirty = apply_topk_delta(rows, counts, batch, KEYS, "score", "id", K, BUF)
+    assert dirty.count() == 0
+    live = [r for r in BASE if not (r[0] == "a" and r[1] in (1, 2))] + [("a", 400, 98)]
+    assert _view_dict(rows) == _expected_topk(live)
+    # coverage grew to 4: one more delete still doesn't trip dirty
+    batch2 = _fact(spark, [("a", 400, 98)]).withColumn(OP_COL, F.lit("delete"))
+    rows, counts, dirty = apply_topk_delta(rows, counts, batch2, KEYS, "score", "id", K, BUF)
+    assert dirty.count() == 0
+    live = [r for r in live if r[1] != 400]
+    assert _view_dict(rows) == _expected_topk(live)
