@@ -12,8 +12,13 @@ Kafka/Debezium) the same path on the Spark engine:
   so ``cdc.parse_test_decoding`` and the whole downstream engine are
   shared between the file, Kafka, and direct-Postgres lanes.
 - :meth:`run_microbatches` is the polling driver loop (reference
-  Runner.run/iterate, runner.py:66-117): drain slot → parse → hand the
-  batch to ``SyncEngine.process_cdc_batch``.
+  Runner.run/iterate, runner.py:66-117): read slot → parse → hand the
+  batch to ``SyncEngine.process_cdc_batch``. By default it runs the
+  **at-least-once peek/advance protocol** (peek_changes → process →
+  advance_to after the sink ack), upgrading the reference's destructive
+  ``get`` (at-most-once on a crash between drain and ack) to the same
+  delivery guarantee as the engine's checkpointed Kafka/file lanes;
+  ``destructive=True`` restores exact reference behavior.
 
 Scale note: ``pg_logical_slot_get_changes`` is inherently a single
 ordered stream consumed on the driver — exactly the reference's
@@ -42,6 +47,11 @@ CHECK_SLOT = "SELECT count(*) FROM PG_REPLICATION_SLOTS where slot_name='{}'"
 DROP_SLOT = "select pg_drop_replication_slot('{}')"
 CREATE_SLOT = "select pg_create_logical_replication_slot('{}', 'test_decoding')"
 GET_CHANGES = "SELECT xid, lsn, data FROM pg_logical_slot_get_changes('{}', NULL, {})"
+# at-least-once upgrade over the reference's destructive get: peek leaves
+# the slot position untouched; advance moves confirmed_flush_lsn only
+# after the batch has committed downstream
+PEEK_CHANGES = "SELECT xid, lsn, data FROM pg_logical_slot_peek_changes('{}', NULL, {})"
+ADVANCE_SLOT = "select pg_replication_slot_advance('{}', '{}')"
 
 CDC_TEXT_SCHEMA = "lsn bigint, data string"
 
@@ -55,6 +65,11 @@ def lsn_to_long(lsn: str | int | None) -> int | None:
         return lsn
     hi, lo = lsn.split("/")
     return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def long_to_lsn(lsn: int) -> str:
+    """64-bit integer → pg_lsn text, inverse of :func:`lsn_to_long`."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
 
 
 def _default_connect():  # pragma: no cover - env-dependent
@@ -99,16 +114,43 @@ class PostgresSlotSource:
         self.create_slot()
 
     # -- polling read (reference runner.py:100-106) -----------------------
+    def _fetch(self, spark: SparkSession, destructive: bool) -> tuple[DataFrame, int | None]:
+        limit = "NULL" if self.batch_size is None else str(self.batch_size)
+        template = GET_CHANGES if destructive else PEEK_CHANGES
+        rows = self._execute(template.format(self.slot, limit))
+        data = [(lsn_to_long(lsn), str(line)) for _xid, lsn, line in rows]
+        max_lsn = max((lsn for lsn, _ in data), default=None)
+        return spark.createDataFrame(data, CDC_TEXT_SCHEMA), max_lsn
+
     def poll_changes(self, spark: SparkSession) -> DataFrame:
         """Drain up to ``batch_size`` changes → (lsn bigint, data string).
 
-        CONSUMES the slot position (``get`` variant, like the reference):
-        a drained change never reappears, so downstream must be idempotent
-        — which the per-id upsert/delete sink contract guarantees."""
-        limit = "NULL" if self.batch_size is None else str(self.batch_size)
-        rows = self._execute(GET_CHANGES.format(self.slot, limit))
-        data = [(lsn_to_long(lsn), str(line)) for _xid, lsn, line in rows]
-        return spark.createDataFrame(data, CDC_TEXT_SCHEMA)
+        CONSUMES the slot position (``get`` variant, exact reference
+        parity): a drained change never reappears, so a crash between
+        drain and sink ack loses the tail (at-most-once). Prefer the
+        peek/advance pair below for at-least-once."""
+        return self._fetch(spark, destructive=True)[0]
+
+    def peek_changes(self, spark: SparkSession) -> tuple[DataFrame, int | None]:
+        """Non-destructive read of up to ``batch_size`` changes →
+        ((lsn bigint, data string), max_lsn). The slot position is
+        untouched; call :meth:`advance_to` with the returned ``max_lsn``
+        AFTER the batch has durably committed downstream. A crash in
+        between simply re-delivers the batch on the next peek — combined
+        with the per-id idempotent upsert/delete sink contract this lane
+        is at-least-once end-to-end, matching the engine's Kafka/file
+        lanes (the reference's destructive get, runner.py:100-106, is
+        at-most-once on the tail)."""
+        return self._fetch(spark, destructive=False)
+
+    def advance_to(self, lsn: int | str | None) -> None:
+        """Move confirmed_flush_lsn up to (and including) ``lsn`` —
+        the peeked batch's max LSN — releasing WAL retention. No-op on
+        None (empty batch)."""
+        if lsn is None:
+            return
+        text = long_to_lsn(lsn) if isinstance(lsn, int) else lsn
+        self._execute(ADVANCE_SLOT.format(self.slot, text))
 
     def run_microbatches(
         self,
@@ -117,12 +159,18 @@ class PostgresSlotSource:
         max_batches: int | None = None,
         poll_interval: float = 10.0,
         sleep_fn: Callable[[float], None] | None = None,
+        destructive: bool = False,
     ) -> int:
         """Polling sync loop (reference Runner.run, runner.py:66-71):
-        drain → parse test_decoding → process_cdc_batch; sleeps
+        read slot → parse test_decoding → process_cdc_batch; sleeps
         ``poll_interval`` between empty polls. Returns batches processed.
         ``max_batches`` bounds the loop for tests/availableNow-style
-        drains; None = run forever."""
+        drains; None = run forever.
+
+        Default is the at-least-once protocol: peek, process, advance
+        only after ``process_cdc_batch`` returns. ``destructive=True``
+        restores exact reference behavior (destructive get, at-most-once
+        tail)."""
         import time
 
         from sinker_spark.cdc import parse_test_decoding
@@ -130,7 +178,7 @@ class PostgresSlotSource:
         sleep = sleep_fn or time.sleep
         done = 0
         while max_batches is None or done < max_batches:
-            batch = self.poll_changes(spark)
+            batch, max_lsn = self._fetch(spark, destructive=destructive)
             if batch.limit(1).count() == 0:
                 if max_batches is not None:
                     done += 1
@@ -138,5 +186,8 @@ class PostgresSlotSource:
                 sleep(poll_interval)
                 continue
             engine.process_cdc_batch(parse_test_decoding(batch), epoch_id=done)
+            if not destructive:
+                # the batch is acked downstream; only now release the WAL
+                self.advance_to(max_lsn)
             done += 1
         return done

@@ -55,6 +55,14 @@ class _FakeConn:
         if "pg_logical_slot_get_changes" in sql:
             drained, self.state["pending"] = self.state.get("pending", []), []
             return _Cur(drained)
+        if "pg_logical_slot_peek_changes" in sql:
+            return _Cur(list(self.state.get("pending", [])))
+        if "pg_replication_slot_advance" in sql:
+            upto = lsn_to_long(sql.rsplit("'", 2)[1])
+            self.state["pending"] = [
+                r for r in self.state.get("pending", []) if lsn_to_long(r[1]) > upto
+            ]
+            return _Cur([])
         return _Cur([])
 
     def close(self):
@@ -155,6 +163,62 @@ def test_run_microbatches_drives_sync_engine(spark, tmp_path, state, source):
     done = source.run_microbatches(spark, eng, max_batches=2)
     assert done == 2  # one data batch + one empty poll
     assert sink.get("people", "p-1")["name"] == "Johnny"
+
+
+def test_long_to_lsn_roundtrip():
+    from sinker_spark.sources.pg_slot import long_to_lsn
+
+    for text in ("0/16B3748", "A/0", "FFFFFFFF/FFFFFFFF"):
+        assert long_to_lsn(lsn_to_long(text)) == text
+
+
+def test_peek_advance_redelivers_after_crash(spark, state, source):
+    """At-least-once: the loop peeks (slot untouched), processes, and
+    advances only after process_cdc_batch returns. A crash between read
+    and sink ack must leave the slot position intact so the SAME batch
+    re-delivers on resume — the reference's destructive get would have
+    lost it (runner.py:100-106, at-most-once tail)."""
+
+    class _Boom:
+        def process_cdc_batch(self, df, epoch_id=None):
+            raise RuntimeError("sink died mid-batch")
+
+    with pytest.raises(RuntimeError):
+        source.run_microbatches(spark, _Boom(), max_batches=1)
+    # slot NOT advanced: every change still pending, nothing lost
+    assert state["pending"] == list(SLOT_FIXTURE)
+    assert not any("pg_logical_slot_get_changes" in s for s in state["log"])
+    assert not any("pg_replication_slot_advance" in s for s in state["log"])
+
+    # resume: identical batch re-delivered, then the slot advances
+    seen = []
+
+    class _Eng:
+        def process_cdc_batch(self, df, epoch_id=None):
+            seen.append(sorted((r["table"], r["op"], r["id"]) for r in df.collect()))
+
+    done = source.run_microbatches(spark, _Eng(), max_batches=2)
+    assert done == 2  # redelivered data batch + one empty poll
+    assert seen == [
+        [("course", "DELETE", "c-2"), ("person", "INSERT", "p-1"), ("person", "UPDATE", "p-1")]
+    ]
+    assert state["pending"] == []  # advanced past the batch max LSN
+    advances = [s for s in state["log"] if "pg_replication_slot_advance" in s]
+    assert advances == ["select pg_replication_slot_advance('sinker', '0/16B3948')"]
+
+
+def test_destructive_mode_preserves_reference_parity(spark, state, source):
+    """destructive=True keeps the reference's exact get-variant SQL."""
+    seen = []
+
+    class _Eng:
+        def process_cdc_batch(self, df, epoch_id=None):
+            seen.append(df.count())
+
+    done = source.run_microbatches(spark, _Eng(), max_batches=2, destructive=True)
+    assert done == 2 and seen == [3]
+    assert any("pg_logical_slot_get_changes" in s for s in state["log"])
+    assert not any("pg_replication_slot_advance" in s for s in state["log"])
 
 
 @pytest.mark.skipif(
