@@ -39,6 +39,70 @@ UPSERT = "upsert"
 DELETE = "delete"
 
 
+class SchemaEvolutionError(ValueError):
+    """A view redefinition changed the stored document schema in a way
+    the requested refresh cannot honor. The message always carries the
+    remediation (full refresh vs reset+backfill)."""
+
+
+def _explain_incompat(old, new, path: str) -> str | None:
+    """None if ``new`` only ADDS fields to ``old`` (any nesting depth);
+    else a human-readable description of the first breaking difference.
+    Nullability flags are ignored (parquet round-trips relax them)."""
+    from pyspark.sql import types as T
+
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        new_fields = {f.name: f for f in new.fields}
+        for f in old.fields:
+            if f.name not in new_fields:
+                return f"field '{path}.{f.name}' was removed"
+            sub = _explain_incompat(f.dataType, new_fields[f.name].dataType, f"{path}.{f.name}")
+            if sub:
+                return sub
+        return None
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return _explain_incompat(old.elementType, new.elementType, path + "[]")
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        return _explain_incompat(old.keyType, new.keyType, path + "<key>") or _explain_incompat(
+            old.valueType, new.valueType, path + "<value>"
+        )
+    if old.simpleString() != new.simpleString():
+        return f"type of '{path}' changed {old.simpleString()} -> {new.simpleString()}"
+    return None
+
+
+def check_doc_schema_evolution(view: str, old_type, new_type, partial: bool = False) -> bool:
+    """Gate a refresh against the stored snapshot's document schema.
+
+    Returns False when unchanged, True when the change is a pure
+    field-add (compatible: the refresh proceeds and re-emits every doc —
+    the sink documents genuinely changed shape). Raises
+    :class:`SchemaEvolutionError` when a field was removed or retyped
+    (breaking — reference parity is ``DROP`` + ``CREATE MATERIALIZED
+    VIEW`` + re-backfill, sinker.py:100-103), or on ANY change under a
+    partial refresh (a targeted merge would splice mixed-schema rows
+    into one snapshot)."""
+    if old_type.simpleString() == new_type.simpleString():
+        return False
+    incompat = _explain_incompat(old_type, new_type, "doc")
+    if incompat:
+        raise SchemaEvolutionError(
+            f"view '{view}': breaking document schema change ({incompat}). "
+            "Incremental refresh cannot migrate stored documents; call "
+            f"store.reset('{view}') to drop the snapshot state, then re-run a "
+            "full backfill (reference parity: DROP + CREATE MATERIALIZED VIEW, "
+            "sinker.py:100-103)."
+        )
+    if partial:
+        raise SchemaEvolutionError(
+            f"view '{view}': document schema gained fields, but a PARTIAL "
+            "refresh would splice new-schema rows into an old-schema snapshot. "
+            "Run a full refresh() once to version-bump the snapshot (every doc "
+            "re-emits), then partial refreshes resume."
+        )
+    return True
+
+
 def with_doc_hash(df: DataFrame, key: str = "id", doc: str = "doc") -> DataFrame:
     """(key, doc) → (key, doc, doc_hash). Hash of the canonical JSON
     serialization (explicit nulls) — struct-shape-independent equality."""
@@ -141,6 +205,10 @@ class SnapshotStore:
         old = self.read(view)
         if old is not None:
             old = old.select(key, "doc")
+        if old is not None:
+            check_doc_schema_evolution(
+                view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
+            )
         delta = snapshot_diff(old, new_df, key)
         delta = delta.localCheckpoint(eager=True)  # pin before the swap
         self.write(view, new_df, key)
@@ -176,6 +244,9 @@ class SnapshotStore:
             delta = snapshot_diff(None, new_partial, key)
             self.write(view, new_partial, key)
             return delta
+        check_doc_schema_evolution(
+            view, old.schema["doc"].dataType, new_partial.schema["doc"].dataType, partial=True
+        )
         old_docs = old.select(key, "doc")
         old_in_scope = old_docs.join(scope, key, "left_semi")
         delta = snapshot_diff(old_in_scope, new_partial, key)
@@ -184,6 +255,13 @@ class SnapshotStore:
         merged = keep.unionByName(new_partial.select(key, "doc"))
         self.write(view, merged, key)
         return delta
+
+    def reset(self, view: str) -> None:
+        """Drop ALL snapshot state for ``view`` — the remediation for a
+        breaking schema change (followed by a full backfill)."""
+        import shutil
+
+        shutil.rmtree(self._dir(view), ignore_errors=True)
 
     def vacuum(self, view: str, keep_last: int = 2) -> list[int]:
         """Drop snapshot versions older than the newest ``keep_last``

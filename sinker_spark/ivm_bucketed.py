@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sinker_spark.ivm import snapshot_diff, with_doc_hash
+from sinker_spark.ivm import check_doc_schema_evolution, snapshot_diff, with_doc_hash
 
 
 class BucketedSnapshotStore:
@@ -61,8 +61,19 @@ class BucketedSnapshotStore:
             .parquet(self._path(view))
         )
 
+    def reset(self, view: str) -> None:
+        """Drop ALL state for ``view`` — the remediation for a breaking
+        doc schema change, followed by a full backfill."""
+        import shutil
+
+        shutil.rmtree(self._path(view), ignore_errors=True)
+
     def refresh(self, view: str, new_df: DataFrame, key: str = "id") -> DataFrame:
         old = self.read(view)
+        if old is not None:
+            check_doc_schema_evolution(
+                view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
+            )
         delta = snapshot_diff(old.select(key, "doc") if old is not None else None, new_df, key)
         delta = delta.localCheckpoint(eager=True)
         self.write(view, new_df, key)
@@ -84,6 +95,9 @@ class BucketedSnapshotStore:
             delta = snapshot_diff(None, new_partial, key)
             self.write(view, new_partial, key)
             return delta
+        check_doc_schema_evolution(
+            view, old.schema["doc"].dataType, new_partial.schema["doc"].dataType, partial=True
+        )
         old_docs = old.select(key, "doc")
         delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
         delta = delta.localCheckpoint(eager=True)

@@ -43,7 +43,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sinker_spark.ivm import snapshot_diff, with_doc_hash
+from sinker_spark.ivm import check_doc_schema_evolution, snapshot_diff, with_doc_hash
 
 
 class ManifestSnapshotStore:
@@ -85,13 +85,36 @@ class ManifestSnapshotStore:
         except OSError:
             raise FileNotFoundError(f"snapshot {view} v_{version} not found (vacuumed?)") from None
 
-    def _commit(self, view: str, buckets: dict[str, str]) -> int:
-        """Write manifest v_{n+1} then atomically swap _CURRENT to it."""
+    def _commit(self, view: str, buckets: dict[str, str], doc_schema: str | None = None) -> int:
+        """Write manifest v_{n+1} then atomically swap _CURRENT to it.
+
+        Each manifest records the doc schema (Spark DataType JSON) and a
+        monotone ``schema_version`` that bumps whenever the schema
+        differs from the previous commit — time-travel readers and
+        debuggers can see exactly which commit changed the doc shape."""
+        prev = self._manifest(view)
+        if doc_schema is None and prev is not None:
+            doc_schema = prev.get("doc_schema")
+        if prev is None:
+            schema_version = 1
+        elif prev.get("doc_schema") == doc_schema:
+            schema_version = prev.get("schema_version", 1)
+        else:
+            schema_version = prev.get("schema_version", 0) + 1
         v = (self.current_version(view) or 0) + 1
         mpath = self._manifest_path(view, v)
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         with open(mpath, "w") as fh:
-            json.dump({"version": v, "buckets": buckets}, fh, sort_keys=True)
+            json.dump(
+                {
+                    "version": v,
+                    "buckets": buckets,
+                    "doc_schema": doc_schema,
+                    "schema_version": schema_version,
+                },
+                fh,
+                sort_keys=True,
+            )
         tmp = self._pointer(view) + f".tmp.{int(time.time() * 1e6)}"
         with open(tmp, "w") as fh:
             json.dump({"version": v}, fh)
@@ -129,13 +152,20 @@ class ManifestSnapshotStore:
         )
         v_next = (self.current_version(view) or 0) + 1
         buckets = self._write_commit_files(view, out, v_next)
-        return self._commit(view, buckets)
+        return self._commit(view, buckets, doc_schema=df.schema["doc"].dataType.json())
 
     def refresh(self, view: str, new_df: DataFrame, key: str = "id") -> DataFrame:
         """Full recompute-and-diff. The delta plan reads only immutable
         files of the PRE-commit version, so it needs no checkpoint and
-        stays valid after the swap."""
+        stays valid after the swap. A compatible (field-add) doc schema
+        change proceeds — every bucket rewrites, every doc re-emits, and
+        the manifest's schema_version bumps; a breaking change raises
+        with the reset remediation."""
         old = self.read(view)
+        if old is not None:
+            check_doc_schema_evolution(
+                view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
+            )
         delta = snapshot_diff(old.select(key, "doc") if old is not None else None, new_df, key)
         self.write(view, new_df, key)
         return delta
@@ -158,7 +188,11 @@ class ManifestSnapshotStore:
             self.write(view, new_partial, key)
             return delta
 
-        old_docs = self.read(view).select(key, "doc")
+        old = self.read(view)
+        check_doc_schema_evolution(
+            view, old.schema["doc"].dataType, new_partial.schema["doc"].dataType, partial=True
+        )
+        old_docs = old.select(key, "doc")
         delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
 
         touched = [
@@ -185,6 +219,14 @@ class ManifestSnapshotStore:
             buckets.update(written)
             self._commit(view, buckets)
         return delta
+
+    def reset(self, view: str) -> None:
+        """Drop ALL state for ``view`` (manifests, data files, pointer) —
+        the remediation for a breaking schema change, followed by a full
+        backfill."""
+        import shutil
+
+        shutil.rmtree(self._dir(view), ignore_errors=True)
 
     def vacuum(self, view: str, keep_last: int = 2) -> list[str]:
         """Delete commit directories unreferenced by the newest

@@ -170,15 +170,42 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_count_min_tokens",
-    oracle=None,
-    doc="Count-Min Sketch frequency estimation over document tokens (Spark's count_min_sketch aggregate; sketch bytes are engine-specific → rows-only; exact twin: unnest_split_tokens)",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS sketch_total_count,
+           CAST(7 AS BIGINT) AS sketch_depth,
+           CAST(200 AS BIGINT) AS sketch_width,
+           CAST(COUNT(*) AS BIGINT) AS exact_tokens,
+           TRUE AS total_matches_exact
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          FROM documents) t""",
+    doc=(
+        "Count-Min Sketch over document tokens (Spark's native "
+        "count_min_sketch aggregate), hash-checked through the sketch's "
+        "own serialized header: bytes 1-4 version, 5-12 totalCount "
+        "big-endian long, 13-16 depth, 17-20 width. The parsed "
+        "totalCount must equal DuckDB's exact token count and the "
+        "depth/width must match the eps=0.01/conf=0.99 contract "
+        "(w=ceil(2/eps)=200, d=7) — was rows-only on opaque hex bytes; "
+        "per-token estimate bounds live in "
+        "tests/test_operators.py::test_native_cms_estimates_within_bounds; "
+        "cross-engine probe-able twin: cms_manual_estimates"
+    ),
     tags=("sketch",),
 )
 def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(F.explode(F.split("text", " ")).alias("token")).where(F.col("token") != "")
-    return toks.agg(
-        F.expr("hex(count_min_sketch(token, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42))").alias("cms_hex")
+    sk = toks.agg(
+        F.expr("count_min_sketch(token, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").alias("s"),
+        F.count("*").cast("bigint").alias("exact_tokens"),
+    )
+    total = F.expr("CAST(conv(hex(substring(s, 5, 8)), 16, 10) AS BIGINT)")
+    return sk.select(
+        total.alias("sketch_total_count"),
+        F.expr("CAST(conv(hex(substring(s, 13, 4)), 16, 10) AS BIGINT)").alias("sketch_depth"),
+        F.expr("CAST(conv(hex(substring(s, 17, 4)), 16, 10) AS BIGINT)").alias("sketch_width"),
+        F.col("exact_tokens"),
+        (total == F.col("exact_tokens")).alias("total_matches_exact"),
     )
 
 

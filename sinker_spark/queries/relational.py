@@ -839,11 +839,23 @@ _sql(
 )
 
 
-# --- approximate aggregates (rows-only: approximations differ by design) --
+# --- approximate aggregates ----------------------------------------------
 @query(
     "approx_distinct_customers",
-    oracle=None,
-    doc="approx_count_distinct (HyperLogLog++): per-segment approximate customer NDV; no oracle — sketch values are engine-specific (driver rows-only check). Companion exact query: agg_global_stats.",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS exact_rows,
+           TRUE AS approx_within_bounds
+    FROM customer GROUP BY c_mktsegment""",
+    doc=(
+        "approx_count_distinct (HyperLogLog++, rsd 0.02) per segment, "
+        "hash-checked: the sketch estimate itself is engine-specific, so "
+        "the gate emits the exact NDV plus a 3-sigma within-bounds "
+        "VERDICT column (|approx - exact| <= 6% of exact) the oracle "
+        "asserts TRUE — a sketch that strays out of its error envelope "
+        "now fails the hash gate instead of hiding behind rows-only"
+    ),
     tags=("approx",),
 )
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,8 +864,18 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.approx_count_distinct("c_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("c_custkey").cast("bigint").alias("exact_customers"),
             F.count("*").alias("exact_rows"),
+            F.approx_count_distinct("c_custkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "segment",
+            "exact_customers",
+            "exact_rows",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers")).cast("double")
+                <= F.lit(0.06) * F.col("exact_customers").cast("double")
+            ).alias("approx_within_bounds"),
         )
     )
 

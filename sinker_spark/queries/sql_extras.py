@@ -235,26 +235,126 @@ _sql(
 )
 
 # --- mergeable HLL sketches (two-level distinct-count rollup) -------------
-_HLL = """
-    WITH daily AS (
+# same alpha spell as the single-level manual HLL further down (see
+# _HLL_ALPHA there for the double-cast rationale)
+_HLL_ALPHA_FWD = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))"
+)
+# The 100 TB distinct-count pattern: per-day register sketches persisted
+# once, any rollup window answered by register MAX-merge, never a
+# re-scan. Registers are the manual md5 HLL (see
+# hll_manual_distinct_customers for the estimator derivation), so the
+# WHOLE two-level pipeline — daily partials AND the merge — is
+# cross-engine deterministic and hash-verified; the native DataSketches
+# hll_sketch_agg/hll_union_agg path keeps its error-bound pytest
+# (tests/test_functions.py::test_hll_merged_estimate_within_bound).
+_HLL_SPARK = """
+    WITH h AS (
       SELECT event_type, date_trunc('day', ts) AS d,
-             hll_sketch_agg(user_id) AS sk
-      FROM events GROUP BY event_type, date_trunc('day', ts))
-    SELECT event_type,
-           COUNT(*) AS n_days,
-           CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
-             AS approx_distinct_users
-    FROM daily GROUP BY event_type"""
+             CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h60
+      FROM events),
+    rho AS (
+      SELECT event_type, d, pmod(h60, 64) AS bucket,
+             CASE WHEN h60 DIV 64 = 0 THEN 55
+                  ELSE 54 - length(bin(h60 DIV 64)) + 1 END AS r
+      FROM h),
+    -- the persisted per-day sketch: <=64 small ints per (type, day)
+    daily_regs AS (
+      SELECT event_type, d, bucket, MAX(r) AS r
+      FROM rho GROUP BY event_type, d, bucket),
+    -- rollup = pure register MAX-merge over the partials
+    merged AS (
+      SELECT event_type, bucket, MAX(r) AS r
+      FROM daily_regs GROUP BY event_type, bucket),
+    reg64 AS (
+      SELECT p.event_type, b.bucket, COALESCE(m.r, 0) AS r
+      FROM (SELECT DISTINCT event_type FROM merged) p
+      CROSS JOIN (SELECT explode(sequence(0, 63)) AS bucket) b
+      LEFT JOIN merged m ON m.event_type = p.event_type AND m.bucket = b.bucket),
+    winmax AS (
+      SELECT event_type, bucket, r, MAX(r) OVER (PARTITION BY event_type) AS rmax
+      FROM reg64),
+    agg AS (
+      SELECT event_type, rmax,
+             SUM(shiftleft(CAST(1 AS BIGINT), rmax - r)) AS s,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM winmax GROUP BY event_type, rmax),
+    est AS (
+      SELECT event_type,
+             {alpha} * 4096.0 * power(2.0, CAST(rmax AS DOUBLE))
+               / CAST(s AS DOUBLE) AS e_raw,
+             v
+      FROM agg),
+    x AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, x.n_days,
+           CAST(FLOOR((CASE WHEN e.e_raw <= CAST(160.0 AS DOUBLE) AND e.v > 0
+                            THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(e.v AS DOUBLE))
+                            ELSE e.e_raw END) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) AS merged_hll_estimate,
+           x.exact_distinct_users
+    FROM est e JOIN x ON x.event_type = e.event_type"""
+_HLL_DUCK = """
+    WITH h AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+      FROM events),
+    rho AS (
+      SELECT event_type, d, h60 % 64 AS bucket,
+             CASE WHEN h60 // 64 = 0 THEN 55
+                  ELSE 54 - length(bin(h60 // 64)) + 1 END AS r
+      FROM h),
+    daily_regs AS (
+      SELECT event_type, d, bucket, MAX(r) AS r
+      FROM rho GROUP BY event_type, d, bucket),
+    merged AS (
+      SELECT event_type, bucket, MAX(r) AS r
+      FROM daily_regs GROUP BY event_type, bucket),
+    reg64 AS (
+      SELECT p.event_type, b.bucket, COALESCE(m.r, 0) AS r
+      FROM (SELECT DISTINCT event_type FROM merged) p
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+      LEFT JOIN merged m ON m.event_type = p.event_type AND m.bucket = b.bucket),
+    winmax AS (
+      SELECT event_type, bucket, r, MAX(r) OVER (PARTITION BY event_type) AS rmax
+      FROM reg64),
+    agg AS (
+      SELECT event_type, rmax,
+             SUM(CAST(1 AS BIGINT) << CAST(rmax - r AS INT)) AS s,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+      FROM winmax GROUP BY event_type, rmax),
+    est AS (
+      SELECT event_type,
+             {alpha} * 4096.0 * power(2.0, CAST(rmax AS DOUBLE))
+               / CAST(s AS DOUBLE) AS e_raw,
+             v
+      FROM agg),
+    x AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, x.n_days,
+           CAST(FLOOR((CASE WHEN e.e_raw <= CAST(160.0 AS DOUBLE) AND e.v > 0
+                            THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(e.v AS DOUBLE))
+                            ELSE e.e_raw END) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+             / CAST(10000.0 AS DOUBLE) AS merged_hll_estimate,
+           x.exact_distinct_users
+    FROM est e JOIN x ON x.event_type = e.event_type"""
 _sql(
     "sketch_hll_mergeable",
-    spark_sql=_HLL,
-    oracle=None,
+    spark_sql=_HLL_SPARK.format(alpha=_HLL_ALPHA_FWD),
+    oracle=_HLL_DUCK.format(alpha=_HLL_ALPHA_FWD),
     doc=(
-        "mergeable HLL sketches (DataSketches): per-day user sketches "
-        "union-merged to per-type totals — THE 100 TB distinct-count "
-        "pattern (daily partial sketches persisted once, any rollup "
-        "window answered by merge, never a re-scan); sketch bytes are "
-        "engine-specific → rows-only gate + error-bound pytest"
+        "mergeable HLL two-level rollup, fully hash-verified: per-day "
+        "64-register md5 sketches (the persisted partial) MAX-merged to "
+        "per-type registers, estimated next to the exact distinct count "
+        "— was rows-only when built on DataSketches bytes; the native "
+        "hll_sketch_agg/hll_union_agg path keeps its error-bound pytest"
     ),
     tags=("sketch", "approx", "agg-distinct"),
 )

@@ -42,17 +42,29 @@ def test_bpe_ish_token_count(spark):
 
 
 def test_hll_merged_estimate_within_bound(spark):
-    """hll_union_agg over daily sketches must estimate the true distinct
-    user count within HLL's error envelope (lgK=12 → ~1.6% rse; allow 5%)."""
+    """Native DataSketches path (the gate lane now uses the cross-engine
+    manual registers): hll_union_agg over daily hll_sketch_agg partials
+    must estimate the true distinct user count within HLL's error
+    envelope (lgK=12 → ~1.6% rse; allow 5%)."""
     from sinker_spark.catalog import register_views
-    from sinker_spark.queries import REGISTRY, _load
+    from sinker_spark.queries import _load
     from tests.conftest import SF_SMALL as sf_dir_small
 
     _load()
     register_views(spark, sf_dir_small)
     got = {
         r["event_type"]: r["approx_distinct_users"]
-        for r in REGISTRY["sketch_hll_mergeable"].fn(spark, sf_dir_small).collect()
+        for r in spark.sql(
+            """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                     hll_sketch_agg(user_id) AS sk
+              FROM events GROUP BY event_type, date_trunc('day', ts))
+            SELECT event_type,
+                   CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+                     AS approx_distinct_users
+            FROM daily GROUP BY event_type"""
+        ).collect()
     }
     exact = {
         r["event_type"]: r["n"]

@@ -436,6 +436,46 @@ def test_cms_estimates_never_undercount(spark):
     assert all(r["est"] >= r["true_cnt"] for r in rows)
 
 
+def test_native_cms_estimates_within_bounds(spark):
+    """Probe the NATIVE count_min_sketch bytes (the gate lane hash-checks
+    only the header): deserialize via the JVM sketch API and assert the
+    CMS contract per token — estimate >= exact always, and estimate <=
+    exact + ceil(eps * totalCount) for the heavy hitters (eps=0.01,
+    conf=0.99; deterministic here since data and seed are fixed)."""
+    import math
+
+    from sinker_spark.catalog import load_tables
+    from sinker_spark.queries import _load
+    from tests.conftest import SF_SMALL
+
+    _load()
+    from pyspark.sql import functions as F
+
+    toks = (
+        load_tables(spark, SF_SMALL)["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    sk_bytes = toks.agg(
+        F.expr("count_min_sketch(token, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").alias("s")
+    ).collect()[0]["s"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+        .collect()
+    )
+    assert top and cms.totalCount() == toks.count()
+    slack = math.ceil(0.01 * cms.totalCount())
+    for r in top:
+        est = cms.estimateCount(r["token"])
+        assert r["n"] <= est <= r["n"] + slack, (r["token"], r["n"], est)
+
+
 def test_weighted_resample_multiplicities(spark):
     from sinker_spark.operators.curation import weighted_resample
 

@@ -255,6 +255,7 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         "cross_join_region_status",  # both sides bounded dims
         "bm25_relevance_scores",    # one-row corpus-stats (N, avgdl) broadcast
         "hll_manual_distinct_customers",  # groups × 64-bucket register spine, both bounded
+        "sketch_hll_mergeable",     # groups × 64-bucket register spine, both bounded
         "basket_pair_mining",       # one-row total-baskets broadcast
         "token_drift_by_source",    # one-row (vocab-size, corpus-size) broadcast
         "hybrid_search_rrf",        # broadcast 1-query vector batch (ann pattern)
@@ -293,3 +294,42 @@ def test_no_unbounded_join_strategies_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_broadcast_degrades_to_sort_merge_not_bnlj(spark):
+    """100 TB safety proof: at sf0.1 AQE broadcasts the flagship's
+    orders⋈customer and q5's star joins because the fact side happens to
+    fit; at cluster scale those sides won't. Force the degradation by
+    zeroing both broadcast thresholds and assert (a) the plans fall back
+    to SortMergeJoin — never BroadcastNestedLoop/CartesianProduct — and
+    (b) both queries still hash-match their DuckDB oracle. Explicit
+    F.broadcast() hints on true dimensions (nation/region) survive the
+    threshold, which is exactly the intended split: hinted dims stay
+    broadcast at any scale, size-based fact broadcasts degrade safely."""
+    from sinker_spark.oracle import compare_query
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for name in ("flagship_order_document", "q5_local_supplier_volume"):
+            df = REGISTRY[name].fn(spark, SF_SMALL)
+            df.collect()  # finalize adaptive plan
+            plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            assert "SortMergeJoin" in plan, f"{name}: expected SMJ fallback"
+            assert "BroadcastNestedLoop" not in plan, name
+            assert "CartesianProduct" not in plan, name
+            rep = compare_query(spark, SF_SMALL, name)
+            assert rep["ok"], f"{name} under SMJ: {rep.get('status')} {rep.get('sample_diffs')}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
