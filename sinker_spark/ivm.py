@@ -251,7 +251,14 @@ class SnapshotStore:
         old_in_scope = old_docs.join(scope, key, "left_semi")
         delta = snapshot_diff(old_in_scope, new_partial, key)
         delta = delta.localCheckpoint(eager=True)
-        keep = old_docs.join(scope, key, "left_anti")
+        # supersede by scope ∪ the partial's own keys: a partial row whose
+        # key is outside scope (a view key born this batch) must replace
+        # any stored row of that key, not sit next to it awaiting an
+        # arbitrary dropDuplicates pick at the next write
+        merge_keys = scope.unionByName(
+            new_partial.select(F.col(key).cast("string").alias(key))
+        ).distinct()
+        keep = old_docs.join(merge_keys, key, "left_anti")
         merged = keep.unionByName(new_partial.select(key, "doc"))
         self.write(view, merged, key)
         return delta

@@ -102,12 +102,21 @@ class BucketedSnapshotStore:
         delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
         delta = delta.localCheckpoint(eager=True)
 
-        # affected buckets (small: ≤ |scope|)
-        buckets = [r["b"] for r in scope.select(self._bucket(F.col(key)).alias("b")).distinct().collect()]
+        # affected buckets (small: ≤ |scope| + |new keys|). Derived from
+        # scope ∪ new_partial's own keys: a partial row whose key is
+        # outside scope (a view key born this batch) lands in a bucket
+        # scope never named — scope-only `buckets` would dynamic-
+        # overwrite that bucket with just the new row, dropping the rest
+        merge_keys = scope.unionByName(
+            new_partial.select(F.col(key).cast("string").alias(key))
+        ).distinct()
+        buckets = [
+            r["b"] for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
+        ]
         if buckets:
             full = self.spark.read.parquet(self._path(view))  # includes __bucket
             affected_old = full.where(F.col("__bucket").isin(buckets))
-            keep = affected_old.drop("__bucket").select(key, "doc").join(scope, key, "left_anti")
+            keep = affected_old.drop("__bucket").select(key, "doc").join(merge_keys, key, "left_anti")
             rebuilt = keep.unionByName(new_partial.select(key, "doc"))
             out = with_doc_hash(rebuilt.dropDuplicates([key]), key).withColumn(
                 "__bucket", self._bucket(F.col(key))

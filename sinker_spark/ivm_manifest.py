@@ -195,8 +195,17 @@ class ManifestSnapshotStore:
         old_docs = old.select(key, "doc")
         delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
 
+        # touched buckets and superseded keys come from scope ∪ the
+        # partial's OWN keys: a new_partial row outside scope (a view
+        # key born in this batch) lands in a bucket scope never named —
+        # deriving `touched` from scope alone would rewrite that bucket
+        # with only the new row and silently drop its other documents
+        merge_keys = scope.unionByName(
+            new_partial.select(F.col(key).cast("string").alias(key))
+        ).distinct()
         touched = [
-            str(r["b"]) for r in scope.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
+            str(r["b"])
+            for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
         ]
         buckets = dict(m["buckets"])
         if touched:
@@ -205,7 +214,7 @@ class ManifestSnapshotStore:
             ]
             if old_paths:
                 affected_old = self.spark.read.parquet(*old_paths).select(key, "doc")
-                keep = affected_old.join(scope, key, "left_anti")
+                keep = affected_old.join(merge_keys, key, "left_anti")
                 rebuilt = keep.unionByName(new_partial.select(key, "doc"))
             else:
                 rebuilt = new_partial.select(key, "doc")

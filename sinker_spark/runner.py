@@ -110,6 +110,13 @@ class SyncEngine:
         # per-batch observability: view -> {"upserts": n, "deletes": n}
         # (reference logs processed-tuple counts, runner.py:114-117)
         self.last_stats: dict[str, dict[str, int]] = {}
+        # shared-scan budget: a base table read by >=2 recomputing views
+        # in one epoch is cached once and served from memory/disk to all
+        # of them — but only below this size, because at 100 TB caching a
+        # fact table costs more than the N-1 saved scans (columnar scans
+        # are cheap; materializing the cache is not). Above the cap the
+        # views simply re-scan, which is the scale-correct choice.
+        self.shared_scan_max_bytes: int = 4 << 30
 
     def _refresh_one(self, view: ViewDef, epoch_id: int | None = None) -> None:
         new_df = view.compile(self.spark)
@@ -122,17 +129,56 @@ class SyncEngine:
         }
         logger.info("refreshed view %s (epoch %s): %s", view.name, epoch_id, self.last_stats[view.name])
 
-    def _refresh_views(self, views: list[ViewDef], epoch_id: int | None = None) -> None:
-        if self.max_parallel_views <= 1 or len(views) <= 1:
-            for v in views:
-                self._refresh_one(v, epoch_id)
-            return
-        from concurrent.futures import ThreadPoolExecutor
+    def _cache_shared_deps(self, views: list[ViewDef]) -> list[str]:
+        """Cache base tables that >=2 of the recomputing views read, so
+        one epoch scans each shared relation ONCE (the first view's plan
+        materializes the cache; the rest hit InMemoryRelation). Tables
+        above ``shared_scan_max_bytes`` (plan-statistics estimate) are
+        skipped — re-scanning beats materializing a huge cache."""
+        from collections import Counter
 
-        with ThreadPoolExecutor(max_workers=min(self.max_parallel_views, len(views))) as pool:
-            futures = [pool.submit(self._refresh_one, v, epoch_id) for v in views]
-            for f in futures:
-                f.result()  # re-raise worker exceptions
+        counts = Counter(t for v in views for t in v.deps)
+        cached: list[str] = []
+        for t, n in counts.items():
+            if n < 2:
+                continue
+            try:
+                size = int(
+                    str(
+                        self.spark.table(t)
+                        ._jdf.queryExecution()
+                        .optimizedPlan()
+                        .stats()
+                        .sizeInBytes()
+                    )
+                )
+                if size > self.shared_scan_max_bytes:
+                    continue
+                self.spark.catalog.cacheTable(t)
+                cached.append(t)
+            except Exception:  # unresolvable/temp-less table: just re-scan
+                continue
+        return cached
+
+    def _refresh_views(self, views: list[ViewDef], epoch_id: int | None = None) -> None:
+        shared = self._cache_shared_deps(views) if len(views) > 1 else []
+        try:
+            if self.max_parallel_views <= 1 or len(views) <= 1:
+                for v in views:
+                    self._refresh_one(v, epoch_id)
+                return
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(self.max_parallel_views, len(views))) as pool:
+                futures = [pool.submit(self._refresh_one, v, epoch_id) for v in views]
+                for f in futures:
+                    f.result()  # re-raise worker exceptions
+        finally:
+            for t in shared:
+                try:
+                    self.spark.catalog.uncacheTable(t)
+                except Exception:
+                    pass
 
     # -- setup / backfill (reference Sinker.setup, sinker.py:37-43) -------
     def backfill(self, index_bodies: dict[str, dict | None] | None = None) -> None:
@@ -160,6 +206,16 @@ class SyncEngine:
         per-table one-column DataFrames and resolve scopes with
         semi-joins, so a backfill-sized batch (availableNow replay) never
         materializes its keys on the driver."""
+        # the parsed batch is re-filtered by every lane below (eligibility
+        # probes, per-table slices, before-image splits): persist it once
+        # per epoch instead of re-parsing the raw feed each time
+        cdc = cdc.persist()
+        try:
+            self._process_cdc_batch(cdc, epoch_id)
+        finally:
+            cdc.unpersist()
+
+    def _process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
         if not changed:
             return

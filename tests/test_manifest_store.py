@@ -162,3 +162,81 @@ def test_sync_engine_green_with_manifest_store(spark, tmp_path):
     eng.process_cdc_batch(cdc([(2, "course", "DELETE", "c-2")]))
     assert sink.get("courses", "c-2") is None
     assert sink.ids("courses") == {"c-1", "c-3"}
+
+
+def test_vacuum_under_reader_interleaving(spark, tmp_path):
+    """Snapshot-isolation under churn: a reader that pinned version v
+    BEFORE later commits and a vacuum must still collect correct rows as
+    long as v is inside the keep_last retention window — data files are
+    immutable and vacuum only deletes commit dirs unreferenced by every
+    kept manifest. A version OUTSIDE the window fails loudly with the
+    'vacuumed?' error on re-open, never a silent partial read."""
+    store = ManifestSnapshotStore(spark, str(tmp_path / "m"), n_buckets=8)
+    store.write("v", _docs(spark, 40, "a"))                      # v1
+    store.refresh_partial("v", _docs(spark, 3, "b"), [0, 1, 2])  # v2 (partial: carries v1 files)
+    # reader pins v2 while more churn happens
+    pinned_v2 = store.read("v", version=2)
+    expect_v2 = {r["id"]: r["doc"] for r in pinned_v2.collect()}
+    assert expect_v2["0"] == "b-0" and expect_v2["5"] == "a-5"
+
+    store.refresh_partial("v", _docs(spark, 2, "c"), [0, 1])     # v3
+    removed = store.vacuum("v", keep_last=2)                     # keeps v2, v3
+    # interleaved reader still sees its full pinned snapshot
+    assert {r["id"]: r["doc"] for r in pinned_v2.collect()} == expect_v2
+    # v1's manifest is pruned: re-opening it fails loudly
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.read("v", version=1)
+    # nothing referenced by the kept manifests was deleted
+    for ver in (2, 3):
+        m = store._manifest("v", ver)
+        for rel in m["buckets"].values():
+            assert os.path.isdir(os.path.join(str(tmp_path / "m"), "v", rel)), (ver, rel)
+    # and the current view is correct after all of it
+    cur = {r["id"]: r["doc"] for r in store.read("v").select("id", "doc").collect()}
+    assert cur["0"] == "c-0" and cur["2"] == "b-2" and cur["7"] == "a-7"
+    assert isinstance(removed, list)
+
+
+def test_vacuum_keeps_commits_shared_with_retained_versions(spark, tmp_path):
+    """A commit dir owned by a pruned version but still pointed at by a
+    kept manifest (partial-refresh carry-forward) must survive vacuum —
+    deleting it would corrupt the CURRENT snapshot, not just history."""
+    store = ManifestSnapshotStore(spark, str(tmp_path / "m2"), n_buckets=8)
+    store.write("v", _docs(spark, 40, "a"))                      # v1 -> commit c_1
+    store.refresh_partial("v", _docs(spark, 1, "b"), [0])        # v2
+    store.refresh_partial("v", _docs(spark, 2, "c").where("id = '1'"), [1])  # v3
+    store.vacuum("v", keep_last=1)                               # keeps only v3
+    # v3 still references c_1 for every untouched bucket: all rows intact
+    cur = {r["id"]: r["doc"] for r in store.read("v").select("id", "doc").collect()}
+    assert len(cur) == 40 and cur["0"] == "b-0" and cur["1"] == "c-1" and cur["9"] == "a-9"
+
+
+def test_partial_refresh_new_key_outside_scope_is_lossless(spark, tmp_path):
+    """Regression (found by a mis-scoped test): a new_partial row whose
+    key is OUTSIDE scope_keys lands in a bucket the scope never named.
+    The merge must still rebuild that bucket completely — deriving the
+    touched set from scope alone used to overwrite it with only the new
+    row, silently dropping every other document in the bucket."""
+    from sinker_spark.ivm import SnapshotStore
+    from sinker_spark.ivm_bucketed import BucketedSnapshotStore
+
+    stores = {
+        "plain": SnapshotStore(spark, str(tmp_path / "p")),
+        "bucketed": BucketedSnapshotStore(spark, str(tmp_path / "b"), n_buckets=8),
+        "manifest": ManifestSnapshotStore(spark, str(tmp_path / "mm"), n_buckets=8),
+    }
+    # partial carries an update for key 3 (in scope) AND brand-new key 99
+    part = spark.createDataFrame(
+        [("3", "new-3"), ("99", "new-99")], "id string, doc string"
+    )
+    scope_df = spark.createDataFrame([("3",)], "id string")
+    for name, store in stores.items():
+        store.write("v", _docs(spark, 40, "a"))
+        store.refresh_partial("v", part, scope_df if name == "plain" else ["3"])
+        cur = {r["id"]: r["doc"] for r in store.read("v").select("id", "doc").collect()}
+        assert len(cur) == 41, (name, len(cur))
+        assert cur["3"] == "new-3" and cur["99"] == "new-99", name
+        # spot-check neighbors that share buckets with 99 survived
+        assert all(cur[str(i)] == f"a-{i}" for i in range(40) if i != 3), name

@@ -82,3 +82,64 @@ def test_batch_metrics_and_vacuum(spark, tmp_path):
     assert store.read("person_mv").count() == 4
     # idempotent
     assert store.vacuum("person_mv", keep_last=1) == []
+
+
+def test_shared_scan_one_read_for_sibling_views(spark, tmp_path):
+    """Two views over the SAME base table in one epoch must not scan it
+    twice: _cache_shared_deps caches `person` before the fan-out, so
+    both recompute plans read InMemoryRelation (the parquet scan runs
+    once, materializing the cache), and the cache is dropped after."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    views = [
+        ViewDef("person_mv", sql=fx.PERSON_MV_SQL, index="people"),
+        ViewDef(
+            "person_upper_mv",
+            sql='select id, json_build_object(\'loud\', upper("name")) as d from "person"',
+            index="people_upper",
+        ),
+    ]
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    eng = SyncEngine(spark, views, sink, store, max_parallel_views=2)
+
+    plans = {}
+    orig = SnapshotStore.refresh
+
+    def spy(self, view, new_df, key="id"):
+        plans[view] = new_df._jdf.queryExecution().executedPlan().toString()
+        return orig(self, view, new_df, key=key)
+
+    SnapshotStore.refresh = spy
+    try:
+        eng.backfill()
+    finally:
+        SnapshotStore.refresh = orig
+
+    assert sink.ids("people") == {"p-1", "p-2", "p-3", "p-4"}
+    assert sink.get("people_upper", "p-2")["loud"] == "LOREN"
+    for name, plan in plans.items():
+        assert "InMemory" in plan, f"{name} did not read the shared cached scan:\n{plan}"
+    assert not spark.catalog.isCached("person")  # dropped after the epoch
+
+
+def test_shared_scan_skips_tables_over_budget(spark, tmp_path):
+    """Above shared_scan_max_bytes the views re-scan instead of caching
+    (materializing a fact-table cache is the 100 TB anti-pattern)."""
+    fx.register(spark, str(tmp_path / "tables"))
+    eng = SyncEngine(
+        spark,
+        [
+            ViewDef("person_mv", sql=fx.PERSON_MV_SQL, index="people"),
+            ViewDef(
+                "person_upper_mv",
+                sql='select id, json_build_object(\'loud\', upper("name")) as d from "person"',
+                index="people_upper",
+            ),
+        ],
+        InMemorySink(),
+        SnapshotStore(spark, str(tmp_path / "snap")),
+    )
+    eng.shared_scan_max_bytes = 0
+    cached = eng._cache_shared_deps(list(eng.views.values()))
+    assert cached == []
+    assert not spark.catalog.isCached("person")
