@@ -24,11 +24,16 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
 - ``now()``                       → ``current_timestamp()``
 - ``"quoted identifiers"``        → `` `backticked` ``
 - ``DISTINCT ON (keys) … ORDER BY o`` → row_number() window rewrite
+- ``unnest(arr)`` in the projection list → ``explode(arr)`` (PG
+  set-returning function in SELECT)
+- ``generate_series(a, b[, step])``   → ``explode(sequence(…))`` (both
+  FROM- and SELECT-position)
 
 Operator rewrites (``::``, ``->``, ``~``) ignore operator-shaped text
-inside string literals. ``ILIKE``, aggregate ``FILTER (WHERE …)``, and
-``TABLESAMPLE`` pass through untouched — Spark SQL supports them
-natively. Known-unsupported PG constructs (ON CONFLICT, RETURNING,
+inside string literals. ``ILIKE``, aggregate ``FILTER (WHERE …)``
+(including after ``string_agg``'s WITHIN GROUP rewrite), correlated
+``LATERAL (subquery)`` joins, and ``TABLESAMPLE`` pass through
+untouched — Spark SQL supports them natively. Known-unsupported PG constructs (ON CONFLICT, RETURNING,
 FOR UPDATE, SIMILAR TO, jsonb ``@>``-family operators, ``::regclass``)
 raise ``ValueError`` at transpile time instead of surfacing as Spark
 parser errors at refresh time.
@@ -241,13 +246,40 @@ def _wrap_calls(sql: str, fname: str, prefix: str, suffix: str) -> str:
         offset = e + len(prefix) + len(suffix)
 
 
+def _clause_kw_at(sql: str, pos: int) -> str | None:
+    """The clause keyword (select/from) governing position ``pos`` at its
+    own paren depth — distinguishes a ``,`` in the projection list from a
+    ``,`` in the FROM list. String literals are skipped."""
+    spans = _literal_spans(sql)
+    depth, last = 0, {}
+    for m in re.finditer(r"\(|\)|\b(select|from)\b", sql[:pos], re.IGNORECASE):
+        if any(s <= m.start() < e for s, e in spans):
+            continue
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            last.pop(depth, None)
+            depth -= 1
+        else:
+            last[depth] = tok.lower()
+    return last.get(depth)
+
+
 def _rewrite_unnest_from(sql: str) -> str:
-    # FROM unnest(x) AS alias  /  , unnest(x) AS alias
+    # FROM unnest(x) AS alias  /  , unnest(x) AS alias — the comma form
+    # only in the FROM list (a comma in the projection list is a PG SRF
+    # in SELECT, handled by _rewrite_unnest_select)
     pat = re.compile(r"\b(from|,)\s*unnest\s*\(", re.IGNORECASE)
+    search_from = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, search_from)
         if not m:
             return sql
+        if m.group(1) == "," and _clause_kw_at(sql, m.start()) == "select":
+            search_from = m.end()
+            continue
+        search_from = 0
         call = _find_call(sql[m.start():], "unnest")
         assert call is not None
         s, e, args = call
@@ -262,6 +294,56 @@ def _rewrite_unnest_from(sql: str) -> str:
             + f"{lead} (SELECT explode({args}) AS {alias}) {alias}_t"
             + rest
         )
+
+
+def _rewrite_generate_series(sql: str) -> str:
+    """PG ``generate_series(a, b[, step])`` → ``explode(sequence(a, b[,
+    step]))``. FROM-position gets the same derived-table wrapper as
+    ``unnest``; SELECT-position stays a bare generator column (Spark's
+    explode is legal in the projection list, like a PG SRF)."""
+    from_pat = re.compile(r"\b(from|,|join)\s*generate_series\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        m = _search_code(from_pat, sql, search_from)
+        if not m:
+            break
+        if m.group(1) == "," and _clause_kw_at(sql, m.start()) == "select":
+            search_from = m.end()
+            continue
+        search_from = 0
+        call = _find_call(sql[m.start():], "generate_series")
+        assert call is not None
+        s, e, args = call
+        e += m.start()
+        after = sql[e:]
+        am = re.match(r"\s*(?:as\s+)?(`[^`]+`|\w+)", after, re.IGNORECASE)
+        alias = am.group(1) if am else "col"
+        rest = after[am.end():] if am else after
+        lead = m.group(1)
+        sql = (
+            sql[: m.start()]
+            + f"{lead} (SELECT explode(sequence({args})) AS {alias}) {alias}_t"
+            + rest
+        )
+    # any remaining (projection-list) occurrences
+    while True:
+        found = _find_call(sql, "generate_series")
+        if not found:
+            return sql
+        s, e, args = found
+        sql = sql[:s] + f"explode(sequence({args}))" + sql[e:]
+
+
+def _rewrite_unnest_select(sql: str) -> str:
+    """``unnest(arr)`` outside FROM (PG set-returning function in the
+    projection list) → ``explode(arr)`` — runs after the FROM-position
+    rewrite, so whatever is left is projection-position."""
+    while True:
+        found = _find_call(sql, "unnest")
+        if not found:
+            return sql
+        s, e, args = found
+        sql = sql[:s] + f"explode({args})" + sql[e:]
 
 
 def _rewrite_jsonb_each_text(sql: str) -> str:
@@ -558,6 +640,8 @@ def transpile(sql: str) -> str:
     sql = _rewrite_jsonb_each_text(sql)
     sql = _rewrite_jsonb_array_elements(sql)
     sql = _rewrite_unnest_from(sql)
+    sql = _rewrite_unnest_select(sql)
+    sql = _rewrite_generate_series(sql)
     sql = _rename_calls(sql, {"json_build_object": "named_struct", "now": "current_timestamp"})
     for agg in ("json_agg", "array_agg"):
         sql = _wrap_calls(sql, agg, "sort_array(", ")")
