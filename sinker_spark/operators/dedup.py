@@ -142,11 +142,14 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
     construction → broadcast both pair joins so the corpus-sized shingle
     relation is never shuffled here."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # the b-side join keys on (id_b, shingle), not id_b alone: an
+    # id-only key makes the hash join stream |sh_a|·|sh_b| matches per
+    # candidate pair through a residual equality filter — quadratic in
+    # shingles per doc; the composite key emits intersection rows only
     inter = (
-        sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("s_a"))
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
         .join(F.broadcast(pairs), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("s_b")), "id_b")
-        .where(F.col("s_a") == F.col("s_b"))
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
