@@ -252,3 +252,74 @@ def test_insert_above_watermark_extends_prefix(spark):
     assert dirty.count() == 0
     live = [r for r in live if r[1] != 400]
     assert _view_dict(rows) == _expected_topk(live)
+
+
+def test_adversarial_soak_tight_buffer(spark):
+    """8 mixed batches at k=2, buffer=1 with delete-heavy phases — the
+    regime that exposed the multi-batch coverage bug (inserts repeatedly
+    landing below never-stored rows while deletes chew the buffer).
+    Served view must equal a full recompute after healing EVERY batch,
+    and the prefix invariant must hold: each group's stored rows are
+    exactly the true top-s for s = stored count."""
+    import random
+
+    K2, BUF1 = 2, 1
+    rng = random.Random(1234)
+    live = {(g, i): (g, i, rng.randrange(100)) for g in "ab" for i in range(1, 13)}
+    rows, counts = initial_topk_state(
+        _fact(spark, list(live.values())), KEYS, "score", "id", K2, BUF1
+    )
+    next_id = 1000
+    for batch_no in range(8):
+        ops = []
+        # delete-heavy in even batches: target the CURRENT top rows
+        if batch_no % 2 == 0:
+            by_grp = {}
+            for (g, i), row in live.items():
+                by_grp.setdefault(g, []).append(row)
+            for g, items in by_grp.items():
+                items.sort(key=lambda r: (-r[2], r[1]))
+                for row in items[:2]:
+                    ops.append((*row, "delete"))
+                    live.pop((row[0], row[1]))
+            # plus low-score inserts trying to masquerade as buffer
+            for g in "ab":
+                row = (g, next_id, rng.randrange(3))
+                next_id += 1
+                live[(g, row[1])] = row
+                ops.append((*row, "insert"))
+        else:
+            for _ in range(4):
+                g = rng.choice("ab")
+                row = (g, next_id, rng.randrange(100))
+                next_id += 1
+                live[(g, row[1])] = row
+                ops.append((*row, "insert"))
+        batch = spark.createDataFrame(ops, f"grp string, id bigint, score bigint, {OP_COL} string")
+        rows, counts, dirty = apply_topk_delta(
+            rows, counts, batch, KEYS, "score", "id", K2, BUF1
+        )
+        fact_now = _fact(spark, list(live.values()))
+        if dirty.count() > 0:
+            rows = recompute_groups(rows, fact_now, dirty, KEYS, "score", "id", K2, BUF1)
+        # pin state per batch (the runner does the same via the snapshot
+        # store) — otherwise 8 chained folds stack an exponential plan
+        rows = rows.localCheckpoint(eager=True)
+        counts = counts.localCheckpoint(eager=True)
+        served = {
+            (r["grp"], r["id"]): (r["score"], r["rank"])
+            for r in topk_view(rows, KEYS, "score", "id", K2).collect()
+        }
+        assert served == _expected_topk(list(live.values()), k=K2), batch_no
+        # prefix invariant: stored set == true top-s per group
+        stored = {}
+        for r in rows.collect():
+            stored.setdefault(r["grp"], []).append((r["grp"], r["id"], r["score"]))
+        by_grp = {}
+        for row in live.values():
+            by_grp.setdefault(row[0], []).append(row)
+        for g, st in stored.items():
+            items = sorted(by_grp.get(g, []), key=lambda r: (-r[2], r[1]))
+            want = set((x[0], x[1]) for x in items[: len(st)])
+            got = set((x[0], x[1]) for x in st)
+            assert got == want, (batch_no, g, got, want)
