@@ -96,6 +96,7 @@ class SyncEngine:
         sink,
         store: SnapshotStore,
         max_parallel_views: int = 1,
+        on_schema_change: str = "fail",
     ) -> None:
         self.spark = spark
         self.views = {v.name: v for v in views}
@@ -110,6 +111,16 @@ class SyncEngine:
         # per-batch observability: view -> {"upserts": n, "deletes": n}
         # (reference logs processed-tuple counts, runner.py:114-117)
         self.last_stats: dict[str, dict[str, int]] = {}
+        # breaking-doc-schema policy: 'fail' (default) re-raises
+        # SchemaEvolutionError from the snapshot store; 'reset' performs
+        # the reference's DROP + CREATE MATERIALIZED VIEW sequence
+        # (sinker.py:100-103): drop the snapshot state and re-backfill
+        # the view in place (every doc re-emits; the idempotent sink
+        # makes the replay safe). Compatible field-adds never reach this
+        # policy — the store folds them as a full re-emit either way.
+        if on_schema_change not in ("fail", "reset"):
+            raise ValueError(f"on_schema_change must be 'fail' or 'reset', got {on_schema_change!r}")
+        self.on_schema_change = on_schema_change
         # shared-scan budget: a base table read by >=2 recomputing views
         # in one epoch is cached once and served from memory/disk to all
         # of them — but only below this size, because at 100 TB caching a
@@ -119,8 +130,20 @@ class SyncEngine:
         self.shared_scan_max_bytes: int = 4 << 30
 
     def _refresh_one(self, view: ViewDef, epoch_id: int | None = None) -> None:
+        from sinker_spark.ivm import SchemaEvolutionError
+
         new_df = view.compile(self.spark)
-        delta = self.store.refresh(view.name, new_df, key=view.key)
+        try:
+            delta = self.store.refresh(view.name, new_df, key=view.key)
+        except SchemaEvolutionError:
+            if self.on_schema_change != "reset" or not hasattr(self.store, "reset"):
+                raise
+            logger.warning(
+                "view %s: breaking doc schema change — resetting snapshot and re-backfilling "
+                "(on_schema_change='reset', reference DROP+CREATE parity)", view.name
+            )
+            self.store.reset(view.name)
+            delta = self.store.refresh(view.name, new_df, key=view.key)
         counts = {r["op"]: r["n"] for r in delta.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, delta)
         self.last_stats[view.name] = {

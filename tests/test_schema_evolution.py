@@ -141,3 +141,42 @@ def test_checker_handles_nested_and_nullability():
     )
     with pytest.raises(SchemaEvolutionError, match=r"items\[\]\.q"):
         check_doc_schema_evolution("v", base, nested_retype)
+
+
+def test_engine_schema_change_policy(spark, tmp_path):
+    """SyncEngine policy on a breaking view redefinition: 'fail'
+    re-raises SchemaEvolutionError; 'reset' drops the snapshot and
+    re-backfills in place (reference DROP + CREATE MATERIALIZED VIEW,
+    sinker.py:100-103) — the sink converges to the new doc shape."""
+    from sinker_spark.runner import SyncEngine
+    from sinker_spark.sinks.memory import InMemorySink
+    from sinker_spark.views import ViewDef
+
+    spark.createDataFrame([("p-1", "John", 30)], "id string, name string, age int").createOrReplaceTempView(
+        "person_se"
+    )
+    v_old = ViewDef(
+        "mv_se", sql="select id, json_build_object('name', name) as d from person_se", index="people_se"
+    )
+    v_new_breaking = ViewDef(
+        "mv_se", sql="select id, json_build_object('name', age) as d from person_se", index="people_se"
+    )
+
+    sink = InMemorySink()
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    eng = SyncEngine(spark, [v_old], sink, store)
+    eng.backfill()
+    assert sink.get("people_se", "p-1")["name"] == "John"
+
+    # 'fail' (default): breaking redefinition raises
+    eng_fail = SyncEngine(spark, [v_new_breaking], sink, store)
+    with pytest.raises(SchemaEvolutionError):
+        eng_fail.backfill()
+
+    # 'reset': drop + re-backfill, sink converges
+    eng_reset = SyncEngine(spark, [v_new_breaking], sink, store, on_schema_change="reset")
+    eng_reset.backfill()
+    assert sink.get("people_se", "p-1")["name"] == 30
+
+    with pytest.raises(ValueError, match="on_schema_change"):
+        SyncEngine(spark, [v_old], sink, store, on_schema_change="bogus")
