@@ -106,7 +106,13 @@ def apply_topk_delta(
     ``changes`` carries fact columns + ``op_col`` ∈ {insert, delete};
     updates as delete(old)+insert(new). ``dirty_groups`` (keys only) are
     the buffer-exhausted groups needing a scoped recompute via
-    :func:`recompute_groups`; every other group's new state is exact."""
+    :func:`recompute_groups`; every other group's new state is exact.
+
+    CONTRACT: heal the dirty groups (recompute_groups) before folding
+    the next batch — the fold's correctness rests on the stored set
+    being a true prefix of each group's fact rows, which a dirty group
+    by definition no longer is (the runner's _topk_refresh heals within
+    the same epoch)."""
     fact_cols = [c for c in changes.columns if c != op_col]
     inserts = changes.where(F.col(op_col) != DELETE).select(*fact_cols)
     deletes = changes.where(F.col(op_col) == DELETE).select(*fact_cols)

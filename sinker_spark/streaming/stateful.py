@@ -106,8 +106,11 @@ class ChangedOnlyProcessor(StatefulProcessor):
                     best_lsn, best_doc = int(lsn), doc
         prev = self._last.get()
         digest = hashlib.md5((best_doc or "").encode()).hexdigest()
-        if prev is not None and prev[0] == digest:
-            return iter([])  # unchanged → suppress re-index
+        if prev is not None and (prev[0] == digest or best_lsn < prev[1]):
+            # unchanged → suppress re-index; lsn below the last emitted
+            # one is an at-least-once replay of stale data — emitting it
+            # would regress the sink to an older doc version
+            return iter([])
         self._last.update((digest, best_lsn))
         return iter([pd.DataFrame({"id": [doc_id], "doc": [best_doc], "lsn": [best_lsn]})])
 
@@ -150,8 +153,10 @@ def _suppress_unchanged_update(
                 best_lsn, best_doc = int(lsn), doc
     digest = hashlib.md5((best_doc or "").encode()).hexdigest()
     prev = state.get if state.exists else None
-    if prev is not None and prev[0] == digest:
-        return  # unchanged → suppress re-index
+    if prev is not None and (prev[0] == digest or best_lsn < prev[1]):
+        # unchanged, or an at-least-once replay carrying a stale lsn —
+        # emitting the latter would regress the sink to an older version
+        return
     state.update((digest, best_lsn))
     yield pd.DataFrame({"id": [doc_id], "doc": [best_doc], "lsn": [best_lsn]})
 

@@ -72,10 +72,15 @@ def _run_suppression(spark, tmp_path, op):
         fh.write(json.dumps({"id": "a", "doc": "{'v':1}", "lsn": 1}) + "\n")
         fh.write(json.dumps({"id": "a", "doc": "{'v':2}", "lsn": 2}) + "\n")
         fh.write(json.dumps({"id": "b", "doc": "{'v':9}", "lsn": 1}) + "\n")
-    # batch 2: a re-delivered UNCHANGED (suppress), b changed (emit)
+    # batch 2: a re-delivered UNCHANGED (suppress), b changed (emit),
+    # c = stale at-least-once replay (OLDER lsn, different doc) after its
+    # first sighting in batch 1 — must NOT regress the sink
+    with open(src / "a.jsonl", "a") as fh:
+        fh.write(json.dumps({"id": "c", "doc": "{'v':7}", "lsn": 5}) + "\n")
     with open(src / "b.jsonl", "w") as fh:
         fh.write(json.dumps({"id": "a", "doc": "{'v':2}", "lsn": 3}) + "\n")
         fh.write(json.dumps({"id": "b", "doc": "{'v':10}", "lsn": 2}) + "\n")
+        fh.write(json.dumps({"id": "c", "doc": "{'v':6}", "lsn": 4}) + "\n")
     # file source orders batches by mtime — pin them so batch order is stable
     import os as _os
     import time as _time
@@ -107,6 +112,8 @@ def _run_suppression(spark, tmp_path, op):
     assert by_id["a"] == [("{'v':2}", 2)]
     # b: both batches emitted (content changed)
     assert by_id["b"] == [("{'v':9}", 1), ("{'v':10}", 2)]
+    # c: the stale lsn-4 replay is suppressed, v:7 stays current
+    assert by_id["c"] == [("{'v':7}", 5)]
 
 
 def test_suppress_unchanged_applyinpandaswithstate(spark, tmp_path):
