@@ -114,8 +114,15 @@ def apply_topk_delta(
     by definition no longer is (the runner's _topk_refresh heals within
     the same epoch)."""
     fact_cols = [c for c in changes.columns if c != op_col]
-    inserts = changes.where(F.col(op_col) != DELETE).select(*fact_cols)
-    deletes = changes.where(F.col(op_col) == DELETE).select(*fact_cols)
+    # net the batch as a multiset on the FULL tuple first: a row created
+    # and deleted within one batch (insert(x) + delete(x)) must cancel,
+    # or the insert would fold a phantom row into the state (the delete
+    # below only anti-joins the OLD stored rows). Updates are unaffected:
+    # delete(old)+insert(new) are distinct tuples, each keeps its sign.
+    sign_m = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1))
+    net = changes.groupBy(*fact_cols).agg(F.sum(sign_m).cast("bigint").alias("__m"))
+    inserts = net.where(F.col("__m") > 0).select(*fact_cols)
+    deletes = net.where(F.col("__m") < 0).select(*fact_cols)
     touched = changes.select(*keys).distinct()
 
     # untouched groups pass through unchanged; touched groups re-rank

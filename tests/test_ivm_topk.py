@@ -323,3 +323,21 @@ def test_adversarial_soak_tight_buffer(spark):
             want = set((x[0], x[1]) for x in items[: len(st)])
             got = set((x[0], x[1]) for x in st)
             assert got == want, (batch_no, g, got, want)
+
+
+def test_same_batch_create_and_drop_leaves_no_phantom(spark):
+    """A row inserted AND deleted within one batch (created and dropped
+    between polls) must vanish entirely: before the multiset net-out,
+    the delete only anti-joined the old stored rows, so the insert folded
+    a phantom high-scoring row into the state and the served top-3."""
+    rows, counts = initial_topk_state(_fact(spark, BASE), KEYS, "score", "id", K, BUF)
+    batch = spark.createDataFrame(
+        [("a", 500, 98, "insert"), ("a", 500, 98, "delete"),  # create+drop
+         ("b", 1, 10, "delete"), ("b", 1, 10, "insert")],     # no-op update
+        f"grp string, id bigint, score bigint, {OP_COL} string",
+    )
+    rows2, counts2, dirty = apply_topk_delta(rows, counts, batch, KEYS, "score", "id", K, BUF)
+    assert dirty.count() == 0
+    assert _view_dict(rows2) == _expected_topk(BASE)  # nothing changed
+    assert 500 not in {r["id"] for r in rows2.where("grp = 'a'").collect()}
+    assert {r["grp"]: r["__n_total"] for r in counts2.collect()} == {"a": 8, "b": 3}
