@@ -864,9 +864,22 @@ class SyncEngine:
         """Partial recompute: only docs whose keys are in scope are
         re-joined, diffed, pushed, and merged into the snapshot
         (SnapshotStore.refresh_partial — beyond the reference, whose
-        CONCURRENTLY refresh always re-runs the full view query)."""
+        CONCURRENTLY refresh always re-runs the full view query).
+
+        A doc schema change makes the targeted merge illegal (mixed-
+        schema snapshot): the store raises; under
+        ``on_schema_change='reset'`` escalate to the full-refresh lane,
+        which applies the reset+backfill policy in one place."""
+        from sinker_spark.ivm import SchemaEvolutionError
+
         new_partial = view.compile_scoped(self.spark, scope)
-        delta = self.store.refresh_partial(view.name, new_partial, scope, key=view.key)
+        try:
+            delta = self.store.refresh_partial(view.name, new_partial, scope, key=view.key)
+        except SchemaEvolutionError:
+            if self.on_schema_change != "reset":
+                raise
+            self._refresh_one(view, epoch_id)
+            return
         counts = {r["op"]: r["n"] for r in delta.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, delta)
         self.last_stats[view.name] = {

@@ -29,13 +29,16 @@ def stream_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 
 def stream_cdc_text(spark: SparkSession, path: str, sep: str = "\t") -> DataFrame:
-    """Streaming (lsn, data) text lines — feed to cdc.parse_test_decoding."""
+    """Streaming (lsn, data) text lines — feed to cdc.parse_test_decoding.
+
+    Split is limited to 2 fields so a payload containing the separator
+    (a tab inside a doc string) stays intact in ``data``."""
     return (
         spark.readStream.format("text")
         .schema("value string")
         .load(path)
         .select(
-            F.split("value", sep).getItem(0).cast("bigint").alias("lsn"),
-            F.split("value", sep).getItem(1).alias("data"),
+            F.split("value", sep, 2).getItem(0).cast("bigint").alias("lsn"),
+            F.split("value", sep, 2).getItem(1).alias("data"),
         )
     )

@@ -180,3 +180,40 @@ def test_engine_schema_change_policy(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_schema_change"):
         SyncEngine(spark, [v_old], sink, store, on_schema_change="bogus")
+
+
+def test_targeted_lane_escalates_on_schema_change(spark, tmp_path):
+    """A schema-changing redefinition hitting the TARGETED lane first
+    (affected-keys hook) must not splice mixed-schema rows: 'fail'
+    re-raises; 'reset' escalates to the full-refresh lane (compatible
+    add folds as full re-emit; breaking change resets + re-backfills)."""
+    from sinker_spark.runner import SyncEngine
+    from sinker_spark.sinks.memory import InMemorySink
+    from sinker_spark.views import ViewDef
+
+    spark.createDataFrame(
+        [("p-1", "John", 30), ("p-2", "Ann", 40)], "id string, name string, age int"
+    ).createOrReplaceTempView("person_tse")
+    v_old = ViewDef(
+        "mv_tse", sql="select id, json_build_object('name', name) as d from person_tse", index="i_tse"
+    )
+    # field-add: compatible for full refresh, illegal for targeted merge
+    v_added = ViewDef(
+        "mv_tse",
+        sql="select id, json_build_object('name', name, 'age', age) as d from person_tse",
+        index="i_tse",
+    )
+    sink = InMemorySink()
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    SyncEngine(spark, [v_old], sink, store).backfill()
+
+    scope = spark.createDataFrame([("p-1",)], "id string")
+    eng_fail = SyncEngine(spark, [v_added], sink, store)
+    with pytest.raises(SchemaEvolutionError, match="full refresh"):
+        eng_fail._targeted_refresh_one(v_added, scope, epoch_id=0)
+
+    eng_reset = SyncEngine(spark, [v_added], sink, store, on_schema_change="reset")
+    eng_reset._targeted_refresh_one(v_added, scope, epoch_id=0)
+    # escalated to full refresh: BOTH docs re-emitted in the new shape
+    assert sink.get("i_tse", "p-1")["age"] == 30
+    assert sink.get("i_tse", "p-2")["age"] == 40

@@ -47,3 +47,31 @@ def test_stream_json_drains_available_now(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.id: r.v for r in spark.sql("SELECT * FROM src_json_stream").collect()}
     assert got == {1: 10, 2: 20}
+
+
+def test_stream_cdc_text_preserves_separator_in_payload(spark, tmp_path):
+    """A tab INSIDE the doc payload must stay in `data` — the split is
+    limited to 2 fields (lsn, rest), not tokenized on every tab."""
+    from sinker_spark.cdc import parse_test_decoding
+    from sinker_spark.sources.files import stream_cdc_text
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    line = (
+        "7\ttable public.person: INSERT: id[text]:'p-1' "
+        "doc[json]:'{\"note\": \"has\ttab\"}'"
+    )
+    (src / "a.txt").write_text(line + "\n")
+
+    rows = []
+    q = (
+        parse_test_decoding(stream_cdc_text(spark, str(src)))
+        .writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert len(rows) == 1
+    assert rows[0]["lsn"] == 7 and rows[0]["id"] == "p-1"
+    assert rows[0]["payload"] == '{"note": "has\ttab"}'
