@@ -208,21 +208,26 @@ def _rewrite_pg_casts(sql: str) -> str:
 
 
 def _find_call(sql: str, fname: str) -> tuple[int, int, str] | None:
-    """Find fname( … ) returning (start, end_exclusive, args_text)."""
-    m = re.search(rf"\b{fname}\s*\(", sql, re.IGNORECASE)
-    if not m:
+    """Find fname( … ) returning (start, end_exclusive, args_text).
+    Function-shaped text INSIDE string literals is skipped, so every
+    call-rewrite built on this helper honors the module's literals-are-
+    untouchable invariant."""
+    spans = _literal_spans(sql)
+    for m in re.finditer(rf"\b{fname}\s*\(", sql, re.IGNORECASE):
+        if any(s <= m.start() < e for s, e in spans):
+            continue
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return m.start(), i + 1, sql[m.end() : i]
+            elif sql[i] == "'":
+                i = sql.index("'", i + 1)
+            i += 1
         return None
-    depth, i = 0, m.end() - 1
-    while i < len(sql):
-        if sql[i] == "(":
-            depth += 1
-        elif sql[i] == ")":
-            depth -= 1
-            if depth == 0:
-                return m.start(), i + 1, sql[m.end() : i]
-        elif sql[i] == "'":
-            i = sql.index("'", i + 1)
-        i += 1
     return None
 
 
@@ -266,6 +271,30 @@ def _clause_kw_at(sql: str, pos: int) -> str | None:
     return last.get(depth)
 
 
+# tokens that can directly follow a FROM-item and must never be taken as
+# its alias (PG allows alias-less set-returning FROM items)
+_ALIAS_STOP = {
+    "where", "group", "order", "having", "limit", "offset", "union", "intersect",
+    "except", "on", "using", "join", "inner", "left", "right", "full", "cross",
+    "natural", "lateral", "qualify", "window", "select", "from", "as",
+}
+
+
+def _alias_after(after: str, default: str) -> tuple[str, str]:
+    """Parse an optional ``[AS] alias`` at the start of ``after`` →
+    (alias, rest). Bare words from the keyword stop-list are NOT aliases
+    (``FROM generate_series(1,10) WHERE …``); ``default`` mirrors PG's
+    implicit column name for the alias-less form."""
+    m = re.match(r"\s*as\s+(`[^`]+`|\w+)", after, re.IGNORECASE)
+    if m is None:
+        m2 = re.match(r"\s*(`[^`]+`|\w+)", after)
+        if m2 and m2.group(1).lower() not in _ALIAS_STOP and not m2.group(1).isdigit():
+            m = m2
+    if m is None:
+        return default, after
+    return m.group(1), after[m.end():]
+
+
 def _rewrite_unnest_from(sql: str) -> str:
     # FROM unnest(x) AS alias  /  , unnest(x) AS alias — the comma form
     # only in the FROM list (a comma in the projection list is a PG SRF
@@ -285,9 +314,7 @@ def _rewrite_unnest_from(sql: str) -> str:
         s, e, args = call
         s, e = s + m.start(), e + m.start()
         after = sql[e:]
-        am = re.match(r"\s*(?:as\s+)?(`[^`]+`|\w+)", after, re.IGNORECASE)
-        alias = am.group(1) if am else "col"
-        rest = after[am.end():] if am else after
+        alias, rest = _alias_after(after, "unnest")
         lead = sql[m.start() : m.start() + len(m.group(1))]
         sql = (
             sql[: m.start()]
@@ -316,9 +343,7 @@ def _rewrite_generate_series(sql: str) -> str:
         s, e, args = call
         e += m.start()
         after = sql[e:]
-        am = re.match(r"\s*(?:as\s+)?(`[^`]+`|\w+)", after, re.IGNORECASE)
-        alias = am.group(1) if am else "col"
-        rest = after[am.end():] if am else after
+        alias, rest = _alias_after(after, "generate_series")
         lead = m.group(1)
         sql = (
             sql[: m.start()]

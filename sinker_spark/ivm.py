@@ -114,6 +114,17 @@ def with_doc_hash(df: DataFrame, key: str = "id", doc: str = "doc") -> DataFrame
     return df.select(F.col(key), F.col(doc), F.md5(doc_json).alias("doc_hash"))
 
 
+def partial_merge_keys(scope: DataFrame, new_partial: DataFrame, key: str) -> DataFrame:
+    """Keys a targeted merge must supersede: the scope ∪ the partial's
+    OWN keys. A partial row whose key is outside scope (a view key born
+    this batch) must replace any stored row of that key — and its bucket
+    must count as touched — or the merge drops/duplicates rows (shared
+    by all three snapshot stores)."""
+    return scope.unionByName(
+        new_partial.select(F.col(key).cast("string").alias(key))
+    ).distinct()
+
+
 def snapshot_diff(
     old: DataFrame | None,
     new: DataFrame,
@@ -205,7 +216,6 @@ class SnapshotStore:
         old = self.read(view)
         if old is not None:
             old = old.select(key, "doc")
-        if old is not None:
             check_doc_schema_evolution(
                 view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
             )
@@ -251,13 +261,7 @@ class SnapshotStore:
         old_in_scope = old_docs.join(scope, key, "left_semi")
         delta = snapshot_diff(old_in_scope, new_partial, key)
         delta = delta.localCheckpoint(eager=True)
-        # supersede by scope ∪ the partial's own keys: a partial row whose
-        # key is outside scope (a view key born this batch) must replace
-        # any stored row of that key, not sit next to it awaiting an
-        # arbitrary dropDuplicates pick at the next write
-        merge_keys = scope.unionByName(
-            new_partial.select(F.col(key).cast("string").alias(key))
-        ).distinct()
+        merge_keys = partial_merge_keys(scope, new_partial, key)
         keep = old_docs.join(merge_keys, key, "left_anti")
         merged = keep.unionByName(new_partial.select(key, "doc"))
         self.write(view, merged, key)

@@ -26,7 +26,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sinker_spark.ivm import check_doc_schema_evolution, snapshot_diff, with_doc_hash
+from sinker_spark.ivm import (
+    check_doc_schema_evolution,
+    partial_merge_keys,
+    snapshot_diff,
+    with_doc_hash,
+)
 
 
 class BucketedSnapshotStore:
@@ -102,14 +107,9 @@ class BucketedSnapshotStore:
         delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
         delta = delta.localCheckpoint(eager=True)
 
-        # affected buckets (small: ≤ |scope| + |new keys|). Derived from
-        # scope ∪ new_partial's own keys: a partial row whose key is
-        # outside scope (a view key born this batch) lands in a bucket
-        # scope never named — scope-only `buckets` would dynamic-
-        # overwrite that bucket with just the new row, dropping the rest
-        merge_keys = scope.unionByName(
-            new_partial.select(F.col(key).cast("string").alias(key))
-        ).distinct()
+        # affected buckets (small: ≤ |scope| + |new keys|); see
+        # partial_merge_keys for why the partial's own keys participate
+        merge_keys = partial_merge_keys(scope, new_partial, key)
         buckets = [
             r["b"] for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
         ]

@@ -43,7 +43,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sinker_spark.ivm import check_doc_schema_evolution, snapshot_diff, with_doc_hash
+from sinker_spark.ivm import (
+    check_doc_schema_evolution,
+    partial_merge_keys,
+    snapshot_diff,
+    with_doc_hash,
+)
 
 
 class ManifestSnapshotStore:
@@ -195,14 +200,9 @@ class ManifestSnapshotStore:
         old_docs = old.select(key, "doc")
         delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
 
-        # touched buckets and superseded keys come from scope ∪ the
-        # partial's OWN keys: a new_partial row outside scope (a view
-        # key born in this batch) lands in a bucket scope never named —
-        # deriving `touched` from scope alone would rewrite that bucket
-        # with only the new row and silently drop its other documents
-        merge_keys = scope.unionByName(
-            new_partial.select(F.col(key).cast("string").alias(key))
-        ).distinct()
+        # touched buckets and superseded keys; see partial_merge_keys
+        # for why the partial's own keys participate
+        merge_keys = partial_merge_keys(scope, new_partial, key)
         touched = [
             str(r["b"])
             for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()

@@ -142,8 +142,29 @@ class SyncEngine:
                 "view %s: breaking doc schema change — resetting snapshot and re-backfilling "
                 "(on_schema_change='reset', reference DROP+CREATE parity)", view.name
             )
+            # pin the OLD key set before reset destroys it: keys the
+            # redefined view no longer produces must get delete actions,
+            # or the sink serves old-schema ghost documents forever
+            old = self.store.read(view.name)
+            old_keys = (
+                old.select(view.key).localCheckpoint(eager=True) if old is not None else None
+            )
             self.store.reset(view.name)
             delta = self.store.refresh(view.name, new_df, key=view.key)
+            if old_keys is not None:
+                doc_t = delta.schema["doc"].dataType
+                gone = (
+                    old_keys.join(
+                        new_df.select(F.col(new_df.columns[0]).cast("string").alias(view.key)),
+                        view.key,
+                        "left_anti",
+                    ).select(
+                        F.col(view.key),
+                        F.lit(DELETE).alias("op"),
+                        F.lit(None).cast(doc_t).alias("doc"),
+                    )
+                )
+                delta = delta.unionByName(gone)
         counts = {r["op"]: r["n"] for r in delta.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, delta)
         self.last_stats[view.name] = {

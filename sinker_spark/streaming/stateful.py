@@ -106,11 +106,18 @@ class ChangedOnlyProcessor(StatefulProcessor):
                     best_lsn, best_doc = int(lsn), doc
         prev = self._last.get()
         digest = hashlib.md5((best_doc or "").encode()).hexdigest()
-        if prev is not None and (prev[0] == digest or best_lsn < prev[1]):
-            # unchanged → suppress re-index; lsn below the last emitted
-            # one is an at-least-once replay of stale data — emitting it
-            # would regress the sink to an older doc version
-            return iter([])
+        if prev is not None:
+            if prev[0] == digest:
+                # unchanged → suppress re-index; but ADVANCE the stored
+                # lsn watermark so a later stale replay (older lsn,
+                # different content) can't slip past it
+                if best_lsn > prev[1]:
+                    self._last.update((digest, best_lsn))
+                return iter([])
+            if best_lsn < prev[1]:
+                # at-least-once replay of stale data — emitting it would
+                # regress the sink to an older doc version
+                return iter([])
         self._last.update((digest, best_lsn))
         return iter([pd.DataFrame({"id": [doc_id], "doc": [best_doc], "lsn": [best_lsn]})])
 
@@ -153,10 +160,17 @@ def _suppress_unchanged_update(
                 best_lsn, best_doc = int(lsn), doc
     digest = hashlib.md5((best_doc or "").encode()).hexdigest()
     prev = state.get if state.exists else None
-    if prev is not None and (prev[0] == digest or best_lsn < prev[1]):
-        # unchanged, or an at-least-once replay carrying a stale lsn —
-        # emitting the latter would regress the sink to an older version
-        return
+    if prev is not None:
+        if prev[0] == digest:
+            # unchanged → suppress; advance the lsn watermark so a later
+            # stale replay (older lsn, different content) can't slip past
+            if best_lsn > prev[1]:
+                state.update((digest, best_lsn))
+            return
+        if best_lsn < prev[1]:
+            # stale at-least-once replay — emitting it would regress the
+            # sink to an older doc version
+            return
     state.update((digest, best_lsn))
     yield pd.DataFrame({"id": [doc_id], "doc": [best_doc], "lsn": [best_lsn]})
 

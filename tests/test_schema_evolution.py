@@ -152,14 +152,19 @@ def test_engine_schema_change_policy(spark, tmp_path):
     from sinker_spark.sinks.memory import InMemorySink
     from sinker_spark.views import ViewDef
 
-    spark.createDataFrame([("p-1", "John", 30)], "id string, name string, age int").createOrReplaceTempView(
-        "person_se"
-    )
+    spark.createDataFrame(
+        [("p-1", "John", 30), ("p-2", "Ann", 40)], "id string, name string, age int"
+    ).createOrReplaceTempView("person_se")
     v_old = ViewDef(
         "mv_se", sql="select id, json_build_object('name', name) as d from person_se", index="people_se"
     )
+    # breaking (name retyped) AND narrowing (p-2 dropped): the reset path
+    # must both re-emit p-1 in the new shape and DELETE p-2's old-schema
+    # ghost from the sink
     v_new_breaking = ViewDef(
-        "mv_se", sql="select id, json_build_object('name', age) as d from person_se", index="people_se"
+        "mv_se",
+        sql="select id, json_build_object('name', age) as d from person_se where id = 'p-1'",
+        index="people_se",
     )
 
     sink = InMemorySink()
@@ -167,16 +172,20 @@ def test_engine_schema_change_policy(spark, tmp_path):
     eng = SyncEngine(spark, [v_old], sink, store)
     eng.backfill()
     assert sink.get("people_se", "p-1")["name"] == "John"
+    assert sink.get("people_se", "p-2")["name"] == "Ann"
 
     # 'fail' (default): breaking redefinition raises
     eng_fail = SyncEngine(spark, [v_new_breaking], sink, store)
     with pytest.raises(SchemaEvolutionError):
         eng_fail.backfill()
 
-    # 'reset': drop + re-backfill, sink converges
+    # 'reset': drop + re-backfill, sink converges — including the delete
+    # of the key the redefined view no longer produces
     eng_reset = SyncEngine(spark, [v_new_breaking], sink, store, on_schema_change="reset")
     eng_reset.backfill()
     assert sink.get("people_se", "p-1")["name"] == 30
+    assert sink.get("people_se", "p-2") is None
+    assert eng_reset.last_stats["mv_se"] == {"upserts": 1, "deletes": 1}
 
     with pytest.raises(ValueError, match="on_schema_change"):
         SyncEngine(spark, [v_old], sink, store, on_schema_change="bogus")

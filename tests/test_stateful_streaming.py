@@ -74,20 +74,30 @@ def _run_suppression(spark, tmp_path, op):
         fh.write(json.dumps({"id": "b", "doc": "{'v':9}", "lsn": 1}) + "\n")
     # batch 2: a re-delivered UNCHANGED (suppress), b changed (emit),
     # c = stale at-least-once replay (OLDER lsn, different doc) after its
-    # first sighting in batch 1 — must NOT regress the sink
+    # first sighting in batch 1 — must NOT regress the sink. d exercises
+    # the watermark-advance path: batch 1 emits lsn 5, batch 2 first
+    # re-touches the SAME content at lsn 8 (suppressed, but the stored
+    # watermark must advance to 8) and then replays a stale lsn-6
+    # DIFFERENT doc, which only the advanced watermark can reject.
     with open(src / "a.jsonl", "a") as fh:
         fh.write(json.dumps({"id": "c", "doc": "{'v':7}", "lsn": 5}) + "\n")
+        fh.write(json.dumps({"id": "d", "doc": "{'v':1}", "lsn": 5}) + "\n")
     with open(src / "b.jsonl", "w") as fh:
         fh.write(json.dumps({"id": "a", "doc": "{'v':2}", "lsn": 3}) + "\n")
         fh.write(json.dumps({"id": "b", "doc": "{'v':10}", "lsn": 2}) + "\n")
         fh.write(json.dumps({"id": "c", "doc": "{'v':6}", "lsn": 4}) + "\n")
+        fh.write(json.dumps({"id": "d", "doc": "{'v':1}", "lsn": 8}) + "\n")
+    # batch 3: d's stale intermediate version replays AFTER the touch
+    with open(src / "c.jsonl", "w") as fh:
+        fh.write(json.dumps({"id": "d", "doc": "{'v':0}", "lsn": 6}) + "\n")
     # file source orders batches by mtime — pin them so batch order is stable
     import os as _os
     import time as _time
 
     now = _time.time()
     _os.utime(src / "a.jsonl", (now - 60, now - 60))
-    _os.utime(src / "b.jsonl", (now, now))
+    _os.utime(src / "b.jsonl", (now - 30, now - 30))
+    _os.utime(src / "c.jsonl", (now, now))
 
     stream = (
         spark.readStream.schema("id string, doc string, lsn bigint")
@@ -114,6 +124,9 @@ def _run_suppression(spark, tmp_path, op):
     assert by_id["b"] == [("{'v':9}", 1), ("{'v':10}", 2)]
     # c: the stale lsn-4 replay is suppressed, v:7 stays current
     assert by_id["c"] == [("{'v':7}", 5)]
+    # d: emitted once; the unchanged lsn-8 touch advanced the watermark,
+    # so the stale lsn-6 different-content replay is rejected too
+    assert by_id["d"] == [("{'v':1}", 5)]
 
 
 def test_suppress_unchanged_applyinpandaswithstate(spark, tmp_path):

@@ -227,3 +227,22 @@ def test_correlated_lateral_with_aggregate(spark):
     spark.createDataFrame([(1,), (1,), (2,)], "cid int").createOrReplaceTempView("o")
     rows = sorted((r["id"], r["n"]) for r in spark.sql(out).collect())
     assert rows == [(1, 2), (2, 1), (3, 0)]
+
+
+def test_aliasless_from_srf_does_not_eat_keywords(spark):
+    out = transpile("select * from generate_series(1, 10) where generate_series > 3")
+    # PG's implicit column name survives; WHERE is not consumed as an alias
+    assert "AS generate_series" in out and "AS WHERE" not in out.upper()
+    assert [r[0] for r in spark.sql(out).collect()] == [4, 5, 6, 7, 8, 9, 10]
+    out2 = transpile("select count(*) as n from generate_series(1, 5) limit 1")
+    assert spark.sql(out2).first()["n"] == 5
+
+
+def test_function_names_inside_literals_untouched():
+    sql = "select 'use unnest(tags) or generate_series(1,3) here' as hint from t"
+    out = transpile(sql)
+    assert "unnest(tags)" in out and "generate_series(1,3)" in out
+    assert "explode" not in out
+    # and string_agg-shaped text in a literal survives the listagg rewrite
+    sql2 = "select 'string_agg(x, y)' as doc from t"
+    assert "string_agg(x, y)" in transpile(sql2)
