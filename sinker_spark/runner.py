@@ -235,6 +235,13 @@ class SyncEngine:
             for v in self.views.values():
                 self.sink.recreate_index(v.index, index_bodies.get(v.index))
         self._refresh_views(list(self.views.values()))
+        # seed lane states at the snapshot point (the catalog tables the
+        # backfill just read) — the only moment the "fact == snapshot"
+        # and "fact mirrors applied CDC" contracts coincide, so the
+        # first CDC batch folds exactly once even on a live table
+        for v in self.views.values():
+            if self._has_lane(v):
+                self._rebuild_lane_states(v)
 
     # -- one micro-batch (reference Runner.iterate, runner.py:73-117) -----
     def dirty_views(self, changed_tables: set[str]) -> list[ViewDef]:
@@ -278,7 +285,7 @@ class SyncEngine:
         else:
             changed_ids = {}
 
-        full, targeted = [], []
+        full, targeted, lane_repair = [], [], []
         for v in dirty:
             # delta-aggregate lane: fold the batch into stored aggregate
             # state (O(batch), no recompute) — eligible when the only
@@ -313,6 +320,13 @@ class SyncEngine:
             if v.topk is not None and (changed & v.deps) <= {v.topk.table}:
                 if self._topk_refresh(v, cdc, epoch_id):
                     continue
+            # a lane view that could not fold this batch: the generic
+            # recompute lanes would leave the lane states (and the doc
+            # snapshot the diff trusts) stale — route through the
+            # authoritative repair instead
+            if self._has_lane(v):
+                lane_repair.append(v)
+                continue
             # each view's hook sees only the changed tables it depends on
             relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
             scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
@@ -320,6 +334,8 @@ class SyncEngine:
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:
             self._targeted_refresh_one(v, scope, epoch_id)
+        for v in lane_repair:
+            self._lane_fallback_refresh(v, epoch_id)
         if ids is not None:
             ids.unpersist()
 
@@ -389,12 +405,7 @@ class SyncEngine:
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
 
-        state_doc = F.struct(
-            *[F.col(k).alias(k) for k in spec.keys],
-            F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
-            *[F.col(s) for s in spec.sums],
-        )
-        self.store.write(state_name, new_state.select(group_id.alias(view.key), state_doc.alias("doc")), key=view.key)
+        self._write_agg_state(view, new_state)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -499,23 +510,7 @@ class SyncEngine:
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
 
-        row_id = F.concat_ws(
-            "|", *[F.col(k).cast("string") for k in spec.keys], F.col(spec.id_col).cast("string")
-        )
-        fact_cols = [c for c in batch.columns if c != ivm_delta.OP_COL]
-        self.store.write(
-            rows_name,
-            new_rows.select(row_id.alias(view.key), F.struct(*fact_cols).alias("doc")),
-            key=view.key,
-        )
-        self.store.write(
-            counts_name,
-            new_counts.select(
-                group_id.alias(view.key),
-                F.struct(*spec.keys, F.col(ivm_topk._N)).alias("doc"),
-            ),
-            key=view.key,
-        )
+        self._write_topk_states(view, new_rows, new_counts)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -580,16 +575,7 @@ class SyncEngine:
         n_up = upserts.count()
         self.sink.apply_actions(view.index, upserts)
 
-        self.store.write(
-            state_name,
-            new_state.select(
-                F.concat_ws(
-                    "|", *[F.col(k).cast("string") for k in spec.keys], F.col("bucket")
-                ).alias(view.key),
-                F.struct(*spec.keys, "bucket", "r").alias("doc"),
-            ),
-            key=view.key,
-        )
+        self._write_hll_state(view, new_state)
         self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "hll_distinct": 1}
         logger.info(
             "hll-distinct refreshed view %s (epoch %s): %s",
@@ -651,14 +637,7 @@ class SyncEngine:
         n_up = upserts.count()
         self.sink.apply_actions(view.index, upserts)
 
-        self.store.write(
-            state_name,
-            new_state.select(
-                F.col("word_idx").cast("string").alias(view.key),
-                F.struct("word_idx", "word").alias("doc"),
-            ),
-            key=view.key,
-        )
+        self._write_bloom_state(view, new_state)
         self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "bloom_membership": 1}
         logger.info(
             "bloom-membership refreshed view %s (epoch %s): %s",
@@ -747,18 +726,7 @@ class SyncEngine:
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
 
-        def write_state(suffix: str, df: DataFrame) -> None:
-            data = [c for c in df.columns if c != ivm_delta._MULT]
-            rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in data])))
-            self.store.write(
-                f"{view.name}__{suffix}",
-                df.select(rid.alias(view.key), F.struct(*df.columns).alias("doc")),
-                key=view.key,
-            )
-
-        write_state("a_state", new_a)
-        write_state("b_state", new_b)
-        write_state("join_state", new_j)
+        self._write_join_states(view, new_a, new_b, new_j)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -851,27 +819,7 @@ class SyncEngine:
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
 
-        def write_rel_state(suffix: str, df: DataFrame) -> None:
-            data = [c for c in df.columns if c != ivm_delta._MULT]
-            rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in data])))
-            self.store.write(
-                f"{view.name}__{suffix}",
-                df.select(rid.alias(view.key), F.struct(*df.columns).alias("doc")),
-                key=view.key,
-            )
-
-        write_rel_state("ja_a_state", new_a)
-        write_rel_state("ja_b_state", new_b)
-        agg_doc = F.struct(
-            *[F.col(k).alias(k) for k in spec.keys],
-            F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
-            *[F.col(sm) for sm in spec.sums],
-        )
-        self.store.write(
-            f"{view.name}__ja_agg_state",
-            new_agg.select(group_id.alias(view.key), agg_doc.alias("doc")),
-            key=view.key,
-        )
+        self._write_joinagg_states(view, new_a, new_b, new_agg)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -880,6 +828,293 @@ class SyncEngine:
         logger.info("join-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
         return True
+
+    # -- lane-state lifecycle ---------------------------------------------
+    # The delta lanes above maintain per-view auxiliary state snapshots
+    # (__aggstate, __topkrows/__topkcounts, __a_state/__b_state/
+    # __join_state, __ja_*, __hllstate, __bloomstate) and write sink
+    # actions directly, WITHOUT refreshing the view's doc snapshot. That
+    # is the O(batch) hot path — but it means that whenever a lane view
+    # is refreshed through the recompute lane instead (a batch without
+    # before-images, a change on a non-lane dependency), two things go
+    # stale at once: the lane states (the fallback batch never folded
+    # into them) and the doc snapshot (diffing against it would miss
+    # every key the lanes changed since it was written). The helpers
+    # below keep both honest: `_rebuild_lane_states` re-derives lane
+    # state from the catalog tables (at backfill and after a fallback),
+    # and `_lane_fallback_refresh` is the authoritative repair path the
+    # dispatcher routes lane views through instead of the generic
+    # recompute lanes.
+
+    _LANE_FIELDS = ("agg", "join", "joinagg", "distinct", "membership", "topk")
+
+    def _has_lane(self, view: ViewDef) -> bool:
+        return any(getattr(view, f) is not None for f in self._LANE_FIELDS)
+
+    def _schema_cols(self, ddl: str) -> list[str]:
+        return self.spark.createDataFrame([], ddl).columns
+
+    def _write_agg_state(self, view: ViewDef, state: DataFrame) -> None:
+        spec = view.agg
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        state_doc = F.struct(
+            *[F.col(k).alias(k) for k in spec.keys],
+            F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
+            *[F.col(s) for s in spec.sums],
+        )
+        self.store.write(
+            f"{view.name}__aggstate",
+            state.select(group_id.alias(view.key), state_doc.alias("doc")),
+            key=view.key,
+        )
+
+    def _write_topk_states(self, view: ViewDef, rows: DataFrame, counts: DataFrame) -> None:
+        from sinker_spark import ivm_topk
+
+        spec = view.topk
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        row_id = F.concat_ws(
+            "|", *[F.col(k).cast("string") for k in spec.keys], F.col(spec.id_col).cast("string")
+        )
+        self.store.write(
+            f"{view.name}__topkrows",
+            rows.select(row_id.alias(view.key), F.struct(*rows.columns).alias("doc")),
+            key=view.key,
+        )
+        self.store.write(
+            f"{view.name}__topkcounts",
+            counts.select(
+                group_id.alias(view.key),
+                F.struct(*spec.keys, F.col(ivm_topk._N)).alias("doc"),
+            ),
+            key=view.key,
+        )
+
+    def _write_hll_state(self, view: ViewDef, state: DataFrame) -> None:
+        spec = view.distinct
+        self.store.write(
+            f"{view.name}__hllstate",
+            state.select(
+                F.concat_ws(
+                    "|", *[F.col(k).cast("string") for k in spec.keys], F.col("bucket")
+                ).alias(view.key),
+                F.struct(*spec.keys, "bucket", "r").alias("doc"),
+            ),
+            key=view.key,
+        )
+
+    def _write_bloom_state(self, view: ViewDef, state: DataFrame) -> None:
+        self.store.write(
+            f"{view.name}__bloomstate",
+            state.select(
+                F.col("word_idx").cast("string").alias(view.key),
+                F.struct("word_idx", "word").alias("doc"),
+            ),
+            key=view.key,
+        )
+
+    def _write_mult_state(self, view: ViewDef, name: str, df: DataFrame) -> None:
+        data = [c for c in df.columns if c != ivm_delta._MULT]
+        rid = F.md5(F.to_json(F.struct(*[F.col(c) for c in data])))
+        self.store.write(
+            name,
+            df.select(rid.alias(view.key), F.struct(*df.columns).alias("doc")),
+            key=view.key,
+        )
+
+    def _write_join_states(self, view: ViewDef, a: DataFrame, b: DataFrame, j: DataFrame) -> None:
+        self._write_mult_state(view, f"{view.name}__a_state", a)
+        self._write_mult_state(view, f"{view.name}__b_state", b)
+        self._write_mult_state(view, f"{view.name}__join_state", j)
+
+    def _write_joinagg_states(self, view: ViewDef, a: DataFrame, b: DataFrame, agg: DataFrame) -> None:
+        spec = view.joinagg
+        self._write_mult_state(view, f"{view.name}__ja_a_state", a)
+        self._write_mult_state(view, f"{view.name}__ja_b_state", b)
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        agg_doc = F.struct(
+            *[F.col(k).alias(k) for k in spec.keys],
+            F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
+            *[F.col(sm) for sm in spec.sums],
+        )
+        self.store.write(
+            f"{view.name}__ja_agg_state",
+            agg.select(group_id.alias(view.key), agg_doc.alias("doc")),
+            key=view.key,
+        )
+
+    def _rebuild_lane_states(self, view: ViewDef) -> None:
+        """(Re)derive every lane state for ``view`` from the CURRENT
+        catalog tables and install it. Called at backfill (fact ==
+        snapshot point — the one unambiguous moment) and at the end of a
+        fallback refresh (fact == post-batch, the new snapshot point).
+        With states seeded here, the first CDC batch folds exactly once
+        even when the live table already reflects it; the in-hook
+        initialization path remains only for engines that stream without
+        a backfill (then the first batch must arrive with the fact still
+        at the snapshot point, as the lane tests do)."""
+        from sinker_spark import ivm_bloom, ivm_hll, ivm_topk
+
+        if view.agg is not None:
+            spec = view.agg
+            self._write_agg_state(
+                view,
+                ivm_delta.initial_agg_state(self.spark.table(spec.table), spec.keys, spec.sums),
+            )
+        if view.topk is not None:
+            spec = view.topk
+            fact = self.spark.table(spec.table).select(*self._schema_cols(spec.row_schema))
+            rows, counts = ivm_topk.initial_topk_state(
+                fact, spec.keys, spec.order_col, spec.id_col, spec.k, spec.buffer
+            )
+            self._write_topk_states(view, rows, counts)
+        if view.join is not None:
+            spec = view.join
+            a = self.spark.table(spec.table_a).select(*self._schema_cols(spec.row_schema_a))
+            b = self.spark.table(spec.table_b).select(*self._schema_cols(spec.row_schema_b))
+            self._write_join_states(
+                view,
+                ivm_delta.relation_state(a),
+                ivm_delta.relation_state(b),
+                ivm_delta.initial_join_state(a, b, spec.on),
+            )
+        if view.joinagg is not None:
+            spec = view.joinagg
+            a = self.spark.table(spec.table_a).select(*self._schema_cols(spec.row_schema_a))
+            b = self.spark.table(spec.table_b).select(*self._schema_cols(spec.row_schema_b))
+            self._write_joinagg_states(
+                view,
+                ivm_delta.relation_state(a),
+                ivm_delta.relation_state(b),
+                ivm_delta.initial_agg_state(a.join(b, spec.on), spec.keys, spec.sums),
+            )
+        if view.distinct is not None:
+            spec = view.distinct
+            self._write_hll_state(
+                view,
+                ivm_hll.initial_hll_state(self.spark.table(spec.table), spec.keys, spec.value_col),
+            )
+        if view.membership is not None:
+            spec = view.membership
+            self._write_bloom_state(
+                view,
+                ivm_bloom.initial_bloom_state(
+                    self.spark.table(spec.table), spec.value_col, spec.m_bits
+                ),
+            )
+
+    def _lane_doc_keys(self, view: ViewDef) -> list[DataFrame]:
+        """One-column (view.key) frames of every doc id the lanes may
+        have upserted and not yet deleted — the sink's possible key set
+        beyond the doc snapshot. Sound because each lane emits a DELETE
+        action in the same batch a key leaves its state, so any key
+        still live in the sink is in the snapshot or in a current lane
+        state."""
+        frames: list[DataFrame] = []
+
+        def stored_keys(name: str) -> None:
+            packed = self.store.read(name)
+            if packed is not None:
+                frames.append(packed.select(F.col(view.key).cast("string").alias(view.key)))
+
+        if view.agg is not None:
+            stored_keys(f"{view.name}__aggstate")
+        if view.topk is not None:
+            stored_keys(f"{view.name}__topkcounts")
+        if view.joinagg is not None:
+            stored_keys(f"{view.name}__ja_agg_state")
+        if view.membership is not None:
+            stored_keys(f"{view.name}__bloomstate")
+        if view.distinct is not None:
+            packed = self.store.read(f"{view.name}__hllstate")
+            if packed is not None:
+                spec = view.distinct
+                frames.append(
+                    packed.select("doc.*")
+                    .select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys]).alias(view.key)
+                    )
+                    .distinct()
+                )
+        if view.join is not None:
+            packed = self.store.read(f"{view.name}__join_state")
+            if packed is not None:
+                spec = view.join
+                frames.append(
+                    packed.select("doc.*")
+                    .select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols]).alias(view.key)
+                    )
+                    .distinct()
+                )
+        return frames
+
+    def _lane_fallback_refresh(self, view: ViewDef, epoch_id: int | None = None) -> None:
+        """Authoritative repair for a lane view that could not fold this
+        batch (missing before-images, or a non-lane dependency changed).
+        The normal recompute-and-diff is UNSOUND here: the delta lanes
+        write the sink directly without refreshing the doc snapshot, so
+        a key they changed since the last snapshot write diffs as
+        unchanged (the sink keeps a stale value) or is missed entirely
+        (ghost doc). Repair: full recompute, upsert EVERY doc (the sink
+        is idempotent by contract), delete every key known to the old
+        snapshot or any lane state that the recompute no longer
+        produces, install the fresh snapshot, and rebuild the lane
+        states from the post-batch catalog tables so the next fold is
+        exact. Costs one backfill of the view — the reference's
+        EVERY-refresh cost (query_templates.py:13) — paid only on this
+        exceptional path."""
+        from sinker_spark.ivm import SchemaEvolutionError, check_doc_schema_evolution
+
+        new_df = view.compile(self.spark).localCheckpoint(eager=True)
+        old = self.store.read(view.name)
+        old_keys = None
+        if old is not None:
+            old_keys = old.select(F.col(view.key).cast("string").alias(view.key))
+            try:
+                check_doc_schema_evolution(
+                    view.name, old.schema["doc"].dataType, new_df.schema["doc"].dataType
+                )
+            except SchemaEvolutionError:
+                if self.on_schema_change != "reset":
+                    raise
+                logger.warning(
+                    "view %s: breaking doc schema change on lane fallback — resetting "
+                    "snapshot (on_schema_change='reset')", view.name
+                )
+                old_keys = old_keys.localCheckpoint(eager=True)
+                self.store.reset(view.name)
+        known = ([old_keys] if old_keys is not None else []) + self._lane_doc_keys(view)
+        doc_type = new_df.schema["doc"].dataType
+        upserts = new_df.select(
+            F.col(view.key), F.lit(UPSERT).alias("op"), F.col("doc")
+        )
+        actions = upserts
+        if known:
+            allk = known[0]
+            for k in known[1:]:
+                allk = allk.unionByName(k)
+            deletes = (
+                allk.distinct()
+                .join(new_df, view.key, "left_anti")
+                .select(
+                    F.col(view.key),
+                    F.lit(DELETE).alias("op"),
+                    F.lit(None).cast(doc_type).alias("doc"),
+                )
+            )
+            actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+        self.store.write(view.name, new_df, key=view.key)
+        self._rebuild_lane_states(view)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "lane_fallback": 1,
+        }
+        logger.info("lane-fallback refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
 
     def _targeted_refresh_one(self, view: ViewDef, scope: DataFrame, epoch_id: int | None) -> None:
         """Partial recompute: only docs whose keys are in scope are
