@@ -1,0 +1,381 @@
+"""Engine-wide randomized differential soak: one SyncEngine carrying
+all four algebraic delta lanes (keyed aggregate, buffered top-k,
+bilinear join, aggregate-over-join) folds a seeded random stream of
+mixed CDC batches, and after EVERY batch each view's sink contents are
+compared against a Python-side recompute from the mutated truth.
+
+This is the harness the scenario tests can't replace: multi-batch
+interactions (state carried across folds, group migrations, in-batch
+insert→update→delete chains, delete-heavy watermark attacks) and two
+deliberate missing-before-image batches that force the lane-fallback
+repair mid-stream — after which the folds must STILL match truth.
+The reference refreshes every view by full recompute
+(query_templates.py:13), so its behavior is the oracle by construction;
+here the oracle is recomputed independently per batch.
+
+Contract exercised: backfill() seeds lane states at the snapshot
+point, then every batch is processed under the live-table contract
+(the catalog temp views always reflect the post-batch truth, as a real
+lagging CDC feed guarantees).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink
+from sinker_spark.views import (
+    AggViewSpec,
+    JoinAggViewSpec,
+    JoinViewSpec,
+    TopKViewSpec,
+    ViewDef,
+)
+
+SALES_SCHEMA = "id string, region string, amount double"
+DIMS_SCHEMA = "region string, mgr string"
+CDC_COLS = (
+    "lsn bigint, schema string, table string, op string, id string, "
+    "payload string, payload_before string"
+)
+REGIONS = ["eu", "us", "ap", "af"]
+K = 2
+
+
+def _views():
+    def agg_fn(spark):
+        return (
+            spark.table("soak_sales")
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("sum_amt"),
+            )
+            .select(
+                F.col("region").alias("id"),
+                F.struct("region", "n_rows", F.col("sum_amt").cast("double").alias("sum_amt")).alias("doc"),
+            )
+        )
+
+    def topk_fn(spark):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("region").orderBy(F.desc("amount"), F.asc("id"))
+        ranked = (
+            spark.table("soak_sales")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= K)
+        )
+        return ranked.groupBy("region").agg(
+            F.sort_array(F.collect_list(F.struct("rank", "id", "amount"))).alias("top")
+        ).select(F.col("region").alias("k"), F.struct("region", "top").alias("doc"))
+
+    def join_fn(spark):
+        j = spark.table("soak_sales").join(spark.table("soak_dims"), "region")
+        return j.select(
+            F.col("id").alias("k"),
+            F.struct("region", "id", "amount", "mgr", F.lit(1).cast("bigint").alias("n_rows")).alias("doc"),
+        )
+
+    def joinagg_fn(spark):
+        j = spark.table("soak_sales").join(spark.table("soak_dims"), "region")
+        return (
+            j.groupBy("mgr")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("sum_amt"),
+            )
+            .select(
+                F.col("mgr").alias("id"),
+                F.struct("mgr", "n_rows", F.col("sum_amt").cast("double").alias("sum_amt")).alias("doc"),
+            )
+        )
+
+    return [
+        ViewDef(
+            name="soak_agg",
+            fn=agg_fn,
+            deps={"soak_sales"},
+            agg=AggViewSpec(
+                table="soak_sales",
+                keys=["region"],
+                sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+                row_schema=SALES_SCHEMA,
+            ),
+        ),
+        ViewDef(
+            name="soak_topk",
+            fn=topk_fn,
+            deps={"soak_sales"},
+            topk=TopKViewSpec(
+                table="soak_sales",
+                keys=["region"],
+                order_col="amount",
+                id_col="id",
+                k=K,
+                buffer=1,
+                row_schema=SALES_SCHEMA,
+            ),
+        ),
+        ViewDef(
+            name="soak_join",
+            fn=join_fn,
+            deps={"soak_sales", "soak_dims"},
+            join=JoinViewSpec(
+                table_a="soak_sales",
+                table_b="soak_dims",
+                on=["region"],
+                row_schema_a=SALES_SCHEMA,
+                row_schema_b=DIMS_SCHEMA,
+                key_cols=["id"],
+            ),
+        ),
+        ViewDef(
+            name="soak_joinagg",
+            fn=joinagg_fn,
+            deps={"soak_sales", "soak_dims"},
+            joinagg=JoinAggViewSpec(
+                table_a="soak_sales",
+                table_b="soak_dims",
+                on=["region"],
+                row_schema_a=SALES_SCHEMA,
+                row_schema_b=DIMS_SCHEMA,
+                keys=["mgr"],
+                sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+            ),
+        ),
+    ]
+
+
+# -- truth model ----------------------------------------------------------
+
+
+def _register_truth(spark, sales, dims):
+    spark.createDataFrame(
+        [(sid, r, a) for sid, (r, a) in sorted(sales.items())] or [], SALES_SCHEMA
+    ).createOrReplaceTempView("soak_sales")
+    spark.createDataFrame(
+        [(r, m) for r, m in sorted(dims.items())] or [], DIMS_SCHEMA
+    ).createOrReplaceTempView("soak_dims")
+
+
+def expected_agg(sales):
+    out = {}
+    for _, (region, amount) in sales.items():
+        e = out.setdefault(region, [0, 0.0])
+        e[0] += 1
+        e[1] += amount
+    return {r: {"region": r, "n_rows": n, "sum_amt": round(s, 2)} for r, (n, s) in out.items()}
+
+
+def expected_topk(sales):
+    groups = {}
+    for sid, (region, amount) in sales.items():
+        groups.setdefault(region, []).append((sid, amount))
+    out = {}
+    for r, rows in groups.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        out[r] = {
+            "region": r,
+            "top": [
+                {"rank": i + 1, "id": sid, "amount": amt}
+                for i, (sid, amt) in enumerate(rows[:K])
+            ],
+        }
+    return out
+
+
+def expected_join(sales, dims):
+    return {
+        sid: {"region": region, "id": sid, "amount": amount, "mgr": dims[region], "n_rows": 1}
+        for sid, (region, amount) in sales.items()
+        if region in dims
+    }
+
+
+def expected_joinagg(sales, dims):
+    out = {}
+    for _, (region, amount) in sales.items():
+        if region in dims:
+            e = out.setdefault(dims[region], [0, 0.0])
+            e[0] += 1
+            e[1] += amount
+    return {m: {"mgr": m, "n_rows": n, "sum_amt": round(s, 2)} for m, (n, s) in out.items()}
+
+
+def _check(sink, index, expected, batch_no):
+    got = dict(sink.indices.get(index, {}))
+    assert set(got) == set(expected), (
+        f"batch {batch_no}, {index}: key sets differ — "
+        f"extra={set(got) - set(expected)}, missing={set(expected) - set(got)}"
+    )
+    for key, want in expected.items():
+        have = got[key]
+        for field, val in want.items():
+            if isinstance(val, float):
+                assert have[field] == pytest.approx(val, abs=1e-9), (batch_no, index, key, field, have, want)
+            else:
+                assert have[field] == val, (batch_no, index, key, field, have, want)
+
+
+def _check_all(sink, sales, dims, batch_no):
+    _check(sink, "soak_agg", expected_agg(sales), batch_no)
+    _check(sink, "soak_topk", expected_topk(sales), batch_no)
+    _check(sink, "soak_join", expected_join(sales, dims), batch_no)
+    _check(sink, "soak_joinagg", expected_joinagg(sales, dims), batch_no)
+
+
+# -- batch generator ------------------------------------------------------
+
+
+def _gen_batch(rng, sales, dims, next_id, lsn, drop_image_once):
+    """Mutates sales/dims in place (the working truth), returns
+    (cdc_rows, next_id, lsn). ``drop_image_once``: strip the before-image
+    from one delete in this batch, forcing the lane-fallback repair."""
+    records = []  # (lsn, table, op, after, before)
+    n_ops = rng.randint(6, 10)
+    chain_budget = 2
+    dropped = not drop_image_once
+    for _ in range(n_ops):
+        roll = rng.random()
+        if roll < 0.32 or not sales:  # insert (sometimes chained)
+            sid = f"s{next_id:04d}"
+            next_id += 1
+            row = (rng.choice(REGIONS), rng.randrange(0, 201) / 4.0)
+            sales[sid] = row
+            records.append((lsn, "soak_sales", "INSERT", {"id": sid, "region": row[0], "amount": row[1]}, None))
+            lsn += 1
+            if chain_budget and rng.random() < 0.35:
+                chain_budget -= 1
+                if rng.random() < 0.5:  # insert -> update chain
+                    new = (rng.choice(REGIONS), rng.randrange(0, 201) / 4.0)
+                    records.append((
+                        lsn, "soak_sales", "UPDATE",
+                        {"id": sid, "region": new[0], "amount": new[1]},
+                        {"id": sid, "region": row[0], "amount": row[1]},
+                    ))
+                    sales[sid] = new
+                else:  # insert -> delete chain (same-batch phantom)
+                    records.append((
+                        lsn, "soak_sales", "DELETE", None,
+                        {"id": sid, "region": row[0], "amount": row[1]},
+                    ))
+                    del sales[sid]
+                lsn += 1
+        elif roll < 0.60:  # update
+            sid = rng.choice(sorted(sales))
+            old = sales[sid]
+            region = rng.choice(REGIONS) if rng.random() < 0.4 else old[0]
+            new = (region, rng.randrange(0, 201) / 4.0)
+            records.append((
+                lsn, "soak_sales", "UPDATE",
+                {"id": sid, "region": new[0], "amount": new[1]},
+                {"id": sid, "region": old[0], "amount": old[1]},
+            ))
+            sales[sid] = new
+            lsn += 1
+        elif roll < 0.88:  # delete, biased toward group leaders (watermark attack)
+            pool = sorted(sales)
+            if rng.random() < 0.5:
+                sid = max(pool, key=lambda s: (sales[s][1], s))
+            else:
+                sid = rng.choice(pool)
+            old = sales[sid]
+            before = {"id": sid, "region": old[0], "amount": old[1]}
+            if not dropped:
+                before = None  # missing image -> whole batch falls back
+                dropped = True
+            records.append((lsn, "soak_sales", "DELETE", None, before))
+            del sales[sid]
+            lsn += 1
+        elif roll < 0.95 and dims:  # dims mgr re-parent (fan-out update)
+            r = rng.choice(sorted(dims))
+            old_m = dims[r]
+            new_m = f"m{rng.randint(1, 3)}"
+            records.append((
+                lsn, "soak_dims", "UPDATE",
+                {"region": r, "mgr": new_m}, {"region": r, "mgr": old_m},
+            ))
+            dims[r] = new_m
+            lsn += 1
+        else:  # dims delete / re-insert
+            missing = [r for r in REGIONS if r not in dims]
+            if missing and rng.random() < 0.7:
+                r = rng.choice(missing)
+                dims[r] = f"m{rng.randint(1, 3)}"
+                records.append((lsn, "soak_dims", "INSERT", {"region": r, "mgr": dims[r]}, None))
+            elif len(dims) > 1:
+                r = rng.choice(sorted(dims))
+                records.append((lsn, "soak_dims", "DELETE", None, {"region": r, "mgr": dims[r]}))
+                del dims[r]
+            lsn += 1
+    if drop_image_once and not any(
+        rec[1] == "soak_sales" and rec[2] == "DELETE" and rec[4] is None for rec in records
+    ) and sales:
+        # the random mix produced no image-less delete: force one
+        sid = rng.choice(sorted(sales))
+        records.append((lsn, "soak_sales", "DELETE", None, None))
+        del sales[sid]
+        lsn += 1
+    return records, next_id, lsn
+
+
+def _cdc_df(spark, records):
+    rows = [
+        (
+            lsn,
+            "public",
+            table,
+            op,
+            (after or before or {}).get("id") or (after or before or {}).get("region", "?"),
+            json.dumps(after) if after else None,
+            json.dumps(before) if before else None,
+        )
+        for lsn, table, op, after, before in records
+    ]
+    return spark.createDataFrame(rows, CDC_COLS)
+
+
+N_BATCHES = 8
+FALLBACK_BATCHES = {3, 6}  # 1-indexed: force the lane-fallback repair here
+
+
+def test_soak_all_lanes_match_recompute(spark, tmp_path):
+    rng = random.Random(20260814)
+    sales = {
+        f"s{i:04d}": (REGIONS[i % len(REGIONS)], rng.randrange(0, 201) / 4.0)
+        for i in range(12)
+    }
+    dims = {"eu": "m1", "us": "m1", "ap": "m2", "af": "m2"}
+    next_id, lsn = 12, 1
+
+    _register_truth(spark, sales, dims)
+    sink = InMemorySink()
+    eng = SyncEngine(spark, _views(), sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    _check_all(sink, sales, dims, batch_no=0)
+
+    saw_fallback = saw_fold = False
+    for batch_no in range(1, N_BATCHES + 1):
+        records, next_id, lsn = _gen_batch(
+            rng, sales, dims, next_id, lsn, drop_image_once=batch_no in FALLBACK_BATCHES
+        )
+        # live-table contract: the catalog reflects the batch before the
+        # engine processes it (a real CDC feed lags the table)
+        _register_truth(spark, sales, dims)
+        eng.process_cdc_batch(_cdc_df(spark, records), epoch_id=batch_no)
+        stats = eng.last_stats.get("soak_agg", {})
+        if "lane_fallback" in stats:
+            saw_fallback = True
+        if "delta_agg" in stats:
+            saw_fold = True
+        _check_all(sink, sales, dims, batch_no)
+
+    # the soak must have exercised both regimes to prove anything
+    assert saw_fallback and saw_fold
