@@ -334,8 +334,12 @@ class SyncEngine:
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:
             self._targeted_refresh_one(v, scope, epoch_id)
-        for v in lane_repair:
-            self._lane_fallback_refresh(v, epoch_id)
+        if lane_repair:
+            batch_max_lsn = (
+                cdc.agg(F.max("lsn")).collect()[0][0] if "lsn" in cdc.columns else None
+            )
+            for v in lane_repair:
+                self._lane_fallback_refresh(v, epoch_id, max_lsn=batch_max_lsn)
         if ids is not None:
             ids.unpersist()
 
@@ -354,6 +358,9 @@ class SyncEngine:
         restarts."""
         spec = view.agg
         rows = cdc.where(F.col("table") == spec.table)
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
         has_before = "payload_before" in cdc.columns
         mutating = F.col("op").isin("DELETE", "UPDATE")
         if has_before:
@@ -406,6 +413,7 @@ class SyncEngine:
         self.sink.apply_actions(view.index, actions)
 
         self._write_agg_state(view, new_state)
+        self._write_lane_marker(view, batch_max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -428,6 +436,9 @@ class SyncEngine:
 
         spec = view.topk
         rows = cdc.where(F.col("table") == spec.table)
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
         has_before = "payload_before" in cdc.columns
         mutating = F.col("op").isin("DELETE", "UPDATE")
         if has_before:
@@ -511,6 +522,7 @@ class SyncEngine:
         self.sink.apply_actions(view.index, actions)
 
         self._write_topk_states(view, new_rows, new_counts)
+        self._write_lane_marker(view, batch_max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -656,6 +668,9 @@ class SyncEngine:
         to the recompute lane when before-images are missing."""
         spec = view.join
         rows = cdc.where(F.col("table").isin(spec.table_a, spec.table_b))
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
         has_before = "payload_before" in cdc.columns
         mutating = F.col("op").isin("DELETE", "UPDATE")
         if has_before:
@@ -727,6 +742,7 @@ class SyncEngine:
         self.sink.apply_actions(view.index, actions)
 
         self._write_join_states(view, new_a, new_b, new_j)
+        self._write_lane_marker(view, batch_max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -746,6 +762,9 @@ class SyncEngine:
         False (→ recompute lane) when before-images are missing."""
         spec = view.joinagg
         rows = cdc.where(F.col("table").isin(spec.table_a, spec.table_b))
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
         has_before = "payload_before" in cdc.columns
         mutating = F.col("op").isin("DELETE", "UPDATE")
         if has_before:
@@ -820,6 +839,7 @@ class SyncEngine:
         self.sink.apply_actions(view.index, actions)
 
         self._write_joinagg_states(view, new_a, new_b, new_agg)
+        self._write_lane_marker(view, batch_max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
@@ -850,6 +870,89 @@ class SyncEngine:
 
     def _has_lane(self, view: ViewDef) -> bool:
         return any(getattr(view, f) is not None for f in self._LANE_FIELDS)
+
+    # -- replay guard for the algebraic folds -----------------------------
+    # The agg/topk/join/joinagg folds apply SIGNED deltas, so unlike the
+    # recompute lanes (diff), the HLL lane (MAX-merge) and the Bloom lane
+    # (bit_or), they are NOT idempotent: an at-least-once redelivery — a
+    # foreachBatch epoch replayed after a crash, or a pg_slot peek
+    # re-serving a tail that was processed but not yet advanced — would
+    # fold the same rows twice. Guard: a per-view marker snapshot records
+    # the highest change position (lsn — WAL-derived and globally
+    # monotone in every source lane) folded into the lane states, plus
+    # the store version of each state at the moment the fold committed.
+    # On the next batch, rows at or below the marker are dropped from
+    # the FOLD (their effects are already in the state, and — because
+    # every lane applies sink actions BEFORE writing state — their
+    # actions were already delivered). A version mismatch means a crash
+    # interrupted the multi-snapshot state write (torn fold): the lane
+    # declines and the authoritative fallback rebuilds everything.
+    # Sources that cannot supply a monotone lsn should leave it null —
+    # null-lsn rows always fold (guard disabled for them).
+
+    def _marker_state_names(self, view: ViewDef) -> list[str]:
+        names: list[str] = []
+        if view.agg is not None:
+            names.append(f"{view.name}__aggstate")
+        if view.topk is not None:
+            names += [f"{view.name}__topkrows", f"{view.name}__topkcounts"]
+        if view.join is not None:
+            names += [f"{view.name}__a_state", f"{view.name}__b_state", f"{view.name}__join_state"]
+        if view.joinagg is not None:
+            names += [
+                f"{view.name}__ja_a_state",
+                f"{view.name}__ja_b_state",
+                f"{view.name}__ja_agg_state",
+            ]
+        return names
+
+    def _read_lane_marker(self, view: ViewDef) -> tuple[int | None, dict[str, int]] | None:
+        packed = self.store.read(f"{view.name}__lane_wm")
+        if packed is None:
+            return None
+        rows = packed.limit(1).collect()
+        if not rows:
+            return None
+        doc = rows[0]["doc"]
+        return doc["lsn"], dict(zip(doc["state_names"], doc["state_versions"]))
+
+    def _write_lane_marker(self, view: ViewDef, lsn: int | None) -> None:
+        names = self._marker_state_names(view)
+        if not names:
+            return
+        getv = getattr(self.store, "current_version", None)
+        versions = [int(getv(n) or 0) for n in names] if getv else [0] * len(names)
+        df = self.spark.createDataFrame(
+            [(view.name, (lsn, names, versions))],
+            "id string, doc struct<lsn:bigint, state_names:array<string>, state_versions:array<int>>",
+        )
+        self.store.write(f"{view.name}__lane_wm", df, key="id")
+
+    def _lane_guard(self, view: ViewDef, rows: DataFrame) -> tuple[bool, DataFrame, int | None]:
+        """→ (torn, fold_rows, new_marker_lsn). ``fold_rows`` drops
+        already-folded redeliveries; ``torn`` means the stored lane
+        states do not match the marker's recorded versions (a crash
+        interrupted a previous fold mid-write) and the caller must
+        decline so the fallback rebuilds."""
+        marker = self._read_lane_marker(view)
+        batch_max = rows.agg(F.max("lsn")).collect()[0][0] if "lsn" in rows.columns else None
+        if marker is None:
+            return False, rows, batch_max
+        cutoff, versions = marker
+        getv = getattr(self.store, "current_version", None)
+        if versions and getv is not None:
+            if any(int(getv(n) or 0) != v for n, v in versions.items()):
+                logger.warning(
+                    "view %s: lane states do not match the replay marker (torn fold "
+                    "after a crash) — declining to fold; fallback will rebuild", view.name
+                )
+                return True, rows, batch_max
+        if cutoff is not None and "lsn" in rows.columns:
+            rows = rows.where(F.col("lsn").isNull() | (F.col("lsn") > F.lit(cutoff)))
+        new_lsn = max(x for x in (cutoff, batch_max) if x is not None) if (
+            cutoff is not None or batch_max is not None
+        ) else None
+        return False, rows, new_lsn
 
     def _schema_cols(self, ddl: str) -> list[str]:
         return self.spark.createDataFrame([], ddl).columns
@@ -943,11 +1046,13 @@ class SyncEngine:
             key=view.key,
         )
 
-    def _rebuild_lane_states(self, view: ViewDef) -> None:
+    def _rebuild_lane_states(self, view: ViewDef, lsn: int | None = None) -> None:
         """(Re)derive every lane state for ``view`` from the CURRENT
         catalog tables and install it. Called at backfill (fact ==
         snapshot point — the one unambiguous moment) and at the end of a
-        fallback refresh (fact == post-batch, the new snapshot point).
+        fallback refresh (fact == post-batch, the new snapshot point;
+        ``lsn`` then carries the batch's max change position so a
+        redelivery of that batch is suppressed by the replay guard).
         With states seeded here, the first CDC batch folds exactly once
         even when the live table already reflects it; the in-hook
         initialization path remains only for engines that stream without
@@ -1002,6 +1107,9 @@ class SyncEngine:
                     self.spark.table(spec.table), spec.value_col, spec.m_bits
                 ),
             )
+        # record the rebuilt states' versions (and the change position
+        # the rebuild incorporates) so the replay guard starts clean
+        self._write_lane_marker(view, lsn)
 
     def _lane_doc_keys(self, view: ViewDef) -> list[DataFrame]:
         """One-column (view.key) frames of every doc id the lanes may
@@ -1049,7 +1157,9 @@ class SyncEngine:
                 )
         return frames
 
-    def _lane_fallback_refresh(self, view: ViewDef, epoch_id: int | None = None) -> None:
+    def _lane_fallback_refresh(
+        self, view: ViewDef, epoch_id: int | None = None, max_lsn: int | None = None
+    ) -> None:
         """Authoritative repair for a lane view that could not fold this
         batch (missing before-images, or a non-lane dependency changed).
         The normal recompute-and-diff is UNSOUND here: the delta lanes
@@ -1107,7 +1217,9 @@ class SyncEngine:
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
         self.store.write(view.name, new_df, key=view.key)
-        self._rebuild_lane_states(view)
+        # post-batch tables already include every change up to max_lsn,
+        # so the rebuilt states carry that watermark for replay suppression
+        self._rebuild_lane_states(view, lsn=max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),

@@ -344,6 +344,7 @@ def _cdc_df(spark, records):
 
 N_BATCHES = 8
 FALLBACK_BATCHES = {3, 6}  # 1-indexed: force the lane-fallback repair here
+REPLAY_BATCHES = {2, 5, 6}  # re-deliver these verbatim (at-least-once)
 
 
 def test_soak_all_lanes_match_recompute(spark, tmp_path):
@@ -369,13 +370,19 @@ def test_soak_all_lanes_match_recompute(spark, tmp_path):
         # live-table contract: the catalog reflects the batch before the
         # engine processes it (a real CDC feed lags the table)
         _register_truth(spark, sales, dims)
-        eng.process_cdc_batch(_cdc_df(spark, records), epoch_id=batch_no)
+        batch_df = _cdc_df(spark, records)
+        eng.process_cdc_batch(batch_df, epoch_id=batch_no)
         stats = eng.last_stats.get("soak_agg", {})
         if "lane_fallback" in stats:
             saw_fallback = True
         if "delta_agg" in stats:
             saw_fold = True
         _check_all(sink, sales, dims, batch_no)
+        if batch_no in REPLAY_BATCHES:
+            # at-least-once redelivery: the signed folds must not
+            # double-apply (replay guard suppresses folded rows)
+            eng.process_cdc_batch(batch_df, epoch_id=batch_no)
+            _check_all(sink, sales, dims, f"{batch_no}-replay")
 
     # the soak must have exercised both regimes to prove anything
     assert saw_fallback and saw_fold
