@@ -49,15 +49,25 @@ DELETE = "delete"
 _CNT = "__cnt"
 
 
-def initial_agg_state(fact: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFrame:
+def initial_agg_state(
+    fact: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    maxes: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+) -> DataFrame:
     """One-time full aggregation of the fact table → state
-    ``(keys..., __cnt, <sum outputs>...)``. ``sums`` maps output column
-    name → input column OR SQL expression (pre-cast to DECIMAL, e.g.
-    ``CAST(amount AS DECIMAL(18,2))``, for exact, order-independent
-    accumulation)."""
+    ``(keys..., __cnt, <sum outputs>..., <max outputs>..., <min
+    outputs>...)``. ``sums`` maps output column name → input column OR
+    SQL expression (pre-cast to DECIMAL, e.g. ``CAST(amount AS
+    DECIMAL(18,2))``, for exact, order-independent accumulation);
+    ``maxes``/``mins`` likewise for extremes (see
+    :func:`fold_agg_minmax` for their hybrid maintenance)."""
     aggs = [F.count(F.lit(1)).alias(_CNT)] + [
         F.sum(F.expr(col)).alias(name) for name, col in sums.items()
     ]
+    aggs += [F.max(F.expr(col)).alias(name) for name, col in (maxes or {}).items()]
+    aggs += [F.min(F.expr(col)).alias(name) for name, col in (mins or {}).items()]
     return fact.groupBy(*keys).agg(*aggs)
 
 
@@ -94,6 +104,123 @@ def apply_agg_delta(
         *[F.sum(name).cast(dict(state.dtypes)[name]).alias(name) for name in sums],
     )
     return out.where(F.col(_CNT) > 0)
+
+
+def fold_agg_minmax(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    maxes: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    op_col: str = OP_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a CDC batch into aggregate state that also carries per-group
+    extremes → (candidate_state, dirty_groups).
+
+    count/sum fold exactly as in :func:`apply_agg_delta`. Extremes use
+    the classic hybrid: they are monotone under inserts (new_max =
+    max(stored, batch inserts) is EXACT), but a delete may remove the
+    extremum — a group is **dirty** for recompute only when a deleted
+    value reaches the stored extreme AND no same-batch insert re-covers
+    it (an insert ≥ the stored max makes the new max exact regardless of
+    what was deleted, because every surviving old value ≤ stored max).
+    The batch is netted on the full row first so a same-batch
+    insert+delete pair cannot raise the candidate extreme with a value
+    that never survives. Dirty groups must be healed via
+    :func:`recompute_agg_groups` before the state is served or folded
+    again — the same contract as the top-k lane's dirty set.
+
+    Cost: one aggregation of the batch + one key-co-partitioned merge +
+    a batch-sized join against the state's (keys, extremes) projection;
+    the fact table is touched only for dirty groups."""
+    maxes = maxes or {}
+    mins = mins or {}
+    fact_cols = [c for c in changes.columns if c != op_col]
+    sign = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1))
+    net = changes.groupBy(*fact_cols).agg(F.sum(sign).cast("bigint").alias("__m"))
+    net = net.where(F.col("__m") != 0)
+
+    state_dtypes = dict(state.dtypes)
+    mm_names = list(maxes) + list(mins)
+    partial = net.groupBy(*keys).agg(
+        F.sum("__m").cast("bigint").alias(_CNT),
+        *[F.sum(F.expr(col) * F.col("__m")).alias(name) for name, col in sums.items()],
+        # insert-side extremes only — the delete side must not union in
+        *[
+            F.max(F.when(F.col("__m") > 0, F.expr(col))).alias(name)
+            for name, col in maxes.items()
+        ],
+        *[
+            F.min(F.when(F.col("__m") > 0, F.expr(col))).alias(name)
+            for name, col in mins.items()
+        ],
+    )
+    partial = partial.select(
+        *keys,
+        F.col(_CNT),
+        *[F.col(name).cast(state_dtypes[name]).alias(name) for name in sums],
+        *[F.col(name).cast(state_dtypes[name]).alias(name) for name in mm_names],
+    )
+    merged = state.select(*keys, _CNT, *sums, *mm_names).unionByName(partial)
+    out = merged.groupBy(*keys).agg(
+        F.sum(_CNT).cast("bigint").alias(_CNT),
+        *[F.sum(name).cast(state_dtypes[name]).alias(name) for name in sums],
+        *[F.max(name).alias(name) for name in maxes],
+        *[F.min(name).alias(name) for name in mins],
+    )
+    out = out.where(F.col(_CNT) > 0)
+
+    # dirty: per group with deletes, did a deleted value reach a stored
+    # extreme without an insert re-covering it?
+    old_mm = state.select(
+        *keys,
+        *[F.col(name).alias(f"__old_{name}") for name in mm_names],
+    )
+    del_mm = net.where(F.col("__m") < 0).groupBy(*keys).agg(
+        *[F.max(F.expr(col)).alias(f"__del_{name}") for name, col in maxes.items()],
+        *[F.min(F.expr(col)).alias(f"__del_{name}") for name, col in mins.items()],
+    )
+    ins_mm = net.where(F.col("__m") > 0).groupBy(*keys).agg(
+        *[F.max(F.expr(col)).alias(f"__ins_{name}") for name, col in maxes.items()],
+        *[F.min(F.expr(col)).alias(f"__ins_{name}") for name, col in mins.items()],
+    )
+    j = del_mm.join(old_mm, keys, "inner").join(ins_mm, keys, "left")
+    conds = [
+        (F.col(f"__del_{name}") >= F.col(f"__old_{name}"))
+        & ~F.coalesce(F.col(f"__ins_{name}") >= F.col(f"__old_{name}"), F.lit(False))
+        for name in maxes
+    ] + [
+        (F.col(f"__del_{name}") <= F.col(f"__old_{name}"))
+        & ~F.coalesce(F.col(f"__ins_{name}") <= F.col(f"__old_{name}"), F.lit(False))
+        for name in mins
+    ]
+    if not conds:
+        dirty = del_mm.limit(0).select(*keys)
+    else:
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        dirty = j.where(cond).select(*keys)
+    return out, dirty
+
+
+def recompute_agg_groups(
+    state: DataFrame,
+    fact: DataFrame,
+    dirty: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    maxes: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+) -> DataFrame:
+    """Scoped heal for :func:`fold_agg_minmax` dirty groups: re-derive
+    them from the fact table (broadcast semi-join prunes the scan to the
+    dirty groups' rows) and splice into the state."""
+    fresh = initial_agg_state(
+        fact.join(F.broadcast(dirty), keys, "semi"), keys, sums, maxes, mins
+    )
+    return state.join(dirty, keys, "left_anti").unionByName(fresh.select(*state.columns))
 
 
 def dirty_minmax_groups(changes: DataFrame, keys: list[str], op_col: str = OP_COL) -> DataFrame:

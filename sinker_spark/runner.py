@@ -386,10 +386,33 @@ class SyncEngine:
         state_name = f"{view.name}__aggstate"
         packed = self.store.read(state_name)
         if packed is None:
-            state = ivm_delta.initial_agg_state(self.spark.table(spec.table), spec.keys, spec.sums)
+            state = ivm_delta.initial_agg_state(
+                self.spark.table(spec.table), spec.keys, spec.sums, spec.maxes, spec.mins
+            )
         else:
             state = packed.select("doc.*")
-        new_state = ivm_delta.apply_agg_delta(state, batch, spec.keys, spec.sums)
+        n_dirty = 0
+        if spec.maxes or spec.mins:
+            # hybrid fold: extremes are exact under inserts; a delete
+            # reaching a stored extreme marks the group for a key-scoped
+            # recompute (healed here, inside the lane — same contract as
+            # the top-k heal: the catalog fact mirrors the applied CDC)
+            new_state, dirty = ivm_delta.fold_agg_minmax(
+                state, batch, spec.keys, spec.sums, spec.maxes, spec.mins
+            )
+            n_dirty = dirty.count()
+            if n_dirty:
+                new_state = ivm_delta.recompute_agg_groups(
+                    new_state,
+                    self.spark.table(spec.table),
+                    dirty,
+                    spec.keys,
+                    spec.sums,
+                    spec.maxes,
+                    spec.mins,
+                )
+        else:
+            new_state = ivm_delta.apply_agg_delta(state, batch, spec.keys, spec.sums)
         new_state = new_state.localCheckpoint(eager=True)  # pin before the store swap
 
         group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
@@ -398,6 +421,8 @@ class SyncEngine:
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias("n_rows"),
             *[F.col(s).cast("double").alias(s) for s in spec.sums],
+            *[F.col(m).cast("double").alias(m) for m in spec.maxes],
+            *[F.col(m).cast("double").alias(m) for m in spec.mins],
         )
         upserts = new_state.join(touched, spec.keys, "left_semi").select(
             group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
@@ -418,6 +443,7 @@ class SyncEngine:
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
             "delta_agg": 1,
+            **({"minmax_dirty": n_dirty} if (spec.maxes or spec.mins) else {}),
         }
         logger.info("delta-agg refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
@@ -964,6 +990,8 @@ class SyncEngine:
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
             *[F.col(s) for s in spec.sums],
+            *[F.col(m) for m in spec.maxes],
+            *[F.col(m) for m in spec.mins],
         )
         self.store.write(
             f"{view.name}__aggstate",
@@ -1064,7 +1092,9 @@ class SyncEngine:
             spec = view.agg
             self._write_agg_state(
                 view,
-                ivm_delta.initial_agg_state(self.spark.table(spec.table), spec.keys, spec.sums),
+                ivm_delta.initial_agg_state(
+                    self.spark.table(spec.table), spec.keys, spec.sums, spec.maxes, spec.mins
+                ),
             )
         if view.topk is not None:
             spec = view.topk
@@ -1186,7 +1216,7 @@ class SyncEngine:
                     view.name, old.schema["doc"].dataType, new_df.schema["doc"].dataType
                 )
             except SchemaEvolutionError:
-                if self.on_schema_change != "reset":
+                if self.on_schema_change != "reset" or not hasattr(self.store, "reset"):
                     raise
                 logger.warning(
                     "view %s: breaking doc schema change on lane fallback — resetting "

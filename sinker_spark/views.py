@@ -67,17 +67,29 @@ class AggViewSpec:
     - ``keys``: group-by columns; the doc id is their '|'-join
     - ``sums``: state column → source column or SQL expression, pre-cast
       to DECIMAL for exact ± folding (e.g. ``CAST(v AS DECIMAL(18,2))``)
+    - ``maxes``/``mins``: state column → numeric column or expression
+      for per-group extremes. These are NOT self-maintainable under
+      deletes (classic IVM result): inserts fold exactly (monotone),
+      and a delete that reaches the stored extreme marks the group
+      dirty for a key-scoped recompute against the fact table inside
+      the lane (ivm_delta.fold_agg_minmax / recompute_agg_groups — the
+      same hybrid as the top-k lane's heal, so the lane inherits its
+      live-fact contract).
     - ``row_schema``: DDL schema for parsing CDC payload JSON into fact
-      rows (only the columns ``keys``/``sums`` reference are needed)
+      rows (only the columns ``keys``/``sums``/``maxes``/``mins``
+      reference are needed)
 
-    The emitted document is ``struct(keys…, n_rows, <sums as double>)``;
-    a view's sql/fn (the recompute lane) must produce the same shape.
+    The emitted document is ``struct(keys…, n_rows, <sums as double>,
+    <maxes as double>, <mins as double>)``; a view's sql/fn (the
+    recompute lane) must produce the same shape.
     """
 
     table: str
     keys: list[str]
     sums: dict[str, str]
     row_schema: str
+    maxes: dict[str, str] = field(default_factory=dict)
+    mins: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass

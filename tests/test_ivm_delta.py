@@ -174,3 +174,115 @@ def test_join_delta_to_changes_drops_net_zero_multiplicity(spark):
         (r["k"], r["v"], r["__op"]) for r in join_delta_to_changes(delta).collect()
     )
     assert got == [(2, "b", INSERT), (2, "b", INSERT), (3, "c", DELETE)]
+
+
+# -- min/max hybrid fold (fold_agg_minmax / recompute_agg_groups) ---------
+
+from sinker_spark.ivm_delta import fold_agg_minmax, recompute_agg_groups  # noqa: E402
+
+MM_KEYS = ["grp"]
+MM_SUMS = {"sum_v": "v_dec"}
+MM_MAXES = {"max_v": "v"}
+MM_MINS = {"min_v": "v"}
+
+
+def _mm_state(spark, rows):
+    return initial_agg_state(_df(spark, rows), MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+
+
+def _mm_rows(state):
+    return {
+        r["grp"]: (r["__cnt"], float(r["sum_v"] or 0), r["max_v"], r["min_v"])
+        for r in state.collect()
+    }
+
+
+def _mm_expected(rows):
+    out = {}
+    for _, grp, v in rows:
+        c, s, mx, mn = out.get(grp, (0, 0.0, None, None))
+        out[grp] = (c + 1, round(s + v, 2), v if mx is None else max(mx, v), v if mn is None else min(mn, v))
+    return out
+
+
+def _mm_batch(spark, rows, ops):
+    tagged = [(rid, grp, v, op) for (rid, grp, v), op in zip(rows, ops)]
+    df = spark.createDataFrame(tagged, "rid bigint, grp string, v double, __op string")
+    return df.withColumn("v_dec", F.col("v").cast("decimal(18,2)"))
+
+
+def test_minmax_insert_only_is_exact_and_clean(spark):
+    base = [(1, "g0", 10.0), (2, "g0", 20.0), (3, "g1", 5.0)]
+    state = _mm_state(spark, base)
+    batch = _mm_batch(spark, [(4, "g0", 25.0), (5, "g1", 1.0)], [INSERT, INSERT])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert dirty.count() == 0
+    assert _mm_rows(new) == _mm_expected(base + [(4, "g0", 25.0), (5, "g1", 1.0)])
+
+
+def test_minmax_delete_below_extremes_not_dirty(spark):
+    base = [(1, "g0", 10.0), (2, "g0", 20.0), (3, "g0", 15.0)]
+    state = _mm_state(spark, base)
+    batch = _mm_batch(spark, [(3, "g0", 15.0)], [DELETE])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert dirty.count() == 0
+    assert _mm_rows(new) == _mm_expected([(1, "g0", 10.0), (2, "g0", 20.0)])
+
+
+def test_minmax_delete_of_max_dirty_and_heals(spark):
+    base = [(1, "g0", 10.0), (2, "g0", 20.0), (3, "g0", 15.0)]
+    state = _mm_state(spark, base)
+    batch = _mm_batch(spark, [(2, "g0", 20.0)], [DELETE])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert [r["grp"] for r in dirty.collect()] == ["g0"]
+    survivors = [(1, "g0", 10.0), (3, "g0", 15.0)]
+    healed = recompute_agg_groups(
+        new, _df(spark, survivors), dirty, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS
+    )
+    assert _mm_rows(healed) == _mm_expected(survivors)
+
+
+def test_minmax_insert_recovers_deleted_max_not_dirty(spark):
+    base = [(1, "g0", 10.0), (2, "g0", 20.0)]
+    state = _mm_state(spark, base)
+    batch = _mm_batch(spark, [(2, "g0", 20.0), (9, "g0", 30.0)], [DELETE, INSERT])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert dirty.count() == 0
+    assert _mm_rows(new) == _mm_expected([(1, "g0", 10.0), (9, "g0", 30.0)])
+
+
+def test_minmax_same_batch_phantom_cannot_raise_candidate(spark):
+    base = [(1, "g0", 10.0)]
+    state = _mm_state(spark, base)
+    # insert(99.0) + delete(99.0) of the SAME row nets to zero: the
+    # candidate max must stay 10.0, not 99.0
+    batch = _mm_batch(spark, [(7, "g0", 99.0), (7, "g0", 99.0)], [INSERT, DELETE])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert dirty.count() == 0
+    assert _mm_rows(new) == _mm_expected(base)
+
+
+def test_minmax_duplicate_extreme_delete_is_conservatively_dirty(spark):
+    base = [(1, "g0", 20.0), (2, "g0", 20.0), (3, "g0", 5.0)]
+    state = _mm_state(spark, base)
+    batch = _mm_batch(spark, [(2, "g0", 20.0)], [DELETE])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert [r["grp"] for r in dirty.collect()] == ["g0"]  # equality window
+    survivors = [(1, "g0", 20.0), (3, "g0", 5.0)]
+    healed = recompute_agg_groups(
+        new, _df(spark, survivors), dirty, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS
+    )
+    assert _mm_rows(healed) == _mm_expected(survivors)  # max still 20.0
+
+
+def test_minmax_delete_of_min_dirty_and_heals(spark):
+    base = [(1, "g0", 10.0), (2, "g0", 20.0)]
+    state = _mm_state(spark, base)
+    batch = _mm_batch(spark, [(1, "g0", 10.0)], [DELETE])
+    new, dirty = fold_agg_minmax(state, batch, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS)
+    assert [r["grp"] for r in dirty.collect()] == ["g0"]
+    survivors = [(2, "g0", 20.0)]
+    healed = recompute_agg_groups(
+        new, _df(spark, survivors), dirty, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS
+    )
+    assert _mm_rows(healed) == _mm_expected(survivors)

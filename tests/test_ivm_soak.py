@@ -56,10 +56,18 @@ def _views():
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("sum_amt"),
+                F.max("amount").alias("max_amt"),
+                F.min("amount").alias("min_amt"),
             )
             .select(
                 F.col("region").alias("id"),
-                F.struct("region", "n_rows", F.col("sum_amt").cast("double").alias("sum_amt")).alias("doc"),
+                F.struct(
+                    "region",
+                    "n_rows",
+                    F.col("sum_amt").cast("double").alias("sum_amt"),
+                    F.col("max_amt").cast("double").alias("max_amt"),
+                    F.col("min_amt").cast("double").alias("min_amt"),
+                ).alias("doc"),
             )
         )
 
@@ -106,6 +114,8 @@ def _views():
                 table="soak_sales",
                 keys=["region"],
                 sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+                maxes={"max_amt": "amount"},
+                mins={"min_amt": "amount"},
                 row_schema=SALES_SCHEMA,
             ),
         ),
@@ -168,10 +178,15 @@ def _register_truth(spark, sales, dims):
 def expected_agg(sales):
     out = {}
     for _, (region, amount) in sales.items():
-        e = out.setdefault(region, [0, 0.0])
+        e = out.setdefault(region, [0, 0.0, None, None])
         e[0] += 1
         e[1] += amount
-    return {r: {"region": r, "n_rows": n, "sum_amt": round(s, 2)} for r, (n, s) in out.items()}
+        e[2] = amount if e[2] is None else max(e[2], amount)
+        e[3] = amount if e[3] is None else min(e[3], amount)
+    return {
+        r: {"region": r, "n_rows": n, "sum_amt": round(s, 2), "max_amt": mx, "min_amt": mn}
+        for r, (n, s, mx, mn) in out.items()
+    }
 
 
 def expected_topk(sales):
