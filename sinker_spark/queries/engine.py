@@ -342,6 +342,61 @@ def ivm_delta_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_minmax_agg_orders",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+    GROUP BY o_custkey""",
+    doc=(
+        "hybrid min/max aggregate maintenance (ivm_delta.fold_agg_minmax): "
+        "count/sum fold as signed deltas; extremes fold exactly under "
+        "inserts and only groups whose deleted values reach the stored "
+        "extreme (without a same-batch insert re-covering it) pay a "
+        "key-scoped recompute (recompute_agg_groups, broadcast semi-join "
+        "prunes the fact scan) — never a full rescan; oracle recomputes "
+        "the final set from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-minmax"),
+)
+def ivm_minmax_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        fold_agg_minmax,
+        initial_agg_state,
+        recompute_agg_groups,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p_dec")
+    )
+    keys, sums = ["o_custkey"], {"sum_price_dec": "p_dec"}
+    maxes, mins = {"max_price_dec": "p_dec"}, {"min_price_dec": "p_dec"}
+    init = initial_agg_state(o.where(F.col("o_orderkey") % 7 != 0), keys, sums, maxes, mins)
+    batch = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    new_state, dirty = fold_agg_minmax(init, batch, keys, sums, maxes, mins)
+    final_fact = o.where(~((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)))
+    healed = recompute_agg_groups(new_state, final_fact, dirty, keys, sums, maxes, mins)
+    return healed.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("__cnt").alias("n_orders"),
+        F.round(F.col("sum_price_dec"), 2).cast("double").alias("sum_price"),
+        F.col("max_price_dec").cast("double").alias("max_price"),
+        F.col("min_price_dec").cast("double").alias("min_price"),
+    )
+
+
+@query(
     "udtf_tokenize_lateral",
     oracle="""
     WITH s AS (
