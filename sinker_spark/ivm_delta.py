@@ -302,6 +302,111 @@ def join_delta(
     return net.where(F.col(_MULT) != 0)
 
 
+_MATCHED = "__matched"
+
+
+def initial_left_join_state(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """One-time materialization of A LEFT JOIN B under bag semantics:
+    unmatched left rows carry NULL b-columns plus an explicit
+    ``__matched = false`` flag (the flag keeps padding distinct from
+    genuine NULL b values, so multiplicity state never conflates them);
+    identical rows collapse into ``__mult``."""
+    bm = b.withColumn(_MATCHED, F.lit(True))
+    j = a.join(bm, on, "left").withColumn(
+        _MATCHED, F.coalesce(F.col(_MATCHED), F.lit(False))
+    )
+    return j.groupBy(*j.columns).agg(F.count(F.lit(1)).cast("bigint").alias(_MULT))
+
+
+def left_join_delta(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    a_changes: DataFrame,
+    b_changes: DataFrame,
+    on: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Signed delta of A LEFT JOIN B for one CDC batch.
+
+    Decomposes as Δ(LOJ) = Δ(inner) ⊎ Δ(padded). The inner part is the
+    bilinear rule (:func:`join_delta`, tagged ``__matched = true``).
+    The padded part only changes where a join key's B-multiplicity
+    crosses zero — with n(k) = Σ multiplicities of B rows at key k:
+
+    - n: >0 → 0  →  **+pads** for every post-batch A row at k (the key
+      just lost its last match; all its left rows re-pad)
+    - n: 0 → >0  →  **−pads** for every pre-batch A row at k (the key
+      just gained its first match; the old pads retract — the inner
+      delta supplies the joined rows)
+    - n: 0 → 0   →  ΔA rows at k pad with their own signs
+
+    Every term is change-key-scoped: B-counts are computed only for the
+    keys the batch touches (left-semi pruned from the stored relation —
+    bucket-pruned when the state is bucketed), and A-row lookups
+    semi-join the boundary-crossing key sets. Cost O(|Δ| · per-key
+    fan-in), never a relation scan. Same before-image contract as
+    :func:`join_delta`."""
+    inner = join_delta(a_old, b_old, a_changes, b_changes, on, op_col).withColumn(
+        _MATCHED, F.lit(True)
+    )
+
+    def as_mult(rel: DataFrame) -> DataFrame:
+        if _MULT in rel.columns:
+            return rel
+        return rel.withColumn(_MULT, F.lit(1).cast("bigint"))
+
+    a0 = as_mult(a_old)
+    b0 = as_mult(b_old)
+    da = changes_to_mult(a_changes, op_col)
+    db = changes_to_mult(b_changes, op_col)
+
+    keys_touched = da.select(*on).unionByName(db.select(*on)).distinct()
+    nb_old = (
+        b0.join(keys_touched, on, "left_semi")
+        .groupBy(*on)
+        .agg(F.sum(_MULT).cast("bigint").alias("__nb"))
+    )
+    dnb = db.groupBy(*on).agg(F.sum(_MULT).cast("bigint").alias("__dnb"))
+    nk = (
+        keys_touched.join(nb_old, on, "left")
+        .join(dnb, on, "left")
+        .select(
+            *on,
+            F.coalesce(F.col("__nb"), F.lit(0)).alias("__n_old"),
+            (F.coalesce(F.col("__nb"), F.lit(0)) + F.coalesce(F.col("__dnb"), F.lit(0))).alias("__n_new"),
+        )
+    )
+    k_down = nk.where((F.col("__n_old") > 0) & (F.col("__n_new") <= 0)).select(*on)
+    k_up = nk.where((F.col("__n_old") <= 0) & (F.col("__n_new") > 0)).select(*on)
+    k_zero = nk.where((F.col("__n_old") <= 0) & (F.col("__n_new") <= 0)).select(*on)
+
+    # post-batch A rows at the lost-last-match keys; pre-batch A rows at
+    # the gained-first-match keys; raw signed ΔA at never-matched keys
+    a_new_down = apply_join_state(
+        a0.join(k_down, on, "left_semi"), da.join(k_down, on, "left_semi")
+    )
+    a_old_up = a0.join(k_up, on, "left_semi").withColumn(_MULT, -F.col(_MULT))
+    da_zero = da.join(k_zero, on, "left_semi")
+
+    b_value_cols = [
+        (c, dict(b0.dtypes)[c]) for c in b0.columns if c not in (*on, _MULT)
+    ]
+
+    def pad(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            *[c for c in rows.columns if c != _MULT],
+            *[F.lit(None).cast(dt).alias(c) for c, dt in b_value_cols],
+            F.lit(False).alias(_MATCHED),
+            F.col(_MULT),
+        )
+
+    pads = pad(a_new_down).unionByName(pad(a_old_up)).unionByName(pad(da_zero))
+    allrows = inner.unionByName(pads, allowMissingColumns=False)
+    out_cols = [c for c in allrows.columns if c != _MULT]
+    net = allrows.groupBy(*out_cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
+    return net.where(F.col(_MULT) != 0)
+
+
 def apply_join_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge a :func:`join_delta` result into multiplicity state: one
     co-partitioned group-sum; rows whose multiplicity reaches 0 vanish

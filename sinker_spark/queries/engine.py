@@ -429,6 +429,66 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_left_join_orders",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey AS okey, l_linenumber AS lineno, l_returnflag AS flag
+      FROM lineitem
+      WHERE l_linenumber <= 2
+        AND (l_orderkey % 3 = 0 OR l_orderkey % 5 <> 0)),
+    a AS (SELECT o_orderkey AS okey, o_orderstatus AS status FROM orders)
+    SELECT a.okey, a.status, b.lineno, b.flag,
+           CAST(b.okey IS NOT NULL AS INT) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS mult
+    FROM a LEFT JOIN b ON a.okey = b.okey
+    GROUP BY a.okey, a.status, b.lineno, b.flag, matched""",
+    doc=(
+        "left-outer-join maintenance (ivm_delta.left_join_delta): the "
+        "padded set changes only where a key's B-multiplicity crosses "
+        "zero — state seeded with every-3rd order's lines missing "
+        "(padded) and batch-folded through inserts giving them their "
+        "first match AND deletes stripping every-5th order's last match "
+        "(pads return); oracle recomputes the final LOJ from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join", "B14"),
+)
+def ivm_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        apply_join_state,
+        initial_left_join_state,
+        left_join_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    a_all = t["orders"].select(F.col("o_orderkey").alias("okey"), F.col("o_orderstatus").alias("status"))
+    b_all = t["lineitem"].where(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    b_old = b_all.where(F.col("okey") % 3 != 0)
+    empty_a = a_all.limit(0).withColumn("__op", F.lit("insert"))
+    b_ch = (
+        b_all.where(F.col("okey") % 3 == 0)
+        .withColumn("__op", F.lit("insert"))  # first matches: pads retract
+        .unionByName(
+            b_old.where(F.col("okey") % 5 == 0).withColumn("__op", F.lit("delete"))
+        )  # last matches lost: pads return
+    )
+    state = initial_left_join_state(a_all, b_old, ["okey"])
+    delta = left_join_delta(a_all, b_old, empty_a, b_ch, ["okey"])
+    final = apply_join_state(state, delta)
+    return final.select(
+        "okey",
+        "status",
+        "lineno",
+        "flag",
+        F.col("__matched").cast("int").alias("matched"),
+        F.col("__mult").alias("mult"),
+    )
+
+
+@query(
     "ivm_delta_join_orders",
     oracle="""
     WITH jn AS (

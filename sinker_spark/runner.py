@@ -736,9 +736,14 @@ class SyncEngine:
             a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
             a_state = ivm_delta.relation_state(a_tab)
             b_state = ivm_delta.relation_state(b_tab)
-            j_state = ivm_delta.initial_join_state(a_tab, b_tab, spec.on)
+            j_state = (
+                ivm_delta.initial_left_join_state(a_tab, b_tab, spec.on)
+                if spec.how == "left"
+                else ivm_delta.initial_join_state(a_tab, b_tab, spec.on)
+            )
 
-        delta = ivm_delta.join_delta(a_state, b_state, a_ch, b_ch, spec.on)
+        delta_fn = ivm_delta.left_join_delta if spec.how == "left" else ivm_delta.join_delta
+        delta = delta_fn(a_state, b_state, a_ch, b_ch, spec.on)
         delta = delta.localCheckpoint(eager=True)  # consumed twice (merge + touched)
         new_j = ivm_delta.apply_join_state(j_state, delta).localCheckpoint(eager=True)
         new_a = ivm_delta.apply_join_state(
@@ -748,18 +753,22 @@ class SyncEngine:
             b_state, ivm_delta.changes_to_mult(b_ch)
         ).localCheckpoint(eager=True)
 
+        # doc ids join as concat'd STRINGS, not key_cols tuples: a left-
+        # outer padded row has NULL b-side key cols (dropped by
+        # concat_ws), and a tuple semi-join would never match the NULLs
         key_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols])
-        touched = delta.select(*spec.key_cols).distinct()
+        touched_ids = delta.select(key_id.alias("__doc_id")).distinct()
+        jd = new_j.withColumn("__doc_id", key_id)
         data_cols = [c for c in new_j.columns if c != ivm_delta._MULT]
         sink_doc = F.struct(
             *[F.col(c) for c in data_cols], F.col(ivm_delta._MULT).alias("n_rows")
         )
-        upserts = new_j.join(touched, spec.key_cols, "left_semi").select(
-            key_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        upserts = jd.join(touched_ids, "__doc_id", "left_semi").select(
+            F.col("__doc_id").alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(new_j, spec.key_cols, "left_anti").select(
-            key_id.alias(view.key),
+        deletes = touched_ids.join(jd, "__doc_id", "left_anti").select(
+            F.col("__doc_id").alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
         )
@@ -1107,11 +1116,16 @@ class SyncEngine:
             spec = view.join
             a = self.spark.table(spec.table_a).select(*self._schema_cols(spec.row_schema_a))
             b = self.spark.table(spec.table_b).select(*self._schema_cols(spec.row_schema_b))
+            init_j = (
+                ivm_delta.initial_left_join_state
+                if spec.how == "left"
+                else ivm_delta.initial_join_state
+            )
             self._write_join_states(
                 view,
                 ivm_delta.relation_state(a),
                 ivm_delta.relation_state(b),
-                ivm_delta.initial_join_state(a, b, spec.on),
+                init_j(a, b, spec.on),
             )
         if view.joinagg is not None:
             spec = view.joinagg

@@ -46,6 +46,18 @@ def get_spark(app_name: str = "sinker-spark") -> SparkSession:
         # driver testdata parquet uses TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert in catalog.load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1.2 wrong-results guard: FoldablePropagation mis-
+        # propagates per-branch literal grouping columns through nested
+        # Union+Aggregate plans — a groupBy over a union whose branches
+        # tag rows with literal flags (e.g. the left-join lane's
+        # __matched true/false) can emit DUPLICATE key rows that never
+        # merge. Repro pinned in tests/test_ivm_delta.py::
+        # test_loj_lazy_composition_groups_correctly; the rule is a
+        # minor constant-attribute rewrite, safe to forgo.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.FoldablePropagation",
+        )
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))

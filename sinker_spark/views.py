@@ -195,7 +195,15 @@ class JoinViewSpec:
     - ``row_schema_a``/``row_schema_b``: DDL schemas for parsing CDC
       payload JSON into base rows (only needed columns)
     - ``key_cols``: join-output columns whose '|'-join forms the doc id
-      (must be unique per joined row, e.g. both sides' PKs)
+      (must be unique per joined row, e.g. both sides' PKs; for
+      ``how='left'`` a padded row's b-side key cols are NULL and drop
+      out of the concat, so its doc id is the left key alone — distinct
+      from every matched id by construction)
+    - ``how``: ``'inner'`` (default) or ``'left'``. Left-outer views
+      maintain unmatched left rows as NULL-padded docs with an explicit
+      ``__matched`` flag via ivm_delta.left_join_delta — the padded set
+      changes only where a join key's B-multiplicity crosses zero, so
+      refresh stays O(|Δ|·fan-in).
     """
 
     table_a: str
@@ -204,6 +212,11 @@ class JoinViewSpec:
     row_schema_a: str
     row_schema_b: str
     key_cols: list[str]
+    how: str = "inner"
+
+    def __post_init__(self) -> None:
+        if self.how not in ("inner", "left"):
+            raise ValueError(f"JoinViewSpec.how must be 'inner' or 'left', got {self.how!r}")
 
 
 @dataclass

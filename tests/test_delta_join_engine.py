@@ -146,3 +146,86 @@ def test_missing_before_image_falls_back_to_recompute(spark, engine):
     eng.process_cdc_batch(batch, epoch_id=1)
     stats = eng.last_stats["order_items"]
     assert "delta_join" not in stats  # recompute lane handled it
+
+
+# -- left-outer-join lane (JoinViewSpec.how='left') -----------------------
+
+
+def _loj_view():
+    def recompute(spark):
+        item = spark.table("item").withColumn("__matched", F.lit(True))
+        j = (
+            spark.table("ord")
+            .join(item, "oid", "left")
+            .withColumn("__matched", F.coalesce(F.col("__matched"), F.lit(False)))
+        )
+        return j.select(
+            F.concat_ws("|", "oid", "lid").alias("id"),
+            F.struct(
+                "oid", "cust", "lid", "qty", "__matched",
+                F.lit(1).cast("bigint").alias("n_rows"),
+            ).alias("doc"),
+        )
+
+    return ViewDef(
+        name="order_items_loj",
+        fn=recompute,
+        deps={"ord", "item"},
+        join=JoinViewSpec(
+            table_a="ord",
+            table_b="item",
+            on=["oid"],
+            row_schema_a=A_SCHEMA,
+            row_schema_b=B_SCHEMA,
+            key_cols=["oid", "lid"],
+            how="left",
+        ),
+    )
+
+
+@pytest.fixture()
+def loj_engine(spark, tmp_path):
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [_loj_view()], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    return eng, sink
+
+
+def test_loj_backfill_pads_then_first_item_flips(spark, loj_engine):
+    eng, sink = loj_engine
+    _tables(spark, [("o1", "alice"), ("o2", "bob")], [("l1", "o1", 5)])
+    eng.backfill()
+    assert sink.get("order_items_loj", "o2") == {
+        "oid": "o2", "cust": "bob", "lid": None, "qty": None, "__matched": False, "n_rows": 1,
+    }
+    _tables(spark, [("o1", "alice"), ("o2", "bob")], [("l1", "o1", 5), ("l2", "o2", 7)])
+    eng.process_cdc_batch(_cdc(spark, [(1, "item", "INSERT", {"lid": "l2", "oid": "o2", "qty": 7}, None)]))
+    assert eng.last_stats["order_items_loj"].get("delta_join") == 1
+    assert sink.get("order_items_loj", "o2") is None  # pad retracted
+    assert sink.get("order_items_loj", "o2|l2") == {
+        "oid": "o2", "cust": "bob", "lid": "l2", "qty": 7, "__matched": True, "n_rows": 1,
+    }
+
+
+def test_loj_last_item_loss_restores_pad(spark, loj_engine):
+    eng, sink = loj_engine
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5)])
+    eng.backfill()
+    _tables(spark, [("o1", "alice")], [])
+    eng.process_cdc_batch(_cdc(spark, [(1, "item", "DELETE", None, {"lid": "l1", "oid": "o1", "qty": 5})]))
+    assert sink.get("order_items_loj", "o1|l1") is None
+    assert sink.get("order_items_loj", "o1") == {
+        "oid": "o1", "cust": "alice", "lid": None, "qty": None, "__matched": False, "n_rows": 1,
+    }
+
+
+def test_loj_new_order_without_items_pads(spark, loj_engine):
+    eng, sink = loj_engine
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5)])
+    eng.backfill()
+    _tables(spark, [("o1", "alice"), ("o3", "cara")], [("l1", "o1", 5)])
+    eng.process_cdc_batch(_cdc(spark, [(1, "ord", "INSERT", {"oid": "o3", "cust": "cara"}, None)]))
+    assert sink.get("order_items_loj", "o3") == {
+        "oid": "o3", "cust": "cara", "lid": None, "qty": None, "__matched": False, "n_rows": 1,
+    }
+    # and the matched docs were untouched
+    assert sink.get("order_items_loj", "o1|l1")["qty"] == 5

@@ -286,3 +286,137 @@ def test_minmax_delete_of_min_dirty_and_heals(spark):
         new, _df(spark, survivors), dirty, MM_KEYS, MM_SUMS, MM_MAXES, MM_MINS
     )
     assert _mm_rows(healed) == _mm_expected(survivors)
+
+
+# -- left-outer-join delta (left_join_delta) ------------------------------
+
+
+def _loj_tables(spark, a_rows, b_rows):
+    A = spark.createDataFrame(a_rows, "k int, x int")
+    B = spark.createDataFrame(b_rows, "k int, y string")
+    return A, B
+
+
+def _loj_changes(spark, a_ins, a_del, b_ins, b_del):
+    ach = spark.createDataFrame(
+        [(k, x, INSERT) for k, x in a_ins] + [(k, x, DELETE) for k, x in a_del],
+        "k int, x int, __op string",
+    )
+    bch = spark.createDataFrame(
+        [(k, y, INSERT) for k, y in b_ins] + [(k, y, DELETE) for k, y in b_del],
+        "k int, y string, __op string",
+    )
+    return ach, bch
+
+
+def _loj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del):
+    from sinker_spark.ivm_delta import (
+        apply_join_state,
+        initial_left_join_state,
+        left_join_delta,
+    )
+
+    a_new = list(a_old)
+    for r in a_del:
+        a_new.remove(r)
+    a_new += a_ins
+    b_new = list(b_old)
+    for r in b_del:
+        b_new.remove(r)
+    b_new += b_ins
+
+    A_old, B_old = _loj_tables(spark, a_old, b_old)
+    ach, bch = _loj_changes(spark, a_ins, a_del, b_ins, b_del)
+    state = initial_left_join_state(A_old, B_old, ["k"])
+    delta = left_join_delta(A_old, B_old, ach, bch, ["k"])
+    got = apply_join_state(state, delta)
+    A_new, B_new = _loj_tables(spark, a_new, b_new)
+    want = initial_left_join_state(A_new, B_new, ["k"])
+    assert _mrows(got) == _mrows(want)
+
+
+def test_loj_first_match_retracts_pad(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10), (1, 11), (2, 20)],
+        b_old=[(2, "x")],
+        a_ins=[], a_del=[],
+        b_ins=[(1, "y")],  # key 1: 0 -> 1 match; both pads retract
+        b_del=[],
+    )
+
+
+def test_loj_last_match_loss_restores_pads(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10), (1, 11), (2, 20)],
+        b_old=[(1, "x"), (1, "y"), (2, "z")],
+        a_ins=[], a_del=[],
+        b_ins=[],
+        b_del=[(1, "x"), (1, "y")],  # key 1: 2 -> 0; pads return
+    )
+
+
+def test_loj_insert_at_unmatched_key_pads(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x")],
+        a_ins=[(5, 50)], a_del=[],  # key 5 has no matches -> padded row
+        b_ins=[], b_del=[],
+    )
+
+
+def test_loj_simultaneous_a_insert_and_b_loss(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x")],
+        a_ins=[(1, 11)], a_del=[],
+        b_ins=[], b_del=[(1, "x")],  # key crosses to 0 WITH a new a-row
+    )
+
+
+def test_loj_delete_left_row_at_unmatched_key(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10), (5, 50)],
+        b_old=[(1, "x")],
+        a_ins=[], a_del=[(5, 50)],  # padded row retracts with its a-row
+        b_ins=[], b_del=[],
+    )
+
+
+def test_loj_randomized_matches_recompute(spark):
+    rng = random.Random(13)
+    a_old = [(rng.randint(0, 7), rng.randint(0, 2)) for _ in range(25)]
+    b_old = [(rng.randint(0, 4), rng.choice("xyz")) for _ in range(12)]
+    a_ins = [(rng.randint(0, 7), rng.randint(0, 2)) for _ in range(6)]
+    a_del = rng.sample(a_old, 4)
+    b_ins = [(rng.randint(0, 7), rng.choice("xyz")) for _ in range(4)]
+    victim = b_old[0][0]  # force a >0 -> 0 crossing: drop ALL rows at one key
+    b_del = [r for r in b_old if r[0] == victim] + rng.sample(
+        [r for r in b_old if r[0] != victim], 2
+    )
+    _loj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del)
+
+
+def test_loj_lazy_composition_groups_correctly(spark):
+    """Regression pin for a Spark 4.1.2 wrong-results optimizer bug:
+    FoldablePropagation mis-propagates the per-branch literal
+    ``__matched`` grouping column through the union of state and delta,
+    leaving duplicate-key rows that never merge (the ±mult pair fails
+    to cancel). The session excludes the rule (session.py); this pin
+    fails if the exclusion is ever dropped while the bug is alive —
+    checkpointing the delta also masks it, so the roundtrip here runs
+    the fully LAZY composition on purpose."""
+    assert "FoldablePropagation" in (
+        spark.conf.get("spark.sql.optimizer.excludedRules", "") or ""
+    )
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x")],
+        a_ins=[(1, 11)], a_del=[],
+        b_ins=[], b_del=[(1, "x")],
+    )

@@ -91,6 +91,21 @@ def _views():
             F.struct("region", "id", "amount", "mgr", F.lit(1).cast("bigint").alias("n_rows")).alias("doc"),
         )
 
+    def loj_fn(spark):
+        dims = spark.table("soak_dims").withColumn("__matched", F.lit(True))
+        j = (
+            spark.table("soak_sales")
+            .join(dims, "region", "left")
+            .withColumn("__matched", F.coalesce(F.col("__matched"), F.lit(False)))
+        )
+        return j.select(
+            F.col("id").alias("k"),
+            F.struct(
+                "region", "id", "amount", "mgr", "__matched",
+                F.lit(1).cast("bigint").alias("n_rows"),
+            ).alias("doc"),
+        )
+
     def joinagg_fn(spark):
         j = spark.table("soak_sales").join(spark.table("soak_dims"), "region")
         return (
@@ -144,6 +159,20 @@ def _views():
                 row_schema_a=SALES_SCHEMA,
                 row_schema_b=DIMS_SCHEMA,
                 key_cols=["id"],
+            ),
+        ),
+        ViewDef(
+            name="soak_loj",
+            fn=loj_fn,
+            deps={"soak_sales", "soak_dims"},
+            join=JoinViewSpec(
+                table_a="soak_sales",
+                table_b="soak_dims",
+                on=["region"],
+                row_schema_a=SALES_SCHEMA,
+                row_schema_b=DIMS_SCHEMA,
+                key_cols=["id"],
+                how="left",
             ),
         ),
         ViewDef(
@@ -214,6 +243,20 @@ def expected_join(sales, dims):
     }
 
 
+def expected_loj(sales, dims):
+    return {
+        sid: {
+            "region": region,
+            "id": sid,
+            "amount": amount,
+            "mgr": dims.get(region),
+            "__matched": region in dims,
+            "n_rows": 1,
+        }
+        for sid, (region, amount) in sales.items()
+    }
+
+
 def expected_joinagg(sales, dims):
     out = {}
     for _, (region, amount) in sales.items():
@@ -243,6 +286,7 @@ def _check_all(sink, sales, dims, batch_no):
     _check(sink, "soak_agg", expected_agg(sales), batch_no)
     _check(sink, "soak_topk", expected_topk(sales), batch_no)
     _check(sink, "soak_join", expected_join(sales, dims), batch_no)
+    _check(sink, "soak_loj", expected_loj(sales, dims), batch_no)
     _check(sink, "soak_joinagg", expected_joinagg(sales, dims), batch_no)
 
 
