@@ -349,59 +349,116 @@ def left_join_delta(
     inner = join_delta(a_old, b_old, a_changes, b_changes, on, op_col).withColumn(
         _MATCHED, F.lit(True)
     )
+    pads = _pad_delta(a_old, b_old, a_changes, b_changes, on, op_col)
+    allrows = inner.unionByName(pads, allowMissingColumns=False)
+    out_cols = [c for c in allrows.columns if c != _MULT]
+    net = allrows.groupBy(*out_cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
+    return net.where(F.col(_MULT) != 0)
+
+
+def _pad_delta(
+    l_old: DataFrame,
+    r_old: DataFrame,
+    l_changes: DataFrame,
+    r_changes: DataFrame,
+    on: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Signed delta of the NULL-padded unmatched-LEFT set against RIGHT
+    match counts — the outer-join padding primitive shared by the left
+    and full variants (the full join also runs it with the roles
+    swapped). Output columns: left columns + NULL right-value columns +
+    ``__matched = false`` + signed ``__mult``."""
 
     def as_mult(rel: DataFrame) -> DataFrame:
         if _MULT in rel.columns:
             return rel
         return rel.withColumn(_MULT, F.lit(1).cast("bigint"))
 
-    a0 = as_mult(a_old)
-    b0 = as_mult(b_old)
-    da = changes_to_mult(a_changes, op_col)
-    db = changes_to_mult(b_changes, op_col)
+    l0 = as_mult(l_old)
+    r0 = as_mult(r_old)
+    dl = changes_to_mult(l_changes, op_col)
+    dr = changes_to_mult(r_changes, op_col)
 
-    keys_touched = da.select(*on).unionByName(db.select(*on)).distinct()
-    nb_old = (
-        b0.join(keys_touched, on, "left_semi")
+    keys_touched = dl.select(*on).unionByName(dr.select(*on)).distinct()
+    nr_old = (
+        r0.join(keys_touched, on, "left_semi")
         .groupBy(*on)
-        .agg(F.sum(_MULT).cast("bigint").alias("__nb"))
+        .agg(F.sum(_MULT).cast("bigint").alias("__nr"))
     )
-    dnb = db.groupBy(*on).agg(F.sum(_MULT).cast("bigint").alias("__dnb"))
+    dnr = dr.groupBy(*on).agg(F.sum(_MULT).cast("bigint").alias("__dnr"))
     nk = (
-        keys_touched.join(nb_old, on, "left")
-        .join(dnb, on, "left")
+        keys_touched.join(nr_old, on, "left")
+        .join(dnr, on, "left")
         .select(
             *on,
-            F.coalesce(F.col("__nb"), F.lit(0)).alias("__n_old"),
-            (F.coalesce(F.col("__nb"), F.lit(0)) + F.coalesce(F.col("__dnb"), F.lit(0))).alias("__n_new"),
+            F.coalesce(F.col("__nr"), F.lit(0)).alias("__n_old"),
+            (F.coalesce(F.col("__nr"), F.lit(0)) + F.coalesce(F.col("__dnr"), F.lit(0))).alias("__n_new"),
         )
     )
     k_down = nk.where((F.col("__n_old") > 0) & (F.col("__n_new") <= 0)).select(*on)
     k_up = nk.where((F.col("__n_old") <= 0) & (F.col("__n_new") > 0)).select(*on)
     k_zero = nk.where((F.col("__n_old") <= 0) & (F.col("__n_new") <= 0)).select(*on)
 
-    # post-batch A rows at the lost-last-match keys; pre-batch A rows at
-    # the gained-first-match keys; raw signed ΔA at never-matched keys
-    a_new_down = apply_join_state(
-        a0.join(k_down, on, "left_semi"), da.join(k_down, on, "left_semi")
+    # post-batch left rows at the lost-last-match keys; pre-batch left
+    # rows at the gained-first-match keys; raw signed Δleft at
+    # never-matched keys
+    l_new_down = apply_join_state(
+        l0.join(k_down, on, "left_semi"), dl.join(k_down, on, "left_semi")
     )
-    a_old_up = a0.join(k_up, on, "left_semi").withColumn(_MULT, -F.col(_MULT))
-    da_zero = da.join(k_zero, on, "left_semi")
+    l_old_up = l0.join(k_up, on, "left_semi").withColumn(_MULT, -F.col(_MULT))
+    dl_zero = dl.join(k_zero, on, "left_semi")
 
-    b_value_cols = [
-        (c, dict(b0.dtypes)[c]) for c in b0.columns if c not in (*on, _MULT)
+    r_value_cols = [
+        (c, dict(r0.dtypes)[c]) for c in r0.columns if c not in (*on, _MULT)
     ]
 
     def pad(rows: DataFrame) -> DataFrame:
         return rows.select(
             *[c for c in rows.columns if c != _MULT],
-            *[F.lit(None).cast(dt).alias(c) for c, dt in b_value_cols],
+            *[F.lit(None).cast(dt).alias(c) for c, dt in r_value_cols],
             F.lit(False).alias(_MATCHED),
             F.col(_MULT),
         )
 
-    pads = pad(a_new_down).unionByName(pad(a_old_up)).unionByName(pad(da_zero))
-    allrows = inner.unionByName(pads, allowMissingColumns=False)
+    return pad(l_new_down).unionByName(pad(l_old_up)).unionByName(pad(dl_zero))
+
+
+def initial_full_join_state(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """One-time materialization of A FULL OUTER JOIN B under bag
+    semantics: unmatched rows on EITHER side carry NULL other-side
+    columns + ``__matched = false``; identical rows collapse into
+    ``__mult``. Column order follows (on, a-cols, b-cols)."""
+    am = a.withColumn("__a_present", F.lit(True))
+    bm = b.withColumn("__b_present", F.lit(True))
+    j = am.join(bm, on, "full")
+    j = j.withColumn(
+        _MATCHED,
+        F.coalesce(F.col("__a_present"), F.lit(False))
+        & F.coalesce(F.col("__b_present"), F.lit(False)),
+    ).drop("__a_present", "__b_present")
+    return j.groupBy(*j.columns).agg(F.count(F.lit(1)).cast("bigint").alias(_MULT))
+
+
+def full_join_delta(
+    a_old: DataFrame,
+    b_old: DataFrame,
+    a_changes: DataFrame,
+    b_changes: DataFrame,
+    on: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Signed delta of A FULL OUTER JOIN B: the bilinear inner delta
+    plus BOTH padding deltas — the unmatched-A set against B counts and
+    (roles swapped) the unmatched-B set against A counts, each changing
+    only where the other side's per-key multiplicity crosses zero. Same
+    change-scoped cost shape as :func:`left_join_delta`."""
+    inner = join_delta(a_old, b_old, a_changes, b_changes, on, op_col).withColumn(
+        _MATCHED, F.lit(True)
+    )
+    a_pads = _pad_delta(a_old, b_old, a_changes, b_changes, on, op_col)
+    b_pads = _pad_delta(b_old, a_old, b_changes, a_changes, on, op_col)
+    allrows = inner.unionByName(a_pads).unionByName(b_pads, allowMissingColumns=False)
     out_cols = [c for c in allrows.columns if c != _MULT]
     net = allrows.groupBy(*out_cols).agg(F.sum(_MULT).cast("bigint").alias(_MULT))
     return net.where(F.col(_MULT) != 0)

@@ -489,6 +489,60 @@ def ivm_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_full_join_orders",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey AS okey, l_linenumber AS lineno, l_returnflag AS flag
+      FROM lineitem WHERE l_linenumber <= 2),
+    a AS (SELECT o_orderkey AS okey, o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT COALESCE(a.okey, b.okey) AS okey, a.status, b.lineno, b.flag,
+           CAST(a.okey IS NOT NULL AND b.okey IS NOT NULL AS INT) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS mult
+    FROM a FULL JOIN b ON a.okey = b.okey
+    GROUP BY 1, 2, 3, 4, 5""",
+    doc=(
+        "full-outer-join maintenance (ivm_delta.full_join_delta): the "
+        "batch deletes every-13th order, so its remaining lines flip to "
+        "B-side pads (NULL order columns) while line-less deleted orders "
+        "retract their A-side pads — both padding directions of the "
+        "symmetric zero-crossing rule; oracle recomputes the final FOJ "
+        "from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join", "B14"),
+)
+def ivm_full_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        apply_join_state,
+        full_join_delta,
+        initial_full_join_state,
+    )
+
+    t = load_tables(spark, sf_dir)
+    a_all = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), F.col("o_orderstatus").alias("status")
+    )
+    b_all = t["lineitem"].where(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    a_ch = a_all.where(F.col("okey") % 13 == 0).withColumn("__op", F.lit("delete"))
+    empty_b = b_all.limit(0).withColumn("__op", F.lit("insert"))
+    state = initial_full_join_state(a_all, b_all, ["okey"])
+    delta = full_join_delta(a_all, b_all, a_ch, empty_b, ["okey"])
+    final = apply_join_state(state, delta)
+    return final.select(
+        "okey",
+        "status",
+        "lineno",
+        "flag",
+        F.col("__matched").cast("int").alias("matched"),
+        F.col("__mult").alias("mult"),
+    )
+
+
+@query(
     "ivm_delta_join_orders",
     oracle="""
     WITH jn AS (

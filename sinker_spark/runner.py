@@ -736,13 +736,18 @@ class SyncEngine:
             a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
             a_state = ivm_delta.relation_state(a_tab)
             b_state = ivm_delta.relation_state(b_tab)
-            j_state = (
-                ivm_delta.initial_left_join_state(a_tab, b_tab, spec.on)
-                if spec.how == "left"
-                else ivm_delta.initial_join_state(a_tab, b_tab, spec.on)
-            )
+            init_fn = {
+                "inner": ivm_delta.initial_join_state,
+                "left": ivm_delta.initial_left_join_state,
+                "full": ivm_delta.initial_full_join_state,
+            }[spec.how]
+            j_state = init_fn(a_tab, b_tab, spec.on)
 
-        delta_fn = ivm_delta.left_join_delta if spec.how == "left" else ivm_delta.join_delta
+        delta_fn = {
+            "inner": ivm_delta.join_delta,
+            "left": ivm_delta.left_join_delta,
+            "full": ivm_delta.full_join_delta,
+        }[spec.how]
         delta = delta_fn(a_state, b_state, a_ch, b_ch, spec.on)
         delta = delta.localCheckpoint(eager=True)  # consumed twice (merge + touched)
         new_j = ivm_delta.apply_join_state(j_state, delta).localCheckpoint(eager=True)
@@ -1116,11 +1121,11 @@ class SyncEngine:
             spec = view.join
             a = self.spark.table(spec.table_a).select(*self._schema_cols(spec.row_schema_a))
             b = self.spark.table(spec.table_b).select(*self._schema_cols(spec.row_schema_b))
-            init_j = (
-                ivm_delta.initial_left_join_state
-                if spec.how == "left"
-                else ivm_delta.initial_join_state
-            )
+            init_j = {
+                "inner": ivm_delta.initial_join_state,
+                "left": ivm_delta.initial_left_join_state,
+                "full": ivm_delta.initial_full_join_state,
+            }[spec.how]
             self._write_join_states(
                 view,
                 ivm_delta.relation_state(a),

@@ -199,11 +199,13 @@ class JoinViewSpec:
       ``how='left'`` a padded row's b-side key cols are NULL and drop
       out of the concat, so its doc id is the left key alone — distinct
       from every matched id by construction)
-    - ``how``: ``'inner'`` (default) or ``'left'``. Left-outer views
-      maintain unmatched left rows as NULL-padded docs with an explicit
-      ``__matched`` flag via ivm_delta.left_join_delta — the padded set
-      changes only where a join key's B-multiplicity crosses zero, so
-      refresh stays O(|Δ|·fan-in).
+    - ``how``: ``'inner'`` (default), ``'left'`` or ``'full'``.
+      Outer views maintain unmatched rows as NULL-padded docs with an
+      explicit ``__matched`` flag via ivm_delta.left_join_delta /
+      full_join_delta — the padded sets change only where a join key's
+      other-side multiplicity crosses zero, so refresh stays
+      O(|Δ|·fan-in). For a RIGHT join, declare the right table as
+      ``table_a`` and use ``'left'`` (the rule is symmetric).
     """
 
     table_a: str
@@ -215,8 +217,10 @@ class JoinViewSpec:
     how: str = "inner"
 
     def __post_init__(self) -> None:
-        if self.how not in ("inner", "left"):
-            raise ValueError(f"JoinViewSpec.how must be 'inner' or 'left', got {self.how!r}")
+        if self.how not in ("inner", "left", "full"):
+            raise ValueError(
+                f"JoinViewSpec.how must be 'inner', 'left' or 'full', got {self.how!r}"
+            )
 
 
 @dataclass

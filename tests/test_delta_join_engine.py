@@ -229,3 +229,62 @@ def test_loj_new_order_without_items_pads(spark, loj_engine):
     }
     # and the matched docs were untouched
     assert sink.get("order_items_loj", "o1|l1")["qty"] == 5
+
+
+# -- full-outer-join lane (JoinViewSpec.how='full') -----------------------
+
+
+def _foj_view():
+    def recompute(spark):
+        am = spark.table("ord").withColumn("__ap", F.lit(True))
+        bm = spark.table("item").withColumn("__bp", F.lit(True))
+        j = am.join(bm, "oid", "full").withColumn(
+            "__matched",
+            F.coalesce(F.col("__ap"), F.lit(False)) & F.coalesce(F.col("__bp"), F.lit(False)),
+        ).drop("__ap", "__bp")
+        return j.select(
+            F.concat_ws("|", "oid", "lid").alias("id"),
+            F.struct(
+                "oid", "cust", "lid", "qty", "__matched",
+                F.lit(1).cast("bigint").alias("n_rows"),
+            ).alias("doc"),
+        )
+
+    return ViewDef(
+        name="order_items_foj",
+        fn=recompute,
+        deps={"ord", "item"},
+        join=JoinViewSpec(
+            table_a="ord",
+            table_b="item",
+            on=["oid"],
+            row_schema_a=A_SCHEMA,
+            row_schema_b=B_SCHEMA,
+            key_cols=["oid", "lid"],
+            how="full",
+        ),
+    )
+
+
+def test_foj_orphan_item_pads_then_order_arrival_flips(spark, tmp_path):
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [_foj_view()], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5), ("l9", "o9", 9)])
+    eng.backfill()
+    # orphan item (no order o9): b-side pad with NULL order columns
+    assert sink.get("order_items_foj", "o9|l9") == {
+        "oid": "o9", "cust": None, "lid": "l9", "qty": 9, "__matched": False, "n_rows": 1,
+    }
+    # the order arrives: pad flips to a matched doc (same id, upsert)
+    _tables(spark, [("o1", "alice"), ("o9", "zoe")], [("l1", "o1", 5), ("l9", "o9", 9)])
+    eng.process_cdc_batch(_cdc(spark, [(1, "ord", "INSERT", {"oid": "o9", "cust": "zoe"}, None)]))
+    assert eng.last_stats["order_items_foj"].get("delta_join") == 1
+    assert sink.get("order_items_foj", "o9|l9") == {
+        "oid": "o9", "cust": "zoe", "lid": "l9", "qty": 9, "__matched": True, "n_rows": 1,
+    }
+    # and deleting the order re-pads the item side
+    _tables(spark, [("o1", "alice")], [("l1", "o1", 5), ("l9", "o9", 9)])
+    eng.process_cdc_batch(_cdc(spark, [(2, "ord", "DELETE", None, {"oid": "o9", "cust": "zoe"})]))
+    assert sink.get("order_items_foj", "o9|l9") == {
+        "oid": "o9", "cust": None, "lid": "l9", "qty": 9, "__matched": False, "n_rows": 1,
+    }

@@ -420,3 +420,76 @@ def test_loj_lazy_composition_groups_correctly(spark):
         a_ins=[(1, 11)], a_del=[],
         b_ins=[], b_del=[(1, "x")],
     )
+
+
+# -- full-outer-join delta (full_join_delta) ------------------------------
+
+
+def _foj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del):
+    from sinker_spark.ivm_delta import (
+        apply_join_state,
+        initial_full_join_state,
+        full_join_delta,
+    )
+
+    a_new = list(a_old)
+    for r in a_del:
+        a_new.remove(r)
+    a_new += a_ins
+    b_new = list(b_old)
+    for r in b_del:
+        b_new.remove(r)
+    b_new += b_ins
+
+    A_old, B_old = _loj_tables(spark, a_old, b_old)
+    ach, bch = _loj_changes(spark, a_ins, a_del, b_ins, b_del)
+    state = initial_full_join_state(A_old, B_old, ["k"])
+    delta = full_join_delta(A_old, B_old, ach, bch, ["k"]).localCheckpoint(eager=True)
+    got = apply_join_state(state, delta)
+    A_new, B_new = _loj_tables(spark, a_new, b_new)
+    want = initial_full_join_state(A_new, B_new, ["k"])
+    assert _mrows(got) == _mrows(want)
+
+
+def test_foj_b_only_key_pads_right_side(spark):
+    _foj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x"), (9, "z")],  # key 9 has no left rows -> b-pad
+        a_ins=[], a_del=[],
+        b_ins=[(9, "w")], b_del=[],  # more b rows at the a-less key
+    )
+
+
+def test_foj_deleting_last_left_row_pads_b_side(spark):
+    _foj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x"), (1, "y")],
+        a_ins=[], a_del=[(1, 10)],  # A-count 1 -> 0: b rows re-pad
+        b_ins=[], b_del=[],
+    )
+
+
+def test_foj_first_left_row_retracts_b_pads(spark):
+    _foj_roundtrip(
+        spark,
+        a_old=[(2, 20)],
+        b_old=[(1, "x"), (1, "y")],  # key 1 starts b-padded
+        a_ins=[(1, 11)], a_del=[],  # first left row: b-pads retract
+        b_ins=[], b_del=[],
+    )
+
+
+def test_foj_randomized_matches_recompute(spark):
+    rng = random.Random(29)
+    a_old = [(rng.randint(0, 5), rng.randint(0, 2)) for _ in range(18)]
+    b_old = [(rng.randint(3, 9), rng.choice("xyz")) for _ in range(15)]  # keys 6..9 b-only
+    a_ins = [(rng.randint(0, 9), rng.randint(0, 2)) for _ in range(5)]
+    a_del = rng.sample(a_old, 3)
+    b_ins = [(rng.randint(0, 9), rng.choice("xyz")) for _ in range(4)]
+    victim = b_old[0][0]
+    b_del = [r for r in b_old if r[0] == victim] + rng.sample(
+        [r for r in b_old if r[0] != victim], 2
+    )
+    _foj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del)
