@@ -49,6 +49,16 @@ DELETE = "delete"
 _CNT = "__cnt"
 
 
+def _nn(name: str) -> str:
+    """Per-sum NON-NULL input counter column. SQL's SUM over zero
+    non-null inputs is NULL, not 0 — a signed fold alone cannot tell
+    "all contributions cancelled to 0" from "no contributions left"
+    (e.g. an outer-join group re-padding when its last matched row
+    leaves), so the state carries a delta-maintained count of non-null
+    inputs per sum and serves NULL when it reaches zero."""
+    return f"__nn_{name}"
+
+
 def initial_agg_state(
     fact: DataFrame,
     keys: list[str],
@@ -63,9 +73,10 @@ def initial_agg_state(
     DECIMAL(18,2))``, for exact, order-independent accumulation);
     ``maxes``/``mins`` likewise for extremes (see
     :func:`fold_agg_minmax` for their hybrid maintenance)."""
-    aggs = [F.count(F.lit(1)).alias(_CNT)] + [
-        F.sum(F.expr(col)).alias(name) for name, col in sums.items()
-    ]
+    aggs = [F.count(F.lit(1)).alias(_CNT)]
+    for name, col in sums.items():
+        aggs.append(F.sum(F.expr(col)).alias(name))
+        aggs.append(F.count(F.expr(col)).cast("bigint").alias(_nn(name)))
     aggs += [F.max(F.expr(col)).alias(name) for name, col in (maxes or {}).items()]
     aggs += [F.min(F.expr(col)).alias(name) for name, col in (mins or {}).items()]
     return fact.groupBy(*keys).agg(*aggs)
@@ -87,9 +98,16 @@ def apply_agg_delta(
     state — independent of fact-table size."""
     sign = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1))
     batch = changes.withColumn("__sign", sign)
+    nn_names = [_nn(n) for n in sums]
     partial = batch.groupBy(*keys).agg(
         F.sum("__sign").cast("bigint").alias(_CNT),
         *[F.sum(F.expr(col) * F.col("__sign")).alias(name) for name, col in sums.items()],
+        *[
+            F.sum(F.when(F.expr(col).isNotNull(), F.col("__sign")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(_nn(name))
+            for name, col in sums.items()
+        ],
     )
     # align sum dtypes: state came from SUM(DECIMAL(p,s)) too, but the
     # sign multiply can widen differently across engines/versions
@@ -97,11 +115,13 @@ def apply_agg_delta(
         *keys,
         F.col(_CNT),
         *[F.col(name).cast(dict(state.dtypes)[name]).alias(name) for name in sums],
+        *[F.col(n) for n in nn_names],
     )
-    merged = state.select(*keys, _CNT, *sums).unionByName(partial)
+    merged = state.select(*keys, _CNT, *sums, *nn_names).unionByName(partial)
     out = merged.groupBy(*keys).agg(
         F.sum(_CNT).cast("bigint").alias(_CNT),
         *[F.sum(name).cast(dict(state.dtypes)[name]).alias(name) for name in sums],
+        *[F.sum(n).cast("bigint").alias(n) for n in nn_names],
     )
     return out.where(F.col(_CNT) > 0)
 
@@ -143,9 +163,16 @@ def fold_agg_minmax(
 
     state_dtypes = dict(state.dtypes)
     mm_names = list(maxes) + list(mins)
+    nn_names = [_nn(n) for n in sums]
     partial = net.groupBy(*keys).agg(
         F.sum("__m").cast("bigint").alias(_CNT),
         *[F.sum(F.expr(col) * F.col("__m")).alias(name) for name, col in sums.items()],
+        *[
+            F.sum(F.when(F.expr(col).isNotNull(), F.col("__m")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(_nn(name))
+            for name, col in sums.items()
+        ],
         # insert-side extremes only — the delete side must not union in
         *[
             F.max(F.when(F.col("__m") > 0, F.expr(col))).alias(name)
@@ -160,12 +187,14 @@ def fold_agg_minmax(
         *keys,
         F.col(_CNT),
         *[F.col(name).cast(state_dtypes[name]).alias(name) for name in sums],
+        *[F.col(n) for n in nn_names],
         *[F.col(name).cast(state_dtypes[name]).alias(name) for name in mm_names],
     )
-    merged = state.select(*keys, _CNT, *sums, *mm_names).unionByName(partial)
+    merged = state.select(*keys, _CNT, *sums, *nn_names, *mm_names).unionByName(partial)
     out = merged.groupBy(*keys).agg(
         F.sum(_CNT).cast("bigint").alias(_CNT),
         *[F.sum(name).cast(state_dtypes[name]).alias(name) for name in sums],
+        *[F.sum(n).cast("bigint").alias(n) for n in nn_names],
         *[F.max(name).alias(name) for name in maxes],
         *[F.min(name).alias(name) for name in mins],
     )

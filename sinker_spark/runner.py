@@ -420,7 +420,15 @@ class SyncEngine:
         sink_doc = F.struct(
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias("n_rows"),
-            *[F.col(s).cast("double").alias(s) for s in spec.sums],
+            # SQL parity: SUM over zero non-null inputs serves NULL, not
+            # the fold's additive-identity 0 (outer-join re-pad case)
+            *[
+                F.when(F.col(ivm_delta._nn(s)) > 0, F.col(s))
+                .otherwise(F.lit(None))
+                .cast("double")
+                .alias(s)
+                for s in spec.sums
+            ],
             *[F.col(m).cast("double").alias(m) for m in spec.maxes],
             *[F.col(m).cast("double").alias(m) for m in spec.mins],
         )
@@ -844,9 +852,16 @@ class SyncEngine:
             a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
             a_state = ivm_delta.relation_state(a_tab)
             b_state = ivm_delta.relation_state(b_tab)
-            agg_state = ivm_delta.initial_agg_state(a_tab.join(b_tab, spec.on), spec.keys, spec.sums)
+            agg_state = ivm_delta.initial_agg_state(
+                a_tab.join(b_tab, spec.on, spec.how), spec.keys, spec.sums
+            )
 
-        delta = ivm_delta.join_delta(a_state, b_state, a_ch, b_ch, spec.on)
+        ja_delta_fn = {
+            "inner": ivm_delta.join_delta,
+            "left": ivm_delta.left_join_delta,
+            "full": ivm_delta.full_join_delta,
+        }[spec.how]
+        delta = ja_delta_fn(a_state, b_state, a_ch, b_ch, spec.on)
         delta = delta.localCheckpoint(eager=True)  # consumed twice (fold + touched)
         new_agg = ivm_delta.apply_agg_delta(
             agg_state, ivm_delta.join_delta_to_changes(delta), spec.keys, spec.sums
@@ -863,7 +878,14 @@ class SyncEngine:
         sink_doc = F.struct(
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias("n_rows"),
-            *[F.col(sm).cast("double").alias(sm) for sm in spec.sums],
+            # SQL parity: SUM over zero non-null inputs serves NULL
+            *[
+                F.when(F.col(ivm_delta._nn(sm)) > 0, F.col(sm))
+                .otherwise(F.lit(None))
+                .cast("double")
+                .alias(sm)
+                for sm in spec.sums
+            ],
         )
         upserts = new_agg.join(touched, spec.keys, "left_semi").select(
             group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
@@ -1004,6 +1026,7 @@ class SyncEngine:
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
             *[F.col(s) for s in spec.sums],
+            *[F.col(ivm_delta._nn(s)) for s in spec.sums],
             *[F.col(m) for m in spec.maxes],
             *[F.col(m) for m in spec.mins],
         )
@@ -1081,6 +1104,7 @@ class SyncEngine:
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
             *[F.col(sm) for sm in spec.sums],
+            *[F.col(ivm_delta._nn(sm)) for sm in spec.sums],
         )
         self.store.write(
             f"{view.name}__ja_agg_state",
@@ -1140,7 +1164,9 @@ class SyncEngine:
                 view,
                 ivm_delta.relation_state(a),
                 ivm_delta.relation_state(b),
-                ivm_delta.initial_agg_state(a.join(b, spec.on), spec.keys, spec.sums),
+                ivm_delta.initial_agg_state(
+                    a.join(b, spec.on, spec.how), spec.keys, spec.sums
+                ),
             )
         if view.distinct is not None:
             spec = view.distinct

@@ -241,6 +241,12 @@ class JoinAggViewSpec:
     - ``keys``: group-by columns of the aggregate (join-output columns)
     - ``sums``: state column → SQL expression over join-output columns,
       pre-cast to DECIMAL (as in :class:`AggViewSpec`)
+    - ``how``: ``'inner'`` (default), ``'left'`` or ``'full'`` — an
+      aggregate over an OUTER join (e.g. order counts per customer
+      including zero-order customers) composes the outer-join delta
+      with the same linear fold: a pad→match transition arrives as
+      delete(padded row)+insert(joined row), so counts stay at LOJ
+      row semantics and NULL padded sum-inputs contribute nothing.
 
     The emitted document is ``struct(keys…, n_rows, <sums as double>)``.
     """
@@ -252,6 +258,13 @@ class JoinAggViewSpec:
     row_schema_b: str
     keys: list[str]
     sums: dict[str, str]
+    how: str = "inner"
+
+    def __post_init__(self) -> None:
+        if self.how not in ("inner", "left", "full"):
+            raise ValueError(
+                f"JoinAggViewSpec.how must be 'inner', 'left' or 'full', got {self.how!r}"
+            )
 
 
 @dataclass

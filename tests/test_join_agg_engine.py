@@ -155,3 +155,60 @@ def test_state_persists_across_engine_restart(spark, tmp_path):
     assert eng2.last_stats["cust_line_totals"].get("join_agg") == 1
     # net effect of insert-then-delete across the restart is zero
     assert _doc(sink2, "a") == (3, 35.0)
+
+
+# -- aggregate over a LEFT OUTER join (JoinAggViewSpec.how='left') --------
+
+
+def _loj_agg_view():
+    def recompute(spark):
+        j = spark.table("ja_orders").join(spark.table("ja_lines"), "order_id", "left")
+        agg = j.groupBy("cust").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.expr("CAST(qty AS DECIMAL(18,0))")).cast("double").alias("sum_qty"),
+        )
+        return agg.select(
+            F.col("cust").alias("id"),
+            F.struct("cust", "n_rows", "sum_qty").alias("doc"),
+        )
+
+    return ViewDef(
+        name="cust_line_totals_loj",
+        fn=recompute,
+        deps={"ja_orders", "ja_lines"},
+        joinagg=JoinAggViewSpec(
+            table_a="ja_orders",
+            table_b="ja_lines",
+            on=["order_id"],
+            row_schema_a=ORDERS_SCHEMA,
+            row_schema_b=LINES_SCHEMA,
+            keys=["cust"],
+            sums={"sum_qty": "CAST(qty AS DECIMAL(18,0))"},
+            how="left",
+        ),
+    )
+
+
+def test_loj_agg_counts_lineless_orders(spark, tmp_path):
+    sink = InMemorySink()
+    eng = SyncEngine(
+        spark, [_loj_agg_view()], sink, SnapshotStore(spark, str(tmp_path / "snap"))
+    )
+    # bob's order o2 has NO lines: LOJ semantics count it as one row
+    _facts(spark, [(1, "alice"), (2, "bob")], [(1, 5), (1, 3)])
+    eng.backfill()
+    assert sink.get("cust_line_totals_loj", "alice") == {"cust": "alice", "n_rows": 2, "sum_qty": 8.0}
+    assert sink.get("cust_line_totals_loj", "bob") == {"cust": "bob", "n_rows": 1, "sum_qty": None}
+    # first line for o2: the padded row's count is REPLACED, not added
+    _facts(spark, [(1, "alice"), (2, "bob")], [(1, 5), (1, 3), (2, 7)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "ja_lines", "INSERT", {"order_id": 2, "qty": 7}, None),
+    ]))
+    assert eng.last_stats["cust_line_totals_loj"].get("join_agg") == 1
+    assert sink.get("cust_line_totals_loj", "bob") == {"cust": "bob", "n_rows": 1, "sum_qty": 7.0}
+    # losing the last line re-pads: count stays 1, sum returns to NULL
+    _facts(spark, [(1, "alice"), (2, "bob")], [(1, 5), (1, 3)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "ja_lines", "DELETE", None, {"order_id": 2, "qty": 7}),
+    ]))
+    assert sink.get("cust_line_totals_loj", "bob") == {"cust": "bob", "n_rows": 1, "sum_qty": None}
