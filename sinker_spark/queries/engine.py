@@ -489,6 +489,58 @@ def ivm_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_loj_agg_customers",
+    oracle="""
+    WITH b AS (
+      SELECT o_custkey AS custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT c_custkey AS custkey, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(b.p), 2) AS DOUBLE) AS sum_price
+    FROM customer c LEFT JOIN b ON c.c_custkey = b.custkey
+    GROUP BY 1""",
+    doc=(
+        "aggregate over a LEFT OUTER join, incrementally maintained "
+        "(left_join_delta → join_delta_to_changes → apply_agg_delta): "
+        "the batch deletes every-3rd order, re-padding customers who "
+        "lose their last order — their count stays at the LOJ row "
+        "semantics and their SUM returns to NULL via the non-null input "
+        "counter (not the fold's additive-identity 0); oracle recomputes "
+        "the final LEFT JOIN aggregate from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join", "B14", "B15"),
+)
+def ivm_loj_agg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        _nn,
+        apply_agg_delta,
+        initial_agg_state,
+        join_delta_to_changes,
+        left_join_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    a_all = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    b_all = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    keys, sums = ["custkey"], {"sum_price_dec": "p"}
+    state = initial_agg_state(a_all.join(b_all, ["custkey"], "left"), keys, sums)
+    empty_a = a_all.limit(0).withColumn("__op", F.lit("insert"))
+    b_ch = b_all.where(F.col("okey") % 3 == 0).withColumn("__op", F.lit("delete"))
+    delta = left_join_delta(a_all, b_all, empty_a, b_ch, ["custkey"])
+    new_state = apply_agg_delta(state, join_delta_to_changes(delta), keys, sums)
+    return new_state.select(
+        "custkey",
+        F.col("__cnt").alias("n_rows"),
+        F.when(
+            F.col(_nn("sum_price_dec")) > 0, F.round(F.col("sum_price_dec"), 2)
+        ).cast("double").alias("sum_price"),
+    )
+
+
+@query(
     "ivm_full_join_orders",
     oracle="""
     WITH b AS (
