@@ -521,6 +521,68 @@ def changes_to_mult(changes: DataFrame, op_col: str = OP_COL) -> DataFrame:
     return net.where(F.col(_MULT) != 0)
 
 
+_VAL = "__val"
+
+
+def initial_distinct_state(fact: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Support-count state for EXACT per-key distinct-count maintenance:
+    one row per distinct ``(keys…, value)`` with its multiplicity
+    (``__cnt``). Unlike the HLL register lane (monotone, insert-only),
+    support counts make COUNT(DISTINCT x) fully self-maintainable under
+    deletes: a value leaves the distinct set exactly when its support
+    reaches 0 — the classic IVM duplicate-elimination technique (count
+    annotations on the pre-projection relation). State size is the
+    number of distinct (group, value) pairs — the same order as the
+    group-by's own shuffle keyspace, and it stays hash-partitioned by
+    (keys, value) in the snapshot store, so the per-batch merge is
+    co-partitioned and change-sized.
+
+    NULL values are kept as a (collapsed) support row so the derived
+    view can serve SQL semantics exactly: a group exists while ANY row
+    exists (``n_rows > 0``) but NULLs never count toward
+    ``n_distinct`` (see :func:`distinct_counts`)."""
+    return (
+        fact.select(*keys, F.col(value_col).alias(_VAL))
+        .groupBy(*keys, _VAL)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(_CNT))
+    )
+
+
+def apply_distinct_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Fold a CDC batch into support-count state; returns the new state.
+    Same contract as :func:`apply_agg_delta`: updates arrive as
+    delete(old)+insert(new), cost is one aggregation of the batch plus
+    one key-partitioned merge — never a fact scan. Support rows whose
+    count reaches 0 vanish (their value left the distinct set)."""
+    sign = F.when(F.col(op_col) == DELETE, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+    partial = (
+        changes.select(*keys, F.col(value_col).alias(_VAL), sign.alias("__sign"))
+        .groupBy(*keys, _VAL)
+        .agg(F.sum("__sign").cast("bigint").alias(_CNT))
+    )
+    merged = state.select(*keys, _VAL, _CNT).unionByName(partial)
+    out = merged.groupBy(*keys, _VAL).agg(F.sum(_CNT).cast("bigint").alias(_CNT))
+    return out.where(F.col(_CNT) > 0)
+
+
+def distinct_counts(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the served view from support-count state:
+    ``(keys…, n_rows, n_distinct)`` with SQL parity — ``n_rows`` is the
+    group's surviving row count (group existence), ``n_distinct`` counts
+    non-null values only (``COUNT(DISTINCT x)`` ignores NULLs, so a
+    group of all-NULL values serves ``n_distinct = 0``, not absence)."""
+    return state.groupBy(*keys).agg(
+        F.sum(_CNT).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col(_VAL).isNotNull(), F.lit(1))).cast("bigint").alias("n_distinct"),
+    )
+
+
 def join_delta_to_changes(delta: DataFrame, op_col: str = OP_COL) -> DataFrame:
     """Signed join-delta rows → plain change rows for the aggregate fold:
     a row with net multiplicity m becomes |m| copies tagged insert (m>0)

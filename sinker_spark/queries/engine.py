@@ -853,3 +853,101 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "ivm_exact_distinct_orders",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderpriority) AS n_distinct
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+    GROUP BY o_custkey""",
+    doc=(
+        "EXACT distinct-count maintenance via support counts "
+        "(ivm_delta.initial_distinct_state/apply_distinct_delta): one "
+        "state row per distinct (group, value) with its multiplicity — "
+        "the classic IVM duplicate-elimination annotation — so unlike "
+        "the monotone HLL register lane, deletes fold in O(batch): a "
+        "value leaves the distinct set exactly when its support hits 0. "
+        "Seeds state from a 6/7 subset, folds inserts of the held-out "
+        "sevenths plus deletes of the fifths, serves (n_rows, "
+        "n_distinct) per group; oracle recomputes the final set from "
+        "scratch. State is (group, value)-sized — the same order as the "
+        "group-by's own shuffle keyspace — and stays co-partitioned "
+        "with the merge"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-distinct"),
+)
+def ivm_exact_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        apply_distinct_delta,
+        distinct_counts,
+        initial_distinct_state,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    keys = ["o_custkey"]
+    init = initial_distinct_state(
+        o.where(F.col("o_orderkey") % 7 != 0), keys, "o_orderpriority"
+    )
+    batch = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    new_state = apply_distinct_delta(init, batch, keys, "o_orderpriority")
+    return distinct_counts(new_state, keys).select(
+        F.col("o_custkey").alias("custkey"), "n_rows", "n_distinct"
+    )
+
+
+@query(
+    "ivm_having_agg_orders",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0)
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+       AND CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) > 200000.0""",
+    doc=(
+        "HAVING-filtered delta-aggregate maintenance (AggViewSpec."
+        "having): the signed fold keeps state for EVERY group, the "
+        "served set is filtered by the predicate over the doc-visible "
+        "values, and boundary crossings emit upsert/retract — so a "
+        "group that dips below the threshold retracts its doc while "
+        "its state stays ready to cross back. The gate replays the "
+        "delta-agg scenario and serves only passing groups; the oracle "
+        "is the same recompute with SQL HAVING — both paths must agree "
+        "on the predicate evaluated over the rounded double rendering"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-having"),
+)
+def ivm_having_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_agg_delta, initial_agg_state
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].withColumn("p_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+    keys, sums = ["o_custkey"], {"sum_price_dec": "p_dec"}
+    init = initial_agg_state(o.where(F.col("o_orderkey") % 7 != 0), keys, sums)
+    batch = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    new_state = apply_agg_delta(init, batch, keys, sums)
+    doc_view = new_state.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("__cnt").alias("n_orders"),
+        F.round(F.col("sum_price_dec"), 2).cast("double").alias("sum_price"),
+    )
+    return doc_view.where("n_orders >= 2 AND sum_price > 200000.0")

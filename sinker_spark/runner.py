@@ -305,10 +305,15 @@ class SyncEngine:
             if v.joinagg is not None and (changed & v.deps) <= {v.joinagg.table_a, v.joinagg.table_b}:
                 if self._join_agg_refresh(v, cdc, epoch_id):
                     continue
-            # HLL distinct-count lane: INSERT-only batches MAX-merge into
-            # stored registers (monotone — deletes/updates fall back)
+            # distinct-count lanes: exact=True folds signed support
+            # counts (delete-maintainable, before-images required);
+            # exact=False MAX-merges HLL registers (monotone —
+            # deletes/updates fall back)
             if v.distinct is not None and (changed & v.deps) <= {v.distinct.table}:
-                if self._hll_distinct_refresh(v, cdc, epoch_id):
+                refresh = (
+                    self._exact_distinct_refresh if v.distinct.exact else self._hll_distinct_refresh
+                )
+                if refresh(v, cdc, epoch_id):
                     continue
             # Bloom membership lane: INSERT-only batches bit_or into the
             # stored word relation (monotone — deletes/updates fall back)
@@ -383,14 +388,23 @@ class SyncEngine:
         if has_before:
             batch = batch.unionByName(parsed("payload_before", ivm_delta.DELETE))
 
-        state_name = f"{view.name}__aggstate"
-        packed = self.store.read(state_name)
-        if packed is None:
+        state, stale = self._checked_state(
+            f"{view.name}__aggstate",
+            [
+                *spec.keys,
+                ivm_delta._CNT,
+                *spec.sums,
+                *[ivm_delta._nn(s) for s in spec.sums],
+                *spec.maxes,
+                *spec.mins,
+            ],
+        )
+        if stale:
+            return False
+        if state is None:
             state = ivm_delta.initial_agg_state(
                 self.spark.table(spec.table), spec.keys, spec.sums, spec.maxes, spec.mins
             )
-        else:
-            state = packed.select("doc.*")
         n_dirty = 0
         if spec.maxes or spec.mins:
             # hybrid fold: extremes are exact under inserts; a delete
@@ -417,8 +431,8 @@ class SyncEngine:
 
         group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
         touched = batch.select(*spec.keys).distinct()
-        sink_doc = F.struct(
-            *[F.col(k).alias(k) for k in spec.keys],
+        doc_view = new_state.select(
+            *spec.keys,
             F.col(ivm_delta._CNT).alias("n_rows"),
             # SQL parity: SUM over zero non-null inputs serves NULL, not
             # the fold's additive-identity 0 (outer-join re-pad case)
@@ -432,11 +446,19 @@ class SyncEngine:
             *[F.col(m).cast("double").alias(m) for m in spec.maxes],
             *[F.col(m).cast("double").alias(m) for m in spec.mins],
         )
-        upserts = new_state.join(touched, spec.keys, "left_semi").select(
-            group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        # HAVING: served set = passing groups only. Evaluated on the
+        # doc-visible values (post NULL-ification, post double cast) for
+        # parity with the recompute lane's SQL HAVING. Deletes below are
+        # touched − served, so a group crossing OUT of the predicate
+        # retracts its doc even though it stays in state.
+        served = doc_view.where(F.expr(spec.having)) if spec.having else doc_view
+        upserts = served.join(touched, spec.keys, "left_semi").select(
+            group_id.alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct(*[F.col(c) for c in doc_view.columns]).alias("doc"),
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(new_state, spec.keys, "left_anti").select(
+        deletes = touched.join(served, spec.keys, "left_anti").select(
             group_id.alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
@@ -625,6 +647,87 @@ class SyncEngine:
         self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "hll_distinct": 1}
         logger.info(
             "hll-distinct refreshed view %s (epoch %s): %s",
+            view.name, epoch_id, self.last_stats[view.name],
+        )
+        return True
+
+    def _exact_distinct_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Exact distinct-count lane (DistinctViewSpec(exact=True)):
+        fold the batch's row images into stored per-(group, value)
+        support counts (ivm_delta.apply_distinct_delta) and serve
+        ``(keys…, n_rows, n_distinct)`` for the touched groups —
+        O(batch) compute, never a fact scan, and unlike the HLL lane
+        fully delete-maintainable: a value leaves the distinct set
+        exactly when its support reaches 0, a group's doc retracts when
+        its last row does. The signed fold demands before-images on
+        DELETE/UPDATE and replay protection (the ``__dcstate`` entry in
+        the lane marker), same contract as the delta-agg lane; batches
+        violating it return False → authoritative fallback."""
+        spec = view.distinct
+        rows = cdc.where(F.col("table") == spec.table)
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), spec.row_schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        batch = parsed("payload", ivm_delta.INSERT)
+        if has_before:
+            batch = batch.unionByName(parsed("payload_before", ivm_delta.DELETE))
+
+        packed = self.store.read(f"{view.name}__dcstate")
+        if packed is None:
+            state = ivm_delta.initial_distinct_state(
+                self.spark.table(spec.table), spec.keys, spec.value_col
+            )
+        else:
+            state = packed.select("doc.*")
+        new_state = ivm_delta.apply_distinct_delta(
+            state, batch, spec.keys, spec.value_col
+        ).localCheckpoint(eager=True)  # pin before the store swap
+
+        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        touched = batch.select(*spec.keys).distinct()
+        served = ivm_delta.distinct_counts(new_state, spec.keys)
+        upserts = served.join(touched, spec.keys, "left_semi").select(
+            group_id.alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct(*[F.col(c) for c in served.columns]).alias("doc"),
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(served, spec.keys, "left_anti").select(
+            group_id.alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        self._write_dc_state(view, new_state)
+        self._write_lane_marker(view, batch_max_lsn)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "exact_distinct": 1,
+        }
+        logger.info(
+            "exact-distinct refreshed view %s (epoch %s): %s",
             view.name, epoch_id, self.last_stats[view.name],
         )
         return True
@@ -875,8 +978,8 @@ class SyncEngine:
 
         group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
         touched = delta.select(*spec.keys).distinct()
-        sink_doc = F.struct(
-            *[F.col(k).alias(k) for k in spec.keys],
+        doc_view = new_agg.select(
+            *spec.keys,
             F.col(ivm_delta._CNT).alias("n_rows"),
             # SQL parity: SUM over zero non-null inputs serves NULL
             *[
@@ -887,11 +990,16 @@ class SyncEngine:
                 for sm in spec.sums
             ],
         )
-        upserts = new_agg.join(touched, spec.keys, "left_semi").select(
-            group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        # HAVING semantics: see _delta_agg_refresh — served = passing
+        # groups; touched − served retracts boundary-crossing docs.
+        served = doc_view.where(F.expr(spec.having)) if spec.having else doc_view
+        upserts = served.join(touched, spec.keys, "left_semi").select(
+            group_id.alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct(*[F.col(c) for c in doc_view.columns]).alias("doc"),
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(new_agg, spec.keys, "left_anti").select(
+        deletes = touched.join(served, spec.keys, "left_anti").select(
             group_id.alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
@@ -966,6 +1074,10 @@ class SyncEngine:
                 f"{view.name}__ja_b_state",
                 f"{view.name}__ja_agg_state",
             ]
+        # the exact-distinct fold is signed (not idempotent) → guarded;
+        # the HLL lane's MAX-merge is idempotent and needs no marker
+        if view.distinct is not None and view.distinct.exact:
+            names.append(f"{view.name}__dcstate")
         return names
 
     def _read_lane_marker(self, view: ViewDef) -> tuple[int | None, dict[str, int]] | None:
@@ -1019,6 +1131,35 @@ class SyncEngine:
     def _schema_cols(self, ddl: str) -> list[str]:
         return self.spark.createDataFrame([], ddl).columns
 
+    def _checked_state(self, name: str, required: list[str]) -> tuple[DataFrame | None, bool]:
+        """Stored lane state unpacked → ``(state, stale)``. ``stale``
+        means the state exists but no longer carries the columns the
+        view's CURRENT lane spec requires — i.e. the spec was edited
+        (sum added, key renamed) since the state was written. The fold
+        must then DECLINE rather than crash mid-plan or re-derive state
+        from the live fact table (which, under the live-table contract,
+        already reflects the batch — re-deriving here would double-apply
+        it): the caller returns False and the authoritative fallback
+        rebuilds every lane state under the new spec from the post-batch
+        catalog. A spec edit that keeps the same column names (a changed
+        sum EXPRESSION) is not detectable from schema — that requires a
+        manual reset + re-backfill, as any semantic redefinition does
+        (reference parity: DROP + CREATE MATERIALIZED VIEW,
+        sinker.py:100-103)."""
+        packed = self.store.read(name)
+        if packed is None:
+            return None, False
+        state = packed.select("doc.*")
+        missing = set(required) - set(state.columns)
+        if missing:
+            logger.warning(
+                "view state %s lacks column(s) %s — lane spec changed since it "
+                "was written; declining to fold so the fallback rebuilds",
+                name, sorted(missing),
+            )
+            return None, True
+        return state, False
+
     def _write_agg_state(self, view: ViewDef, state: DataFrame) -> None:
         spec = view.agg
         group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
@@ -1068,6 +1209,19 @@ class SyncEngine:
                 ).alias(view.key),
                 F.struct(*spec.keys, "bucket", "r").alias("doc"),
             ),
+            key=view.key,
+        )
+
+    def _write_dc_state(self, view: ViewDef, state: DataFrame) -> None:
+        """Support-count state for the exact-distinct lane: row identity
+        is (keys…, value) — the count must NOT participate in the id or
+        a count change would strand the old row in the store."""
+        spec = view.distinct
+        ident = [F.col(k) for k in spec.keys] + [F.col(ivm_delta._VAL)]
+        rid = F.md5(F.to_json(F.struct(*ident)))
+        self.store.write(
+            f"{view.name}__dcstate",
+            state.select(rid.alias(view.key), F.struct(*state.columns).alias("doc")),
             key=view.key,
         )
 
@@ -1170,10 +1324,20 @@ class SyncEngine:
             )
         if view.distinct is not None:
             spec = view.distinct
-            self._write_hll_state(
-                view,
-                ivm_hll.initial_hll_state(self.spark.table(spec.table), spec.keys, spec.value_col),
-            )
+            if spec.exact:
+                self._write_dc_state(
+                    view,
+                    ivm_delta.initial_distinct_state(
+                        self.spark.table(spec.table), spec.keys, spec.value_col
+                    ),
+                )
+            else:
+                self._write_hll_state(
+                    view,
+                    ivm_hll.initial_hll_state(
+                        self.spark.table(spec.table), spec.keys, spec.value_col
+                    ),
+                )
         if view.membership is not None:
             spec = view.membership
             self._write_bloom_state(
@@ -1209,9 +1373,11 @@ class SyncEngine:
         if view.membership is not None:
             stored_keys(f"{view.name}__bloomstate")
         if view.distinct is not None:
-            packed = self.store.read(f"{view.name}__hllstate")
+            spec = view.distinct
+            packed = self.store.read(
+                f"{view.name}__dcstate" if spec.exact else f"{view.name}__hllstate"
+            )
             if packed is not None:
-                spec = view.distinct
                 frames.append(
                     packed.select("doc.*")
                     .select(

@@ -78,6 +78,14 @@ class AggViewSpec:
     - ``row_schema``: DDL schema for parsing CDC payload JSON into fact
       rows (only the columns ``keys``/``sums``/``maxes``/``mins``
       reference are needed)
+    - ``having``: optional SQL predicate over the EMITTED doc columns
+      (``keys…, n_rows, <sums>, <maxes>, <mins>`` — sums/extremes seen
+      as doubles, sums NULL when all inputs were). Only groups
+      satisfying it are served; the lane emits a DELETE when a touched
+      group crosses out of the predicate and an upsert when it crosses
+      in. State is kept for ALL groups (a failing group must be able to
+      cross back), so maintenance cost is unchanged. The view's sql/fn
+      (the recompute lane) must apply the same filter (SQL ``HAVING``).
 
     The emitted document is ``struct(keys…, n_rows, <sums as double>,
     <maxes as double>, <mins as double>)``; a view's sql/fn (the
@@ -90,6 +98,7 @@ class AggViewSpec:
     row_schema: str
     maxes: dict[str, str] = field(default_factory=dict)
     mins: dict[str, str] = field(default_factory=dict)
+    having: str | None = None
 
 
 @dataclass
@@ -102,20 +111,37 @@ class DistinctViewSpec:
     a counted value) falls back to the recompute lane, which rebuilds
     the registers from the fact table.
 
+    With ``exact=True`` the view maintains EXACT distinct counts via
+    support-count state instead (ivm_delta.initial_distinct_state /
+    apply_distinct_delta): one state row per distinct (group, value)
+    with its multiplicity. That makes deletes self-maintainable — a
+    value leaves the distinct set exactly when its support reaches 0 —
+    at the cost of state sized by the distinct (group, value) keyspace
+    (the HLL lane's registers stay O(groups·buckets)). The exact lane
+    requires before-images on deletes/updates (same contract as
+    :class:`AggViewSpec`) and is guarded against at-least-once replay
+    (the signed fold is not idempotent).
+
     - ``table``: fact table name
     - ``keys``: group-by columns; the doc id is their '|'-join
     - ``value_col``: the column whose distinct values are counted
     - ``row_schema``: DDL schema for parsing CDC payload JSON
+    - ``exact``: False → HLL register lane; True → support-count lane
 
-    The emitted document is ``struct(keys…, n_distinct_est double)`` —
-    the estimator is the cross-engine-verified math of the
-    ``hll_manual_distinct_customers`` gate query.
+    The emitted document is ``struct(keys…, n_distinct_est double)`` for
+    the HLL lane — the estimator is the cross-engine-verified math of
+    the ``hll_manual_distinct_customers`` gate query — and
+    ``struct(keys…, n_rows bigint, n_distinct bigint)`` for the exact
+    lane (SQL parity: a group lives while any row does; NULL values
+    never count toward ``n_distinct``). A view's sql/fn (the recompute
+    lane) must produce the matching shape.
     """
 
     table: str
     keys: list[str]
     value_col: str
     row_schema: str
+    exact: bool = False
 
 
 @dataclass
@@ -248,6 +274,11 @@ class JoinAggViewSpec:
       delete(padded row)+insert(joined row), so counts stay at LOJ
       row semantics and NULL padded sum-inputs contribute nothing.
 
+    ``having``: optional SQL predicate over the emitted doc columns,
+    exactly as in :class:`AggViewSpec` (boundary crossings emit
+    upsert/DELETE; state keeps all groups; the recompute sql/fn must
+    carry the same ``HAVING``).
+
     The emitted document is ``struct(keys…, n_rows, <sums as double>)``.
     """
 
@@ -259,6 +290,7 @@ class JoinAggViewSpec:
     keys: list[str]
     sums: dict[str, str]
     how: str = "inner"
+    having: str | None = None
 
     def __post_init__(self) -> None:
         if self.how not in ("inner", "left", "full"):

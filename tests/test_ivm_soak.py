@@ -1,6 +1,7 @@
 """Engine-wide randomized differential soak: one SyncEngine carrying
-all four algebraic delta lanes (keyed aggregate, buffered top-k,
-bilinear join, aggregate-over-join) folds a seeded random stream of
+the algebraic delta lanes (keyed aggregate, buffered top-k, bilinear
+inner/left join, aggregate-over-join, exact-distinct support counts,
+HAVING-filtered aggregate) folds a seeded random stream of
 mixed CDC batches, and after EVERY batch each view's sink contents are
 compared against a Python-side recompute from the mutated truth.
 
@@ -32,6 +33,7 @@ from sinker_spark.runner import SyncEngine
 from sinker_spark.sinks.memory import InMemorySink
 from sinker_spark.views import (
     AggViewSpec,
+    DistinctViewSpec,
     JoinAggViewSpec,
     JoinViewSpec,
     TopKViewSpec,
@@ -120,6 +122,36 @@ def _views():
             )
         )
 
+    def dc_fn(spark):
+        served = (
+            spark.table("soak_sales")
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col("amount")).cast("bigint").alias("n_distinct"),
+            )
+        )
+        return served.select(
+            F.col("region").alias("id"),
+            F.struct("region", "n_rows", "n_distinct").alias("doc"),
+        )
+
+    def having_fn(spark):
+        served = (
+            spark.table("soak_sales")
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("sum_dec"),
+            )
+            .select("region", "n_rows", F.col("sum_dec").cast("double").alias("sum_amt"))
+            .where("n_rows >= 4")
+        )
+        return served.select(
+            F.col("region").alias("id"),
+            F.struct("region", "n_rows", "sum_amt").alias("doc"),
+        )
+
     return [
         ViewDef(
             name="soak_agg",
@@ -187,6 +219,30 @@ def _views():
                 row_schema_b=DIMS_SCHEMA,
                 keys=["mgr"],
                 sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+            ),
+        ),
+        ViewDef(
+            name="soak_dc",
+            fn=dc_fn,
+            deps={"soak_sales"},
+            distinct=DistinctViewSpec(
+                table="soak_sales",
+                keys=["region"],
+                value_col="amount",
+                row_schema=SALES_SCHEMA,
+                exact=True,
+            ),
+        ),
+        ViewDef(
+            name="soak_having",
+            fn=having_fn,
+            deps={"soak_sales"},
+            agg=AggViewSpec(
+                table="soak_sales",
+                keys=["region"],
+                sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+                row_schema=SALES_SCHEMA,
+                having="n_rows >= 4",
             ),
         ),
     ]
@@ -267,6 +323,30 @@ def expected_joinagg(sales, dims):
     return {m: {"mgr": m, "n_rows": n, "sum_amt": round(s, 2)} for m, (n, s) in out.items()}
 
 
+def expected_dc(sales):
+    out = {}
+    for _, (region, amount) in sales.items():
+        e = out.setdefault(region, [0, set()])
+        e[0] += 1
+        e[1].add(amount)
+    return {
+        r: {"region": r, "n_rows": n, "n_distinct": len(vals)} for r, (n, vals) in out.items()
+    }
+
+
+def expected_having(sales, min_rows=4):
+    out = {}
+    for _, (region, amount) in sales.items():
+        e = out.setdefault(region, [0, 0.0])
+        e[0] += 1
+        e[1] += amount
+    return {
+        r: {"region": r, "n_rows": n, "sum_amt": round(s, 2)}
+        for r, (n, s) in out.items()
+        if n >= min_rows
+    }
+
+
 def _check(sink, index, expected, batch_no):
     got = dict(sink.indices.get(index, {}))
     assert set(got) == set(expected), (
@@ -288,6 +368,8 @@ def _check_all(sink, sales, dims, batch_no):
     _check(sink, "soak_join", expected_join(sales, dims), batch_no)
     _check(sink, "soak_loj", expected_loj(sales, dims), batch_no)
     _check(sink, "soak_joinagg", expected_joinagg(sales, dims), batch_no)
+    _check(sink, "soak_dc", expected_dc(sales), batch_no)
+    _check(sink, "soak_having", expected_having(sales), batch_no)
 
 
 # -- batch generator ------------------------------------------------------
@@ -421,7 +503,7 @@ def test_soak_all_lanes_match_recompute(spark, tmp_path):
     eng.backfill()
     _check_all(sink, sales, dims, batch_no=0)
 
-    saw_fallback = saw_fold = False
+    saw_fallback = saw_fold = saw_dc_fold = False
     for batch_no in range(1, N_BATCHES + 1):
         records, next_id, lsn = _gen_batch(
             rng, sales, dims, next_id, lsn, drop_image_once=batch_no in FALLBACK_BATCHES
@@ -436,6 +518,8 @@ def test_soak_all_lanes_match_recompute(spark, tmp_path):
             saw_fallback = True
         if "delta_agg" in stats:
             saw_fold = True
+        if "exact_distinct" in eng.last_stats.get("soak_dc", {}):
+            saw_dc_fold = True
         _check_all(sink, sales, dims, batch_no)
         if batch_no in REPLAY_BATCHES:
             # at-least-once redelivery: the signed folds must not
@@ -444,4 +528,4 @@ def test_soak_all_lanes_match_recompute(spark, tmp_path):
             _check_all(sink, sales, dims, f"{batch_no}-replay")
 
     # the soak must have exercised both regimes to prove anything
-    assert saw_fallback and saw_fold
+    assert saw_fallback and saw_fold and saw_dc_fold
