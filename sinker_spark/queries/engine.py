@@ -951,3 +951,53 @@ def ivm_having_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_price_dec"), 2).cast("double").alias("sum_price"),
     )
     return doc_view.where("n_orders >= 2 AND sum_price > 200000.0")
+
+
+@query(
+    "ivm_anti_join_customers",
+    oracle="""
+    SELECT c.c_custkey AS custkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 10 = 7)""",
+    doc=(
+        "incrementally maintained ANTI-JOIN (customers with NO "
+        "surviving orders) by composition: the LOJ-aggregate lane "
+        "tracks a matched-row indicator sum per customer, whose "
+        "non-null input counter hits 0 exactly when the last matching "
+        "order leaves (the LOJ re-pad) — so `NOT EXISTS` falls out of "
+        "machinery the engine already maintains in O(batch), no new "
+        "operator and no fact scan. The batch deletes nine of every "
+        "ten orders; "
+        "customers whose orders all vanish (plus the never-matched) "
+        "form the served set; oracle recomputes NOT EXISTS from "
+        "scratch. The same composition with `n_matched IS NOT NULL` "
+        "(or a count threshold via AggViewSpec.having) serves the "
+        "SEMI-join"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join", "anti-join"),
+)
+def ivm_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        _nn,
+        apply_agg_delta,
+        initial_agg_state,
+        join_delta_to_changes,
+        left_join_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    a_all = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    b_all = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    keys = ["custkey"]
+    sums = {"n_matched": "CAST(CASE WHEN okey IS NOT NULL THEN 1 END AS DECIMAL(10,0))"}
+    state = initial_agg_state(a_all.join(b_all, ["custkey"], "left"), keys, sums)
+    empty_a = a_all.limit(0).withColumn("__op", F.lit("insert"))
+    b_ch = b_all.where(F.col("okey") % 10 != 7).withColumn("__op", F.lit("delete"))
+    delta = left_join_delta(a_all, b_all, empty_a, b_ch, ["custkey"])
+    new_state = apply_agg_delta(state, join_delta_to_changes(delta), keys, sums)
+    return new_state.where(F.col(_nn("n_matched")) == 0).select("custkey")

@@ -517,24 +517,22 @@ class SyncEngine:
         if has_before:
             batch = batch.unionByName(parsed("payload_before", ivm_delta.DELETE))
 
-        rows_name = f"{view.name}__topkrows"
-        counts_name = f"{view.name}__topkcounts"
-        packed_rows = self.store.read(rows_name)
-        packed_counts = self.store.read(counts_name)
-        if packed_rows is None or packed_counts is None:
+        fact_cols = [c for c in batch.columns if c != ivm_delta.OP_COL]
+        rows_state, rows_stale = self._checked_state(f"{view.name}__topkrows", fact_cols)
+        counts_state, counts_stale = self._checked_state(
+            f"{view.name}__topkcounts", [*spec.keys, ivm_topk._N]
+        )
+        if rows_stale or counts_stale:
+            return False
+        if rows_state is None or counts_state is None:
             rows_state, counts_state = ivm_topk.initial_topk_state(
-                self.spark.table(spec.table).select(
-                    *[c for c in batch.columns if c != ivm_delta.OP_COL]
-                ),
+                self.spark.table(spec.table).select(*fact_cols),
                 spec.keys,
                 spec.order_col,
                 spec.id_col,
                 spec.k,
                 spec.buffer,
             )
-        else:
-            rows_state = packed_rows.select("doc.*")
-            counts_state = packed_counts.select("doc.*")
 
         new_rows, new_counts, dirty = ivm_topk.apply_topk_delta(
             rows_state, counts_state, batch, spec.keys, spec.order_col, spec.id_col,
@@ -615,14 +613,15 @@ class SyncEngine:
             .withColumn(ivm_delta.OP_COL, F.lit(ivm_delta.INSERT))
         )
 
-        state_name = f"{view.name}__hllstate"
-        packed = self.store.read(state_name)
-        if packed is None:
+        state, stale = self._checked_state(
+            f"{view.name}__hllstate", [*spec.keys, "bucket", "r"]
+        )
+        if stale:
+            return False
+        if state is None:
             state = ivm_hll.initial_hll_state(
                 self.spark.table(spec.table), spec.keys, spec.value_col
             )
-        else:
-            state = packed.select("doc.*")
         new_state = ivm_hll.apply_hll_delta(
             state, batch, spec.keys, spec.value_col
         ).localCheckpoint(eager=True)  # pin before the store swap
@@ -690,13 +689,15 @@ class SyncEngine:
         if has_before:
             batch = batch.unionByName(parsed("payload_before", ivm_delta.DELETE))
 
-        packed = self.store.read(f"{view.name}__dcstate")
-        if packed is None:
+        state, stale = self._checked_state(
+            f"{view.name}__dcstate", [*spec.keys, ivm_delta._VAL, ivm_delta._CNT]
+        )
+        if stale:
+            return False
+        if state is None:
             state = ivm_delta.initial_distinct_state(
                 self.spark.table(spec.table), spec.keys, spec.value_col
             )
-        else:
-            state = packed.select("doc.*")
         new_state = ivm_delta.apply_distinct_delta(
             state, batch, spec.keys, spec.value_col
         ).localCheckpoint(eager=True)  # pin before the store swap
@@ -836,13 +837,22 @@ class SyncEngine:
         a_ch = batch_for(spec.table_a, spec.row_schema_a)
         b_ch = batch_for(spec.table_b, spec.row_schema_b)
 
-        def read_state(suffix: str) -> DataFrame | None:
-            packed = self.store.read(f"{view.name}__{suffix}")
-            return None if packed is None else packed.select("doc.*")
-
-        a_state = read_state("a_state")
-        b_state = read_state("b_state")
-        j_state = read_state("join_state")
+        a_cols = self._schema_cols(spec.row_schema_a)
+        b_cols = self._schema_cols(spec.row_schema_b)
+        j_cols = list(dict.fromkeys([*spec.on, *a_cols, *b_cols]))
+        if spec.how in ("left", "full"):
+            j_cols.append(ivm_delta._MATCHED)
+        a_state, a_stale = self._checked_state(
+            f"{view.name}__a_state", [*a_cols, ivm_delta._MULT]
+        )
+        b_state, b_stale = self._checked_state(
+            f"{view.name}__b_state", [*b_cols, ivm_delta._MULT]
+        )
+        j_state, j_stale = self._checked_state(
+            f"{view.name}__join_state", [*j_cols, ivm_delta._MULT]
+        )
+        if a_stale or b_stale or j_stale:
+            return False
         if a_state is None or b_state is None or j_state is None:
             a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
             a_state = ivm_delta.relation_state(a_tab)
@@ -944,13 +954,25 @@ class SyncEngine:
         a_ch = batch_for(spec.table_a, spec.row_schema_a)
         b_ch = batch_for(spec.table_b, spec.row_schema_b)
 
-        def read_state(suffix: str) -> DataFrame | None:
-            packed = self.store.read(f"{view.name}__{suffix}")
-            return None if packed is None else packed.select("doc.*")
-
-        a_state = read_state("ja_a_state")
-        b_state = read_state("ja_b_state")
-        agg_state = read_state("ja_agg_state")
+        a_state, a_stale = self._checked_state(
+            f"{view.name}__ja_a_state",
+            [*self._schema_cols(spec.row_schema_a), ivm_delta._MULT],
+        )
+        b_state, b_stale = self._checked_state(
+            f"{view.name}__ja_b_state",
+            [*self._schema_cols(spec.row_schema_b), ivm_delta._MULT],
+        )
+        agg_state, agg_stale = self._checked_state(
+            f"{view.name}__ja_agg_state",
+            [
+                *spec.keys,
+                ivm_delta._CNT,
+                *spec.sums,
+                *[ivm_delta._nn(s) for s in spec.sums],
+            ],
+        )
+        if a_stale or b_stale or agg_stale:
+            return False
         if a_state is None or b_state is None or agg_state is None:
             a_tab, b_tab = self.spark.table(spec.table_a), self.spark.table(spec.table_b)
             a_state = ivm_delta.relation_state(a_tab)
@@ -1378,10 +1400,17 @@ class SyncEngine:
                 f"{view.name}__dcstate" if spec.exact else f"{view.name}__hllstate"
             )
             if packed is not None:
+                # doc ids were built from the keys of the spec IN FORCE
+                # when the state was written; after a spec edit those are
+                # the state's own non-reserved columns, not spec.keys
+                state = packed.select("doc.*")
+                reserved = (
+                    {ivm_delta._VAL, ivm_delta._CNT} if spec.exact else {"bucket", "r"}
+                )
+                old_keys = [c for c in state.columns if c not in reserved]
                 frames.append(
-                    packed.select("doc.*")
-                    .select(
-                        F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys]).alias(view.key)
+                    state.select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in old_keys]).alias(view.key)
                     )
                     .distinct()
                 )
@@ -1389,10 +1418,15 @@ class SyncEngine:
             packed = self.store.read(f"{view.name}__join_state")
             if packed is not None:
                 spec = view.join
+                state = packed.select("doc.*")
+                # after a spec edit the state may predate new key_cols:
+                # use the surviving subset (exact whenever key_cols are
+                # unchanged; a key_cols EDIT needs a manual reset, as the
+                # _checked_state contract documents)
+                cols = [k for k in spec.key_cols if k in state.columns]
                 frames.append(
-                    packed.select("doc.*")
-                    .select(
-                        F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols]).alias(view.key)
+                    state.select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
                     )
                     .distinct()
                 )
