@@ -1001,3 +1001,68 @@ def ivm_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = left_join_delta(a_all, b_all, empty_a, b_ch, ["custkey"])
     new_state = apply_agg_delta(state, join_delta_to_changes(delta), keys, sums)
     return new_state.where(F.col(_nn("n_matched")) == 0).select("custkey")
+
+
+@query(
+    "ivm_join_chain_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS custkey FROM orders
+      WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0)),
+    c AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nkey FROM customer),
+    n AS (
+      SELECT n_nationkey AS nkey, n_name AS nname FROM nation
+      WHERE n_nationkey % 7 <> 0)
+    SELECT o.okey, o.custkey, c.nkey, n.nname, COUNT(*) AS mult
+    FROM o JOIN c USING (custkey) JOIN n USING (nkey)
+    GROUP BY 1, 2, 3, 4""",
+    doc=(
+        "N-WAY join-chain maintenance (JoinChainViewSpec cascade): "
+        "orders⋈customer⋈nation refreshed by feeding stage 1's signed "
+        "delta (expanded to change rows) into stage 2's bilinear rule "
+        "against the stored prefix state — one batch mutates BOTH ends "
+        "of the chain (order inserts+deletes AND nation deletes) and "
+        "the cascade nets them in O(|Δ|·fan-out) with no 3-way product "
+        "recomputed; oracle rebuilds the final chain from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join", "ivm-chain"),
+)
+def ivm_join_chain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        apply_join_state,
+        join_delta,
+        join_delta_to_changes,
+        relation_state,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o_all = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("custkey")
+    )
+    o_old = o_all.where(F.col("okey") % 3 != 0)
+    c_all = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nkey")
+    )
+    n_all = t["nation"].select(
+        F.col("n_nationkey").alias("nkey"), F.col("n_name").alias("nname")
+    )
+    r0, r1, r2 = relation_state(o_old), relation_state(c_all), relation_state(n_all)
+    j2 = relation_state(o_old.join(c_all, ["custkey"]))
+    j3 = relation_state(o_old.join(c_all, ["custkey"]).join(n_all, ["nkey"]))
+
+    o_ch = (
+        o_all.where(F.col("okey") % 3 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o_all.where((F.col("okey") % 5 == 0) & (F.col("okey") % 3 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    c_ch = c_all.limit(0).withColumn("__op", F.lit("insert"))
+    n_ch = n_all.where(F.col("nkey") % 7 == 0).withColumn("__op", F.lit("delete"))
+
+    d2 = join_delta(r0, r1, o_ch, c_ch, ["custkey"])
+    d3 = join_delta(j2, r2, join_delta_to_changes(d2), n_ch, ["nkey"])
+    final = apply_join_state(j3, d3)
+    return final.select("okey", "custkey", "nkey", "nname", F.col("__mult").alias("mult"))

@@ -305,6 +305,11 @@ class SyncEngine:
             if v.joinagg is not None and (changed & v.deps) <= {v.joinagg.table_a, v.joinagg.table_b}:
                 if self._join_agg_refresh(v, cdc, epoch_id):
                     continue
+            # n-way join chain: the bilinear rule cascaded through
+            # stored intermediate join states
+            if v.joinchain is not None and (changed & v.deps) <= set(v.joinchain.tables):
+                if self._join_chain_refresh(v, cdc, epoch_id):
+                    continue
             # distinct-count lanes: exact=True folds signed support
             # counts (delete-maintainable, before-images required);
             # exact=False MAX-merges HLL registers (monotone —
@@ -913,6 +918,155 @@ class SyncEngine:
                     self.last_stats[view.name])
         return True
 
+    def _chain_prefix_cols(self, spec, upto: int) -> list[str]:
+        """Column set of the chain prefix J_{upto} = tables[0]⋈…⋈
+        tables[upto-1] (order-preserving dedup of the schemas' columns;
+        join keys appear once)."""
+        cols: list[str] = []
+        for i in range(upto):
+            for c in self._schema_cols(spec.row_schemas[i]):
+                if c not in cols:
+                    cols.append(c)
+        return cols
+
+    def _join_chain_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """N-way join-chain lane (JoinChainViewSpec): cascade the
+        bilinear rule — stage i's signed delta, expanded back into
+        change rows, is the left-side change feed of stage i+1 against
+        the stored prefix state J_i and base relation R_{i+1} — so an
+        arbitrary-arity inner join refreshes in O(|Δ|·total fan-out)
+        with no join product recomputed at any stage. Same before-image
+        contract, replay guard and snapshot-point initialization as the
+        2-table delta-join lane; returns False → authoritative fallback
+        on violations."""
+        spec = view.joinchain
+        n = len(spec.tables)
+        rows = cdc.where(F.col("table").isin(*spec.tables))
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(table: str, schema: str, col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col("table") == table)
+                .where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        def batch_for(table: str, schema: str) -> DataFrame:
+            b = parsed(table, schema, "payload", ivm_delta.INSERT)
+            if has_before:
+                b = b.unionByName(parsed(table, schema, "payload_before", ivm_delta.DELETE))
+            return b
+
+        chs = [batch_for(spec.tables[i], spec.row_schemas[i]) for i in range(n)]
+
+        r_states: list[DataFrame | None] = []
+        j_states: list[DataFrame | None] = []  # index k ↔ prefix J_{k+2}
+        any_stale = any_missing = False
+        for i in range(n):
+            st, stale = self._checked_state(
+                f"{view.name}__jc_r{i}",
+                [*self._schema_cols(spec.row_schemas[i]), ivm_delta._MULT],
+            )
+            any_stale |= stale
+            any_missing |= st is None
+            r_states.append(st)
+        for k in range(n - 1):
+            st, stale = self._checked_state(
+                f"{view.name}__jc_j{k + 2}",
+                [*self._chain_prefix_cols(spec, k + 2), ivm_delta._MULT],
+            )
+            any_stale |= stale
+            any_missing |= st is None
+            j_states.append(st)
+        if any_stale:
+            return False
+        if any_missing:
+            r_states, j_states = self._initial_chain_states(spec)
+
+        # cascade: ΔJ2 from the first pair, then each stage's delta feeds
+        # the next as op-tagged change rows against the stored prefix
+        delta = ivm_delta.join_delta(
+            r_states[0], r_states[1], chs[0], chs[1], spec.ons[0]
+        ).localCheckpoint(eager=True)
+        new_js = [ivm_delta.apply_join_state(j_states[0], delta)]
+        for k in range(2, n):
+            delta = ivm_delta.join_delta(
+                j_states[k - 2],
+                r_states[k],
+                ivm_delta.join_delta_to_changes(delta),
+                chs[k],
+                spec.ons[k - 1],
+            ).localCheckpoint(eager=True)
+            new_js.append(ivm_delta.apply_join_state(j_states[k - 1], delta))
+        new_js = [j.localCheckpoint(eager=True) for j in new_js]
+        new_rs = [
+            ivm_delta.apply_join_state(
+                r_states[i], ivm_delta.changes_to_mult(chs[i])
+            ).localCheckpoint(eager=True)
+            for i in range(n)
+        ]
+
+        final = new_js[-1]
+        key_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols])
+        touched_ids = delta.select(key_id.alias("__doc_id")).distinct()
+        jd = final.withColumn("__doc_id", key_id)
+        data_cols = [c for c in final.columns if c != ivm_delta._MULT]
+        sink_doc = F.struct(
+            *[F.col(c) for c in data_cols], F.col(ivm_delta._MULT).alias("n_rows")
+        )
+        upserts = jd.join(touched_ids, "__doc_id", "left_semi").select(
+            F.col("__doc_id").alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched_ids.join(jd, "__doc_id", "left_anti").select(
+            F.col("__doc_id").alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        self._write_chain_states(view, new_rs, new_js)
+        self._write_lane_marker(view, batch_max_lsn)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "join_chain": 1,
+        }
+        logger.info("join-chain refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
+
+    def _initial_chain_states(self, spec) -> tuple[list[DataFrame], list[DataFrame]]:
+        """Derive every chain state from the CURRENT catalog tables:
+        base relations as multiplicity states, one prefix join state per
+        arity (the running raw join, multiplicity-compressed)."""
+        tabs = [
+            self.spark.table(spec.tables[i]).select(*self._schema_cols(spec.row_schemas[i]))
+            for i in range(len(spec.tables))
+        ]
+        r_states = [ivm_delta.relation_state(t) for t in tabs]
+        j_states = []
+        running = tabs[0]
+        for k in range(1, len(tabs)):
+            running = running.join(tabs[k], spec.ons[k - 1])
+            j_states.append(ivm_delta.relation_state(running))
+        return r_states, j_states
+
     def _join_agg_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
         """Composed maintenance lane for γ_keys(A ⋈ B) views: the
         bilinear join delta (signed multiplicities) expands into change
@@ -1058,7 +1212,7 @@ class SyncEngine:
     # dispatcher routes lane views through instead of the generic
     # recompute lanes.
 
-    _LANE_FIELDS = ("agg", "join", "joinagg", "distinct", "membership", "topk")
+    _LANE_FIELDS = ("agg", "join", "joinagg", "joinchain", "distinct", "membership", "topk")
 
     def _has_lane(self, view: ViewDef) -> bool:
         return any(getattr(view, f) is not None for f in self._LANE_FIELDS)
@@ -1096,6 +1250,10 @@ class SyncEngine:
                 f"{view.name}__ja_b_state",
                 f"{view.name}__ja_agg_state",
             ]
+        if view.joinchain is not None:
+            nt = len(view.joinchain.tables)
+            names += [f"{view.name}__jc_r{i}" for i in range(nt)]
+            names += [f"{view.name}__jc_j{k}" for k in range(2, nt + 1)]
         # the exact-distinct fold is signed (not idempotent) → guarded;
         # the HLL lane's MAX-merge is idempotent and needs no marker
         if view.distinct is not None and view.distinct.exact:
@@ -1271,6 +1429,14 @@ class SyncEngine:
         self._write_mult_state(view, f"{view.name}__b_state", b)
         self._write_mult_state(view, f"{view.name}__join_state", j)
 
+    def _write_chain_states(
+        self, view: ViewDef, r_states: list[DataFrame], j_states: list[DataFrame]
+    ) -> None:
+        for i, r in enumerate(r_states):
+            self._write_mult_state(view, f"{view.name}__jc_r{i}", r)
+        for k, j in enumerate(j_states):
+            self._write_mult_state(view, f"{view.name}__jc_j{k + 2}", j)
+
     def _write_joinagg_states(self, view: ViewDef, a: DataFrame, b: DataFrame, agg: DataFrame) -> None:
         spec = view.joinagg
         self._write_mult_state(view, f"{view.name}__ja_a_state", a)
@@ -1344,6 +1510,9 @@ class SyncEngine:
                     a.join(b, spec.on, spec.how), spec.keys, spec.sums
                 ),
             )
+        if view.joinchain is not None:
+            r_states, j_states = self._initial_chain_states(view.joinchain)
+            self._write_chain_states(view, r_states, j_states)
         if view.distinct is not None:
             spec = view.distinct
             if spec.exact:
@@ -1411,6 +1580,18 @@ class SyncEngine:
                 frames.append(
                     state.select(
                         F.concat_ws("|", *[F.col(k).cast("string") for k in old_keys]).alias(view.key)
+                    )
+                    .distinct()
+                )
+        if view.joinchain is not None:
+            spec = view.joinchain
+            packed = self.store.read(f"{view.name}__jc_j{len(spec.tables)}")
+            if packed is not None:
+                state = packed.select("doc.*")
+                cols = [k for k in spec.key_cols if k in state.columns]
+                frames.append(
+                    state.select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
                     )
                     .distinct()
                 )

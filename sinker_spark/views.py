@@ -250,6 +250,54 @@ class JoinViewSpec:
 
 
 @dataclass
+class JoinChainViewSpec:
+    """Declares a view as an N-WAY INNER equi-join chain
+    T1 ⋈ T2 ⋈ … ⋈ Tn, maintained by CASCADING the bilinear rule through
+    stored intermediate join states: the lane keeps J_i = T1⋈…⋈T_i as
+    multiplicity state for every prefix, and each stage's signed delta
+    (expanded back into change rows) becomes the left-side change feed
+    of the next stage:
+
+        ΔJ_{i+1} = ΔJ_i ⋈ T_{i+1}  ⊎  J_i ⋈ ΔT_{i+1}  ⊎  ΔJ_i ⋈ ΔT_{i+1}
+
+    so a batch refreshes an arbitrary-arity join in
+    O(|Δ| · total fan-out) — no join product is ever recomputed at any
+    stage. This is the n-way generalization of :class:`JoinViewSpec`
+    (which stays the 2-table fast path and the one with outer-join
+    support; chains are inner-join only). Same before-image contract
+    as :class:`AggViewSpec`.
+
+    - ``tables``: n ≥ 2 base table names, joined left-to-right
+    - ``ons``: n−1 join-key lists; ``ons[i]`` joins the running chain
+      with ``tables[i+1]`` (same key names on both sides)
+    - ``row_schemas``: one DDL schema per table for CDC payload parsing;
+      column names must be DISJOINT across tables except the join keys
+    - ``key_cols``: final-row columns whose '|'-join forms the doc id
+      (unique per joined row — e.g. every table's PK)
+
+    The emitted document is ``struct(<final join row>, n_rows bigint)``
+    with ``n_rows`` the row's join multiplicity, exactly as
+    :class:`JoinViewSpec` emits.
+    """
+
+    tables: list[str]
+    ons: list[list[str]]
+    row_schemas: list[str]
+    key_cols: list[str]
+
+    def __post_init__(self) -> None:
+        if len(self.tables) < 2:
+            raise ValueError("JoinChainViewSpec needs at least 2 tables")
+        if len(self.ons) != len(self.tables) - 1:
+            raise ValueError(
+                f"JoinChainViewSpec needs len(tables)-1 join-key lists, got "
+                f"{len(self.ons)} for {len(self.tables)} tables"
+            )
+        if len(self.row_schemas) != len(self.tables):
+            raise ValueError("JoinChainViewSpec needs one row_schema per table")
+
+
+@dataclass
 class JoinAggViewSpec:
     """Declares a view as a KEYED AGGREGATE OVER A TWO-TABLE EQUI-JOIN —
     γ_keys(A ⋈ B) with count/sum aggregates — the composed lane: the
@@ -314,6 +362,7 @@ class ViewDef:
     membership: "MembershipViewSpec | None" = None
     topk: "TopKViewSpec | None" = None
     joinagg: "JoinAggViewSpec | None" = None
+    joinchain: "JoinChainViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables

@@ -1,7 +1,8 @@
 """Engine-wide randomized differential soak: one SyncEngine carrying
 the algebraic delta lanes (keyed aggregate, buffered top-k, bilinear
-inner/left join, aggregate-over-join, exact-distinct support counts,
-HAVING-filtered aggregate) folds a seeded random stream of
+inner/left join, aggregate-over-join, 3-table join chain,
+exact-distinct support counts, HAVING-filtered aggregate) folds a
+seeded random stream of
 mixed CDC batches, and after EVERY batch each view's sink contents are
 compared against a Python-side recompute from the mutated truth.
 
@@ -35,6 +36,7 @@ from sinker_spark.views import (
     AggViewSpec,
     DistinctViewSpec,
     JoinAggViewSpec,
+    JoinChainViewSpec,
     JoinViewSpec,
     TopKViewSpec,
     ViewDef,
@@ -42,6 +44,7 @@ from sinker_spark.views import (
 
 SALES_SCHEMA = "id string, region string, amount double"
 DIMS_SCHEMA = "region string, mgr string"
+ORG_SCHEMA = "mgr string, dept string"
 CDC_COLS = (
     "lsn bigint, schema string, table string, op string, id string, "
     "payload string, payload_before string"
@@ -134,6 +137,20 @@ def _views():
         return served.select(
             F.col("region").alias("id"),
             F.struct("region", "n_rows", "n_distinct").alias("doc"),
+        )
+
+    def chain_fn(spark):
+        j = (
+            spark.table("soak_sales")
+            .join(spark.table("soak_dims"), "region")
+            .join(spark.table("soak_org"), "mgr")
+        )
+        g = j.groupBy("region", "id", "amount", "mgr", "dept").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+        return g.select(
+            F.col("id").alias("k"),
+            F.struct("region", "id", "amount", "mgr", "dept", "n_rows").alias("doc"),
         )
 
     def having_fn(spark):
@@ -234,6 +251,17 @@ def _views():
             ),
         ),
         ViewDef(
+            name="soak_chain",
+            fn=chain_fn,
+            deps={"soak_sales", "soak_dims", "soak_org"},
+            joinchain=JoinChainViewSpec(
+                tables=["soak_sales", "soak_dims", "soak_org"],
+                ons=[["region"], ["mgr"]],
+                row_schemas=[SALES_SCHEMA, DIMS_SCHEMA, ORG_SCHEMA],
+                key_cols=["id"],
+            ),
+        ),
+        ViewDef(
             name="soak_having",
             fn=having_fn,
             deps={"soak_sales"},
@@ -251,13 +279,16 @@ def _views():
 # -- truth model ----------------------------------------------------------
 
 
-def _register_truth(spark, sales, dims):
+def _register_truth(spark, sales, dims, org):
     spark.createDataFrame(
         [(sid, r, a) for sid, (r, a) in sorted(sales.items())] or [], SALES_SCHEMA
     ).createOrReplaceTempView("soak_sales")
     spark.createDataFrame(
         [(r, m) for r, m in sorted(dims.items())] or [], DIMS_SCHEMA
     ).createOrReplaceTempView("soak_dims")
+    spark.createDataFrame(
+        [(m, d) for m, d in sorted(org.items())] or [], ORG_SCHEMA
+    ).createOrReplaceTempView("soak_org")
 
 
 def expected_agg(sales):
@@ -323,6 +354,21 @@ def expected_joinagg(sales, dims):
     return {m: {"mgr": m, "n_rows": n, "sum_amt": round(s, 2)} for m, (n, s) in out.items()}
 
 
+def expected_chain(sales, dims, org):
+    return {
+        sid: {
+            "region": region,
+            "id": sid,
+            "amount": amount,
+            "mgr": dims[region],
+            "dept": org[dims[region]],
+            "n_rows": 1,
+        }
+        for sid, (region, amount) in sales.items()
+        if region in dims and dims[region] in org
+    }
+
+
 def expected_dc(sales):
     out = {}
     for _, (region, amount) in sales.items():
@@ -362,12 +408,13 @@ def _check(sink, index, expected, batch_no):
                 assert have[field] == val, (batch_no, index, key, field, have, want)
 
 
-def _check_all(sink, sales, dims, batch_no):
+def _check_all(sink, sales, dims, org, batch_no):
     _check(sink, "soak_agg", expected_agg(sales), batch_no)
     _check(sink, "soak_topk", expected_topk(sales), batch_no)
     _check(sink, "soak_join", expected_join(sales, dims), batch_no)
     _check(sink, "soak_loj", expected_loj(sales, dims), batch_no)
     _check(sink, "soak_joinagg", expected_joinagg(sales, dims), batch_no)
+    _check(sink, "soak_chain", expected_chain(sales, dims, org), batch_no)
     _check(sink, "soak_dc", expected_dc(sales), batch_no)
     _check(sink, "soak_having", expected_having(sales), batch_no)
 
@@ -375,8 +422,8 @@ def _check_all(sink, sales, dims, batch_no):
 # -- batch generator ------------------------------------------------------
 
 
-def _gen_batch(rng, sales, dims, next_id, lsn, drop_image_once):
-    """Mutates sales/dims in place (the working truth), returns
+def _gen_batch(rng, sales, dims, org, next_id, lsn, drop_image_once):
+    """Mutates sales/dims/org in place (the working truth), returns
     (cdc_rows, next_id, lsn). ``drop_image_once``: strip the before-image
     from one delete in this batch, forcing the lane-fallback repair."""
     records = []  # (lsn, table, op, after, before)
@@ -445,6 +492,24 @@ def _gen_batch(rng, sales, dims, next_id, lsn, drop_image_once):
             ))
             dims[r] = new_m
             lsn += 1
+        elif roll < 0.975 and org:  # org mutate (chain stage-2 ΔC)
+            m = rng.choice(sorted(org))
+            if rng.random() < 0.6:  # dept re-assign
+                old_d, new_d = org[m], f"d{rng.randint(1, 3)}"
+                records.append((
+                    lsn, "soak_org", "UPDATE",
+                    {"mgr": m, "dept": new_d}, {"mgr": m, "dept": old_d},
+                ))
+                org[m] = new_d
+            elif len(org) > 1:  # org delete: breaks every chain path via m
+                records.append((lsn, "soak_org", "DELETE", None, {"mgr": m, "dept": org[m]}))
+                del org[m]
+            else:  # re-insert a missing mgr
+                nm = next((x for x in ("m1", "m2", "m3") if x not in org), None)
+                if nm is not None:
+                    org[nm] = f"d{rng.randint(1, 3)}"
+                    records.append((lsn, "soak_org", "INSERT", {"mgr": nm, "dept": org[nm]}, None))
+            lsn += 1
         else:  # dims delete / re-insert
             missing = [r for r in REGIONS if r not in dims]
             if missing and rng.random() < 0.7:
@@ -495,22 +560,24 @@ def test_soak_all_lanes_match_recompute(spark, tmp_path):
         for i in range(12)
     }
     dims = {"eu": "m1", "us": "m1", "ap": "m2", "af": "m2"}
+    org = {"m1": "d1", "m2": "d2", "m3": "d1"}
     next_id, lsn = 12, 1
 
-    _register_truth(spark, sales, dims)
+    _register_truth(spark, sales, dims, org)
     sink = InMemorySink()
     eng = SyncEngine(spark, _views(), sink, SnapshotStore(spark, str(tmp_path / "snap")))
     eng.backfill()
-    _check_all(sink, sales, dims, batch_no=0)
+    _check_all(sink, sales, dims, org, batch_no=0)
 
-    saw_fallback = saw_fold = saw_dc_fold = False
+    saw_fallback = saw_fold = saw_dc_fold = saw_chain_fold = False
     for batch_no in range(1, N_BATCHES + 1):
         records, next_id, lsn = _gen_batch(
-            rng, sales, dims, next_id, lsn, drop_image_once=batch_no in FALLBACK_BATCHES
+            rng, sales, dims, org, next_id, lsn,
+            drop_image_once=batch_no in FALLBACK_BATCHES,
         )
         # live-table contract: the catalog reflects the batch before the
         # engine processes it (a real CDC feed lags the table)
-        _register_truth(spark, sales, dims)
+        _register_truth(spark, sales, dims, org)
         batch_df = _cdc_df(spark, records)
         eng.process_cdc_batch(batch_df, epoch_id=batch_no)
         stats = eng.last_stats.get("soak_agg", {})
@@ -520,12 +587,14 @@ def test_soak_all_lanes_match_recompute(spark, tmp_path):
             saw_fold = True
         if "exact_distinct" in eng.last_stats.get("soak_dc", {}):
             saw_dc_fold = True
-        _check_all(sink, sales, dims, batch_no)
+        if "join_chain" in eng.last_stats.get("soak_chain", {}):
+            saw_chain_fold = True
+        _check_all(sink, sales, dims, org, batch_no)
         if batch_no in REPLAY_BATCHES:
             # at-least-once redelivery: the signed folds must not
             # double-apply (replay guard suppresses folded rows)
             eng.process_cdc_batch(batch_df, epoch_id=batch_no)
-            _check_all(sink, sales, dims, f"{batch_no}-replay")
+            _check_all(sink, sales, dims, org, f"{batch_no}-replay")
 
     # the soak must have exercised both regimes to prove anything
-    assert saw_fallback and saw_fold and saw_dc_fold
+    assert saw_fallback and saw_fold and saw_dc_fold and saw_chain_fold
