@@ -1066,3 +1066,81 @@ def ivm_join_chain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     d3 = join_delta(j2, r2, join_delta_to_changes(d2), n_ch, ["nkey"])
     final = apply_join_state(j3, d3)
     return final.select("okey", "custkey", "nkey", "nname", F.col("__mult").alias("mult"))
+
+
+@query(
+    "ivm_chain_agg_revenue",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS custkey, o_totalprice AS price
+      FROM orders WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0)),
+    c AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nkey FROM customer),
+    n AS (
+      SELECT n_nationkey AS nkey, n_name AS nname FROM nation
+      WHERE n_nationkey % 7 <> 0)
+    SELECT n.nname, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM o JOIN c USING (custkey) JOIN n USING (nkey)
+    GROUP BY n.nname""",
+    doc=(
+        "aggregate OVER an N-way join chain, Δ(γ(T1⋈T2⋈T3)) "
+        "(JoinChainViewSpec aggregate mode): per-nation order counts "
+        "and revenue over orders⋈customer⋈nation — the chain cascade's "
+        "final signed delta pipes into the linear aggregate fold "
+        "(apply_agg_delta), so the denormalized-rollup view class "
+        "refreshes in O(|Δ|·fan-out) with neither the 3-way join nor "
+        "the aggregate ever recomputed. One batch mutates BOTH chain "
+        "ends (order inserts+deletes AND nation deletes — group "
+        "retractions); oracle rebuilds the rollup from scratch"
+    ),
+    tags=("A11", "ivm", "ivm-delta", "ivm-join", "ivm-chain", "composition"),
+)
+def ivm_chain_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import (
+        apply_agg_delta,
+        initial_agg_state,
+        join_delta,
+        join_delta_to_changes,
+        relation_state,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o_all = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    o_old = o_all.where(F.col("okey") % 3 != 0)
+    c_all = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nkey")
+    )
+    n_all = t["nation"].select(
+        F.col("n_nationkey").alias("nkey"), F.col("n_name").alias("nname")
+    )
+    keys, sums = ["nname"], {"sum_price_dec": "CAST(price AS DECIMAL(18,2))"}
+    r0, r1, r2 = relation_state(o_old), relation_state(c_all), relation_state(n_all)
+    j2 = relation_state(o_old.join(c_all, ["custkey"]))
+    agg = initial_agg_state(
+        o_old.join(c_all, ["custkey"]).join(n_all, ["nkey"]), keys, sums
+    )
+
+    o_ch = (
+        o_all.where(F.col("okey") % 3 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o_all.where((F.col("okey") % 5 == 0) & (F.col("okey") % 3 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    c_ch = c_all.limit(0).withColumn("__op", F.lit("insert"))
+    n_ch = n_all.where(F.col("nkey") % 7 == 0).withColumn("__op", F.lit("delete"))
+
+    d2 = join_delta(r0, r1, o_ch, c_ch, ["custkey"])
+    d3 = join_delta(j2, r2, join_delta_to_changes(d2), n_ch, ["nkey"])
+    new_agg = apply_agg_delta(agg, join_delta_to_changes(d3), keys, sums)
+    return new_agg.select(
+        "nname",
+        F.col("__cnt").alias("n_rows"),
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+    )

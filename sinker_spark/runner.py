@@ -991,10 +991,23 @@ class SyncEngine:
             any_stale |= stale
             any_missing |= st is None
             j_states.append(st)
+        agg_state: DataFrame | None = None
+        if spec.keys is not None:
+            agg_state, agg_stale = self._checked_state(
+                f"{view.name}__jc_agg_state",
+                [
+                    *spec.keys,
+                    ivm_delta._CNT,
+                    *spec.sums,
+                    *[ivm_delta._nn(s) for s in spec.sums],
+                ],
+            )
+            any_stale |= agg_stale
+            any_missing |= agg_state is None
         if any_stale:
             return False
         if any_missing:
-            r_states, j_states = self._initial_chain_states(spec)
+            r_states, j_states, agg_state = self._initial_chain_states(spec)
 
         # cascade: ΔJ2 from the first pair, then each stage's delta feeds
         # the next as op-tagged change rows against the stored prefix
@@ -1019,28 +1032,62 @@ class SyncEngine:
             for i in range(n)
         ]
 
-        final = new_js[-1]
-        key_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols])
-        touched_ids = delta.select(key_id.alias("__doc_id")).distinct()
-        jd = final.withColumn("__doc_id", key_id)
-        data_cols = [c for c in final.columns if c != ivm_delta._MULT]
-        sink_doc = F.struct(
-            *[F.col(c) for c in data_cols], F.col(ivm_delta._MULT).alias("n_rows")
-        )
-        upserts = jd.join(touched_ids, "__doc_id", "left_semi").select(
-            F.col("__doc_id").alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
-        )
-        doc_type = upserts.schema["doc"].dataType
-        deletes = touched_ids.join(jd, "__doc_id", "left_anti").select(
-            F.col("__doc_id").alias(view.key),
-            F.lit(DELETE).alias("op"),
-            F.lit(None).cast(doc_type).alias("doc"),
-        )
+        new_agg: DataFrame | None = None
+        if spec.keys is not None:
+            # aggregate mode: the final stage's signed delta pipes into
+            # the linear aggregate fold (same composition as joinagg)
+            new_agg = ivm_delta.apply_agg_delta(
+                agg_state, ivm_delta.join_delta_to_changes(delta), spec.keys, spec.sums
+            ).localCheckpoint(eager=True)
+            group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+            touched = delta.select(*spec.keys).distinct()
+            doc_view = new_agg.select(
+                *spec.keys,
+                F.col(ivm_delta._CNT).alias("n_rows"),
+                # SQL parity: SUM over zero non-null inputs serves NULL
+                *[
+                    F.when(F.col(ivm_delta._nn(sm)) > 0, F.col(sm))
+                    .otherwise(F.lit(None))
+                    .cast("double")
+                    .alias(sm)
+                    for sm in spec.sums
+                ],
+            )
+            served = doc_view.where(F.expr(spec.having)) if spec.having else doc_view
+            upserts = served.join(touched, spec.keys, "left_semi").select(
+                group_id.alias(view.key),
+                F.lit(UPSERT).alias("op"),
+                F.struct(*[F.col(c) for c in doc_view.columns]).alias("doc"),
+            )
+            doc_type = upserts.schema["doc"].dataType
+            deletes = touched.join(served, spec.keys, "left_anti").select(
+                group_id.alias(view.key),
+                F.lit(DELETE).alias("op"),
+                F.lit(None).cast(doc_type).alias("doc"),
+            )
+        else:
+            final = new_js[-1]
+            key_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.key_cols])
+            touched_ids = delta.select(key_id.alias("__doc_id")).distinct()
+            jd = final.withColumn("__doc_id", key_id)
+            data_cols = [c for c in final.columns if c != ivm_delta._MULT]
+            sink_doc = F.struct(
+                *[F.col(c) for c in data_cols], F.col(ivm_delta._MULT).alias("n_rows")
+            )
+            upserts = jd.join(touched_ids, "__doc_id", "left_semi").select(
+                F.col("__doc_id").alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
+            )
+            doc_type = upserts.schema["doc"].dataType
+            deletes = touched_ids.join(jd, "__doc_id", "left_anti").select(
+                F.col("__doc_id").alias(view.key),
+                F.lit(DELETE).alias("op"),
+                F.lit(None).cast(doc_type).alias("doc"),
+            )
         actions = upserts.unionByName(deletes)
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
 
-        self._write_chain_states(view, new_rs, new_js)
+        self._write_chain_states(view, new_rs, new_js, new_agg)
         self._write_lane_marker(view, batch_max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
@@ -1051,10 +1098,13 @@ class SyncEngine:
                     self.last_stats[view.name])
         return True
 
-    def _initial_chain_states(self, spec) -> tuple[list[DataFrame], list[DataFrame]]:
+    def _initial_chain_states(
+        self, spec
+    ) -> tuple[list[DataFrame], list[DataFrame], DataFrame | None]:
         """Derive every chain state from the CURRENT catalog tables:
         base relations as multiplicity states, one prefix join state per
-        arity (the running raw join, multiplicity-compressed)."""
+        arity (the running raw join, multiplicity-compressed), plus the
+        aggregate state over the full chain in aggregate mode."""
         tabs = [
             self.spark.table(spec.tables[i]).select(*self._schema_cols(spec.row_schemas[i]))
             for i in range(len(spec.tables))
@@ -1065,7 +1115,12 @@ class SyncEngine:
         for k in range(1, len(tabs)):
             running = running.join(tabs[k], spec.ons[k - 1])
             j_states.append(ivm_delta.relation_state(running))
-        return r_states, j_states
+        agg_state = (
+            ivm_delta.initial_agg_state(running, spec.keys, spec.sums)
+            if spec.keys is not None
+            else None
+        )
+        return r_states, j_states, agg_state
 
     def _join_agg_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
         """Composed maintenance lane for γ_keys(A ⋈ B) views: the
@@ -1254,6 +1309,8 @@ class SyncEngine:
             nt = len(view.joinchain.tables)
             names += [f"{view.name}__jc_r{i}" for i in range(nt)]
             names += [f"{view.name}__jc_j{k}" for k in range(2, nt + 1)]
+            if view.joinchain.keys is not None:
+                names.append(f"{view.name}__jc_agg_state")
         # the exact-distinct fold is signed (not idempotent) → guarded;
         # the HLL lane's MAX-merge is idempotent and needs no marker
         if view.distinct is not None and view.distinct.exact:
@@ -1430,12 +1487,30 @@ class SyncEngine:
         self._write_mult_state(view, f"{view.name}__join_state", j)
 
     def _write_chain_states(
-        self, view: ViewDef, r_states: list[DataFrame], j_states: list[DataFrame]
+        self,
+        view: ViewDef,
+        r_states: list[DataFrame],
+        j_states: list[DataFrame],
+        agg_state: DataFrame | None = None,
     ) -> None:
         for i, r in enumerate(r_states):
             self._write_mult_state(view, f"{view.name}__jc_r{i}", r)
         for k, j in enumerate(j_states):
             self._write_mult_state(view, f"{view.name}__jc_j{k + 2}", j)
+        if agg_state is not None:
+            spec = view.joinchain
+            group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+            agg_doc = F.struct(
+                *[F.col(k).alias(k) for k in spec.keys],
+                F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
+                *[F.col(sm) for sm in spec.sums],
+                *[F.col(ivm_delta._nn(sm)) for sm in spec.sums],
+            )
+            self.store.write(
+                f"{view.name}__jc_agg_state",
+                agg_state.select(group_id.alias(view.key), agg_doc.alias("doc")),
+                key=view.key,
+            )
 
     def _write_joinagg_states(self, view: ViewDef, a: DataFrame, b: DataFrame, agg: DataFrame) -> None:
         spec = view.joinagg
@@ -1511,8 +1586,8 @@ class SyncEngine:
                 ),
             )
         if view.joinchain is not None:
-            r_states, j_states = self._initial_chain_states(view.joinchain)
-            self._write_chain_states(view, r_states, j_states)
+            r_states, j_states, agg_state = self._initial_chain_states(view.joinchain)
+            self._write_chain_states(view, r_states, j_states, agg_state)
         if view.distinct is not None:
             spec = view.distinct
             if spec.exact:
@@ -1585,16 +1660,20 @@ class SyncEngine:
                 )
         if view.joinchain is not None:
             spec = view.joinchain
-            packed = self.store.read(f"{view.name}__jc_j{len(spec.tables)}")
-            if packed is not None:
-                state = packed.select("doc.*")
-                cols = [k for k in spec.key_cols if k in state.columns]
-                frames.append(
-                    state.select(
-                        F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
+            if spec.keys is not None:
+                # aggregate mode: the agg state is keyed by the doc id
+                stored_keys(f"{view.name}__jc_agg_state")
+            else:
+                packed = self.store.read(f"{view.name}__jc_j{len(spec.tables)}")
+                if packed is not None:
+                    state = packed.select("doc.*")
+                    cols = [k for k in spec.key_cols if k in state.columns]
+                    frames.append(
+                        state.select(
+                            F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
+                        )
+                        .distinct()
                     )
-                    .distinct()
-                )
         if view.join is not None:
             packed = self.store.read(f"{view.name}__join_state")
             if packed is not None:

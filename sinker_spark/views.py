@@ -273,17 +273,33 @@ class JoinChainViewSpec:
     - ``row_schemas``: one DDL schema per table for CDC payload parsing;
       column names must be DISJOINT across tables except the join keys
     - ``key_cols``: final-row columns whose '|'-join forms the doc id
-      (unique per joined row — e.g. every table's PK)
+      (unique per joined row — e.g. every table's PK). ROW MODE: the
+      view serves the joined rows themselves.
+    - ``keys``/``sums``/``having``: AGGREGATE MODE (mutually exclusive
+      with ``key_cols``) — the view serves γ_keys(T1⋈…⋈Tn) instead of
+      the joined rows: the final stage's signed delta pipes into the
+      linear aggregate fold exactly as :class:`JoinAggViewSpec` does
+      for 2 tables (``keys``: group-by columns over join-output
+      columns; ``sums``: state column → SQL sum expression, pre-cast to
+      DECIMAL; ``having``: optional served-set predicate over the doc
+      columns with exact boundary-crossing retraction). Refresh stays
+      O(|Δ|·fan-out): only one extra keyed state (the aggregate) is
+      maintained on top of the prefix states.
 
-    The emitted document is ``struct(<final join row>, n_rows bigint)``
-    with ``n_rows`` the row's join multiplicity, exactly as
-    :class:`JoinViewSpec` emits.
+    In row mode the emitted document is
+    ``struct(<final join row>, n_rows bigint)`` with ``n_rows`` the
+    row's join multiplicity, exactly as :class:`JoinViewSpec` emits; in
+    aggregate mode it is ``struct(keys…, n_rows, <sums as double>)``,
+    exactly as :class:`JoinAggViewSpec` emits.
     """
 
     tables: list[str]
     ons: list[list[str]]
     row_schemas: list[str]
-    key_cols: list[str]
+    key_cols: list[str] | None = None
+    keys: list[str] | None = None
+    sums: dict[str, str] | None = None
+    having: str | None = None
 
     def __post_init__(self) -> None:
         if len(self.tables) < 2:
@@ -295,6 +311,17 @@ class JoinChainViewSpec:
             )
         if len(self.row_schemas) != len(self.tables):
             raise ValueError("JoinChainViewSpec needs one row_schema per table")
+        if (self.key_cols is None) == (self.keys is None):
+            raise ValueError(
+                "JoinChainViewSpec needs exactly one of key_cols (row mode) "
+                "or keys (aggregate mode)"
+            )
+        if self.keys is None and (self.sums or self.having):
+            raise ValueError(
+                "JoinChainViewSpec sums/having require aggregate mode (keys)"
+            )
+        if self.keys is not None and self.sums is None:
+            self.sums = {}
 
 
 @dataclass

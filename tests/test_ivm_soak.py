@@ -1,8 +1,8 @@
 """Engine-wide randomized differential soak: one SyncEngine carrying
 the algebraic delta lanes (keyed aggregate, buffered top-k, bilinear
-inner/left join, aggregate-over-join, 3-table join chain,
-exact-distinct support counts, HAVING-filtered aggregate) folds a
-seeded random stream of
+inner/left join, aggregate-over-join, 3-table join chain in both row
+and aggregate mode, exact-distinct support counts, HAVING-filtered
+aggregate) folds a seeded random stream of
 mixed CDC batches, and after EVERY batch each view's sink contents are
 compared against a Python-side recompute from the mutated truth.
 
@@ -153,6 +153,23 @@ def _views():
             F.struct("region", "id", "amount", "mgr", "dept", "n_rows").alias("doc"),
         )
 
+    def chainagg_fn(spark):
+        j = (
+            spark.table("soak_sales")
+            .join(spark.table("soak_dims"), "region")
+            .join(spark.table("soak_org"), "mgr")
+        )
+        g = j.groupBy("dept").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("sum_dec"),
+        )
+        return g.select(
+            F.col("dept").alias("k"),
+            F.struct(
+                "dept", "n_rows", F.col("sum_dec").cast("double").alias("sum_amt")
+            ).alias("doc"),
+        )
+
     def having_fn(spark):
         served = (
             spark.table("soak_sales")
@@ -259,6 +276,18 @@ def _views():
                 ons=[["region"], ["mgr"]],
                 row_schemas=[SALES_SCHEMA, DIMS_SCHEMA, ORG_SCHEMA],
                 key_cols=["id"],
+            ),
+        ),
+        ViewDef(
+            name="soak_chainagg",
+            fn=chainagg_fn,
+            deps={"soak_sales", "soak_dims", "soak_org"},
+            joinchain=JoinChainViewSpec(
+                tables=["soak_sales", "soak_dims", "soak_org"],
+                ons=[["region"], ["mgr"]],
+                row_schemas=[SALES_SCHEMA, DIMS_SCHEMA, ORG_SCHEMA],
+                keys=["dept"],
+                sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
             ),
         ),
         ViewDef(
@@ -369,6 +398,18 @@ def expected_chain(sales, dims, org):
     }
 
 
+def expected_chainagg(sales, dims, org):
+    out = {}
+    for _, (region, amount) in sales.items():
+        if region in dims and dims[region] in org:
+            dept = org[dims[region]]
+            n, s = out.get(dept, (0, 0.0))
+            out[dept] = (n + 1, s + amount)
+    return {
+        d: {"dept": d, "n_rows": n, "sum_amt": round(s, 2)} for d, (n, s) in out.items()
+    }
+
+
 def expected_dc(sales):
     out = {}
     for _, (region, amount) in sales.items():
@@ -415,6 +456,7 @@ def _check_all(sink, sales, dims, org, batch_no):
     _check(sink, "soak_loj", expected_loj(sales, dims), batch_no)
     _check(sink, "soak_joinagg", expected_joinagg(sales, dims), batch_no)
     _check(sink, "soak_chain", expected_chain(sales, dims, org), batch_no)
+    _check(sink, "soak_chainagg", expected_chainagg(sales, dims, org), batch_no)
     _check(sink, "soak_dc", expected_dc(sales), batch_no)
     _check(sink, "soak_having", expected_having(sales), batch_no)
 
