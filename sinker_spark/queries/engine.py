@@ -1144,3 +1144,99 @@ def ivm_chain_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__cnt").alias("n_rows"),
         F.col("sum_price_dec").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "ivm_nested_doc_orders",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey AS okey, o_custkey AS cust FROM orders
+      WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0)),
+    c AS (
+      SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT o_orderkey AS okey FROM orders
+      WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+      UNION
+      SELECT DISTINCT l_orderkey FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0)
+    SELECT p.okey, p.cust,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_lines,
+           COALESCE(agg.s, '') AS lines_str
+    FROM p JOIN touched USING (okey)
+    LEFT JOIN (
+      SELECT okey, COUNT(*) AS n,
+             string_agg(line || ':' || qty, ';' ORDER BY line, qty) AS s
+      FROM c GROUP BY okey) agg USING (okey)""",
+    doc=(
+        "nested-document maintenance (NestedDocViewSpec / ivm_doc): the "
+        "reference's FLAGSHIP shape — one doc per order carrying a "
+        "sorted lineitem array — refreshed from parent/child "
+        "multiplicity states: ONE batch inserts+deletes orders AND "
+        "inserts+deletes lines, and only the touched parents' arrays "
+        "are rebuilt (build_docs over state restricted to touched keys "
+        "— neither base table rescanned). Output = the touched docs "
+        "the lane upserts, child array serialized line:qty;… for "
+        "hashing; oracle rebuilds them from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "B4", "B7", "composition"),
+)
+def ivm_nested_doc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc import build_docs
+
+    t = load_tables(spark, sf_dir)
+    o_all = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("cust")
+    )
+    l_all = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    o_old = o_all.where(F.col("okey") % 3 != 0)
+    l_old = l_all.where((F.col("okey") + F.col("line")) % 7 != 0)
+    p_state, c_state = relation_state(o_old), relation_state(l_old)
+
+    p_ch = (
+        o_all.where(F.col("okey") % 3 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            o_all.where((F.col("okey") % 5 == 0) & (F.col("okey") % 3 != 0))
+            .withColumn("__op", F.lit("delete"))
+        )
+    )
+    c_ch = (
+        l_all.where((F.col("okey") + F.col("line")) % 7 == 0)
+        .withColumn("__op", F.lit("insert"))
+        .unionByName(
+            l_all.where(
+                (F.col("okey") % 11 == 0) & ((F.col("okey") + F.col("line")) % 7 != 0)
+            ).withColumn("__op", F.lit("delete"))
+        )
+    )
+    new_p = apply_join_state(p_state, changes_to_mult(p_ch))
+    new_c = apply_join_state(c_state, changes_to_mult(c_ch))
+    touched = p_ch.select("okey").unionByName(c_ch.select("okey")).distinct()
+    docs = build_docs(
+        new_p.join(touched, ["okey"], "left_semi"),
+        new_c.join(touched, ["okey"], "left_semi"),
+        ["okey"],
+        child_alias="lines",
+        child_order=["line", "qty"],
+    )
+    return docs.select(
+        "okey",
+        "cust",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("lines"),
+                lambda x: F.concat_ws(":", x["line"].cast("string"), x["qty"].cast("string")),
+            ),
+        ).alias("lines_str"),
+    )

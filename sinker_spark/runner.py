@@ -310,6 +310,13 @@ class SyncEngine:
             if v.joinchain is not None and (changed & v.deps) <= set(v.joinchain.tables):
                 if self._join_chain_refresh(v, cdc, epoch_id):
                     continue
+            # nested-document lane: touched parents re-serve their docs
+            # from the parent/child states — no base-table rescan
+            if v.nesteddoc is not None and (changed & v.deps) <= {
+                v.nesteddoc.parent_table, v.nesteddoc.child_table,
+            }:
+                if self._nested_doc_refresh(v, cdc, epoch_id):
+                    continue
             # distinct-count lanes: exact=True folds signed support
             # counts (delete-maintainable, before-images required);
             # exact=False MAX-merges HLL registers (monotone —
@@ -1098,6 +1105,121 @@ class SyncEngine:
                     self.last_stats[view.name])
         return True
 
+    def _nested_doc_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Nested-document lane (NestedDocViewSpec): fold the batch into
+        the parent/child multiplicity states, then re-serve ONLY the
+        touched parents' documents by joining the restricted states
+        (ivm_doc.build_docs) — the child array is an order-sorted
+        collect over the touched keys' child state rows, so neither
+        base table is rescanned and refresh is O(|Δ|·max children per
+        touched parent). Same before-image contract, replay guard and
+        snapshot-point initialization as the other delta lanes; returns
+        False → authoritative fallback on violations."""
+        from sinker_spark import ivm_doc
+
+        spec = view.nesteddoc
+        rows = cdc.where(F.col("table").isin(spec.parent_table, spec.child_table))
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(table: str, schema: str, col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col("table") == table)
+                .where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        def batch_for(table: str, schema: str) -> DataFrame:
+            b = parsed(table, schema, "payload", ivm_delta.INSERT)
+            if has_before:
+                b = b.unionByName(parsed(table, schema, "payload_before", ivm_delta.DELETE))
+            return b
+
+        p_ch = batch_for(spec.parent_table, spec.row_schema_parent)
+        c_ch = batch_for(spec.child_table, spec.row_schema_child)
+
+        p_state, p_stale = self._checked_state(
+            f"{view.name}__nd_p_state",
+            [*self._schema_cols(spec.row_schema_parent), ivm_delta._MULT],
+        )
+        c_state, c_stale = self._checked_state(
+            f"{view.name}__nd_c_state",
+            [*self._schema_cols(spec.row_schema_child), ivm_delta._MULT],
+        )
+        if p_stale or c_stale:
+            return False
+        if p_state is None or c_state is None:
+            p_state, c_state = self._initial_nested_doc_states(spec)
+
+        new_p = ivm_delta.apply_join_state(
+            p_state, ivm_delta.changes_to_mult(p_ch)
+        ).localCheckpoint(eager=True)
+        new_c = ivm_delta.apply_join_state(
+            c_state, ivm_delta.changes_to_mult(c_ch)
+        ).localCheckpoint(eager=True)
+
+        touched = (
+            p_ch.select(*spec.on).unionByName(c_ch.select(*spec.on)).distinct()
+        ).localCheckpoint(eager=True)
+        docs = ivm_doc.build_docs(
+            new_p.join(touched, spec.on, "left_semi"),
+            new_c.join(touched, spec.on, "left_semi"),
+            spec.on,
+            child_alias=spec.child_alias,
+            child_order=spec.child_order,
+        )
+        doc_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.on])
+        upserts = docs.select(
+            doc_id.alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct(*[F.col(c) for c in docs.columns]).alias("doc"),
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(new_p, spec.on, "left_anti").select(
+            doc_id.alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        self._write_nested_doc_states(view, new_p, new_c)
+        self._write_lane_marker(view, batch_max_lsn)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "nested_doc": 1,
+        }
+        logger.info("nested-doc refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
+
+    def _initial_nested_doc_states(self, spec) -> tuple[DataFrame, DataFrame]:
+        p = self.spark.table(spec.parent_table).select(
+            *self._schema_cols(spec.row_schema_parent)
+        )
+        c = self.spark.table(spec.child_table).select(
+            *self._schema_cols(spec.row_schema_child)
+        )
+        return ivm_delta.relation_state(p), ivm_delta.relation_state(c)
+
+    def _write_nested_doc_states(self, view: ViewDef, p: DataFrame, c: DataFrame) -> None:
+        self._write_mult_state(view, f"{view.name}__nd_p_state", p)
+        self._write_mult_state(view, f"{view.name}__nd_c_state", c)
+
     def _initial_chain_states(
         self, spec
     ) -> tuple[list[DataFrame], list[DataFrame], DataFrame | None]:
@@ -1267,7 +1389,9 @@ class SyncEngine:
     # dispatcher routes lane views through instead of the generic
     # recompute lanes.
 
-    _LANE_FIELDS = ("agg", "join", "joinagg", "joinchain", "distinct", "membership", "topk")
+    _LANE_FIELDS = (
+        "agg", "join", "joinagg", "joinchain", "nesteddoc", "distinct", "membership", "topk",
+    )
 
     def _has_lane(self, view: ViewDef) -> bool:
         return any(getattr(view, f) is not None for f in self._LANE_FIELDS)
@@ -1311,6 +1435,8 @@ class SyncEngine:
             names += [f"{view.name}__jc_j{k}" for k in range(2, nt + 1)]
             if view.joinchain.keys is not None:
                 names.append(f"{view.name}__jc_agg_state")
+        if view.nesteddoc is not None:
+            names += [f"{view.name}__nd_p_state", f"{view.name}__nd_c_state"]
         # the exact-distinct fold is signed (not idempotent) → guarded;
         # the HLL lane's MAX-merge is idempotent and needs no marker
         if view.distinct is not None and view.distinct.exact:
@@ -1588,6 +1714,9 @@ class SyncEngine:
         if view.joinchain is not None:
             r_states, j_states, agg_state = self._initial_chain_states(view.joinchain)
             self._write_chain_states(view, r_states, j_states, agg_state)
+        if view.nesteddoc is not None:
+            p, c = self._initial_nested_doc_states(view.nesteddoc)
+            self._write_nested_doc_states(view, p, c)
         if view.distinct is not None:
             spec = view.distinct
             if spec.exact:
@@ -1674,6 +1803,18 @@ class SyncEngine:
                         )
                         .distinct()
                     )
+        if view.nesteddoc is not None:
+            spec = view.nesteddoc
+            packed = self.store.read(f"{view.name}__nd_p_state")
+            if packed is not None:
+                state = packed.select("doc.*")
+                cols = [k for k in spec.on if k in state.columns]
+                frames.append(
+                    state.select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
+                    )
+                    .distinct()
+                )
         if view.join is not None:
             packed = self.store.read(f"{view.name}__join_state")
             if packed is not None:

@@ -325,6 +325,45 @@ class JoinChainViewSpec:
 
 
 @dataclass
+class NestedDocViewSpec:
+    """Declares a view as a PARENT-PLUS-NESTED-CHILD-ARRAY document —
+    THE reference view shape (the flagship order document: order/
+    customer fields plus a ``lineitems`` array, reference
+    query_templates.py:11) — maintained O(batch) from stored
+    multiplicity states (see ivm_doc module docstring): the batch's
+    touched parent keys re-serve their docs by joining the parent and
+    child STATES restricted to those keys, so neither base table is
+    rescanned (the targeted-refresh lane's remaining cost) and the
+    child array is rebuilt only where it changed.
+
+    - ``parent_table``/``child_table``: base tables; the parent key
+      columns (``on``) must be UNIQUE per parent row — they become the
+      doc id (duplicates would collide on the sink key)
+    - ``on``: shared key columns (parent PK = child FK, same names)
+    - ``row_schema_parent``/``row_schema_child``: DDL schemas for CDC
+      payload parsing; non-key column names must be disjoint
+    - ``child_alias``: doc field carrying the child array
+    - ``child_order``: child columns that sort the array (default: all
+      child payload columns — a total order, so the served array is
+      canonical under redelivery)
+
+    The emitted document is ``struct(<parent row>, child_alias:
+    array<struct<child payload>>)``; childless parents serve an empty
+    array (reference parity: ``coalesce(json_agg(...), '[]')``). Same
+    before-image contract, replay guard and fallback behavior as the
+    other delta lanes.
+    """
+
+    parent_table: str
+    child_table: str
+    on: list[str]
+    row_schema_parent: str
+    row_schema_child: str
+    child_alias: str = "children"
+    child_order: list[str] | None = None
+
+
+@dataclass
 class JoinAggViewSpec:
     """Declares a view as a KEYED AGGREGATE OVER A TWO-TABLE EQUI-JOIN —
     γ_keys(A ⋈ B) with count/sum aggregates — the composed lane: the
@@ -390,6 +429,7 @@ class ViewDef:
     topk: "TopKViewSpec | None" = None
     joinagg: "JoinAggViewSpec | None" = None
     joinchain: "JoinChainViewSpec | None" = None
+    nesteddoc: "NestedDocViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables

@@ -1,8 +1,9 @@
 """Engine-wide randomized differential soak: one SyncEngine carrying
 the algebraic delta lanes (keyed aggregate, buffered top-k, bilinear
 inner/left join, aggregate-over-join, 3-table join chain in both row
-and aggregate mode, exact-distinct support counts, HAVING-filtered
-aggregate) folds a seeded random stream of
+and aggregate mode, nested parent+child-array documents,
+exact-distinct support counts, HAVING-filtered aggregate) folds a
+seeded random stream of
 mixed CDC batches, and after EVERY batch each view's sink contents are
 compared against a Python-side recompute from the mutated truth.
 
@@ -38,6 +39,7 @@ from sinker_spark.views import (
     JoinAggViewSpec,
     JoinChainViewSpec,
     JoinViewSpec,
+    NestedDocViewSpec,
     TopKViewSpec,
     ViewDef,
 )
@@ -170,6 +172,24 @@ def _views():
             ).alias("doc"),
         )
 
+    def nesteddoc_fn(spark):
+        c = spark.table("soak_sales")
+        pair = F.struct(
+            F.col("id").alias("__o0"),
+            F.col("amount").alias("__o1"),
+            F.struct("id", "amount").alias("__c"),
+        )
+        arrays = c.groupBy("region").agg(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["__c"]).alias("rows")
+        )
+        out = spark.table("soak_dims").join(arrays, "region", "left")
+        arr_type = out.schema["rows"].dataType
+        out = out.withColumn("rows", F.coalesce(F.col("rows"), F.array().cast(arr_type)))
+        return out.select(
+            F.col("region").alias("k"),
+            F.struct("region", "mgr", "rows").alias("doc"),
+        )
+
     def having_fn(spark):
         served = (
             spark.table("soak_sales")
@@ -288,6 +308,20 @@ def _views():
                 row_schemas=[SALES_SCHEMA, DIMS_SCHEMA, ORG_SCHEMA],
                 keys=["dept"],
                 sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+            ),
+        ),
+        ViewDef(
+            name="soak_nesteddoc",
+            fn=nesteddoc_fn,
+            deps={"soak_dims", "soak_sales"},
+            nesteddoc=NestedDocViewSpec(
+                parent_table="soak_dims",
+                child_table="soak_sales",
+                on=["region"],
+                row_schema_parent=DIMS_SCHEMA,
+                row_schema_child=SALES_SCHEMA,
+                child_alias="rows",
+                child_order=["id", "amount"],
             ),
         ),
         ViewDef(
@@ -410,6 +444,22 @@ def expected_chainagg(sales, dims, org):
     }
 
 
+def expected_nesteddoc(sales, dims):
+    return {
+        r: {
+            "region": r,
+            "mgr": m,
+            "rows": [
+                {"id": sid, "amount": amount}
+                for sid, amount in sorted(
+                    (sid, a) for sid, (reg, a) in sales.items() if reg == r
+                )
+            ],
+        }
+        for r, m in dims.items()
+    }
+
+
 def expected_dc(sales):
     out = {}
     for _, (region, amount) in sales.items():
@@ -457,6 +507,7 @@ def _check_all(sink, sales, dims, org, batch_no):
     _check(sink, "soak_joinagg", expected_joinagg(sales, dims), batch_no)
     _check(sink, "soak_chain", expected_chain(sales, dims, org), batch_no)
     _check(sink, "soak_chainagg", expected_chainagg(sales, dims, org), batch_no)
+    _check(sink, "soak_nesteddoc", expected_nesteddoc(sales, dims), batch_no)
     _check(sink, "soak_dc", expected_dc(sales), batch_no)
     _check(sink, "soak_having", expected_having(sales), batch_no)
 

@@ -1,0 +1,225 @@
+"""SyncEngine nested-document lane (NestedDocViewSpec): the reference's
+flagship shape — parent row + sorted child array — maintained from
+stored multiplicity states. Child inserts/deletes/updates rebuild ONLY
+the touched parents' arrays; parent deletes retract the doc; childless
+parents serve an empty array; the usual lane contracts hold
+(before-images required, replay suppressed, fallback authoritative)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink
+from sinker_spark.views import NestedDocViewSpec, ViewDef
+
+ORDERS_SCHEMA = "okey string, cust string"
+LINES_SCHEMA = "okey string, line bigint, qty double"
+CDC_COLS = (
+    "lsn bigint, schema string, table string, op string, id string, "
+    "payload string, payload_before string"
+)
+
+
+def _tables(spark, orders, lines):
+    spark.createDataFrame(orders, ORDERS_SCHEMA).createOrReplaceTempView("nd_orders")
+    spark.createDataFrame(lines, LINES_SCHEMA).createOrReplaceTempView("nd_lines")
+
+
+def _view():
+    def recompute(spark):
+        c = spark.table("nd_lines")
+        pair = F.struct(
+            F.col("line").alias("__o0"),
+            F.col("qty").alias("__o1"),
+            F.struct("line", "qty").alias("__c"),
+        )
+        arrays = c.groupBy("okey").agg(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["__c"]).alias("lines")
+        )
+        out = spark.table("nd_orders").join(arrays, "okey", "left")
+        arr_type = out.schema["lines"].dataType
+        out = out.withColumn("lines", F.coalesce(F.col("lines"), F.array().cast(arr_type)))
+        return out.select(
+            F.col("okey").alias("k"),
+            F.struct("okey", "cust", "lines").alias("doc"),
+        )
+
+    return ViewDef(
+        name="nd_view",
+        fn=recompute,
+        deps={"nd_orders", "nd_lines"},
+        nesteddoc=NestedDocViewSpec(
+            parent_table="nd_orders",
+            child_table="nd_lines",
+            on=["okey"],
+            row_schema_parent=ORDERS_SCHEMA,
+            row_schema_child=LINES_SCHEMA,
+            child_alias="lines",
+        ),
+    )
+
+
+def _cdc(spark, records):
+    rows = [
+        (
+            lsn,
+            "public",
+            table,
+            op,
+            (after or before or {}).get("okey", "?"),
+            json.dumps(after) if after else None,
+            json.dumps(before) if before else None,
+        )
+        for lsn, table, op, after, before in records
+    ]
+    return spark.createDataFrame(rows, CDC_COLS)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [_view()], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    return eng, sink
+
+
+BASE_ORDERS = [("o1", "alice"), ("o2", "bob")]
+BASE_LINES = [("o1", 2, 5.0), ("o1", 1, 3.0), ("o2", 1, 7.0)]
+
+
+def test_child_changes_rebuild_only_touched_arrays(spark, engine):
+    eng, sink = engine
+    _tables(spark, BASE_ORDERS, BASE_LINES)
+    eng.backfill()
+    assert sink.get("nd_view", "o1") == {
+        "okey": "o1", "cust": "alice",
+        "lines": [{"line": 1, "qty": 3.0}, {"line": 2, "qty": 5.0}],
+    }
+    # child insert lands sorted in the touched parent's array only
+    _tables(spark, BASE_ORDERS, BASE_LINES + [("o2", 2, 1.5)])
+    log_before = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "nd_lines", "INSERT", {"okey": "o2", "line": 2, "qty": 1.5}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o2")["lines"] == [
+        {"line": 1, "qty": 7.0}, {"line": 2, "qty": 1.5},
+    ]
+    touched = {k for (_, op, k) in sink.action_log[log_before:]}
+    assert touched == {"o2"}  # o1 untouched — no rescan, no re-upsert
+    # child update = delete(old)+insert(new) in one row pair
+    _tables(spark, BASE_ORDERS, [("o1", 2, 5.0), ("o1", 1, 9.0), ("o2", 1, 7.0), ("o2", 2, 1.5)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "nd_lines", "UPDATE", {"okey": "o1", "line": 1, "qty": 9.0},
+         {"okey": "o1", "line": 1, "qty": 3.0}),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o1")["lines"] == [
+        {"line": 1, "qty": 9.0}, {"line": 2, "qty": 5.0},
+    ]
+    # deleting every child leaves an EMPTY array, not a deleted doc
+    _tables(spark, BASE_ORDERS, [("o1", 2, 5.0), ("o1", 1, 9.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "nd_lines", "DELETE", None, {"okey": "o2", "line": 1, "qty": 7.0}),
+        (4, "nd_lines", "DELETE", None, {"okey": "o2", "line": 2, "qty": 1.5}),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o2") == {"okey": "o2", "cust": "bob", "lines": []}
+
+
+def test_parent_lifecycle(spark, engine):
+    eng, sink = engine
+    _tables(spark, BASE_ORDERS, BASE_LINES)
+    eng.backfill()
+    # parent insert with pre-existing orphan children picks them up
+    _tables(spark, BASE_ORDERS + [("o3", "carol")], BASE_LINES + [("o3", 1, 2.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "nd_lines", "INSERT", {"okey": "o3", "line": 1, "qty": 2.0}, None),
+        (2, "nd_orders", "INSERT", {"okey": "o3", "cust": "carol"}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o3") == {
+        "okey": "o3", "cust": "carol", "lines": [{"line": 1, "qty": 2.0}],
+    }
+    # parent delete retracts the doc even while children remain
+    _tables(spark, [("o2", "bob"), ("o3", "carol")], BASE_LINES + [("o3", 1, 2.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "nd_orders", "DELETE", None, {"okey": "o1", "cust": "alice"}),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o1") is None
+    assert ("nd_view", "delete", "o1") in sink.action_log
+    # orphan-child-only change for a nonexistent parent emits a no-op
+    # delete, never a doc
+    _tables(spark, [("o2", "bob"), ("o3", "carol")],
+            BASE_LINES + [("o3", 1, 2.0), ("o9", 1, 4.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "nd_lines", "INSERT", {"okey": "o9", "line": 1, "qty": 4.0}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o9") is None
+
+
+def test_replay_suppressed_and_fallback(spark, engine):
+    eng, sink = engine
+    _tables(spark, BASE_ORDERS, BASE_LINES)
+    eng.backfill()
+    batch = _cdc(spark, [
+        (1, "nd_lines", "INSERT", {"okey": "o1", "line": 3, "qty": 1.0}, None),
+    ])
+    _tables(spark, BASE_ORDERS, BASE_LINES + [("o1", 3, 1.0)])
+    eng.process_cdc_batch(batch)
+    assert [x["line"] for x in sink.get("nd_view", "o1")["lines"]] == [1, 2, 3]
+    eng.process_cdc_batch(batch)  # verbatim redelivery
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert [x["line"] for x in sink.get("nd_view", "o1")["lines"]] == [1, 2, 3]
+    # missing before-image → authoritative fallback, then folds again
+    _tables(spark, BASE_ORDERS, BASE_LINES + [("o1", 3, 1.0)])
+    eng.process_cdc_batch(_cdc(spark, [(2, "nd_lines", "DELETE", None, None)]))
+    stats = eng.last_stats["nd_view"]
+    assert stats.get("lane_fallback") == 1 and "nested_doc" not in stats
+    _tables(spark, BASE_ORDERS, BASE_LINES + [("o1", 3, 1.0), ("o2", 9, 9.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "nd_lines", "INSERT", {"okey": "o2", "line": 9, "qty": 9.0}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert [x["line"] for x in sink.get("nd_view", "o2")["lines"]] == [1, 9]
+
+
+def test_no_base_table_access_after_init(spark, engine):
+    """The lane's claim is 'no base-table rescan': after backfill seeds
+    the states, DROP the base views entirely — folding a batch must
+    still work, because it touches only the stored states."""
+    eng, sink = engine
+    _tables(spark, BASE_ORDERS, BASE_LINES)
+    eng.backfill()
+    spark.catalog.dropTempView("nd_orders")
+    spark.catalog.dropTempView("nd_lines")
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "nd_lines", "INSERT", {"okey": "o1", "line": 5, "qty": 2.0}, None),
+        (2, "nd_orders", "DELETE", None, {"okey": "o2", "cust": "bob"}),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert [x["line"] for x in sink.get("nd_view", "o1")["lines"]] == [1, 2, 5]
+    assert sink.get("nd_view", "o2") is None
+
+
+def test_duplicate_child_rows_preserved(spark, engine):
+    eng, sink = engine
+    dup = [("o1", 1, 3.0), ("o1", 1, 3.0), ("o2", 1, 7.0)]
+    _tables(spark, BASE_ORDERS, dup)
+    eng.backfill()
+    assert sink.get("nd_view", "o1")["lines"] == [
+        {"line": 1, "qty": 3.0}, {"line": 1, "qty": 3.0},
+    ]
+    # deleting ONE duplicate keeps the other (multiplicity, not set)
+    _tables(spark, BASE_ORDERS, [("o1", 1, 3.0), ("o2", 1, 7.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "nd_lines", "DELETE", None, {"okey": "o1", "line": 1, "qty": 3.0}),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    assert sink.get("nd_view", "o1")["lines"] == [{"line": 1, "qty": 3.0}]
