@@ -121,20 +121,27 @@ class BucketedSnapshotStore:
             out = with_doc_hash(rebuilt.dropDuplicates([key]), key).withColumn(
                 "__bucket", self._bucket(F.col(key))
             )
-            # the rebuilt plan READS the same path the dynamic overwrite
-            # is about to rewrite — materialize it fully first or the
-            # writer races its own input and loses rows (observed at
-            # 150k rows; small data hides it behind single-task timing)
+            # the rebuilt plan READS the same path we are about to
+            # rewrite — materialize it fully first or the writer races
+            # its own input and loses rows (observed at 150k rows; small
+            # data hides it behind single-task timing)
             out = out.localCheckpoint(eager=True)
-            prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            try:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                (
-                    out.repartition("__bucket")
-                    .write.partitionBy("__bucket")
-                    .mode("overwrite")
-                    .parquet(self._path(view))
+            # dynamic partition overwrite SKIPS partitions with zero
+            # output rows: a refresh that deletes EVERY doc in a bucket
+            # would leave the old file behind and resurrect the deleted
+            # docs in the snapshot — while the sink was told to delete
+            # them, a diff-corrupting split brain. Drop the affected
+            # bucket dirs explicitly, then append the rebuilt rows.
+            import shutil
+
+            for b in buckets:
+                shutil.rmtree(
+                    os.path.join(self._path(view), f"__bucket={b}"), ignore_errors=True
                 )
-            finally:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            (
+                out.repartition("__bucket")
+                .write.partitionBy("__bucket")
+                .mode("append")
+                .parquet(self._path(view))
+            )
         return delta

@@ -1,0 +1,163 @@
+"""Key-local lane-state store: O(touched buckets) reads AND writes.
+
+The delta lanes fold a CDC batch in O(batch) compute, but persisting
+the folded state through the snapshot stores rewrites the WHOLE state
+relation every batch — O(|state|) I/O that dwarfs the fold at scale
+(the reference never hits this: its state IS the Postgres table). This
+store closes that gap for state whose access is key-local (every lane
+fold is: all reads and writes hit exactly the batch's join/group
+keys): rows are parquet-partitioned by ``__bucket =
+pmod(xxhash64(key), N)`` over the LANE'S PROBE KEY, so
+
+- ``read_for_keys``: partition-pruned scan of only the buckets the
+  batch's keys hash to — the probe side of a fold never scans state;
+- ``merge_for_keys``: dynamic-partition-overwrite of only those
+  buckets, rebuilt as (old bucket rows whose key is untouched) ∪ (the
+  folded rows for the touched keys).
+
+Per-batch state I/O becomes O(|touched keys| · bucket size) with N
+sized so a bucket is one comfortable task (~128 MB at target scale) —
+the same layout/cost model as BucketedSnapshotStore.refresh_partial,
+applied to lane state instead of document snapshots. Affected-bucket
+ids are collected driver-side: bounded by ``n_buckets`` ints, never by
+batch or state size.
+
+Crash semantics: in-place overwrite has no multi-bucket atomic swap —
+a crash mid-merge can tear the state. The per-state VERSION COUNTER
+(bumped after every successful write/merge, exposed as
+``current_version``) feeds the runner's replay-guard marker, which
+detects the tear and routes the view through the authoritative
+fallback, exactly as with the versioned store. On a real lake this
+slot is Delta/Iceberg MERGE with snapshot isolation; the interface is
+identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class KeyedStateStore:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _vfile(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._version")
+
+    def _bucket(self, key_cols: list[str]) -> F.Column:
+        # hash the '|'-joined STRING form: representation-independent
+        # (bigint 3 and string '3' route identically) and stable across
+        # key arities
+        joined = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        return F.pmod(F.xxhash64(joined), F.lit(self.n_buckets)).cast("int")
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def current_version(self, name: str) -> int | None:
+        try:
+            with open(self._vfile(name)) as fh:
+                return json.load(fh)["version"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _bump(self, name: str) -> None:
+        v = (self.current_version(name) or 0) + 1
+        tmp = self._vfile(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, self._vfile(name))
+
+    def read(self, name: str) -> DataFrame | None:
+        """Full state (initialization checks, fallback rebuilds, doc-key
+        derivation) — NOT the per-batch path."""
+        if not self.exists(name):
+            return None
+        return self.spark.read.parquet(self._path(name)).drop("__bucket")
+
+    def read_for_keys(self, name: str, keys: DataFrame, key_cols: list[str]) -> DataFrame | None:
+        """Bucket-pruned read: every stored row whose key COULD be in
+        ``keys`` (a bucket-level superset — callers semi-join for
+        exactness). The bucket-id collect is ≤ n_buckets ints."""
+        if not self.exists(name):
+            return None
+        buckets = [
+            r["b"]
+            for r in keys.select(self._bucket(key_cols).alias("b")).distinct().collect()
+        ]
+        df = self.spark.read.parquet(self._path(name))
+        if not buckets:
+            return df.where(F.lit(False)).drop("__bucket")
+        return df.where(F.col("__bucket").isin(buckets)).drop("__bucket")
+
+    def write(self, name: str, df: DataFrame, key_cols: list[str]) -> None:
+        """Full overwrite — state initialization and fallback rebuilds."""
+        out = df.withColumn("__bucket", self._bucket(key_cols))
+        (
+            out.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(self._path(name))
+        )
+        self._bump(name)
+
+    def merge_for_keys(
+        self, name: str, keys: DataFrame, new_rows: DataFrame, key_cols: list[str]
+    ) -> None:
+        """Replace the touched keys' rows: affected buckets are rebuilt
+        as (old rows whose key ∉ keys) ∪ new_rows; untouched buckets are
+        neither read nor written. ``new_rows`` must carry rows ONLY for
+        keys in ``keys`` (the lane fold's output contract)."""
+        if not self.exists(name):
+            self.write(name, new_rows, key_cols)
+            return
+        kdf = keys.select(*key_cols).distinct()
+        buckets = [
+            r["b"]
+            for r in kdf.select(self._bucket(key_cols).alias("b")).distinct().collect()
+        ]
+        if not buckets:
+            self._bump(name)
+            return
+        full = self.spark.read.parquet(self._path(name))
+        affected_old = full.where(F.col("__bucket").isin(buckets)).drop("__bucket")
+        keep = affected_old.join(kdf, key_cols, "left_anti")
+        rebuilt = keep.unionByName(new_rows.select(*affected_old.columns))
+        out = rebuilt.withColumn("__bucket", self._bucket(key_cols))
+        # the rebuilt plan reads the same files we are about to replace —
+        # materialize first or the writer races its own input (see
+        # BucketedSnapshotStore.refresh_partial)
+        out = out.localCheckpoint(eager=True)
+        # dynamic partition overwrite SKIPS partitions with zero output
+        # rows, so a merge that empties a bucket would leave its old file
+        # behind (deleted keys resurrect) — drop the affected bucket dirs
+        # explicitly, then append the rebuilt rows
+        import shutil
+
+        for b in buckets:
+            shutil.rmtree(os.path.join(self._path(name), f"__bucket={b}"), ignore_errors=True)
+        (
+            out.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("append")
+            .parquet(self._path(name))
+        )
+        self._bump(name)
+
+    def reset(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._path(name), ignore_errors=True)
+        try:
+            os.remove(self._vfile(name))
+        except OSError:
+            pass

@@ -98,3 +98,22 @@ def test_full_refresh_and_initial(spark, tmp_path):
     d2 = store.refresh("v", _docs(spark, 10, tag="b"))
     assert d2.count() == 10  # every doc changed tag
     assert store.read("v").where(F.col("doc").startswith("b-")).count() == 10
+
+
+def test_bucket_emptying_delete_does_not_resurrect(spark, tmp_path):
+    """Dynamic partition overwrite skips zero-row partitions: deleting
+    EVERY doc in a bucket must remove the bucket's file, not leave the
+    old one behind (which resurrected the deleted docs in the snapshot
+    while the sink had already been told to delete them)."""
+    store = BucketedSnapshotStore(spark, str(tmp_path), n_buckets=4)
+    store.write("v", _docs(spark, 40))
+    full = spark.read.parquet(str(tmp_path / "v"))
+    b0_keys = [r["id"] for r in full.where(F.col("__bucket") == 0).select("id").collect()]
+    assert b0_keys  # 40 keys over 4 buckets — bucket 0 is populated
+
+    delta = store.refresh_partial("v", _docs(spark, 0), b0_keys)
+    assert {r["op"] for r in delta.collect()} == {DELETE}
+    assert delta.count() == len(b0_keys)
+    remaining = {r["id"] for r in store.read("v").select("id").collect()}
+    assert not (set(b0_keys) & remaining), "deleted docs resurrected"
+    assert len(remaining) == 40 - len(b0_keys)
