@@ -128,6 +128,18 @@ class SyncEngine:
         # are cheap; materializing the cache is not). Above the cap the
         # views simply re-scan, which is the scale-correct choice.
         self.shared_scan_max_bytes: int = 4 << 30
+        # key-local lane-state store (state_keyed module): lane state
+        # bucketed by the lane's probe key so per-batch state reads and
+        # writes touch only the batch's keys' buckets — O(touched
+        # buckets), never O(|state|). Rooted under the snapshot store's
+        # own root so reset/cleanup lifecycles travel together.
+        import os as _os
+
+        from sinker_spark.state_keyed import KeyedStateStore
+
+        self.keyed = KeyedStateStore(
+            spark, _os.path.join(store.root, "__keyed_lane_state")
+        )
 
     def _refresh_one(self, view: ViewDef, epoch_id: int | None = None) -> None:
         from sinker_spark.ivm import SchemaEvolutionError
@@ -1150,32 +1162,46 @@ class SyncEngine:
         p_ch = batch_for(spec.parent_table, spec.row_schema_parent)
         c_ch = batch_for(spec.child_table, spec.row_schema_child)
 
-        p_state, p_stale = self._checked_state(
-            f"{view.name}__nd_p_state",
-            [*self._schema_cols(spec.row_schema_parent), ivm_delta._MULT],
-        )
-        c_state, c_stale = self._checked_state(
-            f"{view.name}__nd_c_state",
-            [*self._schema_cols(spec.row_schema_child), ivm_delta._MULT],
-        )
-        if p_stale or c_stale:
-            return False
-        if p_state is None or c_state is None:
-            p_state, c_state = self._initial_nested_doc_states(spec)
-
-        new_p = ivm_delta.apply_join_state(
-            p_state, ivm_delta.changes_to_mult(p_ch)
-        ).localCheckpoint(eager=True)
-        new_c = ivm_delta.apply_join_state(
-            c_state, ivm_delta.changes_to_mult(c_ch)
-        ).localCheckpoint(eager=True)
+        # states live in the KEY-LOCAL store (bucketed by spec.on):
+        # reads AND writes below touch only the batch's keys' buckets —
+        # per-batch state I/O is O(touched buckets), never O(|state|)
+        p_name, c_name = f"{view.name}__nd_p_state", f"{view.name}__nd_c_state"
+        for name, schema in (
+            (p_name, spec.row_schema_parent),
+            (c_name, spec.row_schema_child),
+        ):
+            cur = self.keyed.read(name)
+            if cur is not None:
+                required = {*self._schema_cols(schema), ivm_delta._MULT}
+                if required - set(cur.columns):
+                    logger.warning(
+                        "view state %s lacks columns for the current spec — "
+                        "declining to fold so the fallback rebuilds", name,
+                    )
+                    return False
+        if not (self.keyed.exists(p_name) and self.keyed.exists(c_name)):
+            p0, c0 = self._initial_nested_doc_states(spec)
+            self._write_nested_doc_states(view, p0, c0)
 
         touched = (
             p_ch.select(*spec.on).unionByName(c_ch.select(*spec.on)).distinct()
         ).localCheckpoint(eager=True)
+        p_k = self.keyed.read_for_keys(p_name, touched, spec.on).join(
+            touched, spec.on, "left_semi"
+        )
+        c_k = self.keyed.read_for_keys(c_name, touched, spec.on).join(
+            touched, spec.on, "left_semi"
+        )
+        new_p = ivm_delta.apply_join_state(
+            p_k, ivm_delta.changes_to_mult(p_ch)
+        ).localCheckpoint(eager=True)
+        new_c = ivm_delta.apply_join_state(
+            c_k, ivm_delta.changes_to_mult(c_ch)
+        ).localCheckpoint(eager=True)
+
         docs = ivm_doc.build_docs(
-            new_p.join(touched, spec.on, "left_semi"),
-            new_c.join(touched, spec.on, "left_semi"),
+            new_p,
+            new_c,
             spec.on,
             child_alias=spec.child_alias,
             child_order=spec.child_order,
@@ -1196,7 +1222,9 @@ class SyncEngine:
         counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
         self.sink.apply_actions(view.index, actions)
 
-        self._write_nested_doc_states(view, new_p, new_c)
+        # key-local merge: only the touched keys' buckets are rewritten
+        self.keyed.merge_for_keys(p_name, touched, new_p, spec.on)
+        self.keyed.merge_for_keys(c_name, touched, new_c, spec.on)
         self._write_lane_marker(view, batch_max_lsn)
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
@@ -1217,8 +1245,11 @@ class SyncEngine:
         return ivm_delta.relation_state(p), ivm_delta.relation_state(c)
 
     def _write_nested_doc_states(self, view: ViewDef, p: DataFrame, c: DataFrame) -> None:
-        self._write_mult_state(view, f"{view.name}__nd_p_state", p)
-        self._write_mult_state(view, f"{view.name}__nd_c_state", c)
+        # full overwrite (init / fallback rebuild) into the KEY-LOCAL
+        # store, bucketed by the lane's parent key
+        on = view.nesteddoc.on
+        self.keyed.write(f"{view.name}__nd_p_state", p, on)
+        self.keyed.write(f"{view.name}__nd_c_state", c, on)
 
     def _initial_chain_states(
         self, spec
@@ -1453,12 +1484,21 @@ class SyncEngine:
         doc = rows[0]["doc"]
         return doc["lsn"], dict(zip(doc["state_names"], doc["state_versions"]))
 
+    def _state_version(self, name: str) -> int:
+        """Version of a lane state wherever it lives: the key-local
+        store's counter when the state is keyed, else the snapshot
+        store's version (0 for stores without versioning)."""
+        v = self.keyed.current_version(name)
+        if v is not None:
+            return int(v)
+        getv = getattr(self.store, "current_version", None)
+        return int(getv(name) or 0) if getv is not None else 0
+
     def _write_lane_marker(self, view: ViewDef, lsn: int | None) -> None:
         names = self._marker_state_names(view)
         if not names:
             return
-        getv = getattr(self.store, "current_version", None)
-        versions = [int(getv(n) or 0) for n in names] if getv else [0] * len(names)
+        versions = [self._state_version(n) for n in names]
         df = self.spark.createDataFrame(
             [(view.name, (lsn, names, versions))],
             "id string, doc struct<lsn:bigint, state_names:array<string>, state_versions:array<int>>",
@@ -1476,9 +1516,8 @@ class SyncEngine:
         if marker is None:
             return False, rows, batch_max
         cutoff, versions = marker
-        getv = getattr(self.store, "current_version", None)
-        if versions and getv is not None:
-            if any(int(getv(n) or 0) != v for n, v in versions.items()):
+        if versions:
+            if any(self._state_version(n) != v for n, v in versions.items()):
                 logger.warning(
                     "view %s: lane states do not match the replay marker (torn fold "
                     "after a crash) — declining to fold; fallback will rebuild", view.name
@@ -1805,9 +1844,8 @@ class SyncEngine:
                     )
         if view.nesteddoc is not None:
             spec = view.nesteddoc
-            packed = self.store.read(f"{view.name}__nd_p_state")
-            if packed is not None:
-                state = packed.select("doc.*")
+            state = self.keyed.read(f"{view.name}__nd_p_state")
+            if state is not None:
                 cols = [k for k in spec.on if k in state.columns]
                 frames.append(
                     state.select(

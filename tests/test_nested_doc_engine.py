@@ -208,6 +208,51 @@ def test_no_base_table_access_after_init(spark, engine):
     assert sink.get("nd_view", "o2") is None
 
 
+def test_fold_rewrites_only_touched_state_buckets(spark, tmp_path):
+    """The lane's state I/O claim: a fold touches only the batch keys'
+    buckets of the key-local state store — untouched bucket files of
+    BOTH states keep their mtimes."""
+    import glob
+    import os
+    import time
+
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [_view()], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    many_orders = [(f"o{i}", f"c{i}") for i in range(60)]
+    many_lines = [(f"o{i}", 1, float(i)) for i in range(60)]
+    _tables(spark, many_orders, many_lines)
+    eng.backfill()
+
+    def mtimes(name):
+        base = os.path.join(str(tmp_path / "snap"), "__keyed_lane_state", name)
+        return {
+            d: max(
+                (os.path.getmtime(f) for f in glob.glob(os.path.join(base, d, "*.parquet"))),
+                default=0,
+            )
+            for d in os.listdir(base)
+            if d.startswith("__bucket=")
+        }
+
+    before_p, before_c = mtimes("nd_view__nd_p_state"), mtimes("nd_view__nd_c_state")
+    assert len(before_p) > 1 and len(before_c) > 1
+    keys = spark.createDataFrame([("o7",)], "okey string")
+    bucket = keys.select(eng.keyed._bucket(["okey"]).alias("b")).collect()[0]["b"]
+    time.sleep(1.1)
+    _tables(spark, many_orders, many_lines + [("o7", 2, 1.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "nd_lines", "INSERT", {"okey": "o7", "line": 2, "qty": 1.0}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+    after_p, after_c = mtimes("nd_view__nd_p_state"), mtimes("nd_view__nd_c_state")
+    for before, after in ((before_p, after_p), (before_c, after_c)):
+        for d in before:
+            if d == f"__bucket={bucket}":
+                assert after[d] > before[d]
+            else:
+                assert after[d] == before[d], f"untouched state bucket {d} rewritten"
+
+
 def test_duplicate_child_rows_preserved(spark, engine):
     eng, sink = engine
     dup = [("o1", 1, 3.0), ("o1", 1, 3.0), ("o2", 1, 7.0)]
