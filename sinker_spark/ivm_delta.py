@@ -409,7 +409,21 @@ def _pad_delta(
     dl = changes_to_mult(l_changes, op_col)
     dr = changes_to_mult(r_changes, op_col)
 
-    keys_touched = dl.select(*on).unionByName(dr.select(*on)).distinct()
+    # SQL equality is null-unsafe: a left row with ANY NULL join-key
+    # column can never match, so it is padded unconditionally — its pad
+    # delta is just its own signed multiplicity, independent of right
+    # counts. Route those rows around the key-crossing machinery (whose
+    # semi-joins are themselves null-unsafe and would silently DROP
+    # them — a NULL-key insert would never reach the view).
+    nullkey = F.lit(False)
+    for k in on:
+        nullkey = nullkey | F.col(k).isNull()
+    dl_nullkey = dl.where(nullkey)
+    dl = dl.where(~nullkey)
+
+    keys_touched = (
+        dl.select(*on).unionByName(dr.select(*on)).where(~nullkey).distinct()
+    )
     nr_old = (
         r0.join(keys_touched, on, "left_semi")
         .groupBy(*on)
@@ -450,7 +464,12 @@ def _pad_delta(
             F.col(_MULT),
         )
 
-    return pad(l_new_down).unionByName(pad(l_old_up)).unionByName(pad(dl_zero))
+    return (
+        pad(l_new_down)
+        .unionByName(pad(l_old_up))
+        .unionByName(pad(dl_zero))
+        .unionByName(pad(dl_nullkey))
+    )
 
 
 def initial_full_join_state(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:

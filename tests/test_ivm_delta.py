@@ -108,7 +108,9 @@ def test_dirty_minmax_only_delete_groups(spark):
 
 
 def _mrows(df):
-    return sorted(tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
+    rows = (tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
+    # None-safe sort: NULL key/value columns are legal in the outer-join lanes
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
 
 
 def test_join_delta_matches_recompute_randomized(spark):
@@ -493,3 +495,78 @@ def test_foj_randomized_matches_recompute(spark):
         [r for r in b_old if r[0] != victim], 2
     )
     _foj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del)
+
+
+# -- NULL join keys in the outer-join deltas ------------------------------
+#
+# SQL equality is null-unsafe: a NULL-key row can never match, so it is
+# ALWAYS served padded. Regression for the _pad_delta null-key drop: the
+# key-crossing machinery routes rows through left-semi joins on the join
+# key, and a semi-join with a NULL key matches nothing — before the fix a
+# NULL-key insert's pad was silently dropped (the row never reached the
+# view) and a NULL-key delete could not retract its pad.
+
+
+def test_loj_null_key_insert_always_pads(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x")],
+        a_ins=[(None, 99)], a_del=[],  # NULL key: must appear padded
+        b_ins=[], b_del=[],
+    )
+
+
+def test_loj_null_key_delete_retracts_pad(spark):
+    _loj_roundtrip(
+        spark,
+        a_old=[(None, 10), (1, 11)],
+        b_old=[(1, "x")],
+        a_ins=[], a_del=[(None, 10)],  # NULL-key pad must retract
+        b_ins=[], b_del=[],
+    )
+
+
+def test_loj_null_key_b_rows_never_match(spark):
+    # NULL-key B rows must not count toward any A key's match count
+    _loj_roundtrip(
+        spark,
+        a_old=[(None, 10)],
+        b_old=[],
+        a_ins=[], a_del=[],
+        b_ins=[(None, "x")], b_del=[],  # must NOT retract the a-side pad
+    )
+
+
+def test_foj_null_key_rows_pad_both_sides(spark):
+    _foj_roundtrip(
+        spark,
+        a_old=[(1, 10)],
+        b_old=[(1, "x")],
+        a_ins=[(None, 99)], a_del=[],
+        b_ins=[(None, "n")], b_del=[],  # each side's NULL rows pad, never join
+    )
+
+
+def test_foj_null_key_randomized_matches_recompute(spark):
+    rng = random.Random(41)
+    keys = [None, 1, 2, 3]
+    a_old = [(rng.choice(keys), rng.randint(0, 2)) for _ in range(14)]
+    b_old = [(rng.choice(keys), rng.choice("xyz")) for _ in range(12)]
+    a_ins = [(rng.choice(keys), rng.randint(0, 2)) for _ in range(5)]
+    a_del = rng.sample(a_old, 4)
+    b_ins = [(rng.choice(keys), rng.choice("xyz")) for _ in range(4)]
+    b_del = rng.sample(b_old, 4)
+    _foj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del)
+
+
+def test_loj_null_key_randomized_matches_recompute(spark):
+    rng = random.Random(43)
+    keys = [None, 1, 2]
+    a_old = [(rng.choice(keys), rng.randint(0, 2)) for _ in range(12)]
+    b_old = [(rng.choice(keys), rng.choice("xyz")) for _ in range(10)]
+    a_ins = [(rng.choice(keys), rng.randint(0, 2)) for _ in range(4)]
+    a_del = rng.sample(a_old, 3)
+    b_ins = [(rng.choice(keys), rng.choice("xyz")) for _ in range(3)]
+    b_del = rng.sample(b_old, 3)
+    _loj_roundtrip(spark, a_old, b_old, a_ins, a_del, b_ins, b_del)
