@@ -49,6 +49,34 @@ DELETE = "delete"
 _CNT = "__cnt"
 
 
+def null_safe_join(left: DataFrame, right: DataFrame, keys: list[str], how: str) -> DataFrame:
+    """Equi-join on ``keys`` with NULL-SAFE equality (``<=>``): a NULL
+    key matches a NULL key, exactly as GROUP BY already treats NULLs as
+    one group. The lane folds all run through groupBy — NULL groups fold
+    correctly — but every SERVE/dirty-detection join on the group keys
+    was plain (null-unsafe) equality, so a NULL-keyed group could never
+    match its own touched-set row: it vanished from upserts and emitted
+    spurious deletes forever. Use this wherever lane code joins frames
+    BY GROUP KEY tuples that may contain NULLs.
+
+    Output column layout matches ``left.join(right, on=keys, how=…)``:
+    left's key columns are kept, right's are dropped (for semi/anti the
+    right side contributes no columns anyway). ``<=>`` is a hash-join
+    key for Spark, so plan shapes are unchanged."""
+    renamed = {k: f"__ns_{k}" for k in keys}
+    r = right
+    for k, a in renamed.items():
+        r = r.withColumnRenamed(k, a)
+    cond = None
+    for k, a in renamed.items():
+        c = F.col(k).eqNullSafe(F.col(a))
+        cond = c if cond is None else cond & c
+    joined = left.join(r, cond, how)
+    if how in ("semi", "left_semi", "anti", "left_anti"):
+        return joined
+    return joined.drop(*renamed.values())
+
+
 def _nn(name: str) -> str:
     """Per-sum NON-NULL input counter column. SQL's SUM over zero
     non-null inputs is NULL, not 0 — a signed fold alone cannot tell
@@ -214,7 +242,10 @@ def fold_agg_minmax(
         *[F.max(F.expr(col)).alias(f"__ins_{name}") for name, col in maxes.items()],
         *[F.min(F.expr(col)).alias(f"__ins_{name}") for name, col in mins.items()],
     )
-    j = del_mm.join(old_mm, keys, "inner").join(ins_mm, keys, "left")
+    # null-safe: a NULL-keyed group's deleted extreme must still flag it
+    j = null_safe_join(
+        null_safe_join(del_mm, old_mm, keys, "inner"), ins_mm, keys, "left"
+    )
     conds = [
         (F.col(f"__del_{name}") >= F.col(f"__old_{name}"))
         & ~F.coalesce(F.col(f"__ins_{name}") >= F.col(f"__old_{name}"), F.lit(False))
@@ -247,9 +278,11 @@ def recompute_agg_groups(
     them from the fact table (broadcast semi-join prunes the scan to the
     dirty groups' rows) and splice into the state."""
     fresh = initial_agg_state(
-        fact.join(F.broadcast(dirty), keys, "semi"), keys, sums, maxes, mins
+        null_safe_join(fact, F.broadcast(dirty), keys, "semi"), keys, sums, maxes, mins
     )
-    return state.join(dirty, keys, "left_anti").unionByName(fresh.select(*state.columns))
+    return null_safe_join(state, dirty, keys, "left_anti").unionByName(
+        fresh.select(*state.columns)
+    )
 
 
 def dirty_minmax_groups(changes: DataFrame, keys: list[str], op_col: str = OP_COL) -> DataFrame:

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sinker_spark.ivm_delta import DELETE, OP_COL
+from sinker_spark.ivm_delta import DELETE, OP_COL, null_safe_join
 
 _N = "__n_total"
 
@@ -125,10 +125,15 @@ def apply_topk_delta(
     deletes = net.where(F.col("__m") < 0).select(*fact_cols)
     touched = changes.select(*keys).distinct()
 
-    # untouched groups pass through unchanged; touched groups re-rank
-    untouched = rows_state.join(touched, keys, "left_anti")
-    touched_rows = rows_state.join(touched, keys, "semi")
-    after_delete = touched_rows.join(deletes.select(*keys, id_col), [*keys, id_col], "left_anti")
+    # untouched groups pass through unchanged; touched groups re-rank.
+    # All key joins are NULL-SAFE: group keys may legally be NULL (one
+    # group, per GROUP BY semantics) and a plain equi-join would strand
+    # a NULL group's stored rows in BOTH untouched and not-touched sets.
+    untouched = null_safe_join(rows_state, touched, keys, "left_anti")
+    touched_rows = null_safe_join(rows_state, touched, keys, "semi")
+    after_delete = null_safe_join(
+        touched_rows, deletes.select(*keys, id_col), [*keys, id_col], "left_anti"
+    )
 
     # Watermark gate (prefix invariant): per touched group, find the
     # weakest surviving stored old row — (order, id) of the LAST row in
@@ -159,9 +164,13 @@ def apply_topk_delta(
     )
     n_del = deletes.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__ndel"))
     grp_info = (
-        counts_state.join(touched, keys, "semi")
-        .join(n_del, keys, "left")
-        .join(wm, keys, "left")
+        null_safe_join(
+            null_safe_join(
+                null_safe_join(counts_state, touched, keys, "semi"),
+                n_del, keys, "left",
+            ),
+            wm, keys, "left",
+        )
         .select(
             *keys,
             (F.col(_N) - F.coalesce(F.col("__ndel"), F.lit(0))).alias("__nold"),
@@ -171,7 +180,7 @@ def apply_topk_delta(
         )
     )
     admitted = (
-        inserts.join(grp_info, keys, "left")
+        null_safe_join(inserts, grp_info, keys, "left")
         .where(
             F.col("__nold").isNull()  # brand-new group: state holds everything
             | (F.col("__nold") <= F.col("__sold"))  # no unstored old rows
@@ -214,8 +223,9 @@ def apply_topk_delta(
     # post-fold state, so it is sound across arbitrarily many batches.
     s_new = refolded.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("__snew"))
     dirty = (
-        new_counts.join(touched, keys, "semi")
-        .join(s_new, keys, "left")
+        null_safe_join(
+            null_safe_join(new_counts, touched, keys, "semi"), s_new, keys, "left"
+        )
         .where(
             F.coalesce(F.col("__snew"), F.lit(0))
             < F.least(F.lit(k).cast("bigint"), F.col(_N))
@@ -240,9 +250,10 @@ def recompute_groups(
     the fact scan, so cost is O(dirty groups' rows), not a full scan —
     and splice them into the state."""
     fresh = _ranked_truncate(
-        fact.join(F.broadcast(dirty), keys, "semi"), keys, order_col, id_col, k + buffer
+        null_safe_join(fact, F.broadcast(dirty), keys, "semi"),
+        keys, order_col, id_col, k + buffer,
     )
-    return rows_state.join(dirty, keys, "left_anti").unionByName(
+    return null_safe_join(rows_state, dirty, keys, "left_anti").unionByName(
         fresh.select(*rows_state.columns)
     )
 

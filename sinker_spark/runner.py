@@ -476,13 +476,13 @@ class SyncEngine:
         # touched − served, so a group crossing OUT of the predicate
         # retracts its doc even though it stays in state.
         served = doc_view.where(F.expr(spec.having)) if spec.having else doc_view
-        upserts = served.join(touched, spec.keys, "left_semi").select(
+        upserts = ivm_delta.null_safe_join(served, touched, spec.keys, "left_semi").select(
             group_id.alias(view.key),
             F.lit(UPSERT).alias("op"),
             F.struct(*[F.col(c) for c in doc_view.columns]).alias("doc"),
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(served, spec.keys, "left_anti").select(
+        deletes = ivm_delta.null_safe_join(touched, served, spec.keys, "left_anti").select(
             group_id.alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
@@ -586,11 +586,11 @@ class SyncEngine:
             ).alias("top")
         )
         sink_doc = F.struct(*[F.col(k).alias(k) for k in spec.keys], F.col("top"))
-        upserts = docs.join(touched, spec.keys, "left_semi").select(
+        upserts = ivm_delta.null_safe_join(docs, touched, spec.keys, "left_semi").select(
             group_id.alias(view.key), F.lit(UPSERT).alias("op"), sink_doc.alias("doc")
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(new_counts, spec.keys, "left_anti").select(
+        deletes = ivm_delta.null_safe_join(touched, new_counts, spec.keys, "left_anti").select(
             group_id.alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
@@ -653,7 +653,7 @@ class SyncEngine:
         group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
         touched = batch.select(*spec.keys).distinct()
         estimates = ivm_hll.hll_estimate(
-            new_state.join(touched, spec.keys, "left_semi"), spec.keys
+            ivm_delta.null_safe_join(new_state, touched, spec.keys, "left_semi"), spec.keys
         )
         upserts = estimates.select(
             group_id.alias(view.key),
@@ -729,13 +729,13 @@ class SyncEngine:
         group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
         touched = batch.select(*spec.keys).distinct()
         served = ivm_delta.distinct_counts(new_state, spec.keys)
-        upserts = served.join(touched, spec.keys, "left_semi").select(
+        upserts = ivm_delta.null_safe_join(served, touched, spec.keys, "left_semi").select(
             group_id.alias(view.key),
             F.lit(UPSERT).alias("op"),
             F.struct(*[F.col(c) for c in served.columns]).alias("doc"),
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(served, spec.keys, "left_anti").select(
+        deletes = ivm_delta.null_safe_join(touched, served, spec.keys, "left_anti").select(
             group_id.alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
@@ -1073,13 +1073,13 @@ class SyncEngine:
                 ],
             )
             served = doc_view.where(F.expr(spec.having)) if spec.having else doc_view
-            upserts = served.join(touched, spec.keys, "left_semi").select(
+            upserts = ivm_delta.null_safe_join(served, touched, spec.keys, "left_semi").select(
                 group_id.alias(view.key),
                 F.lit(UPSERT).alias("op"),
                 F.struct(*[F.col(c) for c in doc_view.columns]).alias("doc"),
             )
             doc_type = upserts.schema["doc"].dataType
-            deletes = touched.join(served, spec.keys, "left_anti").select(
+            deletes = ivm_delta.null_safe_join(touched, served, spec.keys, "left_anti").select(
                 group_id.alias(view.key),
                 F.lit(DELETE).alias("op"),
                 F.lit(None).cast(doc_type).alias("doc"),
@@ -1159,8 +1159,20 @@ class SyncEngine:
                 b = b.unionByName(parsed(table, schema, "payload_before", ivm_delta.DELETE))
             return b
 
-        p_ch = batch_for(spec.parent_table, spec.row_schema_parent)
-        c_ch = batch_for(spec.child_table, spec.row_schema_child)
+        # NULL-key rows can never contribute to any document (SQL join
+        # equality is null-unsafe): a child with a NULL FK joins no
+        # parent, and a NULL parent key is out of the PK contract.
+        # Filter them from the fold AND from the initial state (below),
+        # so state stays exactly the doc-relevant projection — letting
+        # them through would put NULL tuples in the touched set (emitting
+        # a spurious DELETE for a doc that never existed) and duplicate
+        # rows in the key-local merge (whose semi/anti joins are
+        # null-unsafe and cannot address them).
+        notnull = F.lit(True)
+        for k in spec.on:
+            notnull = notnull & F.col(k).isNotNull()
+        p_ch = batch_for(spec.parent_table, spec.row_schema_parent).where(notnull)
+        c_ch = batch_for(spec.child_table, spec.row_schema_child).where(notnull)
 
         # states live in the KEY-LOCAL store (bucketed by spec.on):
         # reads AND writes below touch only the batch's keys' buckets —
@@ -1236,12 +1248,17 @@ class SyncEngine:
         return True
 
     def _initial_nested_doc_states(self, spec) -> tuple[DataFrame, DataFrame]:
+        # NULL-key rows are excluded to mirror the fold's filter (see
+        # _nested_doc_refresh): they can never join into a document
+        notnull = F.lit(True)
+        for k in spec.on:
+            notnull = notnull & F.col(k).isNotNull()
         p = self.spark.table(spec.parent_table).select(
             *self._schema_cols(spec.row_schema_parent)
-        )
+        ).where(notnull)
         c = self.spark.table(spec.child_table).select(
             *self._schema_cols(spec.row_schema_child)
-        )
+        ).where(notnull)
         return ivm_delta.relation_state(p), ivm_delta.relation_state(c)
 
     def _write_nested_doc_states(self, view: ViewDef, p: DataFrame, c: DataFrame) -> None:
@@ -1377,13 +1394,13 @@ class SyncEngine:
         # HAVING semantics: see _delta_agg_refresh — served = passing
         # groups; touched − served retracts boundary-crossing docs.
         served = doc_view.where(F.expr(spec.having)) if spec.having else doc_view
-        upserts = served.join(touched, spec.keys, "left_semi").select(
+        upserts = ivm_delta.null_safe_join(served, touched, spec.keys, "left_semi").select(
             group_id.alias(view.key),
             F.lit(UPSERT).alias("op"),
             F.struct(*[F.col(c) for c in doc_view.columns]).alias("doc"),
         )
         doc_type = upserts.schema["doc"].dataType
-        deletes = touched.join(served, spec.keys, "left_anti").select(
+        deletes = ivm_delta.null_safe_join(touched, served, spec.keys, "left_anti").select(
             group_id.alias(view.key),
             F.lit(DELETE).alias("op"),
             F.lit(None).cast(doc_type).alias("doc"),
@@ -1562,9 +1579,20 @@ class SyncEngine:
             return None, True
         return state, False
 
+    @staticmethod
+    def _state_row_id(cols: list) -> F.Column:
+        """NULL-unambiguous row id for INTERNAL lane-state stores (same
+        scheme as ``_write_mult_state``): md5 of the key struct's JSON.
+        concat_ws silently drops NULLs, so with nullable multi-column
+        group keys ('a', NULL, 'b') and ('a', 'b', NULL) would collide
+        on one store row and clobber each other's state. Sink doc ids
+        are NOT changed — they must keep matching the view's recompute
+        sql/fn, which builds them itself."""
+        return F.md5(F.to_json(F.struct(*[F.col(c) if isinstance(c, str) else c for c in cols])))
+
     def _write_agg_state(self, view: ViewDef, state: DataFrame) -> None:
         spec = view.agg
-        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        group_id = self._state_row_id(list(spec.keys))
         state_doc = F.struct(
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
@@ -1583,10 +1611,8 @@ class SyncEngine:
         from sinker_spark import ivm_topk
 
         spec = view.topk
-        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
-        row_id = F.concat_ws(
-            "|", *[F.col(k).cast("string") for k in spec.keys], F.col(spec.id_col).cast("string")
-        )
+        group_id = self._state_row_id(list(spec.keys))
+        row_id = self._state_row_id([*spec.keys, spec.id_col])
         self.store.write(
             f"{view.name}__topkrows",
             rows.select(row_id.alias(view.key), F.struct(*rows.columns).alias("doc")),
@@ -1606,9 +1632,7 @@ class SyncEngine:
         self.store.write(
             f"{view.name}__hllstate",
             state.select(
-                F.concat_ws(
-                    "|", *[F.col(k).cast("string") for k in spec.keys], F.col("bucket")
-                ).alias(view.key),
+                self._state_row_id([*spec.keys, "bucket"]).alias(view.key),
                 F.struct(*spec.keys, "bucket", "r").alias("doc"),
             ),
             key=view.key,
@@ -1664,7 +1688,7 @@ class SyncEngine:
             self._write_mult_state(view, f"{view.name}__jc_j{k + 2}", j)
         if agg_state is not None:
             spec = view.joinchain
-            group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+            group_id = self._state_row_id(list(spec.keys))
             agg_doc = F.struct(
                 *[F.col(k).alias(k) for k in spec.keys],
                 F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
@@ -1681,7 +1705,7 @@ class SyncEngine:
         spec = view.joinagg
         self._write_mult_state(view, f"{view.name}__ja_a_state", a)
         self._write_mult_state(view, f"{view.name}__ja_b_state", b)
-        group_id = F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+        group_id = self._state_row_id(list(spec.keys))
         agg_doc = F.struct(
             *[F.col(k).alias(k) for k in spec.keys],
             F.col(ivm_delta._CNT).alias(ivm_delta._CNT),
@@ -1798,12 +1822,28 @@ class SyncEngine:
             if packed is not None:
                 frames.append(packed.select(F.col(view.key).cast("string").alias(view.key)))
 
+        def stored_doc_ids(name: str, keys: list[str]) -> None:
+            # the store's physical key is the NULL-unambiguous md5 row id
+            # (_state_row_id), NOT the sink doc id — rebuild the doc id
+            # the lane serves (concat_ws over the group keys) from the
+            # state's own columns. Spec-key edits need a manual reset,
+            # per the _checked_state contract (surviving subset used).
+            packed = self.store.read(name)
+            if packed is not None:
+                state = packed.select("doc.*")
+                cols = [k for k in keys if k in state.columns]
+                frames.append(
+                    state.select(
+                        F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
+                    ).distinct()
+                )
+
         if view.agg is not None:
-            stored_keys(f"{view.name}__aggstate")
+            stored_doc_ids(f"{view.name}__aggstate", view.agg.keys)
         if view.topk is not None:
-            stored_keys(f"{view.name}__topkcounts")
+            stored_doc_ids(f"{view.name}__topkcounts", view.topk.keys)
         if view.joinagg is not None:
-            stored_keys(f"{view.name}__ja_agg_state")
+            stored_doc_ids(f"{view.name}__ja_agg_state", view.joinagg.keys)
         if view.membership is not None:
             stored_keys(f"{view.name}__bloomstate")
         if view.distinct is not None:
@@ -1829,8 +1869,8 @@ class SyncEngine:
         if view.joinchain is not None:
             spec = view.joinchain
             if spec.keys is not None:
-                # aggregate mode: the agg state is keyed by the doc id
-                stored_keys(f"{view.name}__jc_agg_state")
+                # aggregate mode: rebuild doc ids from the group keys
+                stored_doc_ids(f"{view.name}__jc_agg_state", spec.keys)
             else:
                 packed = self.store.read(f"{view.name}__jc_j{len(spec.tables)}")
                 if packed is not None:

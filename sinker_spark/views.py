@@ -14,6 +14,18 @@ utils.py:7-20); DataFrame-program views pass ``deps`` explicitly.
 ``compile()`` returns the canonical 2-column (id, doc) DataFrame with
 decimals cast to double inside the doc struct — the reference's JSON
 documents render numeric(p,s) as floats (test_e2e.py:79: 3.50 → 3.5).
+
+NULL group/join keys: SQL makes NULL its own GROUP BY group, and the
+delta lanes maintain it like any other (their internal joins are
+null-safe, ivm_delta.null_safe_join). The served doc id is the keys'
+'|'-join via ``concat_ws``, which DROPS null parts — a single NULL key
+serves id ``''``, and a view's recompute fn must build ids the same way
+(``F.concat_ws("|", *keys)``) so lane and recompute ids agree. With
+MULTIPLE nullable key columns, ('a', NULL) and (NULL, 'a') both render
+'a': if that ambiguity is real in your data, disambiguate in the view
+(e.g. ``coalesce(k, '∅')`` inside both the group keys and the id).
+Internal lane-state stores are immune — their row ids are md5 of the
+key struct's JSON (SyncEngine._state_row_id), never concat_ws.
 """
 
 from __future__ import annotations

@@ -52,6 +52,9 @@ CDC_COLS = (
     "payload string, payload_before string"
 )
 REGIONS = ["eu", "us", "ap", "af"]
+# sales.region draws from this pool: NULL is a legal group key (its own
+# GROUP BY group; never joins) and must survive every lane end-to-end
+SALES_REGIONS = REGIONS + [None]
 K = 2
 
 
@@ -67,7 +70,8 @@ def _views():
                 F.min("amount").alias("min_amt"),
             )
             .select(
-                F.col("region").alias("id"),
+                # concat_ws id: NULL region is a legal group (served as id '')
+                F.concat_ws("|", F.col("region")).alias("id"),
                 F.struct(
                     "region",
                     "n_rows",
@@ -89,7 +93,7 @@ def _views():
         )
         return ranked.groupBy("region").agg(
             F.sort_array(F.collect_list(F.struct("rank", "id", "amount"))).alias("top")
-        ).select(F.col("region").alias("k"), F.struct("region", "top").alias("doc"))
+        ).select(F.concat_ws("|", F.col("region")).alias("k"), F.struct("region", "top").alias("doc"))
 
     def join_fn(spark):
         j = spark.table("soak_sales").join(spark.table("soak_dims"), "region")
@@ -137,7 +141,7 @@ def _views():
             )
         )
         return served.select(
-            F.col("region").alias("id"),
+            F.concat_ws("|", F.col("region")).alias("id"),
             F.struct("region", "n_rows", "n_distinct").alias("doc"),
         )
 
@@ -202,7 +206,7 @@ def _views():
             .where("n_rows >= 4")
         )
         return served.select(
-            F.col("region").alias("id"),
+            F.concat_ws("|", F.col("region")).alias("id"),
             F.struct("region", "n_rows", "sum_amt").alias("doc"),
         )
 
@@ -363,7 +367,9 @@ def expected_agg(sales):
         e[2] = amount if e[2] is None else max(e[2], amount)
         e[3] = amount if e[3] is None else min(e[3], amount)
     return {
-        r: {"region": r, "n_rows": n, "sum_amt": round(s, 2), "max_amt": mx, "min_amt": mn}
+        ("" if r is None else r): {
+            "region": r, "n_rows": n, "sum_amt": round(s, 2), "max_amt": mx, "min_amt": mn
+        }
         for r, (n, s, mx, mn) in out.items()
     }
 
@@ -375,7 +381,7 @@ def expected_topk(sales):
     out = {}
     for r, rows in groups.items():
         rows.sort(key=lambda t: (-t[1], t[0]))
-        out[r] = {
+        out["" if r is None else r] = {
             "region": r,
             "top": [
                 {"rank": i + 1, "id": sid, "amount": amt}
@@ -467,7 +473,8 @@ def expected_dc(sales):
         e[0] += 1
         e[1].add(amount)
     return {
-        r: {"region": r, "n_rows": n, "n_distinct": len(vals)} for r, (n, vals) in out.items()
+        ("" if r is None else r): {"region": r, "n_rows": n, "n_distinct": len(vals)}
+        for r, (n, vals) in out.items()
     }
 
 
@@ -478,7 +485,7 @@ def expected_having(sales, min_rows=4):
         e[0] += 1
         e[1] += amount
     return {
-        r: {"region": r, "n_rows": n, "sum_amt": round(s, 2)}
+        ("" if r is None else r): {"region": r, "n_rows": n, "sum_amt": round(s, 2)}
         for r, (n, s) in out.items()
         if n >= min_rows
     }
@@ -528,14 +535,14 @@ def _gen_batch(rng, sales, dims, org, next_id, lsn, drop_image_once):
         if roll < 0.32 or not sales:  # insert (sometimes chained)
             sid = f"s{next_id:04d}"
             next_id += 1
-            row = (rng.choice(REGIONS), rng.randrange(0, 201) / 4.0)
+            row = (rng.choice(SALES_REGIONS), rng.randrange(0, 201) / 4.0)
             sales[sid] = row
             records.append((lsn, "soak_sales", "INSERT", {"id": sid, "region": row[0], "amount": row[1]}, None))
             lsn += 1
             if chain_budget and rng.random() < 0.35:
                 chain_budget -= 1
                 if rng.random() < 0.5:  # insert -> update chain
-                    new = (rng.choice(REGIONS), rng.randrange(0, 201) / 4.0)
+                    new = (rng.choice(SALES_REGIONS), rng.randrange(0, 201) / 4.0)
                     records.append((
                         lsn, "soak_sales", "UPDATE",
                         {"id": sid, "region": new[0], "amount": new[1]},
@@ -552,7 +559,7 @@ def _gen_batch(rng, sales, dims, org, next_id, lsn, drop_image_once):
         elif roll < 0.60:  # update
             sid = rng.choice(sorted(sales))
             old = sales[sid]
-            region = rng.choice(REGIONS) if rng.random() < 0.4 else old[0]
+            region = rng.choice(SALES_REGIONS) if rng.random() < 0.4 else old[0]
             new = (region, rng.randrange(0, 201) / 4.0)
             records.append((
                 lsn, "soak_sales", "UPDATE",
@@ -649,7 +656,7 @@ REPLAY_BATCHES = {2, 5, 6}  # re-deliver these verbatim (at-least-once)
 def test_soak_all_lanes_match_recompute(spark, tmp_path):
     rng = random.Random(20260814)
     sales = {
-        f"s{i:04d}": (REGIONS[i % len(REGIONS)], rng.randrange(0, 201) / 4.0)
+        f"s{i:04d}": (SALES_REGIONS[i % len(SALES_REGIONS)], rng.randrange(0, 201) / 4.0)
         for i in range(12)
     }
     dims = {"eu": "m1", "us": "m1", "ap": "m2", "af": "m2"}

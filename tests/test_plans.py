@@ -333,3 +333,48 @@ def test_broadcast_degrades_to_sort_merge_not_bnlj(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_null_safe_join_is_equi_join_not_bnlj(spark):
+    """The lane serve/dirty joins all go through ivm_delta.null_safe_join
+    (``<=>`` on the group keys, so NULL-keyed groups address their own
+    state). ``EqualNullSafe`` is an equi-join key for Spark's planner
+    (ExtractEquiJoinKeys), so this MUST stay a hash/sort-merge join —
+    if it ever degraded to BroadcastNestedLoopJoin the per-batch serve
+    would be O(state × touched), a scale killer at 100 TB state sizes.
+    Asserted for every join type the lanes use, with both broadcast
+    thresholds zeroed so nothing hides behind a small-side broadcast."""
+    from sinker_spark.ivm_delta import null_safe_join
+
+    left = spark.range(0, 1000).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id % 13 AS STRING) END AS k1",
+        "CAST(id % 3 AS STRING) AS k2",
+        "id AS v",
+    )
+    right = spark.range(0, 200).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id % 13 AS STRING) END AS k1",
+        "CAST(id % 3 AS STRING) AS k2",
+    ).distinct()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for how in ("inner", "left", "semi", "anti"):
+            df = null_safe_join(left, right, ["k1", "k2"], how)
+            df.collect()
+            plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, f"{how}: {plan[:400]}"
+            assert "BroadcastNestedLoop" not in plan, how
+            assert "CartesianProduct" not in plan, how
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
