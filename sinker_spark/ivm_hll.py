@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sinker_spark.ivm_delta import DELETE, INSERT, OP_COL
+from sinker_spark.ivm_delta import DELETE, INSERT, OP_COL, null_safe_join
 
 M = 64          # registers per group (6 bucket bits)
 _RANK_BITS = 54  # 60-bit md5 value, 6 bits spent on the bucket
@@ -104,8 +104,15 @@ def hll_estimate(state: DataFrame, keys: list[str]) -> DataFrame:
             state.sparkSession.range(M).select(F.col("id").cast("bigint").alias("bucket"))
         )
     )
+    # NULL-SAFE on the group keys: GROUP BY makes NULL its own group, so
+    # a NULL-keyed group's spine rows must find their registers (a plain
+    # equi-join never matches NULL and would serve estimate 0 for a
+    # populated NULL group). `bucket` rides along in the same null-safe
+    # join: spine buckets are 0..63 (never NULL), so the NULL-bucket
+    # register rows that NULL *values* produce still match nothing —
+    # exactly COUNT(DISTINCT x)'s ignore-NULL-values semantics.
     full = (
-        spine.join(state, [*keys, "bucket"], "left")
+        null_safe_join(spine, state, [*keys, "bucket"], "left")
         .select(*keys, "bucket", F.coalesce("r", F.lit(0)).alias("r"))
         .withColumn("rmax", F.max("r").over(Window.partitionBy(*keys)))
     )

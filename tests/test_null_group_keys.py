@@ -225,6 +225,66 @@ def test_exact_distinct_lane_null_group(spark, tmp_path):
     assert sink.get("nvisitors", "") == {"region": None, "n_rows": 3, "n_distinct": 2}
 
 
+# -- HLL approximate-distinct lane ----------------------------------------
+
+
+def test_hll_lane_null_group_estimates_not_zero(spark, tmp_path):
+    """hll_estimate's register spine joins state BY GROUP KEY — that
+    join must be null-safe or a populated NULL group reads all-empty
+    registers and serves estimate 0 (the exact bug class the serve
+    joins had). NULL *values* must still be ignored, per
+    COUNT(DISTINCT x)."""
+    from sinker_spark import ivm_hll
+
+    fact = spark.createDataFrame(
+        [(None, f"u{i}") for i in range(60)]
+        + [("eu", f"u{i}") for i in range(40)]
+        + [(None, None)],  # NULL value: never a distinct count member
+        "region string, user_id string",
+    )
+    state = ivm_hll.initial_hll_state(fact, ["region"], "user_id")
+    est = {
+        r["region"]: r["n_distinct_est"]
+        for r in ivm_hll.hll_estimate(state, ["region"]).collect()
+    }
+    assert est["eu"] == pytest.approx(40, rel=0.25)
+    assert est[None] == pytest.approx(60, rel=0.25)
+
+
+def test_hll_engine_lane_null_group(spark, tmp_path):
+    def recompute(spark):
+        served = spark.table("nhits").groupBy("region").agg(
+            F.approx_count_distinct("user_id").cast("double").alias("n_distinct_est")
+        )
+        return served.select(
+            F.concat_ws("|", F.col("region")).alias("id"),
+            F.struct("region", "n_distinct_est").alias("doc"),
+        )
+
+    view = ViewDef(
+        name="nhll",
+        fn=recompute,
+        deps={"nhits"},
+        distinct=DistinctViewSpec(
+            table="nhits", keys=["region"], value_col="user_id",
+            row_schema="id string, region string, user_id string", exact=False,
+        ),
+    )
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "s")))
+    spark.createDataFrame(
+        [(f"r{i}", None, f"u{i}") for i in range(30)],
+        "id string, region string, user_id string",
+    ).createOrReplaceTempView("nhits")
+    eng.process_cdc_batch(
+        _cdc(spark, [(1, "nhits", "INSERT", {"id": "x", "region": None, "user_id": "u99"}, None)])
+    )
+    assert eng.last_stats["nhll"].get("hll_distinct") == 1
+    doc = sink.get("nhll", "")
+    assert doc["region"] is None
+    assert doc["n_distinct_est"] == pytest.approx(31, rel=0.3)
+
+
 # -- delta-join lane (left outer, nullable join key) ----------------------
 
 
