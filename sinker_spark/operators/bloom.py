@@ -55,7 +55,12 @@ def build_bits(keys: DataFrame, key_col: str = "key", m_bits: int = 4096) -> Dat
     (word_idx, single-bit word) pairs, map-side bit_or combined."""
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits))).alias("pos")
     return (
-        keys.select(pos)
+        # NULL keys are not set members (probe(NULL) is false by
+        # construction); without this filter they'd hash to NULL
+        # positions and leave a junk (NULL, NULL) word row in the state
+        # — which the membership lane would serve as a NULL-id document
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / WORD_BITS).cast("int").alias("word_idx"),
             (F.col("pos") % WORD_BITS).cast("int").alias("bit"),
