@@ -25,6 +25,7 @@ lagging CDC feed guarantees).
 from __future__ import annotations
 
 import json
+import os
 import random
 
 import pytest
@@ -648,13 +649,18 @@ def _cdc_df(spark, records):
     return spark.createDataFrame(rows, CDC_COLS)
 
 
-N_BATCHES = 8
+# Env overrides turn this test into an extended bug hunt without
+# inflating CI time: SINKER_SOAK_SEED / SINKER_SOAK_BATCHES, e.g.
+#   for s in 1 2 3; do SINKER_SOAK_SEED=$s SINKER_SOAK_BATCHES=20 \
+#     python -m pytest tests/test_ivm_soak.py -x -q; done
+N_BATCHES = int(os.environ.get("SINKER_SOAK_BATCHES", "8"))
 FALLBACK_BATCHES = {3, 6}  # 1-indexed: force the lane-fallback repair here
 REPLAY_BATCHES = {2, 5, 6}  # re-deliver these verbatim (at-least-once)
+SOAK_SEED = int(os.environ.get("SINKER_SOAK_SEED", "20260814"))
 
 
 def test_soak_all_lanes_match_recompute(spark, tmp_path):
-    rng = random.Random(20260814)
+    rng = random.Random(SOAK_SEED)
     sales = {
         f"s{i:04d}": (SALES_REGIONS[i % len(SALES_REGIONS)], rng.randrange(0, 201) / 4.0)
         for i in range(12)
