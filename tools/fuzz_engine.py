@@ -1,0 +1,353 @@
+"""Engine-level randomized topology fuzzer for the SyncEngine lanes.
+
+Where tools/fuzz_ivm.py fuzzes the fold primitives and the engine soak
+(tests/test_ivm_soak.py) drives one fixed view topology, this tool
+randomizes the TOPOLOGY too: each run draws a fresh set of lane views —
+random group-key subsets (1- and 2-column, nullable), random
+sum/max/min combinations, random HAVING thresholds, random top-k
+k/buffer, random distinct value columns, inner vs left joins — then
+folds seeded random CDC batches (inserts, update chains, deletes, key
+migrations, NULL keys, occasional missing before-images to force the
+lane-fallback path, verbatim replays for at-least-once) through a
+SyncEngine and compares EVERY view's sink documents against its own
+recompute fn after EVERY batch.
+
+The recompute fn is the engine's source of truth (the lane must serve
+exactly what a full recompute of the view would), so the check needs no
+hand-maintained expected-state model — any divergence is a lane bug,
+a serve-format bug, or a fallback bug.
+
+Usage: python tools/fuzz_engine.py [n_runs] [n_batches]
+Exit non-zero on first divergence with the run seed + view + batch.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.session import get_spark
+from sinker_spark.sinks.memory import InMemorySink, _row_to_plain
+from sinker_spark.views import (
+    AggViewSpec,
+    DistinctViewSpec,
+    JoinViewSpec,
+    TopKViewSpec,
+    ViewDef,
+)
+
+SALES_SCHEMA = "id string, region string, cat string, amount double"
+DIM_SCHEMA = "region string, mgr string"
+CDC_COLS = (
+    "lsn bigint, schema string, table string, op string, id string, "
+    "payload string, payload_before string"
+)
+REGIONS = ["eu", "us", "ap", None]
+CATS = ["a", "b", None]
+
+
+# ------------------------------------------------------------ view builders
+
+def make_agg_view(rng, name):
+    keys = rng.choice([["region"], ["cat"], ["region", "cat"]])
+    use_mm = rng.random() < 0.6
+    having = rng.choice([None, "n_rows >= 2", "n_rows >= 3"])
+
+    def fn(spark):
+        df = spark.table("fz_sales").groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("__s"),
+            *( [F.max("amount").alias("max_amt"), F.min("amount").alias("min_amt")]
+               if use_mm else [] ),
+        )
+        served = df.select(
+            *keys,
+            "n_rows",
+            F.col("__s").cast("double").alias("sum_amt"),
+            *( [F.col("max_amt").cast("double").alias("max_amt"),
+                F.col("min_amt").cast("double").alias("min_amt")] if use_mm else [] ),
+        )
+        if having:
+            served = served.where(having)
+        fields = [*keys, "n_rows", "sum_amt"] + (["max_amt", "min_amt"] if use_mm else [])
+        return served.select(
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("id"),
+            F.struct(*fields).alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, deps={"fz_sales"},
+        agg=AggViewSpec(
+            table="fz_sales", keys=keys,
+            sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+            maxes={"max_amt": "amount"} if use_mm else {},
+            mins={"min_amt": "amount"} if use_mm else {},
+            row_schema=SALES_SCHEMA, having=having,
+        ),
+    )
+
+
+def make_topk_view(rng, name):
+    keys = rng.choice([["region"], ["cat"]])
+    k = rng.choice([1, 2, 3])
+    buf = rng.choice([1, 2])
+
+    def fn(spark):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.desc("amount"), F.asc("id"))
+        ranked = (
+            spark.table("fz_sales")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        return ranked.groupBy(*keys).agg(
+            F.sort_array(F.collect_list(F.struct("rank", "id", "amount"))).alias("top")
+        ).select(
+            F.concat_ws("|", *[F.col(kk).cast("string") for kk in keys]).alias("k"),
+            F.struct(*keys, "top").alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, key="k", deps={"fz_sales"},
+        topk=TopKViewSpec(
+            table="fz_sales", keys=keys, order_col="amount", id_col="id",
+            k=k, buffer=buf, row_schema=SALES_SCHEMA,
+        ),
+    )
+
+
+def make_distinct_view(rng, name):
+    keys = rng.choice([["region"], ["cat"], ["region", "cat"]])
+    value_col = rng.choice(["amount", "cat" if "cat" not in keys else "amount"])
+
+    def fn(spark):
+        served = spark.table("fz_sales").groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col(value_col)).cast("bigint").alias("n_distinct"),
+        )
+        return served.select(
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("id"),
+            F.struct(*keys, "n_rows", "n_distinct").alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, deps={"fz_sales"},
+        distinct=DistinctViewSpec(
+            table="fz_sales", keys=keys, value_col=value_col,
+            row_schema=SALES_SCHEMA, exact=True,
+        ),
+    )
+
+
+def make_join_view(rng, name):
+    how = rng.choice(["inner", "left"])
+
+    def fn(spark):
+        if how == "inner":
+            j = spark.table("fz_sales").join(spark.table("fz_dims"), "region")
+            return j.select(
+                F.col("id").alias("k"),
+                F.struct(
+                    "region", "id", "cat", "amount", "mgr",
+                    F.lit(1).cast("bigint").alias("n_rows"),
+                ).alias("doc"),
+            )
+        dims = spark.table("fz_dims").withColumn("__matched", F.lit(True))
+        j = (
+            spark.table("fz_sales")
+            .join(dims, "region", "left")
+            .withColumn("__matched", F.coalesce(F.col("__matched"), F.lit(False)))
+        )
+        return j.select(
+            F.col("id").alias("k"),
+            F.struct(
+                "region", "id", "cat", "amount", "mgr", "__matched",
+                F.lit(1).cast("bigint").alias("n_rows"),
+            ).alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, key="k", deps={"fz_sales", "fz_dims"},
+        join=JoinViewSpec(
+            table_a="fz_sales", table_b="fz_dims", on=["region"],
+            row_schema_a=SALES_SCHEMA, row_schema_b=DIM_SCHEMA,
+            key_cols=["id"], how=how,
+        ),
+    )
+
+
+MAKERS = [make_agg_view, make_topk_view, make_distinct_view, make_join_view]
+
+
+# ------------------------------------------------------------ CDC generator
+
+def register_truth(spark, sales, dims):
+    spark.createDataFrame(
+        [(sid, r, c, a) for sid, (r, c, a) in sorted(sales.items())] or [],
+        SALES_SCHEMA,
+    ).createOrReplaceTempView("fz_sales")
+    spark.createDataFrame(
+        [(r, m) for r, m in sorted(dims.items())] or [], DIM_SCHEMA
+    ).createOrReplaceTempView("fz_dims")
+
+
+def gen_batch(rng, sales, dims, next_id, lsn, drop_image):
+    records = []
+    dropped = drop_image
+    for _ in range(rng.randrange(2, 7)):
+        roll = rng.random()
+        if roll < 0.35 or not sales:  # insert
+            sid = f"s{next_id:04d}"
+            next_id += 1
+            row = (rng.choice(REGIONS), rng.choice(CATS), rng.randrange(0, 101) / 4.0)
+            sales[sid] = row
+            records.append((lsn, "fz_sales", "INSERT",
+                            {"id": sid, "region": row[0], "cat": row[1], "amount": row[2]}, None))
+            lsn += 1
+        elif roll < 0.65:  # update (sometimes migrating keys)
+            sid = rng.choice(sorted(sales))
+            old = sales[sid]
+            new = (
+                rng.choice(REGIONS) if rng.random() < 0.5 else old[0],
+                rng.choice(CATS) if rng.random() < 0.3 else old[1],
+                rng.randrange(0, 101) / 4.0,
+            )
+            sales[sid] = new
+            before = {"id": sid, "region": old[0], "cat": old[1], "amount": old[2]}
+            if dropped:
+                before, dropped = None, False  # REPLICA IDENTITY gap → fallback
+            records.append((lsn, "fz_sales", "UPDATE",
+                            {"id": sid, "region": new[0], "cat": new[1], "amount": new[2]},
+                            before))
+            lsn += 1
+        elif roll < 0.9:  # delete
+            sid = rng.choice(sorted(sales))
+            old = sales.pop(sid)
+            records.append((lsn, "fz_sales", "DELETE", None,
+                            {"id": sid, "region": old[0], "cat": old[1], "amount": old[2]}))
+            lsn += 1
+        else:  # dim churn
+            r = rng.choice([r for r in REGIONS if r is not None])
+            if r in dims and rng.random() < 0.5:
+                old = dims.pop(r)
+                records.append((lsn, "fz_dims", "DELETE", None, {"region": r, "mgr": old}))
+            else:
+                old = dims.get(r)
+                dims[r] = f"m{rng.randrange(4)}"
+                if old is None:
+                    records.append((lsn, "fz_dims", "INSERT", {"region": r, "mgr": dims[r]}, None))
+                else:
+                    records.append((lsn, "fz_dims", "UPDATE",
+                                    {"region": r, "mgr": dims[r]}, {"region": r, "mgr": old}))
+            lsn += 1
+    return records, next_id, lsn
+
+
+def cdc_df(spark, records):
+    rows = [
+        (
+            lsn, "public", table, op,
+            (after or before or {}).get("id") or (after or before or {}).get("region", "?"),
+            json.dumps(after) if after else None,
+            json.dumps(before) if before else None,
+        )
+        for lsn, table, op, after, before in records
+    ]
+    return spark.createDataFrame(rows, CDC_COLS)
+
+
+# ----------------------------------------------------------------- checking
+
+def check_views(spark, sink, views, tag):
+    errs = []
+    for v in views:
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in v.fn(spark).collect()
+        }
+        got = sink.indices.get(v.index, {})
+        if got != want:
+            only_got = {k: got[k] for k in set(got) - set(want)}
+            only_want = {k: want[k] for k in set(want) - set(got)}
+            diff = {
+                k: (got[k], want[k])
+                for k in set(got) & set(want)
+                if got[k] != want[k]
+            }
+            errs.append(
+                f"{tag} view={v.name}: +got {only_got} -want {only_want} diff {diff}"
+            )
+    return errs
+
+
+def one_run(spark, seed, n_batches):
+    rng = random.Random(seed)
+    n_views = rng.randrange(2, 5)
+    views = [rng.choice(MAKERS)(rng, f"fzv{i}") for i in range(n_views)]
+    sales = {
+        f"s{i:04d}": (rng.choice(REGIONS), rng.choice(CATS), rng.randrange(0, 101) / 4.0)
+        for i in range(10)
+    }
+    dims = {"eu": "m1", "us": "m2"}
+    next_id, lsn = 10, 1
+    register_truth(spark, sales, dims)
+
+    root = tempfile.mkdtemp(prefix="fz_engine_")
+    try:
+        sink = InMemorySink()
+        eng = SyncEngine(spark, views, sink, SnapshotStore(spark, root))
+        eng.backfill()
+        errs = check_views(spark, sink, views, f"seed={seed} backfill")
+        if errs:
+            return errs
+        for b in range(1, n_batches + 1):
+            records, next_id, lsn = gen_batch(
+                rng, sales, dims, next_id, lsn, drop_image=(b % 4 == 0)
+            )
+            register_truth(spark, sales, dims)
+            batch = cdc_df(spark, records)
+            eng.process_cdc_batch(batch, epoch_id=b)
+            errs = check_views(spark, sink, views, f"seed={seed} batch={b}")
+            if errs:
+                return errs
+            if rng.random() < 0.3:  # at-least-once verbatim redelivery
+                eng.process_cdc_batch(batch, epoch_id=b)
+                errs = check_views(spark, sink, views, f"seed={seed} batch={b}-replay")
+                if errs:
+                    return errs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return []
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    base_seed = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+    spark = get_spark("engine-fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    failures = 0
+    for i in range(n_runs):
+        seed = base_seed + i
+        errs = one_run(spark, seed, n_batches)
+        if errs:
+            failures += 1
+            for e in errs:
+                print(f"[FAIL] {e}")
+        else:
+            print(f"[ok  ] seed={seed}")
+    print(f"{failures} failures / {n_runs} runs")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
