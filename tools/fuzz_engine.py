@@ -38,13 +38,17 @@ from sinker_spark.sinks.memory import InMemorySink, _row_to_plain
 from sinker_spark.views import (
     AggViewSpec,
     DistinctViewSpec,
+    JoinAggViewSpec,
+    JoinChainViewSpec,
     JoinViewSpec,
+    NestedDocViewSpec,
     TopKViewSpec,
     ViewDef,
 )
 
 SALES_SCHEMA = "id string, region string, cat string, amount double"
 DIM_SCHEMA = "region string, mgr string"
+ORG_SCHEMA = "mgr string, dept string"
 CDC_COLS = (
     "lsn bigint, schema string, table string, op string, id string, "
     "payload string, payload_before string"
@@ -184,12 +188,130 @@ def make_join_view(rng, name):
     )
 
 
-MAKERS = [make_agg_view, make_topk_view, make_distinct_view, make_join_view]
+def make_joinagg_view(rng, name):
+    keys = rng.choice([["mgr"], ["region"], ["mgr", "cat"]])
+    having = rng.choice([None, "n_rows >= 2"])
+
+    def fn(spark):
+        j = spark.table("fz_sales").join(spark.table("fz_dims"), "region")
+        served = (
+            j.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("__s"),
+            )
+            .select(*keys, "n_rows", F.col("__s").cast("double").alias("sum_amt"))
+        )
+        if having:
+            served = served.where(having)
+        return served.select(
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("id"),
+            F.struct(*keys, "n_rows", "sum_amt").alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, deps={"fz_sales", "fz_dims"},
+        joinagg=JoinAggViewSpec(
+            table_a="fz_sales", table_b="fz_dims", on=["region"],
+            row_schema_a=SALES_SCHEMA, row_schema_b=DIM_SCHEMA,
+            keys=keys, sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+            having=having,
+        ),
+    )
+
+
+def make_chain_view(rng, name):
+    agg_mode = rng.random() < 0.5
+    if agg_mode:
+        keys = rng.choice([["dept"], ["mgr"], ["dept", "cat"]])
+
+        def fn(spark):
+            j = (
+                spark.table("fz_sales")
+                .join(spark.table("fz_dims"), "region")
+                .join(spark.table("fz_org"), "mgr")
+            )
+            g = j.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("__s"),
+            )
+            return g.select(
+                F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("k"),
+                F.struct(*keys, "n_rows", F.col("__s").cast("double").alias("sum_amt")).alias("doc"),
+            )
+
+        spec = JoinChainViewSpec(
+            tables=["fz_sales", "fz_dims", "fz_org"],
+            ons=[["region"], ["mgr"]],
+            row_schemas=[SALES_SCHEMA, DIM_SCHEMA, ORG_SCHEMA],
+            keys=keys, sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+        )
+    else:
+        def fn(spark):
+            j = (
+                spark.table("fz_sales")
+                .join(spark.table("fz_dims"), "region")
+                .join(spark.table("fz_org"), "mgr")
+            )
+            g = j.groupBy("region", "id", "cat", "amount", "mgr", "dept").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows")
+            )
+            return g.select(
+                F.col("id").alias("k"),
+                F.struct("region", "id", "cat", "amount", "mgr", "dept", "n_rows").alias("doc"),
+            )
+
+        spec = JoinChainViewSpec(
+            tables=["fz_sales", "fz_dims", "fz_org"],
+            ons=[["region"], ["mgr"]],
+            row_schemas=[SALES_SCHEMA, DIM_SCHEMA, ORG_SCHEMA],
+            key_cols=["id"],
+        )
+    return ViewDef(
+        name=name, fn=fn, key="k", deps={"fz_sales", "fz_dims", "fz_org"},
+        joinchain=spec,
+    )
+
+
+def make_nesteddoc_view(rng, name):
+    def fn(spark):
+        c = spark.table("fz_sales")
+        pair = F.struct(
+            F.col("id").alias("__o0"),
+            F.col("cat").alias("__o1"),
+            F.col("amount").alias("__o2"),
+            F.struct("id", "cat", "amount").alias("__c"),
+        )
+        arrays = c.groupBy("region").agg(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["__c"]).alias("rows")
+        )
+        out = spark.table("fz_dims").join(arrays, "region", "left")
+        arr_type = out.schema["rows"].dataType
+        out = out.withColumn("rows", F.coalesce(F.col("rows"), F.array().cast(arr_type)))
+        return out.select(
+            F.col("region").alias("k"),
+            F.struct("region", "mgr", "rows").alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, key="k", deps={"fz_dims", "fz_sales"},
+        nesteddoc=NestedDocViewSpec(
+            parent_table="fz_dims", child_table="fz_sales", on=["region"],
+            row_schema_parent=DIM_SCHEMA, row_schema_child=SALES_SCHEMA,
+            child_alias="rows", child_order=["id", "cat", "amount"],
+        ),
+    )
+
+
+MAKERS = [
+    make_agg_view, make_topk_view, make_distinct_view, make_join_view,
+    make_joinagg_view, make_chain_view, make_nesteddoc_view,
+]
 
 
 # ------------------------------------------------------------ CDC generator
 
-def register_truth(spark, sales, dims):
+def register_truth(spark, sales, dims, org):
     spark.createDataFrame(
         [(sid, r, c, a) for sid, (r, c, a) in sorted(sales.items())] or [],
         SALES_SCHEMA,
@@ -197,9 +319,12 @@ def register_truth(spark, sales, dims):
     spark.createDataFrame(
         [(r, m) for r, m in sorted(dims.items())] or [], DIM_SCHEMA
     ).createOrReplaceTempView("fz_dims")
+    spark.createDataFrame(
+        [(m, d) for m, d in sorted(org.items())] or [], ORG_SCHEMA
+    ).createOrReplaceTempView("fz_org")
 
 
-def gen_batch(rng, sales, dims, next_id, lsn, drop_image):
+def gen_batch(rng, sales, dims, org, next_id, lsn, drop_image):
     records = []
     dropped = drop_image
     for _ in range(rng.randrange(2, 7)):
@@ -234,7 +359,7 @@ def gen_batch(rng, sales, dims, next_id, lsn, drop_image):
             records.append((lsn, "fz_sales", "DELETE", None,
                             {"id": sid, "region": old[0], "cat": old[1], "amount": old[2]}))
             lsn += 1
-        else:  # dim churn
+        elif roll < 0.96:  # dim churn
             r = rng.choice([r for r in REGIONS if r is not None])
             if r in dims and rng.random() < 0.5:
                 old = dims.pop(r)
@@ -247,6 +372,20 @@ def gen_batch(rng, sales, dims, next_id, lsn, drop_image):
                 else:
                     records.append((lsn, "fz_dims", "UPDATE",
                                     {"region": r, "mgr": dims[r]}, {"region": r, "mgr": old}))
+            lsn += 1
+        else:  # org churn (re-parent a manager's dept)
+            m = f"m{rng.randrange(4)}"
+            if m in org and rng.random() < 0.4:
+                old = org.pop(m)
+                records.append((lsn, "fz_org", "DELETE", None, {"mgr": m, "dept": old}))
+            else:
+                old = org.get(m)
+                org[m] = f"d{rng.randrange(3)}"
+                if old is None:
+                    records.append((lsn, "fz_org", "INSERT", {"mgr": m, "dept": org[m]}, None))
+                else:
+                    records.append((lsn, "fz_org", "UPDATE",
+                                    {"mgr": m, "dept": org[m]}, {"mgr": m, "dept": old}))
             lsn += 1
     return records, next_id, lsn
 
@@ -297,8 +436,9 @@ def one_run(spark, seed, n_batches):
         for i in range(10)
     }
     dims = {"eu": "m1", "us": "m2"}
+    org = {"m0": "d0", "m1": "d1", "m2": "d0"}
     next_id, lsn = 10, 1
-    register_truth(spark, sales, dims)
+    register_truth(spark, sales, dims, org)
 
     root = tempfile.mkdtemp(prefix="fz_engine_")
     try:
@@ -310,9 +450,9 @@ def one_run(spark, seed, n_batches):
             return errs
         for b in range(1, n_batches + 1):
             records, next_id, lsn = gen_batch(
-                rng, sales, dims, next_id, lsn, drop_image=(b % 4 == 0)
+                rng, sales, dims, org, next_id, lsn, drop_image=(b % 4 == 0)
             )
-            register_truth(spark, sales, dims)
+            register_truth(spark, sales, dims, org)
             batch = cdc_df(spark, records)
             eng.process_cdc_batch(batch, epoch_id=b)
             errs = check_views(spark, sink, views, f"seed={seed} batch={b}")
