@@ -462,9 +462,31 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 
 def _rewrite_string_agg(sql: str) -> str:
-    """``string_agg(e, d [ORDER BY o])`` → ``listagg(e, d)
-    [WITHIN GROUP (ORDER BY o)]`` (Spark 4's ordered string aggregation;
-    PG's in-call ORDER BY becomes the WITHIN GROUP clause)."""
+    """``string_agg([DISTINCT] e, d [ORDER BY o])`` → Spark.
+
+    Preferred form — when the ORDER BY key IS the element (or there is
+    no ORDER BY, or DISTINCT): a sorted-collect expression
+
+        CASE WHEN size(C) = 0 THEN NULL
+             ELSE array_join([reverse(]array_sort(C)[)], d) END
+        with C = collect_list(e) (collect_set for DISTINCT)
+
+    which (a) nulls out empty groups exactly like PG's string_agg,
+    (b) skips NULL elements exactly like PG (aggregates ignore nulls),
+    (c) makes the no-ORDER-BY case DETERMINISTIC (we define element
+    order as ascending, the same policy as the array_agg rewrite), and
+    (d) avoids ``listagg … WITHIN GROUP``, which Spark 4.1.2's
+    RewriteDistinctAggregates rule CRASHES on (ClassCastException:
+    AttributeReference → SortOrder) whenever the same SELECT also
+    carries two or more DISTINCT aggregates — found by
+    tools/fuzz_sql.py seed 99. A trailing aggregate ``FILTER (WHERE …)``
+    is relocated onto the collect call.
+
+    Fallback — ORDER BY key differs from the element (rare; needs true
+    WITHIN GROUP semantics): ``listagg(e, d) WITHIN GROUP (ORDER BY o)``,
+    still exposed to the Spark bug above when combined with 2+ DISTINCT
+    aggregates; Spark errors loudly there, never silently misexecutes.
+    """
     while True:
         found = _find_call(sql, "string_agg")
         if not found:
@@ -475,11 +497,53 @@ def _rewrite_string_agg(sql: str) -> str:
         if om and args[: om.start()].count("(") == args[: om.start()].count(")"):
             order = args[om.end():].strip()
             args = args[: om.start()].strip().rstrip(",")
+        distinct = False
+        dm = re.match(r"\s*distinct\b", args, re.IGNORECASE)
+        if dm:
+            distinct = True
+            args = args[dm.end():]
         parts = [p.strip() for p in _split_top_level(args)]
-        call = f"listagg({', '.join(parts)})"
-        if order:
-            call += f" WITHIN GROUP (ORDER BY {order})"
-        sql = sql[:s] + call + sql[e:]
+        elem, delim = parts[0], (parts[1] if len(parts) > 1 else "','")
+
+        # trailing FILTER (WHERE …) belongs to the aggregate call
+        filt = ""
+        tail_at = e
+        fm = re.match(r"\s*filter\s*\(", sql[e:], re.IGNORECASE)
+        if fm:
+            depth, j = 1, e + fm.end()
+            while j < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                j += 1
+            filt = " " + sql[e:j].strip()
+            tail_at = j
+
+        desc = False
+        order_is_elem = order is None or distinct
+        if order is not None:
+            o = re.sub(r"\s+nulls\s+(first|last)\s*$", "", order.strip(), flags=re.IGNORECASE)
+            if re.search(r"\s+desc\s*$", o, re.IGNORECASE):
+                desc = True
+                o = re.sub(r"\s+desc\s*$", "", o, flags=re.IGNORECASE)
+            else:
+                o = re.sub(r"\s+asc\s*$", "", o, flags=re.IGNORECASE)
+            order_is_elem = " ".join(o.split()) == " ".join(elem.split())
+
+        if order_is_elem:
+            coll = f"collect_set({elem})" if distinct else f"collect_list({elem})"
+            coll += filt
+            arr = f"array_sort({coll})"
+            if desc:
+                arr = f"reverse({arr})"
+            call = (
+                f"(CASE WHEN size({coll}) = 0 THEN CAST(NULL AS STRING) "
+                f"ELSE array_join({arr}, {delim}) END)"
+            )
+        else:
+            call = f"listagg({elem}, {delim})"
+            if order:
+                call += f" WITHIN GROUP (ORDER BY {order})"
+            call += filt
+        sql = sql[:s] + call + sql[tail_at:]
 
 
 def _rewrite_extract_epoch(sql: str) -> str:
@@ -511,9 +575,39 @@ def _rewrite_jsonb_array_elements(sql: str) -> str:
     )
 
 
+def _find_top_level(text: str, pat: re.Pattern) -> re.Match | None:
+    """First match of ``pat`` outside parentheses and string literals."""
+    lits = _literal_spans(text)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lits)
+
+    depth, i = 0, 0
+    while i < len(text):
+        if in_lit(i):
+            i += 1
+            continue
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            mm = pat.match(text, i)
+            if mm:
+                return mm
+        i += 1
+    return None
+
+
 def _rewrite_distinct_on(sql: str) -> str:
-    """SELECT DISTINCT ON (k1, k2) <select-list> FROM … [ORDER BY o] →
-    row_number() OVER (PARTITION BY keys ORDER BY o-or-keys) = 1."""
+    """SELECT DISTINCT ON (k1, k2) <select-list> FROM … [ORDER BY o
+    [LIMIT n]] → row_number() OVER (PARTITION BY keys ORDER BY o-or-keys)
+    = 1, with the row_number spliced into the SELECT LIST (before the
+    top-level FROM — not appended after the FROM clause, which is a
+    parse error) and any trailing LIMIT re-applied OUTSIDE the rewrite
+    together with the ORDER BY (PG semantics: DISTINCT ON first, then
+    order/limit the surviving rows)."""
     m = re.search(r"select\s+distinct\s+on\s*\(", sql, re.IGNORECASE)
     if not m:
         return sql
@@ -522,14 +616,36 @@ def _rewrite_distinct_on(sql: str) -> str:
     keys = call[2]
     body_start = m.start() + call[1]
     body = sql[body_start:]
-    om = re.search(r"\border\s+by\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+    outer_tail = ""
+    om = _find_top_level(body, re.compile(r"\border\s+by\b", re.IGNORECASE))
     if om:
-        order = om.group(1).strip().rstrip(";")
+        order = body[om.end():].strip().rstrip(";")
         body = body[: om.start()]
+        lm = re.search(r"\blimit\s+(\d+)\s*$", order, re.IGNORECASE)
+        if lm:
+            order = order[: lm.start()].rstrip()
+            outer_tail = f" ORDER BY {order} LIMIT {lm.group(1)}"
     else:
         order = keys
-    inner = f"SELECT {body.strip()} , row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __rn "
-    return sql[: m.start()] + f"SELECT * FROM ({inner}) __d WHERE __rn = 1"
+    fm = _find_top_level(body, re.compile(r"\bfrom\b", re.IGNORECASE))
+    if fm is None:
+        raise ValueError(
+            "unsupported for Spark views: DISTINCT ON without a FROM clause"
+        )
+    select_list = body[: fm.start()].strip().rstrip(",")
+    rest = body[fm.start():].strip()
+    # the row_number lives in an inner SELECT * so it never leaks into
+    # the view's output schema; the original select list is projected
+    # OUTSIDE (its expressions only reference base FROM columns, which
+    # the inner * passes through)
+    inner = (
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+        f"ORDER BY {order}) AS __rn {rest}"
+    )
+    return (
+        sql[: m.start()]
+        + f"SELECT {select_list} FROM ({inner}) __d WHERE __rn = 1{outer_tail}"
+    )
 
 
 # --- nested-subquery decorrelation ("decorrelation lite") -----------------

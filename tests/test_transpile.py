@@ -44,11 +44,38 @@ def test_jsonb_each_text_lateral():
     assert "LATERAL VIEW explode(from_json(attendees, 'map<string,string>')) AS key, value" in out
 
 
-def test_distinct_on_rewrite():
+def test_distinct_on_rewrite(spark):
     out = transpile("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b DESC")
     low = out.lower()
     assert "row_number() over (partition by a order by a, b desc" in low
     assert "__rn = 1" in out
+
+    # the rewrite must EXECUTE, not just contain the right substrings —
+    # the row_number goes into the select list, never after the FROM
+    # (found by tools/fuzz_sql.py: the old splice produced
+    # "FROM t , row_number() OVER …", a parse error)
+    spark.createDataFrame(
+        [("x", 1, "p"), ("x", 2, "q"), ("y", 3, "r")], "a string, b int, c string"
+    ).createOrReplaceTempView("t")
+    rows = spark.sql(
+        transpile("SELECT DISTINCT ON (a) a, b, c FROM t ORDER BY a, b DESC")
+    ).collect()
+    assert {(r["a"], r["b"]) for r in rows} == {("x", 2), ("y", 3)}
+
+    # WHERE clause + NULLS FIRST survive the splice
+    rows = spark.sql(
+        transpile(
+            "SELECT DISTINCT ON (a) a, b FROM t WHERE b < 3 "
+            "ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST"
+        )
+    ).collect()
+    assert {(r["a"], r["b"]) for r in rows} == {("x", 1)}
+
+    # trailing LIMIT applies AFTER the distinct, with the result order
+    rows = spark.sql(
+        transpile("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b LIMIT 1")
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("x", 1)]
 
 
 def test_nested_correlated_subquery_decorrelation():
@@ -96,10 +123,35 @@ def test_regex_match_operators(spark):
 
 
 def test_string_agg_with_order(spark):
+    # element-ordered string_agg takes the sorted-collect form (immune to
+    # the Spark 4.1.2 listagg×multi-DISTINCT planner crash; see rewrite
+    # docstring), with DESC as a reverse()
     out = transpile("select string_agg(n, ',' order by n desc) as s from t")
-    assert "listagg(n, ',') WITHIN GROUP (ORDER BY n desc)" in out
+    assert "reverse(array_sort(collect_list(n)))" in out
     spark.createDataFrame([("a",), ("c",), ("b",)], "n string").createOrReplaceTempView("t")
+    assert spark.sql(out).first()["s"] == "c,b,a"
     assert spark.sql(transpile("select string_agg(n, ',' order by n) as s from t")).first()["s"] == "a,b,c"
+    # no ORDER BY → deterministic ascending by policy; empty group → NULL
+    assert spark.sql(transpile("select string_agg(n, ',') as s from t")).first()["s"] == "a,b,c"
+    assert (
+        spark.sql(transpile("select string_agg(n, ',') as s from t where n = 'zz'")).first()["s"]
+        is None
+    )
+    # ORDER BY a key other than the element keeps true WITHIN GROUP
+    out2 = transpile("select string_agg(n, ',' order by k) as s from t2")
+    assert "listagg(n, ',') WITHIN GROUP (ORDER BY k)" in out2
+    # coexists with 2+ DISTINCT aggregates (the crash shape) when
+    # element-ordered
+    spark.createDataFrame(
+        [("a", "x", "m"), ("b", "y", "n")], "n string, q string, r string"
+    ).createOrReplaceTempView("t3")
+    row = spark.sql(
+        transpile(
+            "select string_agg(n, ',' order by n) as s, "
+            "count(distinct q) as cq, count(distinct r) as cr from t3"
+        )
+    ).first()
+    assert (row["s"], row["cq"], row["cr"]) == ("a,b", 2, 2)
 
 
 def test_extract_epoch(spark):
@@ -189,11 +241,12 @@ def test_generate_series_from_and_select(spark):
 
 
 def test_string_agg_with_filter_clause(spark):
-    """PG string_agg(e, d ORDER BY o) FILTER (WHERE p) → listagg WITHIN
-    GROUP … FILTER — Spark accepts FILTER after WITHIN GROUP."""
+    """PG string_agg(e, d ORDER BY e) FILTER (WHERE p) — the trailing
+    FILTER is relocated onto the collect aggregate inside the
+    sorted-collect rewrite."""
     sql = "select string_agg(a, ',' order by a) filter (where x > 1) as s from t"
     out = transpile(sql)
-    assert "listagg(a, ',') WITHIN GROUP (ORDER BY a) filter (where x > 1)" in out
+    assert "collect_list(a) filter (where x > 1)" in out.lower()
     spark.createDataFrame(
         [("b", 2), ("a", 1), ("c", 3)], "a string, x int"
     ).createOrReplaceTempView("t")
