@@ -767,6 +767,72 @@ def _decorrelate_nested(sql: str) -> str:
     return sql
 
 
+def _append_empty_grouping_total(sql: str) -> str:
+    """PG/standard semantics fix for Spark: ``GROUP BY ROLLUP/CUBE/…``
+    whose grouping sets include the EMPTY set must emit the grand-total
+    row even when the (filtered) input is EMPTY — the ``()`` set is a
+    global aggregation, and a global aggregate over zero rows is one row
+    (count 0, sums NULL). Spark's Expand-based grouping-sets execution
+    yields ZERO rows there (found by tools/fuzz_sql.py seed 9037 vs
+    DuckDB; PG agrees with DuckDB). Compositional fix: append
+
+        UNION ALL SELECT <NULL for each key item, aggregates as-is>
+        FROM … WHERE … HAVING count(*) = 0
+
+    — the guard branch produces exactly the missing row iff the input is
+    empty, and nothing otherwise. Applied only to the COMMON shape (top-
+    level GROUP BY; select items are bare grouping columns or aggregate
+    expressions; no grouping()/grouping_id() markers; no HAVING/ORDER
+    BY/LIMIT tail) — anything else is left untouched, which matches
+    Spark's native (row-less) behavior and is documented here.
+    """
+    low = sql.lower()
+    if "grouping(" in low or "grouping_id(" in low:
+        return sql
+    gm = _find_top_level(sql, re.compile(r"\bgroup\s+by\s+", re.IGNORECASE))
+    if gm is None:
+        return sql
+    spec = sql[gm.end():]
+    if _find_top_level(spec, re.compile(r"\b(having|order\s+by|limit|window)\b", re.IGNORECASE)):
+        return sql
+    sm = re.match(r"\s*(rollup|cube|grouping\s+sets)\s*\(", spec, re.IGNORECASE)
+    if sm is None:
+        return sql
+    kind = sm.group(1).lower()
+    # the spec must be exactly one ROLLUP/CUBE/GROUPING SETS call
+    found = _find_call(spec, r"rollup|cube|grouping\s+sets")
+    if found is None or spec[found[1]:].strip():
+        return sql
+    inner = found[2]
+    if kind.startswith("grouping") and "()" not in inner.replace(" ", ""):
+        return sql  # no empty set → Spark's empty output is correct
+    # key columns: bare identifiers inside the spec
+    keys = set()
+    for part in _split_top_level(inner):
+        for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", part):
+            keys.add(tok.lower())
+    sm2 = _find_top_level(sql, re.compile(r"\bselect\s+", re.IGNORECASE))
+    fm = _find_top_level(sql, re.compile(r"\bfrom\b", re.IGNORECASE))
+    if sm2 is None or fm is None or sm2.end() >= fm.start():
+        return sql
+    items = _split_top_level(sql[sm2.end():fm.start()])
+    guard_items = []
+    for item in items:
+        item = item.strip()
+        am = re.search(r"\s+as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*$", item, re.IGNORECASE)
+        expr = item[: am.start()].strip() if am else item
+        alias = f" AS {am.group(1)}" if am else ""
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", expr) and expr.lower() in keys:
+            guard_items.append(f"NULL{alias or ' AS ' + expr.split('.')[-1]}")
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", expr):
+            return sql  # bare column that is NOT a grouping key: unusual, skip
+        else:
+            guard_items.append(expr + alias)  # aggregate: empty-input value
+    body = sql[fm.start(): gm.start()].strip()  # FROM … [WHERE …]
+    guard = f" UNION ALL SELECT {', '.join(guard_items)} {body} HAVING count(*) = 0"
+    return sql + guard
+
+
 def transpile(sql: str) -> str:
     """Postgres view SQL → Spark SQL."""
     sql = sql.strip().rstrip(";")
@@ -788,4 +854,5 @@ def transpile(sql: str) -> str:
         sql = _wrap_calls(sql, agg, "sort_array(", ")")
     sql = _rename_calls(sql, {"json_agg": "collect_list", "array_agg": "collect_list"})
     sql = _decorrelate_nested(sql)
+    sql = _append_empty_grouping_total(sql)
     return sql

@@ -154,6 +154,36 @@ def test_string_agg_with_order(spark):
     assert (row["s"], row["cq"], row["cr"]) == ("a,b", 2, 2)
 
 
+def test_empty_input_grouping_sets_grand_total(spark):
+    """PG/standard: ROLLUP/CUBE/GROUPING SETS containing the empty set
+    emit the grand-total row even over an EMPTY (filtered) input — a
+    global aggregate of zero rows is one row. Spark natively returns
+    zero rows there (found by tools/fuzz_sql.py vs DuckDB); the
+    transpiler appends a HAVING count(*) = 0 guard branch."""
+    spark.createDataFrame(
+        [("a", "x", 1.0), ("b", "y", 2.0)], "k1 string, k2 string, v double"
+    ).createOrReplaceTempView("t")
+    rows = spark.sql(
+        transpile(
+            "SELECT k1 AS a, k2 AS b, count(*) AS n, sum(v) AS s FROM t "
+            "WHERE k1 = 'zz' GROUP BY CUBE (k1, k2)"
+        )
+    ).collect()
+    assert [(r["a"], r["b"], r["n"], r["s"]) for r in rows] == [(None, None, 0, None)]
+    # non-empty input: the guard contributes nothing, counts unchanged
+    rows = spark.sql(
+        transpile("SELECT k1 AS a, k2 AS b, count(*) AS n FROM t GROUP BY ROLLUP (k1, k2)")
+    ).collect()
+    assert len(rows) == 5 and sum(1 for r in rows if r["a"] is None and r["b"] is None) == 1
+    # GROUPING SETS without the empty set: zero rows is CORRECT — untouched
+    assert (
+        spark.sql(
+            transpile("SELECT k1, count(*) AS n FROM t WHERE k1='zz' GROUP BY GROUPING SETS ((k1))")
+        ).count()
+        == 0
+    )
+
+
 def test_extract_epoch(spark):
     out = transpile("select extract(epoch from ts) as e from t")
     assert "unix_timestamp(ts) as e" in out

@@ -515,6 +515,97 @@ def q_scalar_subquery(rng: random.Random) -> Pair:
     return Pair(sql)
 
 
+def q_setop(rng: random.Random) -> Pair:
+    t = rng.choice(list(CATALOG))
+    g = Gen(rng, _scope([t]))
+    scol = g.col("str") or g.col("int")
+    icol = g.col("int")
+    if scol is None or icol is None:
+        return q_agg(rng)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    b1, b2 = g.bool_expr(1), g.bool_expr(1)
+    tpl = (
+        f"SELECT {scol} AS c0, {icol} AS c1 FROM {t} WHERE {{p}} "
+        f"{op} "
+        f"SELECT {scol} AS c0, {icol} AS c1 FROM {t} WHERE {{q}}"
+    )
+    return _fmt(tpl, p=b1, q=b2)
+
+
+def q_grouping(rng: random.Random) -> Pair:
+    t = rng.choice(["orders", "lineitem", "customer", "events"])
+    strs = [c for c, ty in CATALOG[t] if ty == "str"][:2]
+    if len(strs) < 2:
+        return q_agg(rng)
+    g = Gen(rng, _scope([t]))
+    kind = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+    if kind == "GROUPING SETS":
+        grp = f"GROUPING SETS (({strs[0]}), ({strs[0]}, {strs[1]}), ())"
+    else:
+        grp = f"{kind} ({strs[0]}, {strs[1]})"
+    num = g.col("num")
+    msum = MONEY_SUM.format(x=num) if num else "count(*)"
+    where = g.bool_expr(1) if rng.random() < 0.5 else None
+    wp = f" WHERE {where.pg}" if where else ""
+    wd = f" WHERE {where.duck}" if where else ""
+    sel = f"{strs[0]} AS k0, {strs[1]} AS k1, count(*) AS a0, {msum} AS a1"
+    return Pair(
+        f"SELECT {sel} FROM {t}{wp} GROUP BY {grp}",
+        f"SELECT {sel} FROM {t}{wd} GROUP BY {grp}",
+    )
+
+
+def q_window(rng: random.Random) -> Pair:
+    t = rng.choice(["orders", "lineitem", "customer", "events"])
+    part = {"orders": "o_orderstatus", "lineitem": "l_returnflag",
+            "customer": "c_mktsegment", "events": "event_type"}[t]
+    pks = PK[t]
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in pks)
+    g = Gen(rng, _scope([t]))
+    num = g.col("num")
+    kind = rng.choice(["rank", "row_number", "dense_rank", "lag", "lead",
+                       "run_sum", "frame_sum"])
+    if kind in ("rank", "row_number", "dense_rank"):
+        w = f"{kind}() OVER (PARTITION BY {part} ORDER BY {order})"
+    elif kind in ("lag", "lead"):
+        w = f"{kind}({pks[0]}, 1) OVER (PARTITION BY {part} ORDER BY {order})"
+    elif kind == "run_sum":
+        # exact decimal accumulation: running double sums would be
+        # segment-tree-reassociated on DuckDB's side
+        w = (f"CAST(SUM(CAST({num} AS DECIMAL(28,6))) OVER (PARTITION BY {part} "
+             f"ORDER BY {order} ROWS UNBOUNDED PRECEDING) AS DOUBLE)")
+    else:
+        w = (f"CAST(SUM(CAST({num} AS DECIMAL(28,6))) OVER (PARTITION BY {part} "
+             f"ORDER BY {order} ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE)")
+    pk_sel = ", ".join(pks)
+    where = g.bool_expr(1) if rng.random() < 0.5 else None
+    wp = f" WHERE {where.pg}" if where else ""
+    wd = f" WHERE {where.duck}" if where else ""
+    return Pair(
+        f"SELECT {pk_sel}, {part} AS k0, {w} AS w0 FROM {t}{wp}",
+        f"SELECT {pk_sel}, {part} AS k0, {w} AS w0 FROM {t}{wd}",
+    )
+
+
+def q_exists(rng: random.Random) -> Pair:
+    outer, inner, oc, ic = rng.choice([
+        ("customer", "orders", "c_custkey", "o_custkey"),
+        ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+        ("nation", "customer", "n_nationkey", "c_nationkey"),
+        ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+    ])
+    g = Gen(rng, _scope([inner]))
+    cond = g.bool_expr(1)
+    neg = "NOT " if rng.random() < 0.4 else ""
+    og = Gen(rng, _scope([outer]))
+    e = og.scalar(1)
+    tpl = (
+        f"SELECT {PK[outer][0]} AS k0, {{ex}} AS c0 FROM {outer} "
+        f"WHERE {neg}EXISTS (SELECT 1 FROM {inner} WHERE {ic} = {oc} AND {{p}})"
+    )
+    return _fmt(tpl, ex=e, p=cond)
+
+
 def q_series(rng: random.Random) -> Pair:
     a, b = rng.randint(0, 5), rng.randint(6, 30)
     step = rng.choice(["", f", {rng.randint(1, 4)}"])
@@ -533,6 +624,7 @@ SHAPES = [
     (q_project, 3), (q_agg, 3), (q_join, 3), (q_distinct, 1),
     (q_distinct_on, 1), (q_cte, 2), (q_derived, 1),
     (q_scalar_subquery, 1), (q_series, 1),
+    (q_setop, 2), (q_grouping, 2), (q_window, 2), (q_exists, 2),
 ]
 
 
