@@ -403,7 +403,11 @@ def q_project(rng: random.Random) -> Pair:
     if rng.random() < 0.3:
         pks = PK[t]
         pk_sel = ", " + ", ".join(f"{c} AS pk{i}" for i, c in enumerate(pks))
-        order = ", ".join(f"pk{i} ASC NULLS FIRST" for i in range(len(pks)))
+        # order by EVERY base column: the synthetic keys are not unique,
+        # and a LIMIT boundary tie on a partial order would legitimately
+        # pick different rows per engine
+        all_cols = pks + [c for c, _ in CATALOG[t] if c not in pks]
+        order = ", ".join(f"{c} ASC NULLS FIRST" for c in all_cols)
         limit = f" ORDER BY {order} LIMIT {rng.randint(1, 50)}"
     return Pair(
         f"SELECT {sel_p}{pk_sel} FROM {t}{wp}{limit}",
@@ -477,7 +481,10 @@ def q_distinct_on(rng: random.Random) -> Pair:
     pks = PK[t]
     g = Gen(rng, _scope([t]))
     e = g.scalar(1)
-    order = ", ".join([f"{grp} ASC NULLS FIRST"] + [f"{c} ASC NULLS FIRST" for c in pks])
+    # total order: keys are not unique in the synthetic data, so order by
+    # every column — ties then exist only between identical rows
+    all_cols = [c for c, _ in CATALOG[t] if c != grp]
+    order = ", ".join([f"{grp} ASC NULLS FIRST"] + [f"{c} ASC NULLS FIRST" for c in all_cols])
     pk_sel = ", ".join(pks)
     return Pair(
         f"SELECT DISTINCT ON ({grp}) {grp} AS k0, {pk_sel}, {e.pg} AS c0 FROM {t} ORDER BY {order}",
@@ -560,7 +567,13 @@ def q_window(rng: random.Random) -> Pair:
     part = {"orders": "o_orderstatus", "lineitem": "l_returnflag",
             "customer": "c_mktsegment", "events": "event_type"}[t]
     pks = PK[t]
-    order = ", ".join(f"{c} ASC NULLS FIRST" for c in pks)
+    # the synthetic "PK" columns are NOT unique (sf0.001 lineitem has
+    # 1161 duplicate (okey, linenumber) pairs) — order by EVERY column so
+    # ties exist only between fully-identical rows, which are
+    # interchangeable in any frame; otherwise sliding/running sums
+    # legitimately differ between engines on tie order
+    all_cols = pks + [c for c, _ in CATALOG[t] if c not in pks]
+    order = ", ".join(f"{c} ASC NULLS FIRST" for c in all_cols)
     g = Gen(rng, _scope([t]))
     num = g.col("num")
     kind = rng.choice(["rank", "row_number", "dense_rank", "lag", "lead",
