@@ -163,6 +163,21 @@ class IncrementalIVFIndex:
         fresh = None
         touched = gone
         if changed is not None:
+            # one row per id per batch — a duplicated id would put BOTH
+            # versions in the postings (the CDC layer's latest_per_key
+            # netting is the caller's job; fail loudly, don't guess)
+            dup = (
+                changed.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"IncrementalIVFIndex.update: duplicate {id_col} in batch "
+                    f"(e.g. {dup[0][0]!r}); net the batch to one row per id first"
+                )
             fresh = assign_to_centroids(changed, self.centroids(), id_col, vec_col)
             touched = touched.unionByName(
                 changed.select(F.col(id_col).alias("vec_id"))

@@ -152,6 +152,14 @@ def test_update_is_deterministic(spark, tmp_path):
     assert states[0] == states[1]
 
 
+def test_duplicate_id_in_batch_rejected(spark, tmp_path):
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), k=4, iterations=2)
+    idx.bootstrap(_corpus(spark, 20))
+    dup = _vecs(spark, [(100, [1.0] * 6), (100, [2.0] * 6)])
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.update(changed=dup)
+
+
 def test_empty_and_noop_batches(spark, tmp_path):
     idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), k=4, iterations=2)
     idx.bootstrap(_corpus(spark, 20))
