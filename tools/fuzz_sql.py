@@ -619,6 +619,31 @@ def q_exists(rng: random.Random) -> Pair:
     return _fmt(tpl, ex=e, p=cond)
 
 
+def q_lateral(rng: random.Random) -> Pair:
+    outer, inner, oc, ic = rng.choice([
+        ("customer", "orders", "c_custkey", "o_custkey"),
+        ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+        ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+    ])
+    g = Gen(rng, _scope([inner]))
+    num = g.col("num")
+    agg = rng.choice([
+        "count(*)",
+        f"coalesce(max({g.col('int')}), 0)",
+        MONEY_SUM.format(x=num) if num else "count(*)",
+    ])
+    cond = g.bool_expr(1)
+    og = Gen(rng, _scope([outer]))
+    where = og.bool_expr(1) if rng.random() < 0.5 else None
+    wp = f" WHERE {where.pg}" if where else ""
+    wd = f" WHERE {where.duck}" if where else ""
+    tpl = (
+        f"SELECT {PK[outer][0]} AS k0, l.v AS c0 FROM {outer}, "
+        f"LATERAL (SELECT {agg} AS v FROM {inner} WHERE {ic} = {oc} AND {{p}}) l"
+    )
+    return _fmt(tpl + "{w}", p=cond, w=Pair(wp, wd))
+
+
 def q_series(rng: random.Random) -> Pair:
     a, b = rng.randint(0, 5), rng.randint(6, 30)
     step = rng.choice(["", f", {rng.randint(1, 4)}"])
@@ -638,6 +663,7 @@ SHAPES = [
     (q_distinct_on, 1), (q_cte, 2), (q_derived, 1),
     (q_scalar_subquery, 1), (q_series, 1),
     (q_setop, 2), (q_grouping, 2), (q_window, 2), (q_exists, 2),
+    (q_lateral, 2),
 ]
 
 
