@@ -152,6 +152,51 @@ def test_update_is_deterministic(spark, tmp_path):
     assert states[0] == states[1]
 
 
+def test_randomized_soak_fold_equals_bulk(spark, tmp_path):
+    """Seeded random op stream (inserts, updates, deletes, including
+    delete-then-reinsert across batches) — after every batch the folded
+    index must equal bulk assignment of the live corpus to the frozen
+    centroids. SINKER_SOAK_SEED / SINKER_SOAK_BATCHES extend the hunt."""
+    import os
+    import random
+
+    rng = random.Random(int(os.environ.get("SINKER_SOAK_SEED", "7")))
+    n_batches = int(os.environ.get("SINKER_SOAK_BATCHES", "4"))
+    dim = 5
+
+    idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), k=3, iterations=2)
+    live: dict[int, list[float]] = {
+        i: [round(rng.uniform(-2, 2), 3) for _ in range(dim)] for i in range(25)
+    }
+    idx.bootstrap(_vecs(spark, sorted(live.items())))
+    cents = idx.centroids()
+    next_id = 1000
+
+    for b in range(n_batches):
+        changed, deleted = {}, []
+        for _ in range(rng.randint(1, 6)):  # inserts
+            changed[next_id] = [round(rng.uniform(-2, 2), 3) for _ in range(dim)]
+            next_id += 1
+        for vid in rng.sample(sorted(live), min(len(live), rng.randint(0, 3))):
+            if rng.random() < 0.5:
+                deleted.append(vid)
+            else:
+                changed[vid] = [round(rng.uniform(-2, 2), 3) for _ in range(dim)]
+        idx.update(
+            changed=_vecs(spark, sorted(changed.items())) if changed else None,
+            deleted_ids=deleted or None,
+        )
+        for vid in deleted:
+            live.pop(vid, None)
+        live.update(changed)
+
+        bulk = sorted(
+            (r["vec_id"], r["cell"], tuple(round(x, 9) for x in r["vec"]))
+            for r in assign_to_centroids(_vecs(spark, sorted(live.items())), cents).collect()
+        )
+        assert _state(idx) == bulk, f"divergence at batch {b}"
+
+
 def test_duplicate_id_in_batch_rejected(spark, tmp_path):
     idx = IncrementalIVFIndex(spark, str(tmp_path / "ivf"), k=4, iterations=2)
     idx.bootstrap(_corpus(spark, 20))
