@@ -1,0 +1,166 @@
+"""SQL-view ENGINE fuzzer: random aggregate-shaped PG view SQL driven
+through the full SyncEngine materialization path — transpile → compile →
+backfill → snapshot → sink — with DuckDB as the document oracle.
+
+tools/fuzz_sql.py compares `spark.sql(transpile(sql))` row-sets; this
+tool goes further and checks the ENGINE's observable contract for
+arbitrary generated views:
+
+1. **Backfill parity**: after ``SyncEngine.backfill()`` the in-memory
+   sink must hold exactly the documents DuckDB computes for the same
+   view SQL (same ids, same field values) — exercising doc-id keying,
+   row→doc canonicalization (decimals, NULLs, nested values), and the
+   snapshot write path on schemas no hand-written view ever tried.
+2. **Refresh idempotence**: a CDC batch touching the view's base tables
+   WITHOUT changing data must produce ZERO sink actions — the
+   recompute+snapshot-diff (or targeted-refresh) lane must recognize
+   everything as unchanged, for any generated schema.
+
+Views are aggregate-shaped (≥1 group key) so the doc id — the
+'|'-joined group keys — is unique by construction (the engine's A4
+unique-key invariant).
+
+Usage: python tools/fuzz_view_engine.py [n_runs] [base_seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import fuzz_sql as fz  # noqa: E402
+
+from sinker_spark.catalog import register_views  # noqa: E402
+from sinker_spark.ivm import SnapshotStore  # noqa: E402
+from sinker_spark.oracle import _canon, duckdb_connection  # noqa: E402
+from sinker_spark.runner import SyncEngine  # noqa: E402
+from sinker_spark.session import get_spark  # noqa: E402
+from sinker_spark.sinks.memory import InMemorySink  # noqa: E402
+from sinker_spark.views import ViewDef  # noqa: E402
+
+CDC_SCHEMA = "lsn bigint, schema string, table string, op string, id string, payload string"
+
+
+def gen_view(seed: int):
+    """Draw an aggregate query with ≥1 group key; wrap it with a doc id
+    built from the group keys. Returns (pg_sql, duck_sql, n_keys)."""
+    rng = random.Random(seed)
+    for _ in range(100):
+        sub = random.Random(rng.randrange(1 << 30))
+        pair = sub.choice([fz.q_agg, fz.q_agg, fz.q_join])(sub)
+        head = pair.pg.split(" FROM ")[0]
+        n_keys = len(re.findall(r"\bAS k\d+\b", head))
+        if " GROUP BY " in pair.pg and n_keys >= 1:
+            break
+    else:  # pragma: no cover - generator always finds one
+        raise RuntimeError("no aggregate query drawn")
+    n_aggs = len(re.findall(r"\bAS a\d+\b", head))
+    fields = [f"k{i}" for i in range(n_keys)] + [f"a{i}" for i in range(n_aggs)]
+    id_pg = " || '|' || ".join(
+        f"coalesce(k{i}::text, '?')" for i in range(n_keys)
+    )
+    id_duck = " || '|' || ".join(
+        f"coalesce(CAST(k{i} AS VARCHAR), '?')" for i in range(n_keys)
+    )
+    # engine view contract (reference person_mv shape): (id, doc-struct)
+    doc = "json_build_object(" + ", ".join(f"'{f}', {f}" for f in fields) + ")"
+    return (
+        f"SELECT {id_pg} AS id, {doc} AS doc FROM ({pair.pg}) t",
+        f"SELECT {id_duck} AS id, * FROM ({pair.duck}) t",
+        fields,
+    )
+
+
+def one_run(spark, con, seed: int, sf_dir: str) -> list[str]:
+    pg_sql, duck_sql, fields = gen_view(seed)
+    errs: list[str] = []
+    root = tempfile.mkdtemp(prefix=f"fuzz_view_{seed}_")
+    try:
+        view = ViewDef("fv", sql=pg_sql, key="id")
+        sink = InMemorySink()
+        eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, root))
+        eng.backfill()
+
+        cur = con.execute(duck_sql)
+        cols = [d[0] for d in cur.description]
+        want = {}
+        for r in cur.fetchall():
+            d = dict(zip(cols, r))
+            want[d["id"]] = {f: _canon(d[f]) for f in fields}
+
+        got = {
+            i: {k: _canon(v) for k, v in doc.items()}
+            for i, doc in sink.indices.get("fv", {}).items()
+        }
+        if set(got) != set(want):
+            extra, miss = set(got) - set(want), set(want) - set(got)
+            errs.append(
+                f"id sets differ: +{sorted(extra)[:3]} -{sorted(miss)[:3]} "
+                f"({len(got)} vs {len(want)})"
+            )
+        else:
+            for i in list(want)[:2000]:
+                if got[i] != want[i]:
+                    errs.append(f"doc {i!r}: spark={got[i]} duck={want[i]}")
+                    break
+        if errs:
+            errs.append(f"pg: {pg_sql}")
+            errs.append(f"duck: {duck_sql}")
+            return errs
+
+        # refresh idempotence: touch every dep with a no-op change row
+        before_actions = len(sink.action_log)
+        before_docs = {i: dict(d) for i, d in sink.indices.get("fv", {}).items()}
+        cdc = spark.createDataFrame(
+            [(10_000 + j, "public", t, "UPDATE", "§none§", None)
+             for j, t in enumerate(sorted(view.deps))],
+            CDC_SCHEMA,
+        )
+        eng.process_cdc_batch(cdc)
+        new_actions = [a for a in sink.action_log[before_actions:] if a[1] != "recreate"]
+        if new_actions:
+            errs.append(f"no-change refresh emitted actions: {new_actions[:5]}")
+        if sink.indices.get("fv", {}) != before_docs:
+            errs.append("no-change refresh altered sink docs")
+        if errs:
+            errs.append(f"pg: {pg_sql}")
+    except Exception as e:  # noqa: BLE001
+        errs.append(f"EXC {type(e).__name__}: {str(e)[:300]}")
+        errs.append(f"pg: {pg_sql}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return errs
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    spark = get_spark("view-engine-fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    register_views(spark, sf_dir)
+    con = duckdb_connection(sf_dir)
+    failures = 0
+    for i in range(n):
+        seed = base + i
+        errs = one_run(spark, con, seed, sf_dir)
+        if errs:
+            failures += 1
+            print(f"[FAIL] seed={seed}")
+            for e in errs:
+                print(f"       {e}")
+        else:
+            print(f"[ok  ] seed={seed}")
+    print(f"{failures} failures / {n} runs")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
