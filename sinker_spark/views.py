@@ -37,8 +37,49 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import re
+
 from sinker_spark.compiler.lineage import parse_schema_tables
 from sinker_spark.compiler.transpile import transpile
+
+
+def _selects_parent_id(sql: str) -> bool:
+    """True iff the view's FIRST select item — its key output — is the
+    parent row id column: bare ``id`` / ``tbl.id`` / ``"id"``, optionally
+    aliased. Only then is the reference's targeted-refresh convention
+    "changed parent ids ARE the view keys" (person_mv.sql:1,
+    sinker.py:110-120) sound. A single-table view keyed by anything else
+    (e.g. an AGGREGATE view keyed by a group value) must NOT auto-derive
+    it: a CDC batch names changed ROW ids, and scoping the recompute to
+    those values as VIEW keys silently misses the real changes — found by
+    tools/fuzz_view_engine.py phase 3 (stale sink after mutation)."""
+    m = re.search(r"\bselect\s+(?:distinct\s+)?", sql, re.IGNORECASE)
+    if not m:
+        return False
+    rest = sql[m.end():]
+    # first top-level comma-separated item (parens/strings respected)
+    depth, i, end = 0, 0, len(rest)
+    while i < len(rest):
+        c = rest[i]
+        if c == "'":
+            j = rest.find("'", i + 1)
+            i = (j if j != -1 else len(rest) - 1) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                end = i
+                break
+            if re.match(r"\bfrom\b", rest[i:], re.IGNORECASE) and (i == 0 or not rest[i - 1].isalnum()):
+                end = i
+                break
+        i += 1
+    item = rest[:end].strip()
+    item = re.sub(r"\s+as\s+\S+\s*$", "", item, flags=re.IGNORECASE)
+    return re.fullmatch(r'(?:[A-Za-z_]\w*\.)?"?id"?', item.strip(), re.IGNORECASE) is not None
 
 
 def _decimals_to_double(dt: T.DataType, col: Column) -> tuple[T.DataType, Column, bool]:
@@ -461,11 +502,21 @@ class ViewDef:
             self.parent_table = self.parent_table or parent
         if self.index is None:
             self.index = self.name
-        if self.affected_keys is None and self.parent_table and self.deps == {self.parent_table}:
-            # single-table view (person_mv shape): by the id-from-parent
-            # convention (reference person_mv.sql:1, sinker.py:110-120)
-            # changed parent ids ARE the affected view keys — targeted
-            # refresh is derivable with no user hook.
+        if (
+            self.affected_keys is None
+            and self.parent_table
+            and self.deps == {self.parent_table}
+            and self.sql is not None
+            and _selects_parent_id(self.sql)
+        ):
+            # single-table view keyed by the parent row id (person_mv
+            # shape, verified textually by _selects_parent_id): by the
+            # id-from-parent convention (reference person_mv.sql:1,
+            # sinker.py:110-120) changed parent ids ARE the affected view
+            # keys — targeted refresh is derivable with no user hook.
+            # Any other single-table shape (aggregate keys, computed ids,
+            # fn= views) falls back to full recompute+diff unless the
+            # caller provides an explicit affected_keys hook.
             parent = self.parent_table
 
             def _parent_ids(spark: SparkSession, changed: dict[str, DataFrame]) -> DataFrame | None:

@@ -192,3 +192,40 @@ def test_large_scope_takes_semi_join_path(spark, tmp_path, monkeypatch):
     assert eng.last_stats["course_mv"]["targeted"] == 1
     assert sink.get("courses", "c-3")["teacher"]["person"]["name"] == "Prof Matthew"
     assert sink.get("courses", "c-1") == fx.GOLDEN_C1
+
+
+def test_aggregate_view_never_auto_targets(spark, tmp_path):
+    """A single-table view keyed by something OTHER than the parent row
+    id (here: a per-person-name-initial aggregate) must NOT auto-derive
+    the id-from-parent targeted-refresh convention — CDC names changed
+    ROW ids, which are not this view's keys, and scoping the recompute to
+    them would silently miss the change (stale sink found by
+    tools/fuzz_view_engine.py phase 3). The guard forces full
+    recompute+diff, which converges."""
+    fx.register(spark, str(tmp_path / "tables"))
+    agg_sql = (
+        "select substr(\"name\", 1, 1) as id, "
+        "json_build_object('n', count(*)) as doc "
+        'from person group by substr("name", 1, 1)'
+    )
+    view = ViewDef("initial_counts", sql=agg_sql)
+    assert view.affected_keys is None  # the unsound convention is OFF
+    # …while the person_mv shape (key IS the parent id) still derives it
+    assert ViewDef("person_mv", sql=fx.PERSON_MV_SQL).affected_keys is not None
+
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "s")))
+    eng.backfill()
+    golden = {i: dict(d) for i, d in sink.indices["initial_counts"].items()}
+
+    # mutate one person's name so their initial moves to 'Z'
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    victim = rows["person"][0][0]
+    rows["person"] = [(r[0], "Zed") if r[0] == victim else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [(1, "person", "UPDATE", victim)]))
+
+    docs = sink.indices["initial_counts"]
+    assert docs != golden, "sink did not converge after mutation"
+    assert docs.get("Z") == {"n": 1}
+    assert eng.last_stats["initial_counts"].get("targeted", 0) == 0

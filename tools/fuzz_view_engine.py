@@ -15,6 +15,11 @@ arbitrary generated views:
    WITHOUT changing data must produce ZERO sink actions — the
    recompute+snapshot-diff (or targeted-refresh) lane must recognize
    everything as unchanged, for any generated schema.
+3. **Mutation convergence**: the parent table is then actually MUTATED
+   (seeded row deletes + numeric updates), a CDC touch marks the view
+   dirty, and after the refresh the sink must equal DuckDB evaluated
+   over the mutated tables — upsert AND delete diff actions for
+   arbitrary generated view schemas.
 
 Views are aggregate-shaped (≥1 group key) so the doc id — the
 '|'-joined group keys — is unique by construction (the engine's A4
@@ -130,6 +135,66 @@ def one_run(spark, con, seed: int, sf_dir: str) -> list[str]:
             errs.append("no-change refresh altered sink docs")
         if errs:
             errs.append(f"pg: {pg_sql}")
+            return errs
+
+        # ---- phase 3: MUTATE one dep table, refresh, converge on DuckDB
+        rng = random.Random(seed * 31 + 7)
+        victim = sorted(view.deps)[rng.randrange(len(view.deps))]
+        pdf = con.execute(f"SELECT * FROM {victim}").fetchdf()
+        n = len(pdf)
+        if n > 4:
+            drop = pdf.sample(frac=0.1, random_state=seed).index
+            pdf = pdf.drop(index=drop)
+            numcols = [c for c in pdf.columns if str(pdf[c].dtype).startswith(("int", "float"))]
+            if numcols:
+                col = numcols[rng.randrange(len(numcols))]
+                upd = pdf.sample(frac=0.1, random_state=seed + 1).index
+                pdf.loc[upd, col] = pdf.loc[upd, col] * 2 + 1
+        # preserve the catalog's exact column types (pandas roundtrips
+        # timestamp_ntz into timestamp; the engine rightly refuses that
+        # as a breaking doc-schema change)
+        orig = {f.name: f.dataType.simpleString() for f in spark.table(victim).schema.fields}
+        mut = spark.createDataFrame(pdf)
+        mut = mut.select(*[mut[c].cast(orig[c]).alias(c) for c in mut.columns])
+        mut.createOrReplaceTempView(victim)
+        con.register("__mut_pdf", pdf)
+        con.execute(f"CREATE OR REPLACE VIEW {victim} AS SELECT * FROM __mut_pdf")
+        try:
+            eng.process_cdc_batch(
+                spark.createDataFrame(
+                    [(20_000, "public", victim, "UPDATE", "§mut§", None)], CDC_SCHEMA
+                )
+            )
+            cur = con.execute(duck_sql)
+            cols = [d[0] for d in cur.description]
+            want2 = {}
+            for r in cur.fetchall():
+                d = dict(zip(cols, r))
+                want2[d["id"]] = {f: _canon(d[f]) for f in fields}
+            got2 = {
+                i: {k: _canon(v) for k, v in doc.items()}
+                for i, doc in sink.indices.get("fv", {}).items()
+            }
+            if got2 != want2:
+                extra, miss = set(got2) - set(want2), set(want2) - set(got2)
+                errs.append(
+                    f"post-mutation divergence ({victim}): +{sorted(extra)[:3]} "
+                    f"-{sorted(miss)[:3]}; "
+                    + next(
+                        (f"doc {i!r}: spark={got2[i]} duck={want2[i]}"
+                         for i in want2 if i in got2 and got2[i] != want2[i]),
+                        "",
+                    )
+                )
+                errs.append(f"pg: {pg_sql}")
+        finally:
+            # restore the pristine relations for the next seed
+            register_views(spark, sf_dir)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {victim} AS "
+                f"SELECT * FROM '{sf_dir}/{victim}.parquet'"
+            )
+            con.unregister("__mut_pdf")
     except Exception as e:  # noqa: BLE001
         errs.append(f"EXC {type(e).__name__}: {str(e)[:300]}")
         errs.append(f"pg: {pg_sql}")
