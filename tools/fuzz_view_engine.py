@@ -15,11 +15,17 @@ arbitrary generated views:
    WITHOUT changing data must produce ZERO sink actions — the
    recompute+snapshot-diff (or targeted-refresh) lane must recognize
    everything as unchanged, for any generated schema.
-3. **Mutation convergence**: the parent table is then actually MUTATED
-   (seeded row deletes + numeric updates), a CDC touch marks the view
-   dirty, and after the refresh the sink must equal DuckDB evaluated
-   over the mutated tables — upsert AND delete diff actions for
-   arbitrary generated view schemas.
+3. **Mutation convergence**: one dep table is then actually MUTATED
+   (seeded row deletes + numeric updates), a CDC touch marks the views
+   dirty, and after the refresh every view's sink docs must equal DuckDB
+   evaluated over the mutated tables — upsert AND delete diff actions
+   for arbitrary generated view schemas. (This phase found the
+   auto-targeted-refresh stale-sink bug fixed in views.py
+   `_selects_parent_id`.)
+
+Each run hosts TWO generated views on one engine with
+``max_parallel_views=2``, so the concurrent fan-out and shared-scan
+epoch paths run under fuzz too.
 
 Views are aggregate-shaped (≥1 group key) so the doc id — the
 '|'-joined group keys — is unique by construction (the engine's A4
@@ -50,11 +56,12 @@ from sinker_spark.sinks.memory import InMemorySink  # noqa: E402
 from sinker_spark.views import ViewDef  # noqa: E402
 
 CDC_SCHEMA = "lsn bigint, schema string, table string, op string, id string, payload string"
+N_VIEWS = 2
 
 
 def gen_view(seed: int):
     """Draw an aggregate query with ≥1 group key; wrap it with a doc id
-    built from the group keys. Returns (pg_sql, duck_sql, n_keys)."""
+    built from the group keys. Returns (pg_sql, duck_sql, fields)."""
     rng = random.Random(seed)
     for _ in range(100):
         sub = random.Random(rng.randrange(1 << 30))
@@ -82,67 +89,81 @@ def gen_view(seed: int):
     )
 
 
+def _want(con, duck_sql: str, fields: list[str]) -> dict:
+    cur = con.execute(duck_sql)
+    cols = [d[0] for d in cur.description]
+    out = {}
+    for r in cur.fetchall():
+        d = dict(zip(cols, r))
+        out[d["id"]] = {f: _canon(d[f]) for f in fields}
+    return out
+
+
+def _got(sink, name: str) -> dict:
+    return {
+        i: {k: _canon(v) for k, v in doc.items()}
+        for i, doc in sink.indices.get(name, {}).items()
+    }
+
+
+def _diff(got: dict, want: dict) -> str | None:
+    if set(got) != set(want):
+        extra, miss = set(got) - set(want), set(want) - set(got)
+        return f"id sets differ: +{sorted(extra)[:3]} -{sorted(miss)[:3]} ({len(got)} vs {len(want)})"
+    for i in want:
+        if got[i] != want[i]:
+            return f"doc {i!r}: spark={got[i]} duck={want[i]}"
+    return None
+
+
 def one_run(spark, con, seed: int, sf_dir: str) -> list[str]:
-    pg_sql, duck_sql, fields = gen_view(seed)
+    specs = [gen_view(seed * N_VIEWS + v) for v in range(N_VIEWS)]
+    names = [f"fv{v}" for v in range(N_VIEWS)]
     errs: list[str] = []
     root = tempfile.mkdtemp(prefix=f"fuzz_view_{seed}_")
     try:
-        view = ViewDef("fv", sql=pg_sql, key="id")
+        views = [
+            ViewDef(name, sql=pg, key="id")
+            for name, (pg, _, _) in zip(names, specs)
+        ]
         sink = InMemorySink()
-        eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, root))
+        eng = SyncEngine(
+            spark, views, sink, SnapshotStore(spark, root), max_parallel_views=N_VIEWS
+        )
         eng.backfill()
 
-        cur = con.execute(duck_sql)
-        cols = [d[0] for d in cur.description]
-        want = {}
-        for r in cur.fetchall():
-            d = dict(zip(cols, r))
-            want[d["id"]] = {f: _canon(d[f]) for f in fields}
+        for name, (pg, duck, fields) in zip(names, specs):
+            d = _diff(_got(sink, name), _want(con, duck, fields))
+            if d:
+                errs.extend([f"{name} backfill: {d}", f"pg: {pg}", f"duck: {duck}"])
+                return errs
 
-        got = {
-            i: {k: _canon(v) for k, v in doc.items()}
-            for i, doc in sink.indices.get("fv", {}).items()
-        }
-        if set(got) != set(want):
-            extra, miss = set(got) - set(want), set(want) - set(got)
-            errs.append(
-                f"id sets differ: +{sorted(extra)[:3]} -{sorted(miss)[:3]} "
-                f"({len(got)} vs {len(want)})"
-            )
-        else:
-            for i in list(want)[:2000]:
-                if got[i] != want[i]:
-                    errs.append(f"doc {i!r}: spark={got[i]} duck={want[i]}")
-                    break
-        if errs:
-            errs.append(f"pg: {pg_sql}")
-            errs.append(f"duck: {duck_sql}")
-            return errs
-
-        # refresh idempotence: touch every dep with a no-op change row
+        # phase 2 — no-change touch of every dep: zero actions
+        deps = sorted(set().union(*(v.deps for v in views)))
         before_actions = len(sink.action_log)
-        before_docs = {i: dict(d) for i, d in sink.indices.get("fv", {}).items()}
-        cdc = spark.createDataFrame(
-            [(10_000 + j, "public", t, "UPDATE", "§none§", None)
-             for j, t in enumerate(sorted(view.deps))],
-            CDC_SCHEMA,
+        before_docs = {n: _got(sink, n) for n in names}
+        eng.process_cdc_batch(
+            spark.createDataFrame(
+                [(10_000 + j, "public", t, "UPDATE", "§none§", None)
+                 for j, t in enumerate(deps)],
+                CDC_SCHEMA,
+            )
         )
-        eng.process_cdc_batch(cdc)
         new_actions = [a for a in sink.action_log[before_actions:] if a[1] != "recreate"]
         if new_actions:
             errs.append(f"no-change refresh emitted actions: {new_actions[:5]}")
-        if sink.indices.get("fv", {}) != before_docs:
-            errs.append("no-change refresh altered sink docs")
+        for n in names:
+            if _got(sink, n) != before_docs[n]:
+                errs.append(f"no-change refresh altered {n} docs")
         if errs:
-            errs.append(f"pg: {pg_sql}")
+            errs.extend(f"pg: {pg}" for pg, _, _ in specs)
             return errs
 
-        # ---- phase 3: MUTATE one dep table, refresh, converge on DuckDB
+        # phase 3 — MUTATE one dep table, refresh, converge on DuckDB
         rng = random.Random(seed * 31 + 7)
-        victim = sorted(view.deps)[rng.randrange(len(view.deps))]
+        victim = deps[rng.randrange(len(deps))]
         pdf = con.execute(f"SELECT * FROM {victim}").fetchdf()
-        n = len(pdf)
-        if n > 4:
+        if len(pdf) > 4:
             drop = pdf.sample(frac=0.1, random_state=seed).index
             pdf = pdf.drop(index=drop)
             numcols = [c for c in pdf.columns if str(pdf[c].dtype).startswith(("int", "float"))]
@@ -165,28 +186,12 @@ def one_run(spark, con, seed: int, sf_dir: str) -> list[str]:
                     [(20_000, "public", victim, "UPDATE", "§mut§", None)], CDC_SCHEMA
                 )
             )
-            cur = con.execute(duck_sql)
-            cols = [d[0] for d in cur.description]
-            want2 = {}
-            for r in cur.fetchall():
-                d = dict(zip(cols, r))
-                want2[d["id"]] = {f: _canon(d[f]) for f in fields}
-            got2 = {
-                i: {k: _canon(v) for k, v in doc.items()}
-                for i, doc in sink.indices.get("fv", {}).items()
-            }
-            if got2 != want2:
-                extra, miss = set(got2) - set(want2), set(want2) - set(got2)
-                errs.append(
-                    f"post-mutation divergence ({victim}): +{sorted(extra)[:3]} "
-                    f"-{sorted(miss)[:3]}; "
-                    + next(
-                        (f"doc {i!r}: spark={got2[i]} duck={want2[i]}"
-                         for i in want2 if i in got2 and got2[i] != want2[i]),
-                        "",
+            for name, (pg, duck, fields) in zip(names, specs):
+                d = _diff(_got(sink, name), _want(con, duck, fields))
+                if d:
+                    errs.extend(
+                        [f"{name} post-mutation ({victim}): {d}", f"pg: {pg}"]
                     )
-                )
-                errs.append(f"pg: {pg_sql}")
         finally:
             # restore the pristine relations for the next seed
             register_views(spark, sf_dir)
@@ -197,7 +202,7 @@ def one_run(spark, con, seed: int, sf_dir: str) -> list[str]:
             con.unregister("__mut_pdf")
     except Exception as e:  # noqa: BLE001
         errs.append(f"EXC {type(e).__name__}: {str(e)[:300]}")
-        errs.append(f"pg: {pg_sql}")
+        errs.extend(f"pg: {pg}" for pg, _, _ in specs)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return errs
