@@ -24,12 +24,16 @@ batch or state size.
 
 Crash semantics: in-place overwrite has no multi-bucket atomic swap —
 a crash mid-merge can tear the state. The per-state VERSION COUNTER
-(bumped after every successful write/merge, exposed as
-``current_version``) feeds the runner's replay-guard marker, which
-detects the tear and routes the view through the authoritative
-fallback, exactly as with the versioned store. On a real lake this
-slot is Delta/Iceberg MERGE with snapshot isolation; the interface is
-identical.
+(bumped BEFORE every destructive write/merge step, exposed as
+``current_version``) feeds the runner's replay-guard marker: after any
+crash inside the destructive window the stored version is ahead of the
+marker's recorded one, so the guard reads the state as torn and routes
+the view through the authoritative fallback. (Bumping after success —
+the naive order — leaves an undetectable window: files destroyed,
+version still matching the marker.) The worst case of pre-bumping is a
+spurious fallback on intact state after a crash between bump and
+destruction. On a real lake this slot is Delta/Iceberg MERGE with
+snapshot isolation; the interface is identical.
 """
 
 from __future__ import annotations
@@ -71,6 +75,7 @@ class KeyedStateStore:
             return None
 
     def _bump(self, name: str) -> None:
+        os.makedirs(self.root, exist_ok=True)  # pre-bump may precede the first write
         v = (self.current_version(name) or 0) + 1
         tmp = self._vfile(name) + ".tmp"
         with open(tmp, "w") as fh:
@@ -100,7 +105,16 @@ class KeyedStateStore:
         return df.where(F.col("__bucket").isin(buckets)).drop("__bucket")
 
     def write(self, name: str, df: DataFrame, key_cols: list[str]) -> None:
-        """Full overwrite — state initialization and fallback rebuilds."""
+        """Full overwrite — state initialization and fallback rebuilds.
+
+        The version bumps BEFORE the destructive write: a crash anywhere
+        inside the overwrite then leaves the version ahead of the
+        replay marker, so the runner's lane guard reads the state as
+        torn and routes to the authoritative fallback. Bumping after
+        (the old order) left a window — files destroyed, version still
+        matching the marker — where a crash produced torn state the
+        guard could NOT detect."""
+        self._bump(name)
         out = df.withColumn("__bucket", self._bucket(key_cols))
         (
             out.repartition("__bucket")
@@ -108,7 +122,6 @@ class KeyedStateStore:
             .mode("overwrite")
             .parquet(self._path(name))
         )
-        self._bump(name)
 
     def merge_for_keys(
         self, name: str, keys: DataFrame, new_rows: DataFrame, key_cols: list[str]
@@ -137,6 +150,13 @@ class KeyedStateStore:
         # materialize first or the writer races its own input (see
         # BucketedSnapshotStore.refresh_partial)
         out = out.localCheckpoint(eager=True)
+        # bump BEFORE the destructive steps below: a crash between the
+        # rmtree and the append would otherwise leave torn state with a
+        # version still matching the replay marker — undetectable by the
+        # runner's lane guard. Pre-bumped, any crash in the window reads
+        # as torn → authoritative fallback. (A crash between the bump and
+        # the rmtree only costs a spurious fallback on intact state.)
+        self._bump(name)
         # dynamic partition overwrite SKIPS partitions with zero output
         # rows, so a merge that empties a bucket would leave its old file
         # behind (deleted keys resurrect) — drop the affected bucket dirs
@@ -151,7 +171,6 @@ class KeyedStateStore:
             .mode("append")
             .parquet(self._path(name))
         )
-        self._bump(name)
 
     def reset(self, name: str) -> None:
         import shutil

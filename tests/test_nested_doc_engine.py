@@ -268,3 +268,55 @@ def test_duplicate_child_rows_preserved(spark, engine):
     ]))
     assert eng.last_stats["nd_view"].get("nested_doc") == 1
     assert sink.get("nd_view", "o1")["lines"] == [{"line": 1, "qty": 3.0}]
+
+
+def test_crash_mid_merge_reads_as_torn_and_fallback_heals(spark, engine, monkeypatch):
+    """Tear detection ordering: the keyed store bumps its version BEFORE
+    the destructive bucket rewrite, so a crash inside the rmtree→append
+    window leaves the stored version AHEAD of the replay marker and the
+    lane guard declines the next fold (torn) — the authoritative
+    fallback then rebuilds. With the old bump-after-success order this
+    exact crash produced torn state the guard could not see."""
+    import shutil as _shutil
+
+    eng, sink = engine
+    _tables(spark, BASE_ORDERS, BASE_LINES)
+    eng.backfill()
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "nd_lines", "INSERT", {"okey": "o2", "line": 2, "qty": 1.5}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
+
+    # crash the NEXT fold inside the destructive merge step
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def exploding_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        real_rmtree(path, *a, **kw)   # the bucket dir IS destroyed…
+        raise RuntimeError("simulated crash mid-merge")  # …then we die
+
+    _tables(spark, BASE_ORDERS, BASE_LINES + [("o2", 2, 1.5), ("o2", 3, 4.0)])
+    monkeypatch.setattr("shutil.rmtree", exploding_rmtree)
+    batch = _cdc(spark, [
+        (2, "nd_lines", "INSERT", {"okey": "o2", "line": 3, "qty": 4.0}, None),
+    ])
+    with pytest.raises(Exception, match="simulated crash"):
+        eng.process_cdc_batch(batch)
+    assert calls["n"] >= 1
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+
+    # restart: redeliver the same batch — the guard must see torn state,
+    # decline the fold, and the fallback must rebuild to the right doc
+    eng.process_cdc_batch(batch)
+    stats = eng.last_stats["nd_view"]
+    assert "nested_doc" not in stats and stats.get("lane_fallback") == 1
+    assert sink.get("nd_view", "o2")["lines"] == [
+        {"line": 1, "qty": 7.0}, {"line": 2, "qty": 1.5}, {"line": 3, "qty": 4.0},
+    ]
+    # and the lane folds again on the batch after that
+    _tables(spark, BASE_ORDERS, BASE_LINES + [("o2", 2, 1.5), ("o2", 3, 4.0), ("o1", 3, 2.0)])
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "nd_lines", "INSERT", {"okey": "o1", "line": 3, "qty": 2.0}, None),
+    ]))
+    assert eng.last_stats["nd_view"].get("nested_doc") == 1
