@@ -41,6 +41,7 @@ from sinker_spark.views import (
     JoinAggViewSpec,
     JoinChainViewSpec,
     JoinViewSpec,
+    MembershipViewSpec,
     NestedDocViewSpec,
     TopKViewSpec,
     ViewDef,
@@ -303,9 +304,35 @@ def make_nesteddoc_view(rng, name):
     )
 
 
+def make_membership_view(rng, name):
+    """Bloom membership lane: INSERT-only batches bit_or into the word
+    relation (idempotent under replay); any delete/update in the batch
+    routes to the recompute fallback — both paths diffed against this
+    recompute fn like every other lane."""
+    col = rng.choice(["region", "cat", "id"])
+    m_bits = rng.choice([256, 1024])
+
+    def fn(spark):
+        from sinker_spark.ivm_bloom import initial_bloom_state
+
+        words = initial_bloom_state(spark.table("fz_sales"), col, m_bits)
+        return words.select(
+            F.col("word_idx").cast("string").alias("k"),
+            F.struct("word_idx", "word").alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, key="k", deps={"fz_sales"},
+        membership=MembershipViewSpec(
+            table="fz_sales", value_col=col, m_bits=m_bits, row_schema=SALES_SCHEMA
+        ),
+    )
+
+
 MAKERS = [
     make_agg_view, make_topk_view, make_distinct_view, make_join_view,
     make_joinagg_view, make_chain_view, make_nesteddoc_view,
+    make_membership_view,
 ]
 
 
