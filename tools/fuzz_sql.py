@@ -637,11 +637,22 @@ def q_lateral(rng: random.Random) -> Pair:
     where = og.bool_expr(1) if rng.random() < 0.5 else None
     wp = f" WHERE {where.pg}" if where else ""
     wd = f" WHERE {where.duck}" if where else ""
-    tpl = (
-        f"SELECT {PK[outer][0]} AS k0, l.v AS c0 FROM {outer}, "
-        f"LATERAL (SELECT {agg} AS v FROM {inner} WHERE {ic} = {oc} AND {{p}}) l"
+    # PG semantics: an AGGREGATE lateral subquery always yields one row,
+    # so comma-LATERAL keeps every outer row (sum over empty → NULL).
+    # DuckDB's comma-LATERAL instead DROPS outer rows whose (sum)
+    # subquery input is empty (count is handled; sum is not) — render the
+    # oracle side as LEFT JOIN LATERAL … ON true, which matches PG for
+    # both sum (NULL pad) and count (0). Spark matches PG natively.
+    sub = f"(SELECT {{a}} AS v FROM {inner} WHERE {ic} = {oc} AND {{p}}) l"
+    tpl_pg = f"SELECT {PK[outer][0]} AS k0, l.v AS c0 FROM {outer}, LATERAL {sub}"
+    tpl_duck = (
+        f"SELECT {PK[outer][0]} AS k0, l.v AS c0 FROM {outer} "
+        f"LEFT JOIN LATERAL {sub} ON true"
     )
-    return _fmt(tpl + "{w}", p=cond, w=Pair(wp, wd))
+    return Pair(
+        _fmt(tpl_pg + "{w}", a=Pair(agg), p=cond, w=Pair(wp, wd)).pg,
+        _fmt(tpl_duck + "{w}", a=Pair(agg), p=cond, w=Pair(wp, wd)).duck,
+    )
 
 
 def q_series(rng: random.Random) -> Pair:
