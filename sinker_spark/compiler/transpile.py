@@ -512,7 +512,14 @@ def _rewrite_string_agg(sql: str) -> str:
         if fm:
             depth, j = 1, e + fm.end()
             while j < len(sql) and depth:
-                depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                if sql[j] == "'":  # skip string literals ('' escapes)
+                    j += 1
+                    while j < len(sql):
+                        if sql[j] == "'" and (j + 1 >= len(sql) or sql[j + 1] != "'"):
+                            break
+                        j += 2 if sql[j] == "'" else 1
+                else:
+                    depth += {"(": 1, ")": -1}.get(sql[j], 0)
                 j += 1
             filt = " " + sql[e:j].strip()
             tail_at = j
