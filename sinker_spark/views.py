@@ -53,7 +53,27 @@ def _selects_parent_id(sql: str) -> bool:
     it: a CDC batch names changed ROW ids, and scoping the recompute to
     those values as VIEW keys silently misses the real changes — found by
     tools/fuzz_view_engine.py phase 3 (stale sink after mutation)."""
-    m = re.search(r"\bselect\s+(?:distinct\s+)?", sql, re.IGNORECASE)
+    # find the MAIN query's SELECT: the first one at paren-depth 0 —
+    # a regex search would land on a CTE body's SELECT ("WITH b AS
+    # (SELECT id …) SELECT <non-id> …") and re-enable the unsound
+    # convention for a view keyed by something else
+    pat = re.compile(r"\bselect\s+(?:distinct\s+)?", re.IGNORECASE)
+    m, depth, i = None, 0, 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = sql.find("'", i + 1)
+            i = (j if j != -1 else len(sql) - 1) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                break
+        i += 1
     if not m:
         return False
     rest = sql[m.end():]

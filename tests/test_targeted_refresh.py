@@ -229,3 +229,19 @@ def test_aggregate_view_never_auto_targets(spark, tmp_path):
     assert docs != golden, "sink did not converge after mutation"
     assert docs.get("Z") == {"n": 1}
     assert eng.last_stats["initial_counts"].get("targeted", 0) == 0
+
+
+def test_cte_view_key_detection_uses_main_select(spark, tmp_path):
+    """_selects_parent_id must inspect the MAIN query's select list, not
+    a CTE body's: a CTE that selects `id` first must not re-enable the
+    targeted convention for an outer query keyed by something else."""
+    from sinker_spark.views import _selects_parent_id
+
+    assert not _selects_parent_id(
+        "WITH b AS (SELECT id, name FROM person) "
+        "SELECT upper(name) AS id, name FROM b"
+    )
+    assert _selects_parent_id(
+        "WITH b AS (SELECT upper(name) AS k FROM person) "
+        "SELECT id, name FROM person"
+    )
