@@ -607,6 +607,27 @@ def _find_top_level(text: str, pat: re.Pattern) -> re.Match | None:
     return None
 
 
+def _stmt_span_end(sql: str, start: int) -> int:
+    """End of the SELECT statement beginning at ``start``: the position
+    where paren depth first drops below 0 (the enclosing subquery's
+    closing paren), or end-of-string — literal-aware."""
+    lits = _literal_spans(sql)
+    depth, i = 0, start
+    while i < len(sql):
+        if any(a <= i < b for a, b in lits):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return i
+        i += 1
+    return len(sql)
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """SELECT DISTINCT ON (k1, k2) <select-list> FROM … [ORDER BY o
     [LIMIT n]] → row_number() OVER (PARTITION BY keys ORDER BY o-or-keys)
@@ -614,45 +635,50 @@ def _rewrite_distinct_on(sql: str) -> str:
     top-level FROM — not appended after the FROM clause, which is a
     parse error) and any trailing LIMIT re-applied OUTSIDE the rewrite
     together with the ORDER BY (PG semantics: DISTINCT ON first, then
-    order/limit the surviving rows)."""
-    m = re.search(r"select\s+distinct\s+on\s*\(", sql, re.IGNORECASE)
-    if not m:
-        return sql
-    call = _find_call(sql[m.start():], r"on")
-    assert call is not None
-    keys = call[2]
-    body_start = m.start() + call[1]
-    body = sql[body_start:]
-    outer_tail = ""
-    om = _find_top_level(body, re.compile(r"\border\s+by\b", re.IGNORECASE))
-    if om:
-        order = body[om.end():].strip().rstrip(";")
-        body = body[: om.start()]
-        lm = re.search(r"\blimit\s+(\d+)\s*$", order, re.IGNORECASE)
-        if lm:
-            order = order[: lm.start()].rstrip()
-            outer_tail = f" ORDER BY {order} LIMIT {lm.group(1)}"
-    else:
-        order = keys
-    fm = _find_top_level(body, re.compile(r"\bfrom\b", re.IGNORECASE))
-    if fm is None:
-        raise ValueError(
-            "unsupported for Spark views: DISTINCT ON without a FROM clause"
+    order/limit the surviving rows). Each occurrence is rewritten within
+    ITS OWN statement span — a DISTINCT ON inside a derived table or CTE
+    must not swallow the enclosing subquery's closing paren into the
+    window's ORDER BY (found by tools/fuzz_view_engine.py)."""
+    while True:
+        m = re.search(r"select\s+distinct\s+on\s*\(", sql, re.IGNORECASE)
+        if not m:
+            return sql
+        span_end = _stmt_span_end(sql, m.start())
+        stmt = sql[m.start():span_end]
+        call = _find_call(stmt, r"on")
+        assert call is not None
+        keys = call[2]
+        body = stmt[call[1]:]
+        outer_tail = ""
+        om = _find_top_level(body, re.compile(r"\border\s+by\b", re.IGNORECASE))
+        if om:
+            order = body[om.end():].strip().rstrip(";")
+            body = body[: om.start()]
+            lm = re.search(r"\blimit\s+(\d+)\s*$", order, re.IGNORECASE)
+            if lm:
+                order = order[: lm.start()].rstrip()
+                outer_tail = f" ORDER BY {order} LIMIT {lm.group(1)}"
+        else:
+            order = keys
+        fm = _find_top_level(body, re.compile(r"\bfrom\b", re.IGNORECASE))
+        if fm is None:
+            raise ValueError(
+                "unsupported for Spark views: DISTINCT ON without a FROM clause"
+            )
+        select_list = body[: fm.start()].strip().rstrip(",")
+        rest = body[fm.start():].strip()
+        # the row_number lives in an inner SELECT * so it never leaks into
+        # the view's output schema; the original select list is projected
+        # OUTSIDE (its expressions only reference base FROM columns, which
+        # the inner * passes through)
+        inner = (
+            f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+            f"ORDER BY {order}) AS __rn {rest}"
         )
-    select_list = body[: fm.start()].strip().rstrip(",")
-    rest = body[fm.start():].strip()
-    # the row_number lives in an inner SELECT * so it never leaks into
-    # the view's output schema; the original select list is projected
-    # OUTSIDE (its expressions only reference base FROM columns, which
-    # the inner * passes through)
-    inner = (
-        f"SELECT *, row_number() OVER (PARTITION BY {keys} "
-        f"ORDER BY {order}) AS __rn {rest}"
-    )
-    return (
-        sql[: m.start()]
-        + f"SELECT {select_list} FROM ({inner}) __d WHERE __rn = 1{outer_tail}"
-    )
+        rewritten = (
+            f"SELECT {select_list} FROM ({inner}) __d WHERE __rn = 1{outer_tail}"
+        )
+        sql = sql[: m.start()] + rewritten + sql[span_end:]
 
 
 # --- nested-subquery decorrelation ("decorrelation lite") -----------------

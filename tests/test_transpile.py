@@ -77,6 +77,18 @@ def test_distinct_on_rewrite(spark):
     ).collect()
     assert [(r["a"], r["b"]) for r in rows] == [("x", 1)]
 
+    # DISTINCT ON inside a DERIVED TABLE: the rewrite must stop at the
+    # enclosing subquery's closing paren instead of swallowing it into
+    # the window ORDER BY (found by tools/fuzz_view_engine.py)
+    rows = spark.sql(
+        transpile(
+            "SELECT upper(a) AS u, b FROM "
+            "(SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b DESC) s "
+            "WHERE b > 1"
+        )
+    ).collect()
+    assert {(r["u"], r["b"]) for r in rows} == {("X", 2), ("Y", 3)}
+
 
 def test_nested_correlated_subquery_decorrelation():
     sql = """select id, json_build_object('x',

@@ -59,10 +59,39 @@ CDC_SCHEMA = "lsn bigint, schema string, table string, op string, id string, pay
 N_VIEWS = 2
 
 
+def gen_distinct_on_view(rng: random.Random):
+    """Latest-per-key view via DISTINCT ON — the reference's
+    latest-order-per-customer shape, driving the transpiler's
+    row_number rewrite through the engine. Unique by the distinct key,
+    which becomes the doc id."""
+    t = rng.choice(["orders", "lineitem", "customer", "events"])
+    grp = {"orders": "o_orderstatus", "lineitem": "l_returnflag",
+           "customer": "c_mktsegment", "events": "event_type"}[t]
+    picks = [c for c, ty in fz.CATALOG[t] if ty in ("int", "str") and c != grp]
+    rng.shuffle(picks)
+    vals = picks[:2]
+    order = ", ".join(
+        [f"{grp} ASC NULLS FIRST"]
+        + [f"{c} ASC NULLS FIRST" for c, _ in fz.CATALOG[t] if c != grp]
+    )
+    sel = f"{grp} AS k0, " + ", ".join(f"{c} AS a{i}" for i, c in enumerate(vals))
+    inner = f"SELECT DISTINCT ON ({grp}) {sel} FROM {t} ORDER BY {order}"
+    fields = ["k0"] + [f"a{i}" for i in range(len(vals))]
+    doc = "json_build_object(" + ", ".join(f"'{f}', {f}" for f in fields) + ")"
+    return (
+        f"SELECT coalesce(k0::text, '?') AS id, {doc} AS doc FROM ({inner}) t",
+        f"SELECT coalesce(CAST(k0 AS VARCHAR), '?') AS id, * FROM ({inner}) t",
+        fields,
+    )
+
+
 def gen_view(seed: int):
-    """Draw an aggregate query with ≥1 group key; wrap it with a doc id
-    built from the group keys. Returns (pg_sql, duck_sql, fields)."""
+    """Draw an aggregate query with ≥1 group key (or a latest-per-key
+    DISTINCT ON shape); wrap it with a doc id built from the group keys.
+    Returns (pg_sql, duck_sql, fields)."""
     rng = random.Random(seed)
+    if rng.random() < 0.25:
+        return gen_distinct_on_view(rng)
     for _ in range(100):
         sub = random.Random(rng.randrange(1 << 30))
         pair = sub.choice([fz.q_agg, fz.q_agg, fz.q_join])(sub)
