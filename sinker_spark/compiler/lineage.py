@@ -128,8 +128,17 @@ class _Scanner:
 
         States: 0 = neutral, 1 = expecting a FROM item, 2 = after a FROM
         item (aliases), 3 = inside ON/USING expression.
+
+        A ``FROM`` opens a table list only if this block has seen a
+        ``SELECT``: SQL also spells FROM inside scalar function calls —
+        ``extract(year FROM ts)``, ``substring(s FROM 2)``,
+        ``trim(both ' ' FROM s)`` — whose argument blocks contain no
+        SELECT, and treating those as table refs puts phantom tables in
+        the view's deps (found by tools/fuzz_view_engine.py: a view
+        using extract(... FROM l_shipdate) grew an 'l_shipdate' dep).
         """
         state = 0
+        saw_select = False
         while self.i < len(self.toks):
             tok = self.peek()
             up = tok.upper() if not tok.startswith('"') else tok
@@ -144,8 +153,14 @@ class _Scanner:
             if up == "WITH" and state == 0:
                 self._scan_with_clause(top)
                 continue
+            if up == "SELECT":
+                saw_select = True
+                state = 0
+                self.i += 1
+                continue
             if up == "FROM":
-                state = 1
+                if saw_select:
+                    state = 1
                 self.i += 1
                 continue
             if state in (1, 2, 3):

@@ -87,3 +87,26 @@ def test_simple_view():
         'select id, json_build_object(\'name\', "name") as "person" from "person"'
     )
     assert parent == "person" and tables == {"person"}
+
+
+def test_function_form_from_is_not_a_table_ref():
+    """extract(year FROM ts) / substring(s FROM 2) / trim(... FROM s)
+    spell FROM inside scalar function calls — their arguments must not
+    become phantom deps (found by tools/fuzz_view_engine.py). A FROM
+    opens a table list only in a block that has seen a SELECT."""
+    from sinker_spark.compiler.lineage import parse_schema_tables
+
+    p, t = parse_schema_tables(
+        "SELECT l_linenumber FROM lineitem "
+        "WHERE l_orderkey > CAST(extract(year FROM l_shipdate) AS BIGINT)"
+    )
+    assert (p, t) == ("lineitem", {"lineitem"})
+    p, t = parse_schema_tables(
+        "SELECT substring(name FROM 2), trim(both ' ' FROM name) FROM person"
+    )
+    assert (p, t) == ("person", {"person"})
+    # genuine subqueries inside function args still count
+    p, t = parse_schema_tables(
+        "SELECT coalesce((SELECT max(ts) FROM events), now()) FROM person"
+    )
+    assert (p, t) == ("person", {"person", "events"})
