@@ -494,11 +494,20 @@ def q_distinct_on(rng: random.Random) -> Pair:
 
 def q_cte(rng: random.Random) -> Pair:
     inner = q_agg(rng)
-    # derive outer scope from the inner aliases: k*/a* — treat all as opaque
-    outer_cols = "*"
+    # outer query over the CTE's aliases (k*/a* — a0 is always present)
+    head = inner.pg.split(" FROM ")[0]
+    has_k0 = " AS k0" in head
+    variants = ["SELECT * FROM base"]
+    variants.append("SELECT count(*) AS n, count(DISTINCT a0) AS d FROM base")
+    if has_k0:
+        variants += [
+            "SELECT k0, a0 FROM base WHERE a0 IS NOT NULL",
+            "SELECT * FROM base WHERE k0 IS NOT NULL",
+        ]
+    outer = rng.choice(variants)
     return Pair(
-        f"WITH base AS ({inner.pg}) SELECT {outer_cols} FROM base",
-        f"WITH base AS ({inner.duck}) SELECT {outer_cols} FROM base",
+        f"WITH base AS ({inner.pg}) {outer}",
+        f"WITH base AS ({inner.duck}) {outer}",
     )
 
 
