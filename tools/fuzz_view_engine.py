@@ -188,47 +188,65 @@ def one_run(spark, con, seed: int, sf_dir: str) -> list[str]:
             errs.extend(f"pg: {pg}" for pg, _, _ in specs)
             return errs
 
-        # phase 3 — MUTATE one dep table, refresh, converge on DuckDB
+        # phase 3 — MUTATE 1-2 dep tables, ONE CDC batch touching them
+        # all (dirty-set coalescing + shared-scan under real change),
+        # refresh, converge on DuckDB
         rng = random.Random(seed * 31 + 7)
-        victim = deps[rng.randrange(len(deps))]
-        pdf = con.execute(f"SELECT * FROM {victim}").fetchdf()
-        if len(pdf) > 4:
-            drop = pdf.sample(frac=0.1, random_state=seed).index
-            pdf = pdf.drop(index=drop)
-            numcols = [c for c in pdf.columns if str(pdf[c].dtype).startswith(("int", "float"))]
-            if numcols:
-                col = numcols[rng.randrange(len(numcols))]
-                upd = pdf.sample(frac=0.1, random_state=seed + 1).index
-                pdf.loc[upd, col] = pdf.loc[upd, col] * 2 + 1
-        # preserve the catalog's exact column types (pandas roundtrips
-        # timestamp_ntz into timestamp; the engine rightly refuses that
-        # as a breaking doc-schema change)
-        orig = {f.name: f.dataType.simpleString() for f in spark.table(victim).schema.fields}
-        mut = spark.createDataFrame(pdf)
-        mut = mut.select(*[mut[c].cast(orig[c]).alias(c) for c in mut.columns])
-        mut.createOrReplaceTempView(victim)
-        con.register("__mut_pdf", pdf)
-        con.execute(f"CREATE OR REPLACE VIEW {victim} AS SELECT * FROM __mut_pdf")
+        rng.shuffle(deps)
+        victims = deps[: rng.randint(1, min(2, len(deps)))]
         try:
+            for vi, victim in enumerate(victims):
+                pdf = con.execute(f"SELECT * FROM {victim}").fetchdf()
+                if len(pdf) > 4:
+                    drop = pdf.sample(frac=0.1, random_state=seed + vi).index
+                    pdf = pdf.drop(index=drop)
+                    numcols = [
+                        c for c in pdf.columns
+                        if str(pdf[c].dtype).startswith(("int", "float"))
+                    ]
+                    if numcols:
+                        col = numcols[rng.randrange(len(numcols))]
+                        upd = pdf.sample(frac=0.1, random_state=seed + 10 + vi).index
+                        pdf.loc[upd, col] = pdf.loc[upd, col] * 2 + 1
+                # preserve the catalog's exact column types (pandas
+                # roundtrips timestamp_ntz into timestamp; the engine
+                # rightly refuses that as a breaking doc-schema change)
+                orig = {
+                    f.name: f.dataType.simpleString()
+                    for f in spark.table(victim).schema.fields
+                }
+                mut = spark.createDataFrame(pdf)
+                mut = mut.select(*[mut[c].cast(orig[c]).alias(c) for c in mut.columns])
+                mut.createOrReplaceTempView(victim)
+                con.register(f"__mut_pdf_{vi}", pdf)
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {victim} AS SELECT * FROM __mut_pdf_{vi}"
+                )
             eng.process_cdc_batch(
                 spark.createDataFrame(
-                    [(20_000, "public", victim, "UPDATE", "§mut§", None)], CDC_SCHEMA
+                    [(20_000 + j, "public", v, "UPDATE", "§mut§", None)
+                     for j, v in enumerate(victims)],
+                    CDC_SCHEMA,
                 )
             )
             for name, (pg, duck, fields) in zip(names, specs):
                 d = _diff(_got(sink, name), _want(con, duck, fields))
                 if d:
                     errs.extend(
-                        [f"{name} post-mutation ({victim}): {d}", f"pg: {pg}"]
+                        [f"{name} post-mutation ({victims}): {d}", f"pg: {pg}"]
                     )
         finally:
             # restore the pristine relations for the next seed
             register_views(spark, sf_dir)
-            con.execute(
-                f"CREATE OR REPLACE VIEW {victim} AS "
-                f"SELECT * FROM '{sf_dir}/{victim}.parquet'"
-            )
-            con.unregister("__mut_pdf")
+            for vi, victim in enumerate(victims):
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {victim} AS "
+                    f"SELECT * FROM '{sf_dir}/{victim}.parquet'"
+                )
+                try:
+                    con.unregister(f"__mut_pdf_{vi}")
+                except Exception:
+                    pass
     except Exception as e:  # noqa: BLE001
         errs.append(f"EXC {type(e).__name__}: {str(e)[:300]}")
         errs.extend(f"pg: {pg}" for pg, _, _ in specs)
