@@ -262,6 +262,9 @@ class Gen:
             t = self.col("ts")
             if t is not None:
                 op = r.choice(["<", ">=", ">"])
+                if r.random() < 0.3:  # interval arithmetic, same both dialects
+                    n = r.randint(1, 90)
+                    return Pair(f"(({t} + INTERVAL '{n} days') {op} '{r.choice(TS_LITS)}')")
                 return Pair(f"({t} {op} '{r.choice(TS_LITS)}')")
         if k == "in":
             c = self.col("str")
@@ -419,6 +422,12 @@ def _agg_over(rng: random.Random, from_p: str, from_d: str, cols: list[tuple[str
     g = Gen(rng, cols)
     nk = rng.randint(0, 2)
     keycols = [c for c, t in cols if t in ("str", "int")]
+    # temporal rollup keys: both engines return a timestamp from
+    # date_trunc on a timestamp input; cast to DATE for a clean key
+    keycols += [
+        f"CAST(date_trunc('{u}', {c}) AS DATE)"
+        for c, t in cols if t == "ts" for u in ("month", "year")
+    ]
     keys = rng.sample(keycols, min(nk, len(keycols))) if keycols else []
     aggs = [g.agg_expr() for _ in range(rng.randint(1, 3))]
     sel_k = "".join(f"{k} AS k{i}, " for i, k in enumerate(keys))
