@@ -628,6 +628,57 @@ def _stmt_span_end(sql: str, start: int) -> int:
     return len(sql)
 
 
+def _from_clause_aliases(from_clause: str) -> set[str]:
+    """Table names and aliases visible in a FROM clause (``FROM t``,
+    ``FROM t a``, ``JOIN t AS a``, ``(subq) a``) — lowercased. Used to
+    unqualify column references that must be projected OUTSIDE a
+    ``SELECT * FROM (…)`` wrapper, where the original aliases are out of
+    scope."""
+    kw = {
+        "on", "using", "where", "left", "right", "full", "inner", "outer",
+        "cross", "join", "group", "order", "limit", "having", "lateral",
+        "natural", "as", "union", "intersect", "except", "window",
+    }
+    aliases: set[str] = set()
+    for m in re.finditer(
+        r"\b(?:from|join)\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
+        from_clause,
+        re.IGNORECASE,
+    ):
+        aliases.add(m.group(1).lower())
+        if m.group(2) and m.group(2).lower() not in kw:
+            aliases.add(m.group(2).lower())
+    for m in re.finditer(r"\)\s*(?:as\s+)?([A-Za-z_]\w*)", from_clause, re.IGNORECASE):
+        if m.group(1).lower() not in kw:
+            aliases.add(m.group(1).lower())
+    return aliases
+
+
+def _strip_table_qualifiers(expr: str, aliases: set[str]) -> str:
+    """Drop ``alias.`` prefixes (for known FROM aliases) from column
+    references in ``expr`` — literal-aware, skipping ``a.b.c`` middles."""
+    if not aliases:
+        return expr
+    out, i = [], 0
+    lits = _literal_spans(expr)
+    pat = re.compile(r"([A-Za-z_]\w*)\s*\.\s*(?=[A-Za-z_\"`])")
+    while i < len(expr):
+        if any(s <= i < e for s, e in lits):
+            out.append(expr[i])
+            i += 1
+            continue
+        m = pat.match(expr, i)
+        prev = expr[i - 1] if i else ""
+        if m and m.group(1).lower() in aliases and prev != "." and not (
+            prev.isalnum() or prev == "_"
+        ):
+            i = m.end()  # drop the qualifier
+            continue
+        out.append(expr[i])
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """SELECT DISTINCT ON (k1, k2) <select-list> FROM … [ORDER BY o
     [LIMIT n]] → row_number() OVER (PARTITION BY keys ORDER BY o-or-keys)
@@ -675,6 +726,13 @@ def _rewrite_distinct_on(sql: str) -> str:
             f"SELECT *, row_number() OVER (PARTITION BY {keys} "
             f"ORDER BY {order}) AS __rn {rest}"
         )
+        # the outer projection sees __d's columns UNQUALIFIED — the
+        # original FROM aliases (``users u`` → ``u.city``) are out of
+        # scope outside the subquery, so strip known alias prefixes from
+        # the select list and the re-applied ORDER BY tail
+        aliases = _from_clause_aliases(rest)
+        select_list = _strip_table_qualifiers(select_list, aliases)
+        outer_tail = _strip_table_qualifiers(outer_tail, aliases)
         rewritten = (
             f"SELECT {select_list} FROM ({inner}) __d WHERE __rn = 1{outer_tail}"
         )
@@ -800,6 +858,66 @@ def _decorrelate_nested(sql: str) -> str:
     return sql
 
 
+_AGG_CALL_PAT = (
+    r"(?:count|count_if|sum|min|max|avg|mean|median|mode|"
+    r"stddev|stddev_pop|stddev_samp|variance|var_pop|var_samp|"
+    r"corr|covar_pop|covar_samp|skewness|kurtosis|"
+    r"collect_list|collect_set|array_agg|listagg|string_agg|json_agg|"
+    r"first|last|any_value|bool_and|bool_or|every|"
+    r"approx_count_distinct|approx_percentile|percentile|"
+    r"percentile_approx|percentile_cont|percentile_disc|"
+    r"bit_and|bit_or|bit_xor|hll_sketch_agg|sum_distinct)"
+)
+
+# identifier tokens that may legally remain OUTSIDE an aggregate call in a
+# guard-branch item: SQL keywords, type names, and zero-arg builtins
+_GUARD_SAFE_WORDS = frozenset(
+    """cast case when then else end and or not in is null true false as
+    distinct like ilike rlike between escape interval
+    decimal numeric double float real int integer bigint smallint tinyint
+    date timestamp string varchar char boolean text precision
+    current_timestamp current_date year month day hour minute second""".split()
+)
+
+
+def _is_guard_safe_aggregate_item(expr: str) -> bool:
+    """True iff every column reference in ``expr`` occurs INSIDE an
+    aggregate call (including the call's FILTER clause) — only such items
+    may be copied verbatim into the empty-input ``HAVING count(*) = 0``
+    guard branch, where no GROUP BY is in effect. Handles the common
+    fuzz-generated shapes ``CAST(ROUND(SUM(…), 2) AS DOUBLE)`` and
+    ``count(*) FILTER (WHERE …)``; a mixed item like ``sum(v) + k2``
+    leaves a bare ``k2`` and is rejected."""
+    s = expr
+    # blank every aggregate call span (plus a trailing FILTER (…) clause)
+    while True:
+        found = _find_call(s, _AGG_CALL_PAT)
+        if found is None:
+            break
+        start, end, _ = found
+        fm = re.match(r"\s*filter\s*\(", s[end:], re.IGNORECASE)
+        if fm:
+            depth, i = 1, end + fm.end()
+            lits = _literal_spans(s)
+            while i < len(s) and depth:
+                if not any(a <= i < b for a, b in lits):
+                    depth += s[i] == "("
+                    depth -= s[i] == ")"
+                i += 1
+            end = i
+        s = s[:start] + " 0 " + s[end:]
+    # blank string literals in the residue
+    lits = _literal_spans(s)
+    s = "".join(" " if any(a <= i < b for a, b in lits) else c for i, c in enumerate(s))
+    for m in re.finditer(r"[A-Za-z_]\w*", s):
+        if re.match(r"\s*\(", s[m.end():]):
+            continue  # function or type-with-precision name
+        if m.group(0).lower() in _GUARD_SAFE_WORDS:
+            continue
+        return False
+    return True
+
+
 def _append_empty_grouping_total(sql: str) -> str:
     """PG/standard semantics fix for Spark: ``GROUP BY ROLLUP/CUBE/…``
     whose grouping sets include the EMPTY set must emit the grand-total
@@ -832,16 +950,33 @@ def _append_empty_grouping_total(sql: str) -> str:
     if sm is None:
         return sql
     kind = sm.group(1).lower()
-    # the spec must be exactly one ROLLUP/CUBE/GROUPING SETS call
-    found = _find_call(spec, r"rollup|cube|grouping\s+sets")
+    # the spec must be exactly one ROLLUP/CUBE/GROUPING SETS call.
+    # NOTE: the alternation must be grouped — bare ``rollup|cube(…`` would
+    # let ``\brollup`` match WITHOUT its paren and corrupt the args span
+    found = _find_call(spec, r"(?:rollup|cube|grouping\s+sets)")
     if found is None or spec[found[1]:].strip():
         return sql
     inner = found[2]
     if kind.startswith("grouping") and "()" not in inner.replace(" ", ""):
         return sql  # no empty set → Spark's empty output is correct
-    # key columns: bare identifiers inside the spec
+    # a top-level set operation BEFORE the GROUP BY means the grouping
+    # belongs to the LAST branch while the SELECT/FROM located below come
+    # from the FIRST — splicing them together would append a guard over
+    # the wrong table. Bail out; Spark's native behavior stands.
+    if _find_top_level(
+        sql[: gm.start()], re.compile(r"\b(union|intersect|except)\b", re.IGNORECASE)
+    ):
+        return sql
+    # grouping keys: both the full normalized spec elements (expression
+    # keys like CAST(date_trunc('month', ts) AS DATE)) and the bare
+    # identifiers inside them (plain column keys)
+    def _norm(s: str) -> str:
+        return re.sub(r"\s+", "", s.strip().lower())
+
     keys = set()
+    key_exprs = set()
     for part in _split_top_level(inner):
+        key_exprs.add(_norm(part))
         for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", part):
             keys.add(tok.lower())
     sm2 = _find_top_level(sql, re.compile(r"\bselect\s+", re.IGNORECASE))
@@ -849,6 +984,7 @@ def _append_empty_grouping_total(sql: str) -> str:
     if sm2 is None or fm is None or sm2.end() >= fm.start():
         return sql
     items = _split_top_level(sql[sm2.end():fm.start()])
+    literal = re.compile(r"(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*'|null|true|false)", re.IGNORECASE)
     guard_items = []
     for item in items:
         item = item.strip()
@@ -857,10 +993,19 @@ def _append_empty_grouping_total(sql: str) -> str:
         alias = f" AS {am.group(1)}" if am else ""
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", expr) and expr.lower() in keys:
             guard_items.append(f"NULL{alias or ' AS ' + expr.split('.')[-1]}")
-        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", expr):
-            return sql  # bare column that is NOT a grouping key: unusual, skip
+        elif _norm(expr) in key_exprs:
+            # expression grouping key (e.g. CAST(date_trunc(…) AS DATE)):
+            # copying it verbatim would reference a non-aggregated column
+            # in the guard branch ([MISSING_GROUP_BY]); the grand-total
+            # row holds NULL for every grouping key
+            guard_items.append(f"NULL{alias}")
+        elif literal.fullmatch(expr) or _is_guard_safe_aggregate_item(expr):
+            guard_items.append(expr + alias)  # aggregate/constant: empty-input value
         else:
-            guard_items.append(expr + alias)  # aggregate: empty-input value
+            # neither a grouping expression, a literal, nor a recognizable
+            # aggregate call — appending it could break analysis; leave the
+            # statement untouched (Spark-native row-less behavior)
+            return sql
     body = sql[fm.start(): gm.start()].strip()  # FROM … [WHERE …]
     guard = f" UNION ALL SELECT {', '.join(guard_items)} {body} HAVING count(*) = 0"
     return sql + guard

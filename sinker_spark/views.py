@@ -62,7 +62,14 @@ def _selects_parent_id(sql: str) -> bool:
     while i < len(sql):
         c = sql[i]
         if c == "'":
+            # skip the literal, honoring SQL doubled-quote escapes
+            # ('it''s') — a naive find() would terminate at the first
+            # inner quote and desynchronize the scan, mis-identifying
+            # the first select item and wrongly enabling the
+            # id-from-parent targeted-refresh convention (ADVICE r4)
             j = sql.find("'", i + 1)
+            while j != -1 and j + 1 < len(sql) and sql[j + 1] == "'":
+                j = sql.find("'", j + 2)
             i = (j if j != -1 else len(sql) - 1) + 1
             continue
         if c == "(":
@@ -83,6 +90,8 @@ def _selects_parent_id(sql: str) -> bool:
         c = rest[i]
         if c == "'":
             j = rest.find("'", i + 1)
+            while j != -1 and j + 1 < len(rest) and rest[j + 1] == "'":
+                j = rest.find("'", j + 2)
             i = (j if j != -1 else len(rest) - 1) + 1
             continue
         if c == "(":

@@ -245,3 +245,28 @@ def test_cte_view_key_detection_uses_main_select(spark, tmp_path):
         "WITH b AS (SELECT upper(name) AS k FROM person) "
         "SELECT id, name FROM person"
     )
+
+
+def test_selects_parent_id_doubled_quote_escapes():
+    """ADVICE r4 (low): a literal with a doubled-quote escape ('it''s')
+    BEFORE the main SELECT must not desynchronize the literal scan —
+    the naive find() terminated at the inner quote, leaving the scanner
+    mid-literal and able to mis-identify the first select item (wrongly
+    enabling the id-from-parent targeted-refresh convention)."""
+    from sinker_spark.views import _selects_parent_id
+
+    # doubled-escape literal inside a CTE body; outer key is NOT id —
+    # convention must stay OFF
+    assert not _selects_parent_id(
+        "WITH b AS (SELECT 'it''s, id fake' AS t, id FROM person) "
+        "SELECT upper(name) AS k, t FROM b"
+    )
+    # and ON when the outer key IS id despite the tricky literal
+    assert _selects_parent_id(
+        "WITH b AS (SELECT 'it''s' AS t FROM person) "
+        "SELECT id, name FROM person"
+    )
+    # escape in the select list itself: first item is a literal, not id
+    assert not _selects_parent_id(
+        "SELECT 'don''t', id FROM person"
+    )

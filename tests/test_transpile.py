@@ -341,3 +341,75 @@ def test_function_names_inside_literals_untouched():
     # and string_agg-shaped text in a literal survives the listagg rewrite
     sql2 = "select 'string_agg(x, y)' as doc from t"
     assert "string_agg(x, y)" in transpile(sql2)
+
+
+def test_rollup_expression_grouping_key(spark):
+    """ADVICE r4 (high): an EXPRESSION grouping key (CAST(date_trunc(…)
+    AS DATE)) must not be copied verbatim into the empty-input guard
+    branch — that references a non-aggregated column with no GROUP BY
+    ([MISSING_GROUP_BY]) and broke every ROLLUP view with an expression
+    key. The guard emits NULL for matched grouping expressions."""
+    spark.createDataFrame(
+        [("2024-01-05 00:00:00", 1.0), ("2024-02-10 00:00:00", 2.0)],
+        "ts string, v double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v").createOrReplaceTempView("t_expr")
+    sql = (
+        "SELECT CAST(date_trunc('month', ts) AS DATE) AS m, count(*) AS n, "
+        "sum(v) AS s FROM t_expr GROUP BY ROLLUP(CAST(date_trunc('month', ts) AS DATE))"
+    )
+    rows = spark.sql(transpile(sql)).collect()
+    assert len(rows) == 3  # 2 months + grand total
+    # empty input: the guard must fire and produce the grand-total row
+    sql_empty = sql.replace("FROM t_expr", "FROM t_expr WHERE v < 0")
+    rows = spark.sql(transpile(sql_empty)).collect()
+    assert [(r["m"], r["n"], r["s"]) for r in rows] == [(None, 0, None)]
+
+
+def test_rollup_guard_bails_on_unrecognized_items():
+    """A select item that is neither a grouping expression, a literal,
+    nor a whole aggregate call (e.g. ``sum(v) + k2``) must leave the
+    statement untouched rather than emit a broken guard branch."""
+    sql = "SELECT k1, sum(v) + k2 AS sv FROM t GROUP BY ROLLUP(k1)"
+    assert transpile(sql) == sql
+    # whole-aggregate and CAST-wrapped aggregate items are still guarded
+    out = transpile(
+        "SELECT k1, CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM t GROUP BY ROLLUP(k1)"
+    )
+    assert "UNION ALL" in out and "count(*) = 0" in out
+
+
+def test_rollup_guard_bails_on_set_operation():
+    """ADVICE r4 (low): a top-level UNION before the GROUP BY means the
+    grouping belongs to the LAST branch — splicing the FIRST branch's
+    SELECT/FROM into the guard targets the wrong table. Must bail."""
+    sql = (
+        "SELECT k, 1 AS n FROM t1 UNION ALL "
+        "SELECT k, count(*) AS n FROM t2 GROUP BY ROLLUP(k)"
+    )
+    assert transpile(sql) == sql
+
+
+def test_distinct_on_qualified_columns(spark):
+    """ADVICE r4 (medium): table-qualified select items must resolve
+    after the rewrite — the original FROM alias is out of scope outside
+    the (…) __d subquery, so qualifiers are stripped from the outer
+    projection and the re-applied ORDER BY tail."""
+    spark.createDataFrame(
+        [("nyc", "ann", 1), ("nyc", "bob", 2), ("sf", "cy", 3)],
+        "city string, name string, n int",
+    ).createOrReplaceTempView("users_q")
+    rows = spark.sql(
+        transpile(
+            "SELECT DISTINCT ON (u.city) u.city, u.name FROM users_q u "
+            "ORDER BY u.city, u.n DESC"
+        )
+    ).collect()
+    assert {(r["city"], r["name"]) for r in rows} == {("nyc", "bob"), ("sf", "cy")}
+    # expression items referencing qualified columns + outer LIMIT tail
+    rows = spark.sql(
+        transpile(
+            "SELECT DISTINCT ON (u.city) upper(u.name) AS un FROM users_q u "
+            "ORDER BY u.city ASC, u.n ASC LIMIT 1"
+        )
+    ).collect()
+    assert [r["un"] for r in rows] == ["ANN"]
