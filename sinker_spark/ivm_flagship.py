@@ -1,0 +1,293 @@
+"""Fully-incremental maintenance of the COMPLETE reference document
+shape (DocTreeViewSpec): parent + to-one dim chain + N child arrays
+with per-element dim chains — the whole course_mv pattern
+(reference tests/fixtures/course_mv.sql:1-26: course→teacher→person
+to-one chain, enrollments array with enrollment→student→person
+lookups inside the elements) maintained as a PURE DELTA FOLD on every
+constituent table.
+
+The hard case is a DIM-ROW change fanning out to many documents (a
+customer rename touches every order doc of that customer; a region
+rename touches every doc in the region). The scoped-recompute lane
+handles that correctly but by re-running the view query restricted to
+affected keys — still a (predicate-pushed) base-table scan. This lane
+never rescans anything: alongside each relation's multiplicity state
+it maintains per-hop REVERSE-INDEX states
+(``dim key value → referrer key``, bucketed by the dim key), so a dim
+delta walks key→referrer indexes back to the affected parent keys in
+O(affected docs) bucket-pruned reads:
+
+    nation Δ{n_nationkey} ──rp1──► {c_custkey} ──rp0──► {o_orderkey}
+    part   Δ{p_partkey}  ──rc00──► {l_orderkey}
+
+Soundness of walking the POST-FOLD indexes: a document is affected iff
+some row on one of its reference paths changed. If the parent still
+references the changed row's chain after the batch, the walk from that
+row's Δ reaches it through the new indexes. If it no longer does, then
+some nearer reference on the path changed IN THIS BATCH, so a
+shallower relation's Δ contains that row and the parent is reached
+from there (inductively, down to the parent's own Δ). Both old- and
+new-image keys of every change row enter the walk (deletes/updates
+parse ``payload_before`` too), so re-pointed references cover their
+old targets' fan-out as well.
+
+Serving: the touched parents' docs are rebuilt by joining the states
+RESTRICTED to the reachable keys (batch-sized at every hop — parent
+rows for touched keys, dim rows for the fk values those rows carry,
+child rows for the touched parent keys): inner joins along the parent
+chain (a broken chain retracts the doc, flagship parity), left joins
+for the arrays (childless parents serve an empty array) and for
+element dims (missing element dim serves NULL fields, course_mv's
+correlated-subquery semantics). Arrays are ``array_sort``-canonical
+under the spec's order columns.
+
+All states live in the key-local store (state_keyed) bucketed by their
+own probe key: per-batch state I/O is O(touched buckets), and the
+whole refresh — fold, walk, serve, merge — is O(|Δ| · doc fan-out)
+with no driver-side key collection anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sinker_spark import ivm_delta
+from sinker_spark.ivm_doc import expand_mult
+from sinker_spark.views import DocTreeViewSpec
+
+
+@dataclass(frozen=True)
+class DocStateDef:
+    """One keyed state of a DocTreeViewSpec lane. ``schema`` is the CDC
+    parse DDL for BASE states (one per relation occurrence in the doc
+    tree); INDEX states (``source`` set) are projections of their source
+    base state's rows/changes — they parse nothing themselves."""
+
+    suffix: str
+    table: str
+    cols: tuple[str, ...]
+    key_cols: tuple[str, ...]
+    schema: str | None = None       # base states only
+    source: str | None = None       # index states: source base suffix
+
+
+def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
+    """Every state the lane maintains: base multiplicity states for the
+    parent, each chain dim, each child and each element dim, plus one
+    reverse index per to-one hop (bucketed by the hop's dim key)."""
+    out: list[DocStateDef] = [
+        DocStateDef(
+            "p", spec.parent_table, tuple(_ddl_cols(spec.row_schema_parent)),
+            (spec.key,), schema=spec.row_schema_parent,
+        )
+    ]
+    for j, d in enumerate(spec.dims):
+        out.append(
+            DocStateDef(
+                f"d{j}", d.table, tuple(_ddl_cols(d.row_schema)), (d.key,),
+                schema=d.row_schema,
+            )
+        )
+    for j, d in enumerate(spec.dims):
+        if j == 0:
+            out.append(
+                DocStateDef("rp0", spec.parent_table, (d.fk, spec.key), (d.fk,), source="p")
+            )
+        else:
+            prev = spec.dims[j - 1]
+            out.append(
+                DocStateDef(
+                    f"rp{j}", prev.table, (d.fk, prev.key), (d.fk,), source=f"d{j - 1}"
+                )
+            )
+    for i, ch in enumerate(spec.children):
+        out.append(
+            DocStateDef(
+                f"c{i}", ch.table, tuple(_ddl_cols(ch.row_schema)), (ch.fk,),
+                schema=ch.row_schema,
+            )
+        )
+        for j, d in enumerate(ch.dims):
+            out.append(
+                DocStateDef(
+                    f"c{i}d{j}", d.table, tuple(_ddl_cols(d.row_schema)), (d.key,),
+                    schema=d.row_schema,
+                )
+            )
+        for j, d in enumerate(ch.dims):
+            if j == 0:
+                out.append(
+                    DocStateDef(f"rc{i}0", ch.table, (d.fk, ch.fk), (d.fk,), source=f"c{i}")
+                )
+            else:
+                prev = ch.dims[j - 1]
+                out.append(
+                    DocStateDef(
+                        f"rc{i}{j}", prev.table, (d.fk, prev.key), (d.fk,),
+                        source=f"c{i}d{j - 1}",
+                    )
+                )
+    return out
+
+
+def _ddl_cols(ddl: str) -> list[str]:
+    """Column names of a DDL schema string, no SparkSession needed."""
+    from pyspark.sql.types import StructType
+
+    try:
+        return [f.name for f in StructType.fromDDL(ddl).fields]
+    except Exception:
+        # fall back to a naive split for exotic DDL
+        return [part.strip().split()[0] for part in ddl.split(",")]
+
+
+# rows_for(sdef, keys_df) → the state's CURRENT rows whose key is in
+# keys_df (column names must already match sdef.key_cols); includes the
+# __mult column. The runner backs this with bucket-pruned store reads
+# overlaid with the batch's fold; gate-query simulations back it with
+# in-memory relations.
+RowsFor = Callable[[DocStateDef, DataFrame], DataFrame]
+
+
+def _notnull(cols: list[str] | tuple[str, ...]) -> F.Column:
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
+def touched_parent_keys(
+    spec: DocTreeViewSpec,
+    change_keys: dict[str, DataFrame],
+    rows_for: RowsFor,
+) -> DataFrame:
+    """Parent keys whose documents the batch may have changed: direct
+    parent/child deltas plus every dim delta walked back through the
+    reverse indexes (post-fold; see module docstring for soundness).
+    ``change_keys`` maps base-state suffix → one-column DataFrame of
+    that relation's changed key values (old AND new images)."""
+    states = {s.suffix: s for s in doc_tree_states(spec)}
+    outs: list[DataFrame] = []
+    if "p" in change_keys:
+        outs.append(change_keys["p"].toDF(spec.key))
+    for i, ch in enumerate(spec.children):
+        if f"c{i}" in change_keys:
+            outs.append(change_keys[f"c{i}"].toDF(spec.key))
+
+    def walk(keys: DataFrame, chain, idx_prefix: str, final_key: str) -> DataFrame:
+        # keys: one column named chain[h].key at entry level h; walk to
+        # the referrer level via the per-hop index until the root
+        for h in range(len(chain) - 1, 0, -1):
+            probe = keys.select(F.col(chain[h].key).alias(chain[h].fk)).where(
+                F.col(chain[h].fk).isNotNull()
+            ).distinct()
+            idx = states[f"{idx_prefix}{h}"]
+            keys = rows_for(idx, probe).select(chain[h - 1].key).distinct()
+        probe = keys.select(F.col(chain[0].key).alias(chain[0].fk)).where(
+            F.col(chain[0].fk).isNotNull()
+        ).distinct()
+        return rows_for(states[f"{idx_prefix}0"], probe).select(final_key).distinct()
+
+    for j, d in enumerate(spec.dims):
+        if f"d{j}" in change_keys:
+            keys = change_keys[f"d{j}"].toDF(d.key)
+            outs.append(
+                walk(keys, spec.dims[: j + 1], "rp", spec.key).toDF(spec.key)
+            )
+    for i, ch in enumerate(spec.children):
+        for j, d in enumerate(ch.dims):
+            if f"c{i}d{j}" in change_keys:
+                keys = change_keys[f"c{i}d{j}"].toDF(d.key)
+                outs.append(
+                    walk(keys, ch.dims[: j + 1], f"rc{i}", ch.fk).toDF(spec.key)
+                )
+    if not outs:
+        raise ValueError("touched_parent_keys: no change keys supplied")
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc.unionByName(o)
+    return acc.where(F.col(spec.key).isNotNull()).distinct()
+
+
+def doc_columns(spec: DocTreeViewSpec) -> list[str]:
+    """Flat column list of the served document, in emission order."""
+    cols = list(_ddl_cols(spec.row_schema_parent))
+    for d in spec.dims:
+        cols += [c for c in _ddl_cols(d.row_schema) if c != d.key]
+    cols += [ch.alias for ch in spec.children]
+    return cols
+
+
+def serve_docs(
+    spec: DocTreeViewSpec, touched: DataFrame, rows_for: RowsFor
+) -> DataFrame:
+    """Rebuild the touched parents' documents from state restricted to
+    the reachable keys. Output: one row per parent key in ``touched``
+    that yields a document — parent cols, chain-dim non-key cols, and
+    one sorted array column per child (see doc_columns). A touched key
+    ABSENT from the output means its doc no longer exists (parent gone
+    or chain broken) — the caller emits the DELETE."""
+    states = {s.suffix: s for s in doc_tree_states(spec)}
+    tkeys = touched.toDF(spec.key)
+    cur = expand_mult(rows_for(states["p"], tkeys))
+    for j, d in enumerate(spec.dims):
+        probe = cur.select(F.col(d.fk).alias(d.key)).where(
+            F.col(d.key).isNotNull()
+        ).distinct()
+        dim = expand_mult(rows_for(states[f"d{j}"], probe))
+        cur = cur.join(dim, F.col(d.fk) == F.col(d.key), "inner").drop(d.key)
+    for i, ch in enumerate(spec.children):
+        probe_c = tkeys.select(F.col(spec.key).alias(ch.fk))
+        elem = expand_mult(rows_for(states[f"c{i}"], probe_c))
+        payload = [c for c in elem.columns if c != ch.fk]
+        for j, d in enumerate(ch.dims):
+            probe = elem.select(F.col(d.fk).alias(d.key)).where(
+                F.col(d.key).isNotNull()
+            ).distinct()
+            dim = expand_mult(rows_for(states[f"c{i}d{j}"], probe))
+            elem = elem.join(dim, F.col(d.fk) == F.col(d.key), "left").drop(d.key)
+            payload += [c for c in _ddl_cols(d.row_schema) if c != d.key]
+        order_cols = ch.order if ch.order is not None else [
+            c for c in _ddl_cols(ch.row_schema) if c != ch.fk
+        ]
+        pair = F.struct(
+            *[F.col(c).alias(f"__o{k}") for k, c in enumerate(order_cols)],
+            F.struct(*[F.col(c) for c in payload]).alias("__c"),
+        )
+        arrays = (
+            elem.groupBy(ch.fk)
+            .agg(F.array_sort(F.collect_list(pair)).alias("__pairs"))
+            .select(
+                ch.fk,
+                F.transform(F.col("__pairs"), lambda x: x["__c"]).alias(ch.alias),
+            )
+        )
+        cur = cur.join(arrays, F.col(spec.key) == F.col(ch.fk), "left").drop(ch.fk)
+        arr_type = cur.schema[ch.alias].dataType
+        cur = cur.withColumn(
+            ch.alias, F.coalesce(F.col(ch.alias), F.array().cast(arr_type))
+        )
+    return cur.select(*doc_columns(spec))
+
+
+def relation_rows_for(relations: dict[str, DataFrame]) -> RowsFor:
+    """In-memory RowsFor backing (gate-query simulations, tests):
+    ``relations`` maps base-state suffix → its CURRENT multiplicity
+    relation (cols + __mult). Index states project their source
+    relation; restriction is a semi-join on the probe keys."""
+
+    def rows_for(sdef: DocStateDef, keys: DataFrame) -> DataFrame:
+        rel = relations[sdef.source or sdef.suffix]
+        if sdef.source is not None:
+            rel = (
+                rel.where(_notnull(sdef.cols))
+                .groupBy(*sdef.cols)
+                .agg(F.sum(ivm_delta._MULT).alias(ivm_delta._MULT))
+            )
+        return rel.join(keys.distinct(), list(sdef.key_cols), "left_semi")
+
+    return rows_for

@@ -1,8 +1,8 @@
 """Engine-layer operators exposed as gate queries: snapshot-diff IVM,
 CDC record parsing, and UDF registration paths — the Table A rows of
-SURVEY.md §2 that are SQL-expressible get full DuckDB oracles here; the
-pandas-UDF lanes are rows-only (Python-side math is engine-specific) and
-are cross-checked against their SQL twins in tests instead.
+SURVEY.md §2 as driver-checkable lanes. EVERY query here carries a full
+DuckDB oracle (the pandas-UDF lanes included: their Python-side math is
+mirrored by exact SQL twins, so the registry has zero rows-only lanes).
 """
 
 from __future__ import annotations
@@ -1239,4 +1239,356 @@ def ivm_nested_doc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.concat_ws(":", x["line"].cast("string"), x["qty"].cast("string")),
             ),
         ).alias("lines_str"),
+    )
+
+
+@query(
+    "ivm_flagship_doc",
+    oracle="""
+    WITH
+    o_post AS (SELECT o_orderkey AS okey, o_custkey AS cust FROM orders
+               WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (SELECT c_custkey AS ckey,
+                      CASE WHEN c_custkey % 4 = 0 THEN c_name || '*' ELSE c_name END AS cname,
+                      c_nationkey AS nkey FROM customer),
+    n_post AS (SELECT n_nationkey AS natkey,
+                      CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS nname,
+                      n_regionkey AS rkey FROM nation),
+    r_post AS (SELECT r_regionkey AS regkey,
+                      CASE WHEN r_regionkey = 1 THEN r_name || '?' ELSE r_name END AS rname
+               FROM region),
+    l_post AS (SELECT l_orderkey AS lokey, CAST(l_linenumber AS BIGINT) AS line,
+                      CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pkey
+               FROM lineitem
+               WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    p_post AS (SELECT p_partkey AS partkey,
+                      CASE WHEN p_partkey % 10 = 0 THEN p_name || '+' ELSE p_name END AS pname
+               FROM part),
+    touched AS (
+      SELECT DISTINCT okey FROM (
+        SELECT o_orderkey AS okey FROM orders
+        WHERE o_orderkey % 3 = 0 OR (o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0)
+        UNION ALL
+        SELECT l_orderkey FROM lineitem
+        WHERE (l_orderkey + l_linenumber) % 7 = 0
+           OR (l_orderkey % 11 = 0 AND (l_orderkey + l_linenumber) % 7 <> 0)
+        UNION ALL
+        SELECT o.okey FROM o_post o WHERE o.cust % 4 = 0
+        UNION ALL
+        SELECT o.okey FROM o_post o JOIN c_post c ON o.cust = c.ckey
+        WHERE c.nkey % 2 = 0
+        UNION ALL
+        SELECT o.okey FROM o_post o JOIN c_post c ON o.cust = c.ckey
+        JOIN n_post n ON c.nkey = n.natkey WHERE n.rkey = 1
+        UNION ALL
+        SELECT l.lokey FROM l_post l WHERE l.pkey % 10 = 0
+      )
+    )
+    SELECT o.okey, c.cname AS cust_name, n.nname AS nation_name, r.rname AS region_name,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_items, COALESCE(agg.s, '') AS items_str
+    FROM o_post o
+    JOIN touched ON o.okey = touched.okey
+    JOIN c_post c ON o.cust = c.ckey
+    JOIN n_post n ON c.nkey = n.natkey
+    JOIN r_post r ON n.rkey = r.regkey
+    LEFT JOIN (
+      SELECT l.lokey, COUNT(*) AS n,
+             string_agg(l.line || ':' || l.qty || ':' || l.pkey || ':' || COALESCE(p.pname, '?'),
+                        ';' ORDER BY l.line, l.qty, l.pkey) AS s
+      FROM l_post l LEFT JOIN p_post p ON l.pkey = p.partkey
+      GROUP BY l.lokey) agg ON o.okey = agg.lokey""",
+    doc=(
+        "FULLY-INCREMENTAL FLAGSHIP DOC (DocTreeViewSpec / ivm_flagship): "
+        "the COMPLETE course_mv shape — orders parent + to-one dim chain "
+        "customer->nation->region (course->teacher->person) + lineitems "
+        "array whose elements carry a part lookup (enrollment->student-> "
+        "person) — refreshed as a PURE DELTA FOLD from ONE batch mutating "
+        "ALL SIX tables (order insert+delete, lineitem insert+delete, "
+        "customer/nation/region/part renames). Dim deltas walk per-hop "
+        "reverse indexes back to affected parent keys (O(affected docs), "
+        "no scoped recompute, no table rescans); docs rebuilt from state "
+        "restricted to reachable keys. Output = the touched docs the lane "
+        "upserts, arrays serialized line:qty:pkey:pname;... for hashing; "
+        "oracle rebuilds them from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "B4", "B5", "B6", "B7", "composition", "flagship"),
+)
+def ivm_flagship_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_flagship import (
+        relation_rows_for, serve_docs, touched_parent_keys,
+    )
+    from sinker_spark.views import ChildArraySpec, DimLookup, DocTreeViewSpec
+
+    t = load_tables(spark, sf_dir)
+    o_all = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("cust")
+    )
+    c_all = t["customer"].select(
+        F.col("c_custkey").alias("ckey"), F.col("c_name").alias("cname"),
+        F.col("c_nationkey").alias("nkey"),
+    )
+    n_all = t["nation"].select(
+        F.col("n_nationkey").alias("natkey"), F.col("n_name").alias("nname"),
+        F.col("n_regionkey").alias("rkey"),
+    )
+    r_all = t["region"].select(
+        F.col("r_regionkey").alias("regkey"), F.col("r_name").alias("rname")
+    )
+    l_all = t["lineitem"].select(
+        F.col("l_orderkey").alias("lokey"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_partkey").alias("pkey"),
+    )
+    p_all = t["part"].select(
+        F.col("p_partkey").alias("partkey"), F.col("p_name").alias("pname")
+    )
+
+    spec = DocTreeViewSpec(
+        parent_table="orders", key="okey",
+        row_schema_parent="okey bigint, cust bigint",
+        dims=[
+            DimLookup("customer", fk="cust", key="ckey",
+                      row_schema="ckey bigint, cname string, nkey bigint"),
+            DimLookup("nation", fk="nkey", key="natkey",
+                      row_schema="natkey bigint, nname string, rkey bigint"),
+            DimLookup("region", fk="rkey", key="regkey",
+                      row_schema="regkey bigint, rname string"),
+        ],
+        children=[
+            ChildArraySpec(
+                table="lineitem", fk="lokey",
+                row_schema="lokey bigint, line bigint, qty bigint, pkey bigint",
+                alias="items", order=["line", "qty", "pkey"],
+                dims=[DimLookup("part", fk="pkey", key="partkey",
+                                row_schema="partkey bigint, pname string")],
+            )
+        ],
+    )
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+
+    # orders: insert %3==0, delete %5==0 (of the pre-batch rows)
+    o_old = o_all.where(F.col("okey") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("okey") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("okey") % 5 == 0) & (F.col("okey") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    # customer/nation/region/part: RENAME every k-th row (update =
+    # delete(before)+insert(after) — the dim fan-out the lane must chase)
+    def rename(all_df, keycol, namecol, pred, suffix):
+        new = all_df.withColumn(
+            namecol,
+            F.when(pred, F.concat(F.col(namecol), F.lit(suffix))).otherwise(F.col(namecol)),
+        )
+        ch = (
+            all_df.where(pred).withColumn("__op", dele)
+            .unionByName(new.where(pred).withColumn("__op", ins))
+        )
+        return new, ch
+
+    c_new, c_ch = rename(c_all, "ckey", "cname", F.col("ckey") % 4 == 0, "*")
+    n_new, n_ch = rename(n_all, "natkey", "nname", F.col("natkey") % 2 == 0, "!")
+    r_new, r_ch = rename(r_all, "regkey", "rname", F.col("regkey") == 1, "?")
+    p_new, p_ch = rename(p_all, "partkey", "pname", F.col("partkey") % 10 == 0, "+")
+    # lineitem: insert (okey+line)%7==0, delete okey%11==0
+    l_old = l_all.where((F.col("lokey") + F.col("line")) % 7 != 0)
+    l_ch = (
+        l_all.where((F.col("lokey") + F.col("line")) % 7 == 0).withColumn("__op", ins)
+        .unionByName(
+            l_all.where(
+                (F.col("lokey") % 11 == 0) & ((F.col("lokey") + F.col("line")) % 7 != 0)
+            ).withColumn("__op", dele)
+        )
+    )
+
+    # fold every base state old → post (the lane's per-batch fold)
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "d1": apply_join_state(relation_state(n_all), changes_to_mult(n_ch)),
+        "d2": apply_join_state(relation_state(r_all), changes_to_mult(r_ch)),
+        "c0": apply_join_state(relation_state(l_old), changes_to_mult(l_ch)),
+        "c0d0": apply_join_state(relation_state(p_all), changes_to_mult(p_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("okey"),
+        "d0": c_ch.select("ckey"),
+        "d1": n_ch.select("natkey"),
+        "d2": r_ch.select("regkey"),
+        "c0": l_ch.select("lokey"),
+        "c0d0": p_ch.select("partkey"),
+    }
+    touched = touched_parent_keys(spec, change_keys, rows_for)
+    docs = serve_docs(spec, touched, rows_for)
+    return docs.select(
+        "okey",
+        F.col("cname").alias("cust_name"),
+        F.col("nname").alias("nation_name"),
+        F.col("rname").alias("region_name"),
+        F.size("items").cast("bigint").alias("n_items"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("items"),
+                lambda x: F.concat_ws(
+                    ":",
+                    x["line"].cast("string"), x["qty"].cast("string"),
+                    x["pkey"].cast("string"), F.coalesce(x["pname"], F.lit("?")),
+                ),
+            ),
+        ).alias("items_str"),
+    )
+
+
+@query(
+    "ivm_multi_child_doc",
+    oracle="""
+    WITH
+    n_post AS (SELECT n_nationkey AS natkey,
+                      CASE WHEN n_nationkey % 3 = 0 THEN n_name || '!' ELSE n_name END AS nname
+               FROM nation),
+    c_post AS (SELECT c_custkey AS ckey, c_nationkey AS cnat,
+                      CAST(c_acctbal AS DOUBLE) AS cbal
+               FROM customer
+               WHERE c_custkey % 4 = 0 OR c_custkey % 5 <> 0),
+    s_post AS (SELECT s_suppkey AS skey, s_nationkey AS snat, s_name AS sname
+               FROM supplier
+               WHERE s_suppkey % 6 = 0 OR s_suppkey % 7 <> 0),
+    touched AS (
+      SELECT DISTINCT natkey FROM (
+        SELECT n_nationkey AS natkey FROM nation WHERE n_nationkey % 3 = 0
+        UNION ALL
+        SELECT c_nationkey FROM customer
+        WHERE c_custkey % 4 = 0 OR (c_custkey % 5 = 0 AND c_custkey % 4 <> 0)
+        UNION ALL
+        SELECT s_nationkey FROM supplier
+        WHERE s_suppkey % 6 = 0 OR (s_suppkey % 7 = 0 AND s_suppkey % 6 <> 0)
+      )
+    )
+    SELECT n.natkey, n.nname AS nation_name,
+           CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_custs,
+           COALESCE(ca.s, '') AS custs_str,
+           CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_supps,
+           COALESCE(sa.s, '') AS supps_str
+    FROM n_post n
+    JOIN touched ON n.natkey = touched.natkey
+    LEFT JOIN (
+      SELECT cnat, COUNT(*) AS n,
+             string_agg(ckey || ':' || CAST(floor(cbal) AS BIGINT), ';' ORDER BY ckey) AS s
+      FROM c_post GROUP BY cnat) ca ON n.natkey = ca.cnat
+    LEFT JOIN (
+      SELECT snat, COUNT(*) AS n,
+             string_agg(skey || ':' || sname, ';' ORDER BY skey) AS s
+      FROM s_post GROUP BY snat) sa ON n.natkey = sa.snat""",
+    doc=(
+        "MULTI-CHILD nested doc (DocTreeViewSpec, N=2 arrays): one doc "
+        "per nation carrying BOTH a customers array and a suppliers "
+        "array (the reference README person example nests multiple "
+        "to-many relations) — ONE batch renames nations AND inserts+ "
+        "deletes customers AND suppliers; only the touched nations' "
+        "docs are re-served from state (both arrays rebuilt only where "
+        "touched, no base rescans). Arrays serialized for hashing; "
+        "oracle rebuilds from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "B7", "composition"),
+)
+def ivm_multi_child_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_flagship import (
+        relation_rows_for, serve_docs, touched_parent_keys,
+    )
+    from sinker_spark.views import ChildArraySpec, DocTreeViewSpec
+
+    t = load_tables(spark, sf_dir)
+    n_all = t["nation"].select(
+        F.col("n_nationkey").alias("natkey"), F.col("n_name").alias("nname")
+    )
+    c_all = t["customer"].select(
+        F.col("c_custkey").alias("ckey"), F.col("c_nationkey").alias("cnat"),
+        F.col("c_acctbal").cast("double").alias("cbal"),
+    )
+    s_all = t["supplier"].select(
+        F.col("s_suppkey").alias("skey"), F.col("s_nationkey").alias("snat"),
+        F.col("s_name").alias("sname"),
+    )
+
+    spec = DocTreeViewSpec(
+        parent_table="nation", key="natkey",
+        row_schema_parent="natkey bigint, nname string",
+        children=[
+            ChildArraySpec(table="customer", fk="cnat",
+                           row_schema="ckey bigint, cnat bigint, cbal double",
+                           alias="custs", order=["ckey"]),
+            ChildArraySpec(table="supplier", fk="snat",
+                           row_schema="skey bigint, snat bigint, sname string",
+                           alias="supps", order=["skey"]),
+        ],
+    )
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    pred_n = F.col("natkey") % 3 == 0
+    n_new = n_all.withColumn(
+        "nname", F.when(pred_n, F.concat(F.col("nname"), F.lit("!"))).otherwise(F.col("nname"))
+    )
+    n_ch = (
+        n_all.where(pred_n).withColumn("__op", dele)
+        .unionByName(n_new.where(pred_n).withColumn("__op", ins))
+    )
+    c_old = c_all.where(F.col("ckey") % 4 != 0)
+    c_ch = (
+        c_all.where(F.col("ckey") % 4 == 0).withColumn("__op", ins)
+        .unionByName(
+            c_all.where((F.col("ckey") % 5 == 0) & (F.col("ckey") % 4 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    s_old = s_all.where(F.col("skey") % 6 != 0)
+    s_ch = (
+        s_all.where(F.col("skey") % 6 == 0).withColumn("__op", ins)
+        .unionByName(
+            s_all.where((F.col("skey") % 7 == 0) & (F.col("skey") % 6 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(n_all), changes_to_mult(n_ch)),
+        "c0": apply_join_state(relation_state(c_old), changes_to_mult(c_ch)),
+        "c1": apply_join_state(relation_state(s_old), changes_to_mult(s_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": n_ch.select("natkey"),
+        "c0": c_ch.select("cnat"),
+        "c1": s_ch.select("snat"),
+    }
+    touched = touched_parent_keys(spec, change_keys, rows_for)
+    docs = serve_docs(spec, touched, rows_for)
+    return docs.select(
+        "natkey",
+        F.col("nname").alias("nation_name"),
+        F.size("custs").cast("bigint").alias("n_custs"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("custs"),
+                lambda x: F.concat_ws(
+                    ":", x["ckey"].cast("string"), F.floor(x["cbal"]).cast("bigint").cast("string")
+                ),
+            ),
+        ).alias("custs_str"),
+        F.size("supps").cast("bigint").alias("n_supps"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("supps"),
+                lambda x: F.concat_ws(":", x["skey"].cast("string"), x["sname"]),
+            ),
+        ).alias("supps_str"),
     )

@@ -446,6 +446,84 @@ class NestedDocViewSpec:
 
 
 @dataclass
+class DimLookup:
+    """One to-one lookup hop in a :class:`DocTreeViewSpec` chain:
+    ``fk`` is the referencing column IN THE PREVIOUS relation (the
+    parent/child for the first hop, the previous dim's table after),
+    ``key`` the dim's unique key column, ``row_schema`` the DDL of the
+    dim columns the document projects (must include ``key`` and, if a
+    further hop follows, that hop's ``fk``)."""
+
+    table: str
+    fk: str
+    key: str
+    row_schema: str
+
+
+@dataclass
+class ChildArraySpec:
+    """One to-many child array in a :class:`DocTreeViewSpec`: rows of
+    ``table`` whose ``fk`` equals the parent key become an array of
+    structs under ``alias``, each element carrying the child payload
+    (minus ``fk``) plus its own to-one ``dims`` chain (LEFT-joined:
+    a missing element dim serves NULL fields, reference course_mv's
+    correlated-subquery semantics). ``order``: child columns forming a
+    total order within one parent (default: all payload columns)."""
+
+    table: str
+    fk: str
+    row_schema: str
+    alias: str
+    order: list[str] | None = None
+    dims: list[DimLookup] = field(default_factory=list)
+
+
+@dataclass
+class DocTreeViewSpec:
+    """Declares THE COMPLETE reference document shape (course_mv.sql:
+    1-26 ≙ the flagship order doc) as one incrementally-maintained
+    view: a parent row + a to-one dim CHAIN (course→teacher→person ≙
+    orders→customer→nation→region, INNER-joined: a broken chain
+    retracts the doc) + N to-many child ARRAYS (enrollments ≙
+    lineitems), each element optionally carrying its own to-one dim
+    chain (enrollment→student→person ≙ lineitem→part).
+
+    Maintained as a PURE DELTA FOLD on every constituent table —
+    including dim-row changes that fan out to many documents — via
+    per-hop REVERSE-INDEX states (ivm_flagship module docstring): a
+    dim delta walks key→referrer indexes back to the affected parent
+    keys in O(affected docs), never a scoped recompute. All states
+    live in the key-local store bucketed by their own probe key, so
+    per-batch state I/O is O(touched buckets).
+
+    - ``parent_table``/``key``/``row_schema_parent``: the doc root;
+      ``key`` must be unique per parent row (it is the doc id)
+    - ``dims``: the parent's to-one chain, outermost first
+      (``dims[0].fk`` is a parent column)
+    - ``children``: N child arrays (0 permitted: chain-only doc)
+
+    The emitted document is ``struct(<parent cols>, <each chain dim's
+    non-key cols>, <child alias: array<struct<payload + element-dim
+    non-key cols>>>…)``. Same before-image contract, replay guard and
+    fallback behavior as the other delta lanes.
+    """
+
+    parent_table: str
+    key: str
+    row_schema_parent: str
+    dims: list[DimLookup] = field(default_factory=list)
+    children: list[ChildArraySpec] = field(default_factory=list)
+
+    def all_tables(self) -> set[str]:
+        out = {self.parent_table}
+        out.update(d.table for d in self.dims)
+        for ch in self.children:
+            out.add(ch.table)
+            out.update(d.table for d in ch.dims)
+        return out
+
+
+@dataclass
 class JoinAggViewSpec:
     """Declares a view as a KEYED AGGREGATE OVER A TWO-TABLE EQUI-JOIN —
     γ_keys(A ⋈ B) with count/sum aggregates — the composed lane: the
@@ -512,6 +590,7 @@ class ViewDef:
     joinagg: "JoinAggViewSpec | None" = None
     joinchain: "JoinChainViewSpec | None" = None
     nesteddoc: "NestedDocViewSpec | None" = None
+    doctree: "DocTreeViewSpec | None" = None
     # Optional targeted-refresh hook: (spark, {table: DataFrame of
     # changed ids, one `id string` column}) → one-column DataFrame of
     # affected VIEW keys, or None for "unknown → full refresh". Enables
