@@ -29,12 +29,22 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
 - ``generate_series(a, b[, step])``   → ``explode(sequence(…))`` (both
   FROM- and SELECT-position)
 
+- ``expr [NOT] SIMILAR TO 'pat' [ESCAPE 'e']`` → anchored ``RLIKE``
+  (PG similar_escape semantics: ``%``→``.*``, ``_``→``.``, regex metas
+  kept, ``. ^ $ \\`` literal)
+- jsonb predicates: ``a @> b`` / ``a <@ b`` (flat-object containment
+  via ``from_json`` maps; array-literal sides via ``array<string>``),
+  ``a ? 'k'`` → ``map_contains_key``, ``a ?| / ?& ARRAY[…]`` →
+  ``exists`` / ``forall``, ``a #> / #>> '{x,y,0}'`` →
+  ``get_json_object(a, '$.x.y[0]')``
+
 Operator rewrites (``::``, ``->``, ``~``) ignore operator-shaped text
 inside string literals. ``ILIKE``, aggregate ``FILTER (WHERE …)``
 (including after ``string_agg``'s WITHIN GROUP rewrite), correlated
 ``LATERAL (subquery)`` joins, and ``TABLESAMPLE`` pass through
 untouched — Spark SQL supports them natively. Known-unsupported PG constructs (ON CONFLICT, RETURNING,
-FOR UPDATE, SIMILAR TO, jsonb ``@>``-family operators, ``::regclass``)
+FOR UPDATE, non-literal SIMILAR TO patterns, unrewritable jsonb
+operator shapes, ``::regclass``)
 raise ``ValueError`` at transpile time instead of surfacing as Spark
 parser errors at refresh time.
 
@@ -168,8 +178,8 @@ _UNSUPPORTED = [
     (re.compile(r"\bon\s+conflict\b", re.IGNORECASE), "ON CONFLICT"),
     (re.compile(r"\breturning\b", re.IGNORECASE), "RETURNING"),
     (re.compile(r"\bfor\s+(update|share|no\s+key\s+update|key\s+share)\b", re.IGNORECASE), "FOR UPDATE/SHARE"),
-    (re.compile(r"\bsimilar\s+to\b", re.IGNORECASE), "SIMILAR TO (use ~ regex or LIKE)"),
-    (re.compile(r"@>|<@|\?\||\?&|#>>|#>"), "jsonb containment/path operators (@>, <@, ?|, ?&, #>, #>>) — use -> / ->> chains"),
+    (re.compile(r"\bsimilar\s+to\b", re.IGNORECASE), "SIMILAR TO with a non-literal pattern (literal patterns are rewritten to RLIKE)"),
+    (re.compile(r"@>|<@|\?\||\?&|#>>|#>|\?"), "jsonb operator shape the rewriter can't express (literal-operand @>, <@, ?, ?|, ?&, #>, #>> are rewritten)"),
     (re.compile(r"::\s*regclass\b", re.IGNORECASE), "::regclass"),
 ]
 
@@ -434,6 +444,299 @@ def _rewrite_regex_match_ops(sql: str) -> str:
         if neg:
             repl = f"NOT {repl}"
         sql = f"{sql[:s]}{repl}{sql[m.end():]}"
+        pos = 0
+
+
+def _similar_to_java_regex(pattern: str, escape: str = "\\") -> str:
+    """PG ``SIMILAR TO`` pattern → Java regex body (no anchors).
+
+    PG's similar_escape (utils/adt/regexp.c): ``%`` → ``.*``, ``_`` →
+    ``.``; the regex metacharacters ``| * + ? ( ) [ ] { }`` keep their
+    meaning; ``. ^ $ \\`` are LITERAL in SIMILAR TO and must be escaped;
+    the escape character makes the next char literal. Character-class
+    bodies pass through verbatim.
+    """
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == escape and i + 1 < n and not in_class:
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "[":
+            in_class = True
+            out.append(c)
+        elif c in "|*+?(){}]":
+            out.append(c)
+        elif c in ".^$\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _spark_str_lit(s: str) -> str:
+    """Python string → Spark SQL single-quoted literal. Spark (default
+    ``escapedStringLiterals=false``) processes backslash escapes inside
+    literals, so both ``\\`` and ``'`` are backslash-escaped."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _unquote_pg_lit(lit: str) -> str:
+    """``'it''s'`` → ``it's`` (strip quotes, fold doubled-quote escapes)."""
+    return lit[1:-1].replace("''", "'")
+
+
+_STR_LIT = r"'(?:[^']|'')*'"
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """``expr [NOT] SIMILAR TO 'pat' [ESCAPE 'e']`` → ``expr RLIKE
+    '^(?:regex)$'`` via :func:`_similar_to_java_regex` (whole-string
+    anchored, exactly PG's similar_escape wrapping). Literal patterns
+    only — a non-literal pattern falls through to the loud
+    ``_reject_unsupported`` error."""
+    pat = re.compile(
+        rf"\b(not\s+)?similar\s+to\s*({_STR_LIT})(?:\s+escape\s*({_STR_LIT}))?",
+        re.IGNORECASE,
+    )
+    pos = 0
+    while True:
+        m = _search_code(pat, sql, pos)
+        if not m:
+            return sql
+        neg, lit, esc = m.groups()
+        escape = _unquote_pg_lit(esc) if esc else "\\"
+        if len(escape) != 1:
+            raise ValueError(
+                f"transpile: SIMILAR TO ESCAPE must be a single character, got {esc}"
+            )
+        body = _similar_to_java_regex(_unquote_pg_lit(lit), escape)
+        s = _operand_start(sql, m.start())
+        operand = sql[s : m.start()].rstrip()
+        if not operand:
+            pos = m.end()
+            continue
+        repl = f"{operand} RLIKE {_spark_str_lit('^(?:' + body + ')$')}"
+        if neg:
+            repl = f"NOT {repl}"
+        sql = f"{sql[:s]}{repl}{sql[m.end():]}"
+        pos = 0
+
+
+def _operand_end(sql: str, start: int) -> int:
+    """End (exclusive) of the expression operand beginning at/after
+    ``start`` — the forward twin of :func:`_operand_start`. Recognizes a
+    string literal (with an optional ``::type`` cast suffix, which jsonb
+    RHS literals often carry), an ``ARRAY[...]`` / call / paren group,
+    or a dotted identifier chain with an optional trailing group."""
+    n = len(sql)
+    i = start
+    while i < n and sql[i].isspace():
+        i += 1
+    if i >= n:
+        return i
+
+    def _balanced(j: int, open_: str, close: str) -> int:
+        depth = 0
+        while j < n:
+            c = sql[j]
+            if c == "'":
+                j = sql.index("'", j + 1)
+            elif c == open_:
+                depth += 1
+            elif c == close:
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        return n
+
+    def _cast_suffix(end: int) -> int:
+        m = re.match(r"\s*::\s*\w+", sql[end:])
+        return end + m.end() if m else end
+
+    if sql[i] == "'":
+        j = i + 1
+        while j < n:
+            if sql[j] == "'":
+                if j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        return _cast_suffix(min(j + 1, n))
+    if sql[i] == "(":
+        return _cast_suffix(_balanced(i, "(", ")"))
+    m = re.match(r"[A-Za-z_][\w.]*", sql[i:])
+    if m:
+        j = i + m.end()
+        k = j
+        while k < n and sql[k].isspace():
+            k += 1
+        if k < n and sql[k] == "(":
+            return _cast_suffix(_balanced(k, "(", ")"))
+        if k < n and sql[k] == "[" and m.group(0).lower() == "array":
+            return _cast_suffix(_balanced(k, "[", "]"))
+        return _cast_suffix(j)
+    return i + 1
+
+
+_JSONB_MAP = "'map<string,string>'"
+
+
+def _jsonb_contains_expr(sup: str, sub: str) -> str:
+    """Spark boolean expr for PG jsonb containment ``sup @> sub`` on FLAT
+    objects: every top-level key of ``sub`` exists in ``sup`` with a
+    textually-equal scalar value (PG's numeric-equivalence of 1 vs 1.0
+    is NOT reproduced; JSON null values compare via ``<=>``)."""
+    sup_m = f"from_json({sup}, {_JSONB_MAP})"
+    sub_m = f"from_json({sub}, {_JSONB_MAP})"
+    return (
+        f"forall(map_entries({sub_m}), __sk_e -> "
+        f"map_contains_key({sup_m}, __sk_e.key) AND {sup_m}[__sk_e.key] <=> __sk_e.value)"
+    )
+
+
+def _jsonb_array_contains_expr(sup: str, sub: str) -> str:
+    sup_a = f"from_json({sup}, 'array<string>')"
+    sub_a = f"from_json({sub}, 'array<string>')"
+    return f"forall({sub_a}, __sk_x -> array_contains({sup_a}, __sk_x))"
+
+
+def _rhs_is_json_array_literal(rhs: str) -> bool:
+    m = re.match(rf"^\s*({_STR_LIT})\s*(?:::\s*\w+)?\s*$", rhs)
+    return bool(m) and _unquote_pg_lit(m.group(1)).lstrip().startswith("[")
+
+
+def _strip_jsonb_cast(rhs: str) -> str:
+    return re.sub(r"\s*::\s*jsonb?\s*$", "", rhs.strip(), flags=re.IGNORECASE)
+
+
+def _operand_start_cast(sql: str, end: int) -> int:
+    """Like :func:`_operand_start`, but folds a leading ``expr::`` cast
+    chain into the operand (``'{"k":1}'::jsonb @> props`` must take the
+    whole cast, not just the trailing type name)."""
+    s = _operand_start(sql, end)
+    while True:
+        m = re.search(r"::\s*$", sql[:s])
+        if not m:
+            return s
+        s2 = _operand_start(sql, m.start())
+        if s2 >= m.start():
+            return s
+        s = s2
+
+
+def _rewrite_jsonb_ops(sql: str) -> str:
+    """PG jsonb operators → Spark predicates over ``from_json`` maps.
+
+    - ``a @> b`` / ``a <@ b`` — containment over flat JSON objects (see
+      :func:`_jsonb_contains_expr`); when the contained side is a JSON
+      *array* literal, array containment over ``array<string>`` instead.
+    - ``a ? 'k'``   → ``map_contains_key(from_json(a, map), 'k')``
+    - ``a ?| arr`` / ``a ?& arr`` → ``exists`` / ``forall`` over the key
+      array (``ARRAY['k1','k2']`` constructors become ``array(...)``).
+    - ``a #> '{x,y,0}'`` / ``#>>`` → ``get_json_object(a, '$.x.y[0]')``
+      (literal paths only; PG's json-vs-text distinction collapses to
+      get_json_object's text output, same as the ``->`` rewrite).
+
+    Shapes this can't express (non-literal ``#>`` paths, a bare ``?``
+    with an unparseable RHS) are left in place for
+    ``_reject_unsupported`` / Spark's parser to reject loudly.
+    """
+    # --- #> / #>> with literal path ---------------------------------
+    pat_path = re.compile(rf"#>(>?)\s*({_STR_LIT})")
+    pos = 0
+    while True:
+        m = _search_code(pat_path, sql, pos)
+        if not m:
+            break
+        raw = _unquote_pg_lit(m.group(2)).strip()
+        if not (raw.startswith("{") and raw.endswith("}")):
+            pos = m.end()
+            continue
+        parts = [p.strip() for p in raw[1:-1].split(",") if p.strip()]
+        path = "$" + "".join(
+            f"[{p}]" if p.isdigit() else f".{p}" for p in parts
+        )
+        s = _operand_start(sql, m.start())
+        operand = sql[s : m.start()].rstrip()
+        if not operand:
+            pos = m.end()
+            continue
+        sql = f"{sql[:s]}get_json_object({operand}, '{path}'){sql[m.end():]}"
+        pos = 0
+
+    # --- ?| / ?& ----------------------------------------------------
+    pat_any = re.compile(r"\?([|&])")
+    pos = 0
+    while True:
+        m = _search_code(pat_any, sql, pos)
+        if not m:
+            break
+        s = _operand_start_cast(sql, m.start())
+        lhs = _strip_jsonb_cast(sql[s : m.start()])
+        e = _operand_end(sql, m.end())
+        rhs = sql[m.end() : e].strip()
+        if not lhs or not rhs:
+            pos = m.end()
+            continue
+        arr = re.sub(r"(?i)^array\s*\[(.*)\]$", r"array(\1)", rhs, flags=re.DOTALL)
+        hof = "exists" if m.group(1) == "|" else "forall"
+        repl = f"{hof}({arr}, __sk_k -> map_contains_key(from_json({lhs}, {_JSONB_MAP}), __sk_k))"
+        sql = f"{sql[:s]}{repl}{sql[e:]}"
+        pos = 0
+
+    # --- ? (key exists) ---------------------------------------------
+    pat_q = re.compile(r"\?")
+    pos = 0
+    while True:
+        m = _search_code(pat_q, sql, pos)
+        if not m:
+            break
+        s = _operand_start_cast(sql, m.start())
+        lhs = _strip_jsonb_cast(sql[s : m.start()])
+        e = _operand_end(sql, m.end())
+        rhs = sql[m.end() : e].strip()
+        if not lhs or not rhs:
+            pos = m.end()
+            continue
+        repl = f"map_contains_key(from_json({lhs}, {_JSONB_MAP}), {rhs})"
+        sql = f"{sql[:s]}{repl}{sql[e:]}"
+        pos = 0
+
+    # --- @> / <@ ----------------------------------------------------
+    pat_c = re.compile(r"@>|<@")
+    pos = 0
+    while True:
+        m = _search_code(pat_c, sql, pos)
+        if not m:
+            return sql
+        s = _operand_start_cast(sql, m.start())
+        lhs = _strip_jsonb_cast(sql[s : m.start()])
+        e = _operand_end(sql, m.end())
+        rhs = _strip_jsonb_cast(sql[m.end() : e])
+        if not lhs or not rhs:
+            pos = m.end()
+            continue
+        sup, sub = (lhs, rhs) if m.group(0) == "@>" else (rhs, lhs)
+        if _rhs_is_json_array_literal(sub) or _rhs_is_json_array_literal(sup):
+            repl = _jsonb_array_contains_expr(sup, sub)
+        else:
+            repl = _jsonb_contains_expr(sup, sub)
+        sql = f"{sql[:s]}({repl}){sql[e:]}"
         pos = 0
 
 
@@ -1014,8 +1317,10 @@ def _append_empty_grouping_total(sql: str) -> str:
 def transpile(sql: str) -> str:
     """Postgres view SQL → Spark SQL."""
     sql = sql.strip().rstrip(";")
-    _reject_unsupported(sql)
     sql = _replace_quoted_idents(sql)
+    sql = _rewrite_similar_to(sql)
+    sql = _rewrite_jsonb_ops(sql)
+    _reject_unsupported(sql)
     sql = _rewrite_pg_casts(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_regex_match_ops(sql)

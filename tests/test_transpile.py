@@ -251,8 +251,8 @@ def test_unsupported_constructs_raise():
         "insert into t values (1) on conflict do nothing",
         "update t set x = 1 returning id",
         "select * from t for update",
-        "select * from t where a similar to '%x%'",
-        "select * from t where tags @> '[\"a\"]'",
+        "select * from t where a similar to b",  # non-literal pattern
+        "select doc #> path_col from t",  # non-literal path
         "select 'x'::regclass",
     ]:
         with pytest.raises(ValueError, match="unsupported Postgres construct"):
@@ -413,3 +413,89 @@ def test_distinct_on_qualified_columns(spark):
         )
     ).collect()
     assert [r["un"] for r in rows] == ["ANN"]
+
+
+def test_similar_to_rewrite(spark):
+    """PG SIMILAR TO → anchored RLIKE (similar_escape semantics: % →
+    .*, _ → ., regex metas kept, '.' literal, ESCAPE honored)."""
+    out = transpile("select * from t where a similar to 'ab%'")
+    assert "RLIKE" in out and "^(?:ab.*)$" in out
+
+    spark.createDataFrame(
+        [("abc",), ("axc",), ("a.c",), ("abcd",), ("zabc",), ("10%",), ("105",)],
+        "s string",
+    ).createOrReplaceTempView("sim_t")
+
+    def q(pat_sql: str) -> set[str]:
+        rows = spark.sql(
+            transpile(f"SELECT s FROM sim_t WHERE s SIMILAR TO {pat_sql}")
+        ).collect()
+        return {r["s"] for r in rows}
+
+    assert q("'ab%'") == {"abc", "abcd"}          # anchored, not substring
+    assert q("'a_c'") == {"abc", "axc", "a.c"}    # _ is any char
+    assert q("'a.c'") == {"a.c"}                  # '.' is LITERAL in SIMILAR TO
+    assert q("'(ab|ax)c'") == {"abc", "axc"}      # alternation + grouping
+    assert q("'10\\%'") == {"10%"}                # default escape makes % literal
+    assert q("'10#%' ESCAPE '#'") == {"10%"}      # custom escape char
+    assert q("'a[bx]c'") == {"abc", "axc"}        # character class passes through
+
+    rows = spark.sql(
+        transpile("SELECT s FROM sim_t WHERE s NOT SIMILAR TO 'a%'")
+    ).collect()
+    assert {r["s"] for r in rows} == {"zabc", "10%", "105"}
+
+
+def test_jsonb_key_exists_ops(spark):
+    """? / ?| / ?& → map_contains_key / exists / forall over from_json."""
+    spark.createDataFrame(
+        [(1, '{"color":"red","size":"L"}'), (2, '{"size":"S"}'), (3, '{"color":null}')],
+        "id int, props string",
+    ).createOrReplaceTempView("jt")
+
+    def ids(sql: str) -> set[int]:
+        return {r["id"] for r in spark.sql(transpile(sql)).collect()}
+
+    assert ids("SELECT id FROM jt WHERE props ? 'color'") == {1, 3}  # null value still exists
+    assert ids("SELECT id FROM jt WHERE props ?| ARRAY['color','size']") == {1, 2, 3}
+    assert ids("SELECT id FROM jt WHERE props ?& ARRAY['color','size']") == {1}
+    assert ids("SELECT id FROM jt WHERE props::jsonb ? 'size'") == {1, 2}
+
+
+def test_jsonb_containment_ops(spark):
+    """@> / <@ flat-object containment; array-literal sides as arrays."""
+    spark.createDataFrame(
+        [
+            (1, '{"k":"v","x":"1"}', '["a","b","c"]'),
+            (2, '{"k":"w"}', '["a"]'),
+            (3, '{"x":"1"}', '[]'),
+        ],
+        "id int, props string, tags string",
+    ).createOrReplaceTempView("jc")
+
+    def ids(sql: str) -> set[int]:
+        return {r["id"] for r in spark.sql(transpile(sql)).collect()}
+
+    assert ids("""SELECT id FROM jc WHERE props @> '{"k":"v"}'""") == {1}
+    assert ids("""SELECT id FROM jc WHERE props @> '{"k":"v"}'::jsonb""") == {1}
+    assert ids("""SELECT id FROM jc WHERE '{"k":"w"}' <@ props""") == {2}
+    # object containment ignores whitespace differences in either side
+    assert ids("""SELECT id FROM jc WHERE props @> '{ "x" : "1" }'""") == {1, 3}
+    # array containment
+    assert ids("""SELECT id FROM jc WHERE tags @> '["a","b"]'""") == {1}
+    assert ids("""SELECT id FROM jc WHERE tags @> '[]'""") == {1, 2, 3}
+    assert ids("""SELECT id FROM jc WHERE '["a"]' <@ tags""") == {1, 2}
+
+
+def test_jsonb_path_extract_ops(spark):
+    """#> / #>> with literal paths → get_json_object chains."""
+    spark.createDataFrame(
+        [(1, '{"a":{"b":["x","y"]},"c":"top"}')], "id int, doc string"
+    ).createOrReplaceTempView("jp")
+    rows = spark.sql(
+        transpile(
+            "SELECT doc #>> '{a,b,1}' AS deep, doc #> '{c}' AS top FROM jp"
+        )
+    ).collect()
+    assert rows[0]["deep"] == "y"
+    assert rows[0]["top"] == "top"

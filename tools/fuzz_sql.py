@@ -238,15 +238,18 @@ class Gen:
             j = self.col("json")
             if j is not None:
                 # PG jsonb arrow (transpiler → get_json_object); DuckDB's
-                # native ->> on a VARCHAR JSON column
-                return Pair(f"({j}->>'k')", f"({j}->>'k')")
+                # native ->> on a VARCHAR JSON column. The #>> path form
+                # exercises the same extraction through the path rewrite.
+                if self.rng.random() < 0.5:
+                    return Pair(f"({j}->>'k')", f"({j}->>'k')")
+                return Pair(f"({j} #>> '{{k}}')", f"json_extract_string({j}, '$.k')")
         return Pair(f"'{r.choice(STR_LITS)}'")
 
     def bool_expr(self, d: int = 2) -> Pair:
         r = self.rng
         k = r.choice(
             ["cmp_int", "cmp_num", "cmp_str", "cmp_ts", "in", "between",
-             "like", "ilike", "regex", "null"]
+             "like", "ilike", "regex", "null", "similar", "jsonpred"]
             + (["and", "or", "not"] if d > 0 else [])
         )
         if k == "cmp_int":
@@ -302,6 +305,45 @@ class Gen:
             if c is not None:
                 n = "NOT NULL" if r.random() < 0.5 else "NULL"
                 return _fmt("(nullif({c}, '{v}') IS {n})", c=c, v=r.choice(STR_LITS), n=n)
+        if k == "similar":
+            # PG SIMILAR TO (transpiler → anchored RLIKE) vs an
+            # INDEPENDENT DuckDB rendering in native LIKE semantics —
+            # duck never sees SIMILAR TO (its dialect treats the pattern
+            # as a bare regex, not PG's LIKE-extended language)
+            c = self.col("str")
+            if c is not None:
+                a, b = r.sample(["a", "e", "o", "C", "1", "RI"], 2)
+                neg = "NOT " if r.random() < 0.25 else ""
+                shape = r.choice(["prefix", "sub", "underscore", "alt"])
+                if shape == "prefix":
+                    return Pair(f"({c} {neg}SIMILAR TO '{a}%')", f"({c} {neg}LIKE '{a}%')")
+                if shape == "sub":
+                    return Pair(f"({c} {neg}SIMILAR TO '%{a}%')", f"({c} {neg}LIKE '%{a}%')")
+                if shape == "underscore":
+                    return Pair(f"({c} {neg}SIMILAR TO '{a}_%')", f"({c} {neg}LIKE '{a}_%')")
+                duck = f"({c} LIKE '{a}%' OR {c} LIKE '{b}%')"
+                if neg:
+                    duck = f"(NOT {duck})"
+                return Pair(f"({c} {neg}SIMILAR TO '({a}|{b})%')", duck)
+        if k == "jsonpred":
+            # jsonb predicate operators (transpiler → from_json map
+            # predicates) vs DuckDB's native json_keys/json_contains
+            j = self.col("json")
+            if j is not None:
+                shape = r.choice(["exists", "missing", "any", "all", "contains"])
+                if shape == "exists":
+                    return Pair(f"({j} ? 'k')", f"list_contains(json_keys({j}), 'k')")
+                if shape == "missing":
+                    return Pair(f"({j} ? 'zz')", f"list_contains(json_keys({j}), 'zz')")
+                if shape == "any":
+                    return Pair(f"({j} ?| ARRAY['k', 'zz'])", f"list_has_any(json_keys({j}), ['k', 'zz'])")
+                if shape == "all":
+                    return Pair(f"({j} ?& ARRAY['k', 'zz'])", f"list_has_all(json_keys({j}), ['k', 'zz'])")
+                n = r.randint(0, 99)
+                return Pair(
+                    f"({j} @> '{{\"k\": {n}}}')",
+                    f"json_contains({j}, '{{\"k\": {n}}}')",
+                )
         if k == "and" or k == "or":
             return _fmt("({a} {op} {b})", a=self.bool_expr(d - 1),
                         op="AND" if k == "and" else "OR", b=self.bool_expr(d - 1))
