@@ -81,7 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         from sinker_spark.sinks.elastic import ElasticsearchSink
 
         sink = ElasticsearchSink(hosts=cfg.es_hosts, chunk_size=cfg.es_chunk_size,
-                                 max_retries=cfg.es_max_retries)
+                                 max_retries=cfg.es_max_retries,
+                                 client_kwargs=cfg.es_client_kwargs(),
+                                 raise_on_error=cfg.es_raise_on_error,
+                                 raise_on_exception=cfg.es_raise_on_exception)
     except RuntimeError:
         from sinker_spark.sinks.memory import InMemorySink
 

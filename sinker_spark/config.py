@@ -24,6 +24,41 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
+
+def pg_conninfo() -> str:
+    """libpq conninfo string from the standard PG env surface the
+    reference relies on (settings.py:44-50: PGHOST/PGPORT/PGUSER/
+    PGPASSWORD plus PGSSLMODE/PGSSLROOTCERT; the reference passes them
+    implicitly via ``psycopg.connect()`` → libpq). Built explicitly here
+    so the secured-connection surface is testable offline; unset vars
+    are omitted and fall back to libpq defaults. Values are
+    single-quoted per libpq conninfo quoting rules."""
+    parts = []
+    for key, env in [
+        ("host", "PGHOST"), ("port", "PGPORT"), ("user", "PGUSER"),
+        ("password", "PGPASSWORD"), ("dbname", "PGDATABASE"),
+        ("sslmode", "PGSSLMODE"), ("sslrootcert", "PGSSLROOTCERT"),
+    ]:
+        val = os.environ.get(env)
+        if val:
+            quoted = val.replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"{key}='{quoted}'")
+    return " ".join(parts)
+
+
 @dataclass
 class EngineConfig:
     definitions_path: str = "."
@@ -31,6 +66,15 @@ class EngineConfig:
     es_chunk_size: int = 100         # ELASTICSEARCH_CHUNK_SIZE (settings.py:23)
     es_max_retries: int = 5          # ELASTICSEARCH_MAX_RETRIES (settings.py:25)
     es_hosts: list[str] = field(default_factory=lambda: ["http://localhost:9200"])
+    # secured-cluster surface (reference settings.py:26-34, es.py:15-25)
+    es_user: str | None = None           # ELASTICSEARCH_USER
+    es_password: str | None = None       # ELASTICSEARCH_PASSWORD
+    es_verify_certs: bool = True         # ELASTICSEARCH_VERIFY_CERTS
+    es_ssl_show_warn: bool = False       # ELASTICSEARCH_SSL_SHOW_WARN
+    es_timeout: float = 60.0             # ELASTICSEARCH_TIMEOUT
+    es_raise_on_error: bool = True       # ELASTICSEARCH_RAISE_ON_ERROR
+    es_raise_on_exception: bool = True   # ELASTICSEARCH_RAISE_ON_EXCEPTION
+    pg_conninfo: str = ""                # PGHOST/PGUSER/…/PGSSLMODE/PGSSLROOTCERT
     snapshot_root: str = "/tmp/sinker_spark_snapshots"
     checkpoint_root: str = "/tmp/sinker_spark_checkpoints"
 
@@ -45,9 +89,32 @@ class EngineConfig:
             es_chunk_size=_env_int("ELASTICSEARCH_CHUNK_SIZE", 100),
             es_max_retries=_env_int("ELASTICSEARCH_MAX_RETRIES", 5),
             es_hosts=[f"{scheme}://{host}:{port}"],
+            es_user=os.environ.get("ELASTICSEARCH_USER") or None,
+            es_password=os.environ.get("ELASTICSEARCH_PASSWORD") or None,
+            es_verify_certs=_env_bool("ELASTICSEARCH_VERIFY_CERTS", True),
+            es_ssl_show_warn=_env_bool("ELASTICSEARCH_SSL_SHOW_WARN", False),
+            es_timeout=_env_float("ELASTICSEARCH_TIMEOUT", 60.0),
+            es_raise_on_error=_env_bool("ELASTICSEARCH_RAISE_ON_ERROR", True),
+            es_raise_on_exception=_env_bool("ELASTICSEARCH_RAISE_ON_EXCEPTION", True),
+            pg_conninfo=pg_conninfo(),
             snapshot_root=os.environ.get("SINKER_SPARK_SNAPSHOT_ROOT", "/tmp/sinker_spark_snapshots"),
             checkpoint_root=os.environ.get("SINKER_SPARK_CHECKPOINT_ROOT", "/tmp/sinker_spark_checkpoints"),
         )
+
+    def es_client_kwargs(self) -> dict:
+        """Keyword arguments for ``elasticsearch.Elasticsearch`` mirroring
+        the reference's get_client (es.py:15-25). Divergence, deliberate:
+        credentials go through ``basic_auth=`` rather than being embedded
+        in the URL so they can't leak into connection-pool logs; the
+        resulting Authorization header is identical."""
+        kwargs: dict = {
+            "request_timeout": self.es_timeout,
+            "verify_certs": self.es_verify_certs,
+            "ssl_show_warn": self.es_ssl_show_warn,
+        }
+        if self.es_user is not None:
+            kwargs["basic_auth"] = (self.es_user, self.es_password or "")
+        return kwargs
 
     def load_views(self) -> list[ViewDef]:
         """Read views_to_indices.json + per-view SQL files (reference

@@ -47,10 +47,23 @@ class ElasticsearchSink:
         max_retries: int = DEFAULT_RETRIES,
         bulk_fn: Callable[[Iterable[dict]], None] | None = None,
         client_factory: Callable[[], object] | None = None,
+        client_kwargs: dict | None = None,
+        raise_on_error: bool = True,
+        raise_on_exception: bool = True,
     ) -> None:
+        """``client_kwargs`` carries the secured-cluster surface
+        (``basic_auth``/``verify_certs``/``ssl_show_warn``/
+        ``request_timeout`` — EngineConfig.es_client_kwargs, mirroring
+        reference es.py:15-25); it is applied to BOTH the driver-side
+        admin client and every executor-side bulk client.
+        ``raise_on_error`` / ``raise_on_exception`` mirror the
+        reference's ELASTICSEARCH_BULK_KWARGS (settings.py:36-41)."""
         self.hosts = hosts or ["http://localhost:9200"]
         self.chunk_size = chunk_size
         self.max_retries = max_retries
+        self.client_kwargs = {"request_timeout": 60, **(client_kwargs or {})}
+        self.raise_on_error = raise_on_error
+        self.raise_on_exception = raise_on_exception
         self._bulk_fn = bulk_fn
         self._client_factory = client_factory
         if bulk_fn is None and client_factory is None:
@@ -68,7 +81,7 @@ class ElasticsearchSink:
             return self._client_factory()
         from elasticsearch import Elasticsearch  # pragma: no cover
 
-        return Elasticsearch(self.hosts, request_timeout=60)  # pragma: no cover
+        return Elasticsearch(self.hosts, **self.client_kwargs)  # pragma: no cover
 
     def recreate_index(self, index: str, body: dict | None = None) -> None:
         """Drop and re-create ``index``, passing through the mappings and
@@ -97,6 +110,8 @@ class ElasticsearchSink:
             (F.col("doc") if doc_type == "string" else F.to_json("doc", {"ignoreNullFields": "false"})).alias("doc"),
         )
         hosts, chunk, retries, bulk_fn = self.hosts, self.chunk_size, self.max_retries, self._bulk_fn
+        ckw = dict(self.client_kwargs)  # plain dict: picklable for executors
+        roe, rox = self.raise_on_error, self.raise_on_exception
 
         def write_partition(rows: Iterable) -> None:
             acts = _actions_for_partition(rows, index)
@@ -106,8 +121,9 @@ class ElasticsearchSink:
             from elasticsearch import Elasticsearch  # pragma: no cover
             from elasticsearch.helpers import bulk  # pragma: no cover
 
-            es = Elasticsearch(hosts, request_timeout=60)  # pragma: no cover
+            es = Elasticsearch(hosts, **ckw)  # pragma: no cover
             bulk(es, acts, chunk_size=chunk, max_retries=retries,  # pragma: no cover
-                 initial_backoff=2, max_backoff=600, raise_on_error=True)
+                 initial_backoff=2, max_backoff=600,
+                 raise_on_error=roe, raise_on_exception=rox)
 
         prepared.foreachPartition(write_partition)

@@ -75,7 +75,14 @@ def long_to_lsn(lsn: int) -> str:
 def _default_connect():  # pragma: no cover - env-dependent
     import psycopg
 
-    return psycopg.connect(autocommit=True)
+    from sinker_spark.config import pg_conninfo
+
+    # conninfo is built explicitly from the PG env surface (PGHOST/…/
+    # PGSSLMODE/PGSSLROOTCERT, reference settings.py:44-50) so the
+    # secured-connection path is deterministic and test-assertable;
+    # empty string falls back to libpq defaults, same as the
+    # reference's bare psycopg.connect().
+    return psycopg.connect(pg_conninfo(), autocommit=True)
 
 
 @dataclass
