@@ -53,33 +53,53 @@ def main() -> None:
         df.limit(1).count()
 
     names = [n for n in HEADLINE if n in REGISTRY] or sorted(REGISTRY)[:5]
-    # Two passes per query. Pass 1 (cold) includes one-time local costs —
-    # Catalyst analysis + whole-stage-codegen compilation + JVM JIT
-    # (~1s/query on this container). Pass 2 (warm) measures steady-state
-    # execution: the number that extrapolates to a cluster, where a plan
-    # compiles once and then runs for hours over 100 TB. Headline metric =
-    # warm total; cold timings are reported alongside for transparency.
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        fn = REGISTRY[name].fn
-        for pass_key in (cold, timings):
+
+    def run_pass(out: dict[str, float]) -> float:
+        total = 0.0
+        for name in names:
+            fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            pass_key[name] = round(time.perf_counter() - t0, 3)
-        total += timings[name]
+            out[name] = round(time.perf_counter() - t0, 3)
+            total += out[name]
+        return total
+
+    # Pass 1 (cold) includes one-time local costs — Catalyst analysis +
+    # whole-stage-codegen compilation + JVM JIT (~1s/query on this
+    # container). Warm passes measure steady-state execution: the number
+    # that extrapolates to a cluster, where a plan compiles once and then
+    # runs for hours over 100 TB. Headline metric = SETTLED warm total:
+    # warm passes repeat (cap 5) until two consecutive totals agree
+    # within 5%, so a bench launched right after heavy parallel work
+    # (fuzzer soaks routinely inflate the first warm pass by up to ~50%
+    # while the container's CPU state recovers — PERF.md) converges to
+    # the machine's steady number instead of recording the transient.
+    cold: dict[str, float] = {}
+    run_pass(cold)
+    warm_totals: list[float] = []
+    timings: dict[str, float] = {}
+    for _ in range(5):
+        timings = {}
+        warm_totals.append(round(run_pass(timings), 3))
+        if (
+            len(warm_totals) >= 2
+            and abs(warm_totals[-1] - warm_totals[-2]) <= 0.05 * min(warm_totals[-2:])
+        ):
+            break
+    total = warm_totals[-1]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "settle_runs": len(warm_totals),
+                "warm_totals": warm_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
