@@ -239,7 +239,13 @@ def serve_docs(
             F.col(d.key).isNotNull()
         ).distinct()
         dim = expand_mult(rows_for(states[f"d{j}"], probe))
-        cur = cur.join(dim, F.col(d.fk) == F.col(d.key), "inner").drop(d.key)
+        # a dim whose key column shares the fk's NAME (org.mgr referenced
+        # by dims.mgr) would make the join condition ambiguous — alias
+        # the dim key before joining
+        k_alias = d.key if d.key != d.fk else f"__dtk{j}"
+        if k_alias != d.key:
+            dim = dim.withColumnRenamed(d.key, k_alias)
+        cur = cur.join(dim, F.col(d.fk) == F.col(k_alias), "inner").drop(k_alias)
     for i, ch in enumerate(spec.children):
         probe_c = tkeys.select(F.col(spec.key).alias(ch.fk))
         elem = expand_mult(rows_for(states[f"c{i}"], probe_c))
@@ -249,7 +255,10 @@ def serve_docs(
                 F.col(d.key).isNotNull()
             ).distinct()
             dim = expand_mult(rows_for(states[f"c{i}d{j}"], probe))
-            elem = elem.join(dim, F.col(d.fk) == F.col(d.key), "left").drop(d.key)
+            k_alias = d.key if d.key != d.fk else f"__dtek{i}_{j}"
+            if k_alias != d.key:
+                dim = dim.withColumnRenamed(d.key, k_alias)
+            elem = elem.join(dim, F.col(d.fk) == F.col(k_alias), "left").drop(k_alias)
             payload += [c for c in _ddl_cols(d.row_schema) if c != d.key]
         order_cols = ch.order if ch.order is not None else [
             c for c in _ddl_cols(ch.row_schema) if c != ch.fk
@@ -266,7 +275,10 @@ def serve_docs(
                 F.transform(F.col("__pairs"), lambda x: x["__c"]).alias(ch.alias),
             )
         )
-        cur = cur.join(arrays, F.col(spec.key) == F.col(ch.fk), "left").drop(ch.fk)
+        fk_alias = ch.fk if ch.fk != spec.key else f"__dtf{i}"
+        if fk_alias != ch.fk:
+            arrays = arrays.withColumnRenamed(ch.fk, fk_alias)
+        cur = cur.join(arrays, F.col(spec.key) == F.col(fk_alias), "left").drop(fk_alias)
         arr_type = cur.schema[ch.alias].dataType
         cur = cur.withColumn(
             ch.alias, F.coalesce(F.col(ch.alias), F.array().cast(arr_type))

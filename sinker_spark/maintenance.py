@@ -23,8 +23,34 @@ equivalent of that operational surface.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class MaintenancePolicy:
+    """Every-N-epochs state hygiene for a long-running engine.
+
+    Without it, a month-long CDC stream grows state unboundedly in two
+    places: the snapshot store accretes one version per refresh per
+    view (plus one per batch for each lane's replay-guard marker), and
+    keyed lane-state buckets can fragment into many small files under
+    AQE skew splits. The engine applies this policy from
+    ``process_cdc_batch`` (SyncEngine.maintain): snapshot-store
+    ``vacuum(keep_versions)`` for every stored relation, and
+    ``KeyedStateStore.compact`` for every lane state — refreshing each
+    view's replay-guard marker afterwards so the version bump from
+    compaction is not mistaken for a torn fold.
+
+    ``every_n_epochs`` trades time-travel depth + maintenance overhead
+    against storage growth; at one batch per few seconds the default
+    keeps store growth bounded to ~minutes of history.
+    """
+
+    every_n_epochs: int = 32
+    keep_versions: int = 2
+    max_files_per_bucket: int = 2
 
 
 def describe_layout(spark: SparkSession, path: str) -> dict:

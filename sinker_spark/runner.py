@@ -97,6 +97,7 @@ class SyncEngine:
         store: SnapshotStore,
         max_parallel_views: int = 1,
         on_schema_change: str = "fail",
+        maintenance="auto",
     ) -> None:
         self.spark = spark
         self.views = {v.name: v for v in views}
@@ -140,6 +141,16 @@ class SyncEngine:
         self.keyed = KeyedStateStore(
             spark, _os.path.join(store.root, "__keyed_lane_state")
         )
+        # every-N-epochs state hygiene (maintenance.MaintenancePolicy):
+        # snapshot-version vacuum + lane-state bucket compaction. Default
+        # ON — a long-running stream otherwise grows one snapshot version
+        # per batch per marker relation without bound. Pass
+        # maintenance=None to disable (tests that assert deep time
+        # travel), or a MaintenancePolicy to tune cadence/retention.
+        from sinker_spark.maintenance import MaintenancePolicy
+
+        self.maintenance = MaintenancePolicy() if maintenance == "auto" else maintenance
+        self._epochs_since_maintenance = 0
 
     def _refresh_one(self, view: ViewDef, epoch_id: int | None = None) -> None:
         from sinker_spark.ivm import SchemaEvolutionError
@@ -277,6 +288,75 @@ class SyncEngine:
             self._process_cdc_batch(cdc, epoch_id)
         finally:
             cdc.unpersist()
+        if self.maintenance is not None:
+            self._epochs_since_maintenance += 1
+            if self._epochs_since_maintenance >= self.maintenance.every_n_epochs:
+                self._epochs_since_maintenance = 0
+                self.maintain()
+
+    def maintain(self) -> dict:
+        """One maintenance sweep (normally invoked by the every-N-epochs
+        policy; callable directly for on-demand hygiene):
+
+        1. snapshot-store version GC — ``vacuum(keep_versions)`` on every
+           relation under the store root (view snapshots AND the
+           per-view lane markers, which gain one version per batch);
+           stores without versioning (bucketed: in-place overwrite) have
+           no vacuum and skip;
+        2. keyed lane-state bucket compaction — buckets fragmented past
+           ``max_files_per_bucket`` are rewritten to one file each, then
+           the owning view's replay-guard marker is refreshed so the
+           compaction's version bump is not read as a torn fold. A view
+           whose states ALREADY mismatch the marker (genuine tear) is
+           skipped: the lane fallback must repair it first, and marker
+           rewriting here would mask the tear.
+
+        Returns ``{"vacuumed": {name: n_dropped}, "compacted":
+        {view: n_buckets}}`` for observability/tests.
+        """
+        import os as _os
+
+        report: dict = {"vacuumed": {}, "compacted": {}}
+        pol = self.maintenance
+        if pol is None:
+            return report
+        vac = getattr(self.store, "vacuum", None)
+        if vac is not None and _os.path.isdir(self.store.root):
+            for name in sorted(_os.listdir(self.store.root)):
+                if name.startswith("__keyed") or not _os.path.isdir(
+                    _os.path.join(self.store.root, name)
+                ):
+                    continue
+                dropped = vac(name, keep_last=pol.keep_versions)
+                if dropped:
+                    report["vacuumed"][name] = len(dropped)
+        for view in self.views.values():
+            names = [n for n in self._marker_state_names(view) if self.keyed.exists(n)]
+            if not names:
+                continue
+            marker = self._read_lane_marker(view)
+            cutoff = None
+            if marker is not None:
+                cutoff, versions = marker
+                if versions and any(
+                    self._state_version(n) != v for n, v in versions.items()
+                ):
+                    logger.warning(
+                        "maintain: view %s lane states mismatch the replay marker "
+                        "(torn) — skipping compaction until the fallback repairs",
+                        view.name,
+                    )
+                    continue
+            n_buckets = 0
+            for n in names:
+                n_buckets += len(self.keyed.compact(n, pol.max_files_per_bucket))
+            if n_buckets:
+                if marker is not None:
+                    self._write_lane_marker(view, cutoff)
+                report["compacted"][view.name] = n_buckets
+        if report["vacuumed"] or report["compacted"]:
+            logger.info("maintenance sweep: %s", report)
+        return report
 
     def _process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
@@ -328,6 +408,12 @@ class SyncEngine:
                 v.nesteddoc.parent_table, v.nesteddoc.child_table,
             }:
                 if self._nested_doc_refresh(v, cdc, epoch_id):
+                    continue
+            # doc-tree lane: the complete flagship shape (parent + dim
+            # chain + child arrays with element dims) — dim deltas walk
+            # reverse indexes to the affected docs, pure delta fold
+            if v.doctree is not None and (changed & v.deps) <= v.doctree.all_tables():
+                if self._doctree_refresh(v, cdc, epoch_id):
                     continue
             # distinct-count lanes: exact=True folds signed support
             # counts (delete-maintainable, before-images required);
@@ -1268,6 +1354,201 @@ class SyncEngine:
         self.keyed.write(f"{view.name}__nd_p_state", p, on)
         self.keyed.write(f"{view.name}__nd_c_state", c, on)
 
+    def _doctree_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
+        """Doc-tree lane (DocTreeViewSpec / ivm_flagship): the COMPLETE
+        reference document shape — parent + to-one dim chain + N child
+        arrays with per-element dim chains (course_mv.sql:1-26) —
+        refreshed as a PURE DELTA FOLD on every constituent table.
+
+        Per relation occurrence the lane keeps a multiplicity state in
+        the KEY-LOCAL store (bucketed by that state's own probe key),
+        plus one reverse index per to-one hop bucketed by the hop's dim
+        key. A batch folds into each state O(its changes); dim deltas
+        walk the reverse indexes back to the affected parent keys
+        (O(affected docs) bucket-pruned reads — never a scoped
+        recompute); documents are re-served by joining the states
+        restricted to the reachable keys. Reads during the batch overlay
+        the in-memory fold on the stored state (rows_for), and state
+        merges are deferred until after the sink actions are applied,
+        preserving the lanes' action-before-state crash discipline. Same
+        before-image contract, replay guard and fallback behavior as the
+        other delta lanes."""
+        from sinker_spark import ivm_flagship
+        from sinker_spark.ivm_flagship import _notnull, doc_tree_states
+
+        spec = view.doctree
+        states = doc_tree_states(spec)
+        sdefs = {s.suffix: s for s in states}
+        names = {s.suffix: f"{view.name}__dt_{s.suffix}" for s in states}
+
+        rows = cdc.where(F.col("table").isin(*sorted(spec.all_tables())))
+        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        if torn:
+            return False
+        has_before = "payload_before" in cdc.columns
+        mutating = F.col("op").isin("DELETE", "UPDATE")
+        if has_before:
+            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
+        else:
+            unfoldable = rows.where(mutating)
+        if unfoldable.limit(1).count():
+            return False
+
+        def parsed(table: str, schema: str, col: str, op: str) -> DataFrame:
+            return (
+                rows.where(F.col("table") == table)
+                .where(F.col(col).isNotNull())
+                .where(F.col("op").isin(*(["INSERT", "UPDATE"] if op == ivm_delta.INSERT else ["DELETE", "UPDATE"])))
+                .select(F.from_json(F.col(col), schema).alias("r"))
+                .select("r.*")
+                .withColumn(ivm_delta.OP_COL, F.lit(op))
+            )
+
+        def batch_for(table: str, schema: str) -> DataFrame:
+            b = parsed(table, schema, "payload", ivm_delta.INSERT)
+            if has_before:
+                b = b.unionByName(parsed(table, schema, "payload_before", ivm_delta.DELETE))
+            return b
+
+        # one change frame per BASE state (NULL-probe-key rows can never
+        # contribute to a document — same rationale as the nested-doc
+        # lane's filter); both images enter, so re-pointed references
+        # cover their old targets' fan-out
+        changes: dict[str, DataFrame] = {}
+        for s in states:
+            if s.source is not None:
+                continue
+            ch = batch_for(s.table, s.schema).where(_notnull(s.key_cols))
+            if ch.limit(1).count():
+                changes[s.suffix] = ch.localCheckpoint(eager=True)
+        if not changes:
+            # every row was replay-suppressed / irrelevant: nothing to fold
+            self._write_lane_marker(view, batch_max_lsn)
+            self.last_stats[view.name] = {"upserts": 0, "deletes": 0, "doc_tree": 1}
+            return True
+
+        # state presence + column checks (spec-evolution guard)
+        missing = False
+        for s in states:
+            cur = self.keyed.read(names[s.suffix])
+            if cur is None:
+                missing = True
+                continue
+            required = {*s.cols, ivm_delta._MULT}
+            if required - set(cur.columns):
+                logger.warning(
+                    "view state %s lacks columns for the current spec — "
+                    "declining to fold so the fallback rebuilds", names[s.suffix],
+                )
+                return False
+        if missing:
+            # streaming-without-backfill initialization: the catalog must
+            # still be at the snapshot point (same contract as the other
+            # lanes' in-hook init)
+            self._write_doctree_states(view)
+
+        def rows_for(sdef, keys: DataFrame) -> DataFrame:
+            """Stored state rows for ``keys`` (bucket-pruned + exact
+            semi-join), overlaid with THIS batch's fold: base states
+            fold their own parsed changes, index states fold the
+            projection of their source's changes."""
+            keys = keys.distinct()
+            kc = list(sdef.key_cols)
+            cur = self.keyed.read_for_keys(names[sdef.suffix], keys, kc).join(
+                keys, kc, "left_semi"
+            )
+            if sdef.source is None:
+                ch = changes.get(sdef.suffix)
+                if ch is not None:
+                    delta = ivm_delta.changes_to_mult(ch.join(keys, kc, "left_semi"))
+                    cur = ivm_delta.apply_join_state(cur, delta)
+            else:
+                src_ch = changes.get(sdef.source)
+                if src_ch is not None:
+                    proj = src_ch.where(_notnull(sdef.cols)).select(
+                        *sdef.cols, ivm_delta.OP_COL
+                    ).join(keys, kc, "left_semi")
+                    cur = ivm_delta.apply_join_state(cur, ivm_delta.changes_to_mult(proj))
+            return cur
+
+        change_keys = {
+            sfx: ch.select(sdefs[sfx].key_cols[0]).distinct()
+            for sfx, ch in changes.items()
+        }
+        touched = ivm_flagship.touched_parent_keys(
+            spec, change_keys, rows_for
+        ).localCheckpoint(eager=True)
+        docs = ivm_flagship.serve_docs(spec, touched, rows_for)
+        upserts = docs.select(
+            F.col(spec.key).cast("string").alias(view.key),
+            F.lit(UPSERT).alias("op"),
+            F.struct(*[F.col(c) for c in docs.columns]).alias("doc"),
+        )
+        doc_type = upserts.schema["doc"].dataType
+        deletes = touched.join(docs.select(spec.key), [spec.key], "left_anti").select(
+            F.col(spec.key).cast("string").alias(view.key),
+            F.lit(DELETE).alias("op"),
+            F.lit(None).cast(doc_type).alias("doc"),
+        )
+        actions = upserts.unionByName(deletes)
+        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
+        self.sink.apply_actions(view.index, actions)
+
+        # key-local merges AFTER the sink actions (action-before-state):
+        # each state rewrites only its changed keys' buckets. Index
+        # merges fold from THEIR stored rows + the source's change frame,
+        # never from the (already-merged) source state files.
+        for s in states:
+            if s.source is None:
+                ch = changes.get(s.suffix)
+                if ch is None:
+                    continue
+                skeys = change_keys[s.suffix]
+            else:
+                src_ch = changes.get(s.source)
+                if src_ch is None:
+                    continue
+                skeys = src_ch.where(_notnull(s.cols)).select(s.key_cols[0]).distinct()
+            new_rows = rows_for(s, skeys)
+            self.keyed.merge_for_keys(names[s.suffix], skeys, new_rows, list(s.key_cols))
+        self._write_lane_marker(view, batch_max_lsn)
+        self.last_stats[view.name] = {
+            "upserts": counts.get(UPSERT, 0),
+            "deletes": counts.get(DELETE, 0),
+            "doc_tree": 1,
+        }
+        logger.info("doc-tree refreshed view %s (epoch %s): %s", view.name, epoch_id,
+                    self.last_stats[view.name])
+        return True
+
+    def _initial_doctree_state_frames(self, spec) -> dict[str, DataFrame]:
+        """Every doc-tree state derived from the CURRENT catalog tables:
+        base relations as multiplicity states (NULL probe keys excluded,
+        as in the fold), reverse indexes as multiplicity-summed
+        projections of their source base state."""
+        from sinker_spark.ivm_flagship import _notnull, doc_tree_states
+
+        frames: dict[str, DataFrame] = {}
+        for s in doc_tree_states(spec):
+            if s.source is None:
+                rel = self.spark.table(s.table).select(*self._schema_cols(s.schema))
+                frames[s.suffix] = ivm_delta.relation_state(rel.where(_notnull(s.key_cols)))
+            else:
+                src = frames[s.source]
+                frames[s.suffix] = (
+                    src.where(_notnull(s.cols))
+                    .groupBy(*s.cols)
+                    .agg(F.sum(ivm_delta._MULT).alias(ivm_delta._MULT))
+                )
+        return frames
+
+    def _write_doctree_states(self, view: ViewDef) -> None:
+        from sinker_spark.ivm_flagship import doc_tree_states
+
+        frames = self._initial_doctree_state_frames(view.doctree)
+        for s in doc_tree_states(view.doctree):
+            self.keyed.write(f"{view.name}__dt_{s.suffix}", frames[s.suffix], list(s.key_cols))
+
     def _initial_chain_states(
         self, spec
     ) -> tuple[list[DataFrame], list[DataFrame], DataFrame | None]:
@@ -1438,7 +1719,8 @@ class SyncEngine:
     # recompute lanes.
 
     _LANE_FIELDS = (
-        "agg", "join", "joinagg", "joinchain", "nesteddoc", "distinct", "membership", "topk",
+        "agg", "join", "joinagg", "joinchain", "nesteddoc", "doctree", "distinct",
+        "membership", "topk",
     )
 
     def _has_lane(self, view: ViewDef) -> bool:
@@ -1485,6 +1767,10 @@ class SyncEngine:
                 names.append(f"{view.name}__jc_agg_state")
         if view.nesteddoc is not None:
             names += [f"{view.name}__nd_p_state", f"{view.name}__nd_c_state"]
+        if view.doctree is not None:
+            from sinker_spark.ivm_flagship import doc_tree_states
+
+            names += [f"{view.name}__dt_{s.suffix}" for s in doc_tree_states(view.doctree)]
         # the exact-distinct fold is signed (not idempotent) → guarded;
         # the HLL lane's MAX-merge is idempotent and needs no marker
         if view.distinct is not None and view.distinct.exact:
@@ -1780,6 +2066,8 @@ class SyncEngine:
         if view.nesteddoc is not None:
             p, c = self._initial_nested_doc_states(view.nesteddoc)
             self._write_nested_doc_states(view, p, c)
+        if view.doctree is not None:
+            self._write_doctree_states(view)
         if view.distinct is not None:
             spec = view.distinct
             if spec.exact:
@@ -1892,6 +2180,14 @@ class SyncEngine:
                         F.concat_ws("|", *[F.col(k).cast("string") for k in cols]).alias(view.key)
                     )
                     .distinct()
+                )
+        if view.doctree is not None:
+            state = self.keyed.read(f"{view.name}__dt_p")
+            if state is not None and view.doctree.key in state.columns:
+                frames.append(
+                    state.select(
+                        F.col(view.doctree.key).cast("string").alias(view.key)
+                    ).distinct()
                 )
         if view.join is not None:
             packed = self.store.read(f"{view.name}__join_state")

@@ -172,6 +172,63 @@ class KeyedStateStore:
             .parquet(self._path(name))
         )
 
+    def states(self) -> list[str]:
+        """Names of every lane state under this root (maintenance sweep)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def bucket_file_counts(self, name: str) -> dict[int, int]:
+        """Data-file count per bucket dir (driver-side listing, no read)."""
+        out: dict[int, int] = {}
+        p = self._path(name)
+        if not os.path.isdir(p):
+            return out
+        for d in os.listdir(p):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            out[b] = sum(
+                1 for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")
+            )
+        return out
+
+    def compact(self, name: str, max_files_per_bucket: int = 1) -> list[int]:
+        """Rewrite buckets holding more than ``max_files_per_bucket`` data
+        files down to one file each; returns the bucket ids rewritten.
+
+        Merges normally leave one file per touched bucket, but AQE skew
+        splits (and any future multi-writer) can fragment a bucket; over
+        a long soak fragmented buckets make every pruned read pay
+        per-file open cost. Same destructive-window discipline as
+        merge_for_keys: checkpoint the rebuilt rows first, bump the
+        version BEFORE the rmtree+append so a crash inside the window
+        reads as torn state → authoritative fallback."""
+        import shutil
+
+        doomed = [
+            b for b, n in self.bucket_file_counts(name).items()
+            if n > max_files_per_bucket
+        ]
+        if not doomed:
+            return []
+        full = self.spark.read.parquet(self._path(name))
+        rebuilt = full.where(F.col("__bucket").isin(doomed))
+        rebuilt = rebuilt.localCheckpoint(eager=True)
+        self._bump(name)
+        for b in doomed:
+            shutil.rmtree(os.path.join(self._path(name), f"__bucket={b}"), ignore_errors=True)
+        (
+            rebuilt.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("append")
+            .parquet(self._path(name))
+        )
+        return doomed
+
     def reset(self, name: str) -> None:
         import shutil
 

@@ -37,7 +37,10 @@ from sinker_spark.session import get_spark
 from sinker_spark.sinks.memory import InMemorySink, _row_to_plain
 from sinker_spark.views import (
     AggViewSpec,
+    ChildArraySpec,
+    DimLookup,
     DistinctViewSpec,
+    DocTreeViewSpec,
     JoinAggViewSpec,
     JoinChainViewSpec,
     JoinViewSpec,
@@ -329,10 +332,59 @@ def make_membership_view(rng, name):
     )
 
 
+def make_doctree_view(rng, name):
+    """Doc-tree lane (DocTreeViewSpec / runner._doctree_refresh): parent
+    fz_dims + to-one chain fz_dims→fz_org (broken chain retracts) + a
+    fz_sales child array per region — the complete flagship shape under
+    random CDC, with dim renames/deletes fanning out through the
+    stored reverse indexes. Order columns drawn randomly (id is always
+    included so the order is total)."""
+    extra = rng.choice([[], ["cat"], ["amount"], ["cat", "amount"]])
+    order = ["id", *extra]
+
+    def fn(spark):
+        d = spark.table("fz_dims").where(F.col("region").isNotNull())
+        o = spark.table("fz_org")
+        c = spark.table("fz_sales").where(F.col("region").isNotNull())
+        pair = F.struct(
+            *[F.col(col).alias(f"__o{k}") for k, col in enumerate(order)],
+            F.struct("id", "cat", "amount").alias("__c"),
+        )
+        arrays = c.groupBy("region").agg(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["__c"]).alias("rows")
+        )
+        cur = (
+            d.join(o, d["mgr"] == o["mgr"], "inner").drop(o["mgr"])
+            .join(arrays.withColumnRenamed("region", "__r"),
+                  F.col("region") == F.col("__r"), "left").drop("__r")
+        )
+        arr_type = cur.schema["rows"].dataType
+        cur = cur.withColumn("rows", F.coalesce(F.col("rows"), F.array().cast(arr_type)))
+        return cur.select(
+            F.col("region").cast("string").alias("k"),
+            F.struct("region", "mgr", "dept", "rows").alias("doc"),
+        )
+
+    return ViewDef(
+        name=name, fn=fn, key="k", deps={"fz_dims", "fz_org", "fz_sales"},
+        doctree=DocTreeViewSpec(
+            parent_table="fz_dims", key="region", row_schema_parent=DIM_SCHEMA,
+            dims=[DimLookup("fz_org", fk="mgr", key="mgr", row_schema=ORG_SCHEMA)],
+            children=[
+                ChildArraySpec(
+                    table="fz_sales", fk="region",
+                    row_schema="region string, id string, cat string, amount double",
+                    alias="rows", order=order,
+                )
+            ],
+        ),
+    )
+
+
 MAKERS = [
     make_agg_view, make_topk_view, make_distinct_view, make_join_view,
     make_joinagg_view, make_chain_view, make_nesteddoc_view,
-    make_membership_view,
+    make_membership_view, make_doctree_view,
 ]
 
 
