@@ -101,7 +101,22 @@ def main(argv: list[str] | None = None) -> int:
         store = ManifestSnapshotStore(spark, cfg.snapshot_root)
     else:
         store = SnapshotStore(spark, cfg.snapshot_root)
-    eng = SyncEngine(spark, views, sink, store)
+    # state-hygiene cadence knobs (maintenance.MaintenancePolicy);
+    # SINKER_SPARK_MAINT_EVERY=0 disables the sweep entirely
+    import os as _os
+
+    from sinker_spark.maintenance import MaintenancePolicy
+
+    maint_every = int(_os.environ.get("SINKER_SPARK_MAINT_EVERY", "32"))
+    maintenance = (
+        MaintenancePolicy(
+            every_n_epochs=maint_every,
+            keep_versions=int(_os.environ.get("SINKER_SPARK_MAINT_KEEP", "2")),
+        )
+        if maint_every > 0
+        else None
+    )
+    eng = SyncEngine(spark, views, sink, store, maintenance=maintenance)
 
     if args.pg_dsn:
         # reference startup order (runner.py:52-64): reset the slot BEFORE
