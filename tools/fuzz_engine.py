@@ -53,6 +53,9 @@ from sinker_spark.views import (
 SALES_SCHEMA = "id string, region string, cat string, amount double"
 DIM_SCHEMA = "region string, mgr string"
 ORG_SCHEMA = "mgr string, dept string"
+CATS_SCHEMA = "cat string, label string"
+DEPTS_SCHEMA = "dept string, floor string"
+NOTES_SCHEMA = "nid string, region string, txt string"
 CDC_COLS = (
     "lsn bigint, schema string, table string, op string, id string, "
     "payload string, payload_before string"
@@ -333,51 +336,101 @@ def make_membership_view(rng, name):
 
 
 def make_doctree_view(rng, name):
-    """Doc-tree lane (DocTreeViewSpec / runner._doctree_refresh): parent
-    fz_dims + to-one chain fz_dims→fz_org (broken chain retracts) + a
-    fz_sales child array per region — the complete flagship shape under
-    random CDC, with dim renames/deletes fanning out through the
-    stored reverse indexes. Order columns drawn randomly (id is always
-    included so the order is total)."""
+    """Doc-tree lane (DocTreeViewSpec / runner._doctree_refresh) with the
+    FULL flagship composition randomized: chain depth 0-2
+    (fz_dims→fz_org→fz_depts, broken chain retracts the doc), a
+    fz_sales child array optionally carrying a per-element dim lookup
+    (sale.cat→fz_cats, LEFT-joined: missing cat serves NULL label), and
+    optionally a SECOND independent child array (fz_notes) — so dim
+    renames/deletes fan out through both the parent-chain and the
+    element-dim reverse indexes under random CDC. Order columns drawn
+    randomly (id is always included so the order is total)."""
+    depth = rng.randrange(0, 3)
+    elem_dim = rng.random() < 0.5
+    two_children = rng.random() < 0.5
     extra = rng.choice([[], ["cat"], ["amount"], ["cat", "amount"]])
     order = ["id", *extra]
 
+    chain = [DimLookup("fz_org", fk="mgr", key="mgr", row_schema=ORG_SCHEMA),
+             DimLookup("fz_depts", fk="dept", key="dept", row_schema=DEPTS_SCHEMA)][:depth]
+    sales_dims = (
+        [DimLookup("fz_cats", fk="cat", key="cat", row_schema=CATS_SCHEMA)]
+        if elem_dim else []
+    )
+    children = [
+        ChildArraySpec(
+            table="fz_sales", fk="region",
+            row_schema="region string, id string, cat string, amount double",
+            alias="rows", order=order, dims=sales_dims,
+        )
+    ]
+    if two_children:
+        children.append(
+            ChildArraySpec(
+                table="fz_notes", fk="region",
+                row_schema="region string, nid string, txt string",
+                alias="notes", order=["nid"],
+            )
+        )
+    doc_fields = (
+        ["region", "mgr"]
+        + (["dept"] if depth >= 1 else [])
+        + (["floor"] if depth >= 2 else [])
+        + ["rows"]
+        + (["notes"] if two_children else [])
+    )
+
     def fn(spark):
-        d = spark.table("fz_dims").where(F.col("region").isNotNull())
-        o = spark.table("fz_org")
+        cur = spark.table("fz_dims").where(F.col("region").isNotNull())
+        if depth >= 1:
+            o = spark.table("fz_org")
+            cur = cur.join(o, cur["mgr"] == o["mgr"], "inner").drop(o["mgr"])
+        if depth >= 2:
+            dp = spark.table("fz_depts")
+            cur = cur.join(dp, cur["dept"] == dp["dept"], "inner").drop(dp["dept"])
+
         c = spark.table("fz_sales").where(F.col("region").isNotNull())
+        payload = ["id", "cat", "amount"]
+        if elem_dim:
+            ct = spark.table("fz_cats")
+            c = c.join(ct, c["cat"] == ct["cat"], "left").drop(ct["cat"])
+            payload.append("label")
         pair = F.struct(
             *[F.col(col).alias(f"__o{k}") for k, col in enumerate(order)],
-            F.struct("id", "cat", "amount").alias("__c"),
+            F.struct(*payload).alias("__c"),
         )
         arrays = c.groupBy("region").agg(
             F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["__c"]).alias("rows")
         )
-        cur = (
-            d.join(o, d["mgr"] == o["mgr"], "inner").drop(o["mgr"])
-            .join(arrays.withColumnRenamed("region", "__r"),
-                  F.col("region") == F.col("__r"), "left").drop("__r")
-        )
+        cur = cur.join(arrays.withColumnRenamed("region", "__r"),
+                       F.col("region") == F.col("__r"), "left").drop("__r")
         arr_type = cur.schema["rows"].dataType
         cur = cur.withColumn("rows", F.coalesce(F.col("rows"), F.array().cast(arr_type)))
+        if two_children:
+            nt = spark.table("fz_notes").where(F.col("region").isNotNull())
+            npair = F.struct(
+                F.col("nid").alias("__o0"), F.struct("nid", "txt").alias("__c")
+            )
+            narr = nt.groupBy("region").agg(
+                F.transform(F.array_sort(F.collect_list(npair)), lambda x: x["__c"]).alias("notes")
+            )
+            cur = cur.join(narr.withColumnRenamed("region", "__r"),
+                           F.col("region") == F.col("__r"), "left").drop("__r")
+            narr_type = cur.schema["notes"].dataType
+            cur = cur.withColumn(
+                "notes", F.coalesce(F.col("notes"), F.array().cast(narr_type))
+            )
         return cur.select(
             F.col("region").cast("string").alias("k"),
-            F.struct("region", "mgr", "dept", "rows").alias("doc"),
+            F.struct(*doc_fields).alias("doc"),
         )
 
+    spec = DocTreeViewSpec(
+        parent_table="fz_dims", key="region", row_schema_parent=DIM_SCHEMA,
+        dims=chain, children=children,
+    )
     return ViewDef(
-        name=name, fn=fn, key="k", deps={"fz_dims", "fz_org", "fz_sales"},
-        doctree=DocTreeViewSpec(
-            parent_table="fz_dims", key="region", row_schema_parent=DIM_SCHEMA,
-            dims=[DimLookup("fz_org", fk="mgr", key="mgr", row_schema=ORG_SCHEMA)],
-            children=[
-                ChildArraySpec(
-                    table="fz_sales", fk="region",
-                    row_schema="region string, id string, cat string, amount double",
-                    alias="rows", order=order,
-                )
-            ],
-        ),
+        name=name, fn=fn, key="k", deps=spec.all_tables(), doctree=spec,
     )
 
 
@@ -390,7 +443,7 @@ MAKERS = [
 
 # ------------------------------------------------------------ CDC generator
 
-def register_truth(spark, sales, dims, org):
+def register_truth(spark, sales, dims, org, cats, depts, notes):
     spark.createDataFrame(
         [(sid, r, c, a) for sid, (r, c, a) in sorted(sales.items())] or [],
         SALES_SCHEMA,
@@ -401,13 +454,75 @@ def register_truth(spark, sales, dims, org):
     spark.createDataFrame(
         [(m, d) for m, d in sorted(org.items())] or [], ORG_SCHEMA
     ).createOrReplaceTempView("fz_org")
+    spark.createDataFrame(
+        [(c, l) for c, l in sorted(cats.items())] or [], CATS_SCHEMA
+    ).createOrReplaceTempView("fz_cats")
+    spark.createDataFrame(
+        [(d, f) for d, f in sorted(depts.items())] or [], DEPTS_SCHEMA
+    ).createOrReplaceTempView("fz_depts")
+    spark.createDataFrame(
+        [(nid, r, t) for nid, (r, t) in sorted(notes.items())] or [], NOTES_SCHEMA
+    ).createOrReplaceTempView("fz_notes")
 
 
-def gen_batch(rng, sales, dims, org, next_id, lsn, drop_image):
+def gen_batch(rng, sales, dims, org, cats, depts, notes, next_id, lsn, drop_image):
     records = []
     dropped = drop_image
     for _ in range(rng.randrange(2, 7)):
         roll = rng.random()
+        if roll >= 0.94:  # element-dim / deep-chain-dim / second-child churn
+            kind = rng.choice(["cats", "depts", "notes"])
+            if kind == "cats":
+                c = rng.choice(["a", "b"])
+                if c in cats and rng.random() < 0.4:
+                    old = cats.pop(c)
+                    records.append((lsn, "fz_cats", "DELETE", None, {"cat": c, "label": old}))
+                else:
+                    old = cats.get(c)
+                    cats[c] = f"L{rng.randrange(3)}"
+                    if old is None:
+                        records.append((lsn, "fz_cats", "INSERT", {"cat": c, "label": cats[c]}, None))
+                    else:
+                        records.append((lsn, "fz_cats", "UPDATE",
+                                        {"cat": c, "label": cats[c]}, {"cat": c, "label": old}))
+            elif kind == "depts":
+                d = f"d{rng.randrange(3)}"
+                if d in depts and rng.random() < 0.4:
+                    old = depts.pop(d)
+                    records.append((lsn, "fz_depts", "DELETE", None, {"dept": d, "floor": old}))
+                else:
+                    old = depts.get(d)
+                    depts[d] = f"f{rng.randrange(3)}"
+                    if old is None:
+                        records.append((lsn, "fz_depts", "INSERT", {"dept": d, "floor": depts[d]}, None))
+                    else:
+                        records.append((lsn, "fz_depts", "UPDATE",
+                                        {"dept": d, "floor": depts[d]}, {"dept": d, "floor": old}))
+            else:
+                sub = rng.random()
+                if sub < 0.5 or not notes:
+                    nid = f"n{next_id:04d}"
+                    next_id += 1
+                    notes[nid] = (rng.choice(REGIONS), f"t{rng.randrange(5)}")
+                    records.append((lsn, "fz_notes", "INSERT",
+                                    {"nid": nid, "region": notes[nid][0], "txt": notes[nid][1]}, None))
+                elif sub < 0.8:
+                    nid = rng.choice(sorted(notes))
+                    old = notes[nid]
+                    notes[nid] = (
+                        rng.choice(REGIONS) if rng.random() < 0.5 else old[0],
+                        f"t{rng.randrange(5)}",
+                    )
+                    records.append((lsn, "fz_notes", "UPDATE",
+                                    {"nid": nid, "region": notes[nid][0], "txt": notes[nid][1]},
+                                    {"nid": nid, "region": old[0], "txt": old[1]}))
+                else:
+                    nid = rng.choice(sorted(notes))
+                    old = notes.pop(nid)
+                    records.append((lsn, "fz_notes", "DELETE", None,
+                                    {"nid": nid, "region": old[0], "txt": old[1]}))
+            lsn += 1
+            continue
         if roll < 0.35 or not sales:  # insert
             sid = f"s{next_id:04d}"
             next_id += 1
@@ -432,13 +547,13 @@ def gen_batch(rng, sales, dims, org, next_id, lsn, drop_image):
                             {"id": sid, "region": new[0], "cat": new[1], "amount": new[2]},
                             before))
             lsn += 1
-        elif roll < 0.9:  # delete
+        elif roll < 0.88:  # delete
             sid = rng.choice(sorted(sales))
             old = sales.pop(sid)
             records.append((lsn, "fz_sales", "DELETE", None,
                             {"id": sid, "region": old[0], "cat": old[1], "amount": old[2]}))
             lsn += 1
-        elif roll < 0.96:  # dim churn
+        elif roll < 0.91:  # dim churn
             r = rng.choice([r for r in REGIONS if r is not None])
             if r in dims and rng.random() < 0.5:
                 old = dims.pop(r)
@@ -516,8 +631,14 @@ def one_run(spark, seed, n_batches):
     }
     dims = {"eu": "m1", "us": "m2"}
     org = {"m0": "d0", "m1": "d1", "m2": "d0"}
+    cats = {"a": "L0", "b": "L1"}
+    depts = {"d0": "f0", "d1": "f1"}
+    notes = {
+        f"n{i:04d}": (rng.choice(REGIONS), f"t{rng.randrange(5)}")
+        for i in range(4)
+    }
     next_id, lsn = 10, 1
-    register_truth(spark, sales, dims, org)
+    register_truth(spark, sales, dims, org, cats, depts, notes)
 
     root = tempfile.mkdtemp(prefix="fz_engine_")
     try:
@@ -529,9 +650,10 @@ def one_run(spark, seed, n_batches):
             return errs
         for b in range(1, n_batches + 1):
             records, next_id, lsn = gen_batch(
-                rng, sales, dims, org, next_id, lsn, drop_image=(b % 4 == 0)
+                rng, sales, dims, org, cats, depts, notes, next_id, lsn,
+                drop_image=(b % 4 == 0)
             )
-            register_truth(spark, sales, dims, org)
+            register_truth(spark, sales, dims, org, cats, depts, notes)
             batch = cdc_df(spark, records)
             eng.process_cdc_batch(batch, epoch_id=b)
             errs = check_views(spark, sink, views, f"seed={seed} batch={b}")
