@@ -206,11 +206,21 @@ class DeltaSnapshotStore:
     def reset(self, view: str) -> None:
         shutil.rmtree(self._path(view), ignore_errors=True)
 
-    def vacuum(self, view: str, retention_hours: float = 168.0) -> list[int]:
+    def vacuum(
+        self,
+        view: str,
+        keep_last: int | None = None,
+        retention_hours: float = 168.0,
+    ) -> list[int]:
         """File GC via Delta's own vacuum. Returns [] — Delta does not
         enumerate which commit versions became unreachable; time-travel
         reach is governed by the table's log/file retention, the analog
-        of the filesystem stores' ``keep_last``."""
+        of the filesystem stores' ``keep_last``. ``keep_last`` is
+        accepted (and ignored) so the engine's maintenance sweep
+        (runner.maintain: ``vacuum(name, keep_last=…)``) drives every
+        backend through one call shape — retention here is time-based,
+        set per table via ``delta.deletedFileRetentionDuration`` or the
+        ``retention_hours`` argument."""
         if self.exists(view):
             self._table(view).vacuum(retention_hours)
         return []

@@ -117,3 +117,20 @@ def test_time_travel_where_supported(store, spark):
     assert v2 != v1
     assert [r["doc"] for r in store.read("v", version=v1).select("doc").collect()] == ["a"]
     assert [r["doc"] for r in store.read("v").select("doc").collect()] == ["b"]
+
+
+def test_vacuum_accepts_engine_call_shape():
+    """The maintenance sweep drives every backend through ONE call shape —
+    ``store.vacuum(name, keep_last=N)`` (runner.maintain) — so a backend
+    that spells retention differently (Delta: time-based) must still
+    accept the kwarg. Signature-level so it covers DeltaSnapshotStore
+    even when delta-spark is not installed."""
+    import inspect
+
+    from sinker_spark.snapshot_delta import DeltaSnapshotStore
+
+    for cls in (SnapshotStore, ManifestSnapshotStore, DeltaSnapshotStore):
+        sig = inspect.signature(cls.vacuum)
+        assert "keep_last" in sig.parameters, cls.__name__
+        # callable as vacuum(self, name, keep_last=…) without TypeError
+        sig.bind(object(), "view", keep_last=3)
