@@ -250,3 +250,96 @@ def test_replay_suppressed_and_missing_before_image_falls_back(spark, engine):
     ]), epoch_id=3)
     assert eng.last_stats["dt_view"].get("doc_tree") == 1
     _check(spark, sink)
+
+
+T_SCHEMA = "tokey bigint, tag string"
+
+
+def _flat_view(spark, tags_rows):
+    """Depth-0 doc tree: NO to-one chain, parent + TWO child arrays —
+    the minimal composition the randomized engine fuzzer also draws
+    (tools/fuzz_engine.make_doctree_view with depth=0, two_children)."""
+    spark.createDataFrame(tags_rows or [], T_SCHEMA).createOrReplaceTempView("dt_tags")
+
+    def recompute(spark):
+        o = spark.table("dt_orders")
+        li = spark.table("dt_lines")
+        tg = spark.table("dt_tags")
+        pair = F.struct(
+            F.col("line").alias("__o0"), F.col("qty").alias("__o1"),
+            F.col("pkey").alias("__o2"),
+            F.struct("line", "qty", "pkey").alias("__c"),
+        )
+        items = li.groupBy("lokey").agg(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["__c"]).alias("items")
+        )
+        tpair = F.struct(F.col("tag").alias("__o0"), F.struct("tag").alias("__c"))
+        tags = tg.groupBy("tokey").agg(
+            F.transform(F.array_sort(F.collect_list(tpair)), lambda x: x["__c"]).alias("tags")
+        )
+        cur = (
+            o.join(items, F.col("okey") == F.col("lokey"), "left").drop("lokey")
+            .join(tags, F.col("okey") == F.col("tokey"), "left").drop("tokey")
+        )
+        it = cur.schema["items"].dataType
+        tt = cur.schema["tags"].dataType
+        cur = cur.withColumn("items", F.coalesce(F.col("items"), F.array().cast(it)))
+        cur = cur.withColumn("tags", F.coalesce(F.col("tags"), F.array().cast(tt)))
+        return cur.select(
+            F.col("okey").cast("string").alias("k"),
+            F.struct("okey", "cust", "items", "tags").alias("doc"),
+        )
+
+    return ViewDef(
+        name="dt_flat", fn=recompute, key="k",
+        deps={"dt_orders", "dt_lines", "dt_tags"},
+        doctree=DocTreeViewSpec(
+            parent_table="dt_orders", key="okey", row_schema_parent=O_SCHEMA,
+            dims=[],
+            children=[
+                ChildArraySpec(table="dt_lines", fk="lokey", row_schema=L_SCHEMA,
+                               alias="items", order=["line", "qty", "pkey"]),
+                ChildArraySpec(table="dt_tags", fk="tokey", row_schema=T_SCHEMA,
+                               alias="tags", order=["tag"]),
+            ],
+        ),
+    )
+
+
+def test_depth0_multichild_folds(spark, tmp_path):
+    from sinker_spark.sinks.memory import _row_to_plain
+
+    _tables(spark, list(ORDERS), list(CUSTS), list(NATIONS), list(LINES), list(PARTS))
+    tags = [(1, "red"), (1, "big"), (3, "red")]
+    view = _flat_view(spark, tags)
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+
+    def check():
+        want = {r["k"]: _row_to_plain(r["doc"]) for r in view.fn(spark).collect()}
+        assert sink.indices.get("dt_flat", {}) == want
+
+    check()
+    # one batch mutating the parent and BOTH children
+    orders = [x for x in ORDERS if x[0] != 2] + [(6, 12)]
+    lines = [x for x in LINES if x[0] != 2] + [(6, 1, 4.0, 9)]
+    tags2 = [(1, "big"), (3, "red"), (6, "new")]
+    _tables(spark, orders, list(CUSTS), list(NATIONS), lines, list(PARTS))
+    spark.createDataFrame(tags2, T_SCHEMA).createOrReplaceTempView("dt_tags")
+    batch = _cdc(spark, [
+        (40, "dt_orders", "DELETE", None, {"okey": 2, "cust": 10}),
+        (41, "dt_orders", "INSERT", {"okey": 6, "cust": 12}, None),
+        (42, "dt_lines", "DELETE", None, {"lokey": 2, "line": 1, "qty": 1.0, "pkey": 7}),
+        (43, "dt_lines", "INSERT", {"lokey": 6, "line": 1, "qty": 4.0, "pkey": 9}, None),
+        (44, "dt_tags", "DELETE", None, {"tokey": 1, "tag": "red"}),
+        (45, "dt_tags", "INSERT", {"tokey": 6, "tag": "new"}, None),
+    ])
+    eng.process_cdc_batch(batch, epoch_id=1)
+    assert eng.last_stats["dt_flat"].get("doc_tree") == 1
+    assert "2" not in sink.indices["dt_flat"]
+    assert sink.indices["dt_flat"]["6"]["tags"] == [{"tag": "new"}]
+    check()
+    # verbatim redelivery must not double-apply
+    eng.process_cdc_batch(batch, epoch_id=1)
+    check()
