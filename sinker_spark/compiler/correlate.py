@@ -1,0 +1,481 @@
+"""Auto-derived targeted refresh for multi-table document views.
+
+The reference's MV shape (tests/fixtures/course_mv.sql:1-26) is one
+parent table whose document embeds CORRELATED SUBQUERIES — to-one
+lookups (``(select … from teacher where teacher.id = teacher_id)``) and
+to-many arrays (``(select json_agg(…) from enrollment where
+enrollment.course_id = course.id)``), nested recursively. The reference
+refreshes such views with a full ``REFRESH … CONCURRENTLY`` on every
+change (sinker.py:60-66); the engine's targeted lane only needs the set
+of AFFECTED PARENT IDS to restrict the recompute (views.compile_scoped →
+SnapshotStore.refresh_partial).
+
+This module derives that id set mechanically from the view SQL: it
+parses the correlation tree (which table correlates to which through
+which columns) and emits an ``affected_rows_keys`` hook that walks each
+changed table's ids BACK to parent ids with semi-joins — the same
+reverse-lineage walk a user would hand-write (tests/
+test_targeted_refresh.py:21-66), with one soundness upgrade: to-many
+child rows use the CDC payloads' fk values (new AND old images) so a
+re-pointed or deleted child reaches the documents it LEFT as well. So
+a reference user who drops ``course_mv.sql`` into the definitions dir
+gets O(affected-docs) refresh on every table in the tree with zero
+Python.
+
+Soundness posture — the hook returns ``None`` (→ full recompute+diff,
+always correct) instead of guessing whenever:
+
+- the SQL shape is outside the recognized grammar (the parse fails and
+  no hook is installed at all);
+- the batch touches a table outside the correlation tree;
+- a mutating (UPDATE/DELETE) row of a TO-MANY table carries no
+  before-image fk — post-state lookups cannot see the parent a row was
+  re-pointed away from or deleted out of (the exact stale-sink class
+  the engine guards elsewhere; tests pin this gate);
+- any changed to-many row yields no fk from payloads or the live table;
+- the runtime schemas contradict the parse (a correlation column that
+  should be outer-side also exists on the subquery table, or a parsed
+  column is missing) — validated once per hook against the catalog.
+
+Scale: every step is a semi-join of a base table against a batch-sized
+id/fk frame (predicate-pushdown-friendly; nothing collected to the
+driver), so the walk is O(referrers-of-changed-rows) per hop — the
+live-table analog of the doc-tree lane's stored reverse indexes
+(ivm_flagship), for views declared as plain SQL.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from sinker_spark.compiler.transpile import _literal_spans, _search_code
+
+_IDENT = r'(?:"[^"]+"|[A-Za-z_]\w*)'
+_KEYWORDS = {
+    "select", "from", "where", "group", "order", "limit", "join", "on",
+    "and", "or", "not", "as", "union", "intersect", "except", "having",
+    "left", "right", "inner", "outer", "cross", "lateral", "natural",
+}
+
+
+def _norm(ident: str) -> str:
+    ident = ident.strip()
+    if ident.startswith('"') and ident.endswith('"'):
+        return ident[1:-1]
+    return ident.lower()
+
+
+@dataclass
+class _Rel:
+    """One query block's single FROM relation."""
+
+    table: str
+    alias: str
+
+    def names(self) -> set[str]:
+        return {self.table, self.alias}
+
+
+@dataclass
+class CorrNode:
+    """One correlated subquery: ``(SELECT … FROM table WHERE
+    table.sub_col = <outer ref to outer.outer_col>)``. ``to_one`` iff
+    sub_col is the subquery table's id column (the outer row CARRIES the
+    fk); otherwise the subquery table carries the fk (to-many array).
+    ``outer_qualified`` records whether the outer ref was written with a
+    table qualifier — an UNQUALIFIED ref is validated against the
+    runtime schema (PG binds innermost-scope first, so it must not also
+    name a column of the subquery's own table)."""
+
+    table: str
+    alias: str
+    sub_col: str
+    outer: "CorrNode | None"  # None → correlates to the root query
+    outer_col: str
+    outer_qualified: bool = True
+    children: list["CorrNode"] = field(default_factory=list)
+
+    def to_one(self, id_col: str) -> bool:
+        return self.sub_col == id_col
+
+
+@dataclass
+class CorrelationTree:
+    parent_table: str
+    parent_alias: str
+    id_col: str
+    nodes: list[CorrNode]  # every node, any depth
+
+    def tables(self) -> set[str]:
+        return {self.parent_table} | {n.table for n in self.nodes}
+
+
+def _matching_paren(sql: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``sql[open_idx] == '('`` (literal-aware);
+    -1 if unbalanced."""
+    spans = _literal_spans(sql)
+    depth = 0
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        if any(s <= i < e for s, e in spans):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+_SUBQ_OPEN = re.compile(r"\(\s*select\b", re.IGNORECASE)
+
+
+def _subquery_spans(sql: str) -> list[tuple[int, int]] | None:
+    """[start, end) spans of every parenthesized SELECT; None if any is
+    unbalanced."""
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    while True:
+        m = _search_code(_SUBQ_OPEN, sql, pos)
+        if not m:
+            return spans
+        close = _matching_paren(sql, m.start())
+        if close < 0:
+            return None
+        spans.append((m.start(), close + 1))
+        pos = m.start() + 1
+
+
+def _own_text(sql: str, span: tuple[int, int], inner: list[tuple[int, int]]) -> str:
+    """``sql[span]`` with every DIRECTLY nested subquery span blanked, so
+    clause scans see only this query block's own tokens."""
+    s, e = span
+    out = list(sql[s:e])
+    for cs, ce in inner:
+        if s < cs and ce <= e:
+            for i in range(cs - s, ce - s):
+                if out[i] not in "()":
+                    out[i] = " "
+    return "".join(out)
+
+
+_FROM_PAT = re.compile(rf"\bfrom\s+({_IDENT})(?:\s+(?:as\s+)?({_IDENT}))?", re.IGNORECASE)
+_BAIL_PAT = re.compile(
+    r"\bjoin\b|\bunion\b|\bintersect\b|\bexcept\b|\bgroup\s+by\b|\bwith\b",
+    re.IGNORECASE,
+)
+_EQ_PAT = re.compile(
+    rf"\bwhere\s+({_IDENT})\s*\.\s*({_IDENT})\s*=\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*$",
+    re.IGNORECASE,
+)
+
+
+def _search_depth0(pat: re.Pattern, text: str) -> re.Match | None:
+    """First match of ``pat`` at paren depth 0 of ``text`` (literal-aware)
+    — so ``extract(epoch FROM ts)`` / ``substring(a FROM 1)`` inside a
+    doc expression can't be mistaken for the block's table source."""
+    spans = _literal_spans(text)
+    depth, i, n = 0, 0, len(text)
+    while i < n:
+        if any(s <= i < e for s, e in spans):
+            i += 1
+            continue
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _parse_block_rel(own: str) -> _Rel | None:
+    """The single FROM relation of one query block (no joins/commas).
+    ``own`` must be the block's BODY (balanced inner parens, the block's
+    own wrapping parens removed)."""
+    m = _search_depth0(_FROM_PAT, own)
+    if not m:
+        return None
+    alias = m.group(2)
+    if alias is not None and _norm(alias) in _KEYWORDS:
+        alias = None
+    table = _norm(m.group(1))
+    # a second FROM-position relation (comma) or any join → out of grammar
+    tail = own[m.end():]
+    if re.match(r"\s*,", tail):
+        return None
+    if _search_code(_BAIL_PAT, own):
+        return None
+    return _Rel(table, _norm(alias) if alias else table)
+
+
+def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | None:
+    """Parse the reference MV grammar: ``SELECT id, <doc-expr> FROM
+    parent [WHERE …]`` where every subquery is a single-table correlated
+    block whose WHERE is exactly one equality ``sub.col = [outer.]col``
+    at the end of the block. Returns None (caller keeps full refresh)
+    for anything else."""
+    sql = sql.strip().rstrip(";")
+    if re.match(r"\s*with\b", sql, re.IGNORECASE):
+        return None
+    spans = _subquery_spans(sql)
+    if spans is None:
+        return None
+
+    def direct_inner(span: tuple[int, int]) -> list[tuple[int, int]]:
+        s, e = span
+        nested = [x for x in spans if s < x[0] and x[1] <= e and x != span]
+        return [
+            x for x in nested
+            if not any(y[0] < x[0] and x[1] <= y[1] for y in nested)
+        ]
+
+    # --- root block -------------------------------------------------
+    top = [x for x in spans if not any(y[0] < x[0] and x[1] <= y[1] for y in spans)]
+    root_own = _own_text(sql, (0, len(sql)), top)
+    root_rel = _parse_block_rel(root_own)
+    if root_rel is None:
+        return None
+    # subqueries in the root WHERE clause (uncorrelated filters, EXISTS…)
+    # are out of grammar: only the doc expression may carry them
+    wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), root_own)
+    if wm and any(s >= wm.start() for s, _ in top):
+        return None
+
+    # --- subquery blocks, outermost first ---------------------------
+    by_span: dict[tuple[int, int], CorrNode] = {}
+    rels: dict[tuple[int, int], _Rel] = {}
+    nodes: list[CorrNode] = []
+    for span in sorted(spans, key=lambda x: (x[0], -x[1])):
+        inner = direct_inner(span)
+        own = _own_text(sql, span, inner)
+        body = own[1:-1].rstrip()  # inside the block's own parens
+        rel = _parse_block_rel(body)
+        if rel is None:
+            return None
+        em = _EQ_PAT.search(body)
+        if not em:
+            return None
+        q1, c1, q2, c2 = em.groups()
+        # sub side must be qualified with THIS block's relation
+        if _norm(q1) not in rel.names():
+            return None
+        sub_col = _norm(c1)
+        outer_qual = _norm(q2) if q2 else None
+        outer_col = _norm(c2)
+        # resolve the outer side against enclosing blocks, nearest first
+        enclosing = sorted(
+            [x for x in spans if x[0] < span[0] and span[1] <= x[1]],
+            key=lambda x: x[1] - x[0],  # smallest span first
+        )
+        outer_node: CorrNode | None = None
+        outer_rel: _Rel | None = None
+        if outer_qual is None:
+            # unqualified → the IMMEDIATE enclosing block's relation
+            outer_rel = rels[enclosing[0]] if enclosing else root_rel
+            outer_node = by_span.get(enclosing[0]) if enclosing else None
+        else:
+            for enc in enclosing:
+                if outer_qual in rels[enc].names():
+                    outer_rel = rels[enc]
+                    outer_node = by_span[enc]
+                    break
+            else:
+                if outer_qual in root_rel.names():
+                    outer_rel = root_rel
+                    outer_node = None
+                else:
+                    return None
+        del outer_rel  # resolution only; climbing uses node identity
+        node = CorrNode(
+            rel.table, rel.alias, sub_col, outer_node, outer_col,
+            outer_qualified=outer_qual is not None,
+        )
+        by_span[span] = node
+        rels[span] = rel
+        if outer_node is not None:
+            outer_node.children.append(node)
+        nodes.append(node)
+
+    if not nodes:
+        return None  # single-table views use the simpler id convention
+    return CorrelationTree(root_rel.table, root_rel.alias, id_col, nodes)
+
+
+def derive_affected_rows_keys(sql: str, id_col: str = "id"):
+    """→ an ``affected_rows_keys`` hook (spark, cdc_rows) → parent-id
+    DataFrame | None, or None when the SQL is outside the grammar.
+
+    ``cdc_rows`` is the raw CDC batch restricted to the view's deps
+    (columns at least ``table``/``op``/``id``; ``payload``/
+    ``payload_before`` used when present). See the module docstring for
+    when the hook itself answers None."""
+    tree = parse_correlation_tree(sql, id_col)
+    if tree is None:
+        return None
+
+    from pyspark.sql import functions as F
+
+    validated: dict[str, bool] = {}
+
+    def _valid(spark) -> bool:
+        """One-time schema sanity check: every parsed column exists on
+        the side the parse assigned it to, and no to-one outer column is
+        AMBIGUOUS (also a column of the subquery table — an unqualified
+        ``teacher_id`` could then have bound to the wrong relation)."""
+        if "ok" in validated:
+            return validated["ok"]
+
+        def cols(t: str) -> set[str] | None:
+            try:
+                return {c.lower() for c in spark.table(t).columns}
+            except Exception:
+                return None
+
+        ok = True
+        pcols = cols(tree.parent_table)
+        ok &= pcols is not None and id_col in pcols
+        for n in tree.nodes:
+            scols = cols(n.table)
+            ocols = cols(n.outer.table if n.outer else tree.parent_table)
+            if scols is None or ocols is None or id_col not in scols:
+                ok = False
+                break
+            ok &= n.sub_col in scols and n.outer_col in ocols
+            if not n.outer_qualified:
+                # PG binds unqualified refs innermost-scope first: if the
+                # column also exists on the subquery's own table the ref
+                # bound THERE and our outer-edge parse is wrong
+                ok &= n.outer_col not in scols
+        validated["ok"] = bool(ok)
+        return validated["ok"]
+
+    def _sc(col: str) -> "F.Column":
+        return F.col(col).cast("string")
+
+    def _climb_rows(spark, node: CorrNode, rows):
+        """``rows``: DataFrame of node.table rows → parent-id frame."""
+        if node.to_one(id_col):
+            ids = rows.select(_sc(id_col).alias("__cid")).distinct()
+            return _climb_ids(spark, node, ids)
+        vals = rows.select(_sc(node.sub_col).alias("__cv")).where(
+            F.col("__cv").isNotNull()
+        ).distinct()
+        return _vals_to_parent(spark, node, vals)
+
+    def _climb_ids(spark, node: CorrNode, ids):
+        """``ids``: one-column ('__cid') id frame of node.table rows that
+        changed or were reached — map through THIS node's correlation to
+        parent ids. For to-one links the outer table is scanned by fk
+        (robust to deleted sub rows); for to-many links the sub rows are
+        live-looked-up (callers only pass live-reachable ids here)."""
+        if node.to_one(id_col):
+            outer_tbl = spark.table(node.outer.table if node.outer else tree.parent_table)
+            outer_rows = outer_tbl.join(
+                ids, _sc(node.outer_col) == F.col("__cid"), "left_semi"
+            )
+            if node.outer is None:
+                return outer_rows.select(_sc(id_col).alias(id_col))
+            return _climb_rows(spark, node.outer, outer_rows)
+        sub_rows = spark.table(node.table).join(
+            ids, _sc(id_col) == F.col("__cid"), "left_semi"
+        )
+        return _climb_rows(spark, node, sub_rows)
+
+    def _vals_to_parent(spark, node: CorrNode, vals):
+        """fk values of a to-many node ('__cv' frame of node.outer_col
+        values) → parent ids."""
+        if node.outer is None and node.outer_col == id_col:
+            return vals.select(F.col("__cv").alias(id_col))
+        outer_tbl = spark.table(node.outer.table if node.outer else tree.parent_table)
+        outer_rows = outer_tbl.join(
+            vals, _sc(node.outer_col) == F.col("__cv"), "left_semi"
+        )
+        if node.outer is None:
+            return outer_rows.select(_sc(id_col).alias(id_col))
+        return _climb_rows(spark, node.outer, outer_rows)
+
+    def hook(spark, cdc_rows):
+        tables = {r["table"] for r in cdc_rows.select("table").distinct().collect()}
+        if not tables:
+            return spark.createDataFrame([], f"{id_col} string")
+        if not tables <= tree.tables():
+            return None
+        if not _valid(spark):
+            return None
+        has_payload = "payload" in cdc_rows.columns
+        has_before = "payload_before" in cdc_rows.columns
+        parts = []
+        if tree.parent_table in tables:
+            parts.append(
+                cdc_rows.where(F.col("table") == tree.parent_table)
+                .select(_sc("id").alias(id_col)).distinct()
+            )
+        for node in tree.nodes:
+            if node.table not in tables:
+                continue
+            t_rows = cdc_rows.where(F.col("table") == node.table)
+            if node.to_one(id_col):
+                ids = t_rows.select(_sc("id").alias("__cid")).distinct()
+                parts.append(_climb_ids(spark, node, ids))
+                continue
+            # to-many: fk values from BOTH payload images; mutating rows
+            # without a before-image fk are unsound to target (the row
+            # may have left a parent we cannot see) → full refresh
+            fk_new = (
+                F.get_json_object("payload", f"$.{node.sub_col}")
+                if has_payload else F.lit(None).cast("string")
+            )
+            fk_old = (
+                F.get_json_object("payload_before", f"$.{node.sub_col}")
+                if has_before else F.lit(None).cast("string")
+            )
+            t_rows = t_rows.select(
+                _sc("id").alias("__cid"), F.col("op"),
+                fk_new.alias("__fk_new"), fk_old.alias("__fk_old"),
+            )
+            mutating = F.col("op").isin("UPDATE", "DELETE")
+            if t_rows.where(mutating & F.col("__fk_old").isNull()).limit(1).count():
+                return None
+            vals = (
+                t_rows.select(F.col("__fk_new").alias("__cv"))
+                .unionByName(t_rows.select(F.col("__fk_old").alias("__cv")))
+                .where(F.col("__cv").isNotNull()).distinct()
+            )
+            # payload-less INSERTs: resolve fks from the live table; a
+            # changed row visible NOWHERE (no payload fk, no live row)
+            # leaves an unreachable parent → full refresh
+            uncovered = t_rows.where(
+                F.col("__fk_new").isNull() & F.col("__fk_old").isNull()
+            ).select("__cid").distinct()
+            live = spark.table(node.table).join(
+                uncovered, _sc(id_col) == F.col("__cid"), "inner"
+            )
+            if uncovered.join(
+                live.select(_sc(id_col).alias("__cid")), "__cid", "left_anti"
+            ).limit(1).count():
+                return None
+            vals = vals.unionByName(
+                live.select(_sc(node.sub_col).alias("__cv"))
+                .where(F.col("__cv").isNotNull())
+            ).distinct()
+            parts.append(_vals_to_parent(spark, node, vals))
+        if not parts:
+            return spark.createDataFrame([], f"{id_col} string")
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        return acc.where(F.col(id_col).isNotNull()).distinct()
+
+    hook.correlation_tree = tree  # for tests/introspection
+    return hook

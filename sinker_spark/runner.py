@@ -443,8 +443,14 @@ class SyncEngine:
                 lane_repair.append(v)
                 continue
             # each view's hook sees only the changed tables it depends on
-            relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
-            scope = v.affected_keys(self.spark, relevant) if v.affected_keys else None
+            if v.affected_rows_keys is not None:
+                rows = cdc.where(F.col("table").isin(*sorted(v.deps)))
+                scope = v.affected_rows_keys(self.spark, rows)
+            elif v.affected_keys is not None:
+                relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
+                scope = v.affected_keys(self.spark, relevant)
+            else:
+                scope = None
             (targeted if scope is not None else full).append((v, scope))
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:

@@ -600,6 +600,13 @@ class ViewDef:
     # keys never funnel through the driver, so the lane survives
     # backfill-sized batches (availableNow replays) at 100 TB.
     affected_keys: Callable[[SparkSession, dict[str, DataFrame]], DataFrame | None] | None = None
+    # Richer targeted-refresh hook: (spark, cdc_rows restricted to this
+    # view's deps — columns table/op/id [+payload/payload_before]) →
+    # affected view keys | None. Preferred over affected_keys when both
+    # are set; auto-derived from the view SQL's correlation tree for the
+    # reference MV shape (compiler/correlate.py) so a course_mv.sql user
+    # gets O(affected-docs) refresh with zero Python.
+    affected_rows_keys: Callable[[SparkSession, DataFrame], DataFrame | None] | None = None
 
     def __post_init__(self) -> None:
         if (self.sql is None) == (self.fn is None):
@@ -636,6 +643,24 @@ class ViewDef:
                 return ids.select(F.col(ids.columns[0]).cast("string").alias(self.key))
 
             self.affected_keys = _parent_ids
+        if (
+            self.affected_keys is None
+            and self.affected_rows_keys is None
+            and self.sql is not None
+            and self.parent_table
+            and len(self.deps) > 1
+            and _selects_parent_id(self.sql)
+        ):
+            # multi-table reference-MV shape (course_mv.sql): derive the
+            # reverse-lineage walk from the SQL's correlation tree. The
+            # derivation is conservative — out-of-grammar SQL installs
+            # nothing, and the installed hook answers None (→ full
+            # refresh) for batches it cannot soundly target
+            from sinker_spark.compiler.correlate import derive_affected_rows_keys
+
+            hook = derive_affected_rows_keys(self.sql, id_col="id")
+            if hook is not None and hook.correlation_tree.parent_table == self.parent_table:
+                self.affected_rows_keys = hook
 
     # Above this many scope keys the literal IN-list is abandoned for a
     # semi-join (driver memory + plan size); below it, literals win big:

@@ -1,0 +1,253 @@
+"""Auto-derived targeted refresh from the view SQL's correlation tree
+(compiler/correlate.py): a reference user who drops course_mv.sql into
+the definitions dir gets O(affected-docs) refresh on changes to EVERY
+table in the tree — teacher/person renames, enrollment churn — with
+zero Python, and the hook declines (None → full recompute+diff) exactly
+where targeting would be unsound (mutated to-many rows without
+before-image fks, out-of-tree tables, schema ambiguity)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sinker_spark.compiler.correlate import (
+    derive_affected_rows_keys,
+    parse_correlation_tree,
+)
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink
+from sinker_spark.views import ViewDef
+
+from tests import school_fixtures as fx
+
+CDC_FULL = (
+    "lsn bigint, schema string, table string, op string, id string, "
+    "payload string, payload_before string"
+)
+
+
+# --------------------------------------------------------------- parser
+
+def test_parses_reference_course_mv_shape():
+    t = parse_correlation_tree(fx.COURSE_MV_SQL)
+    assert t is not None
+    assert t.parent_table == "course"
+    assert t.tables() == {"course", "teacher", "person", "student", "enrollment"}
+    edges = {(n.table, n.sub_col,
+              n.outer.table if n.outer else "course", n.outer_col)
+             for n in t.nodes}
+    assert edges == {
+        ("teacher", "id", "course", "teacher_id"),
+        ("person", "id", "teacher", "person_id"),
+        ("enrollment", "course_id", "course", "id"),
+        ("student", "id", "enrollment", "student_id"),
+        ("person", "id", "student", "person_id"),
+    }
+    # to-one vs to-many classification
+    kinds = {(n.table, n.outer.table if n.outer else "course"): n.to_one("id")
+             for n in t.nodes}
+    assert kinds[("enrollment", "course")] is False
+    assert kinds[("teacher", "course")] is True
+
+
+def test_out_of_grammar_shapes_bail():
+    for bad in [
+        fx.PERSON_MV_SQL,  # single-table: the simpler id convention applies
+        "select id, x from a join b on a.id = b.id",
+        "with c as (select 1) select id, (select v from d where d.id = did) from t",
+        "select id, (select v from d where d.id = did and d.x > 1) from t",
+        "select id, (select v from d, e where d.id = did) from t",
+        "select id, (select v from d where d.id = did) from t where exists (select 1 from z)",
+        "select id, (select v from d where d.id = did) from t union all select id, 1 from u",
+        # function-form FROM must not be mistaken for a table source
+        "select id, extract(epoch from ts) from t",
+    ]:
+        assert parse_correlation_tree(bad) is None, bad
+
+
+def test_viewdef_autoinstalls_rows_hook():
+    v = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses")
+    assert v.affected_keys is None          # the id-convention stays OFF
+    assert v.affected_rows_keys is not None
+    assert v.affected_rows_keys.correlation_tree.parent_table == "course"
+    # single-table person_mv keeps the simpler id-from-parent convention
+    p = ViewDef("person_mv", sql=fx.PERSON_MV_SQL, index="people")
+    assert p.affected_keys is not None and p.affected_rows_keys is None
+    # an explicit hook wins over derivation
+    sentinel = lambda s, c: None  # noqa: E731
+    w = ViewDef("course_mv2", sql=fx.COURSE_MV_SQL, index="x", affected_keys=sentinel)
+    assert w.affected_keys is sentinel and w.affected_rows_keys is None
+
+
+# ------------------------------------------------------------ hook logic
+
+def _cdc(spark, records):
+    """records: (lsn, table, op, id, payload|None, payload_before|None)."""
+    rows = [
+        (lsn, "public", t, op, i,
+         json.dumps(p) if p else None, json.dumps(b) if b else None)
+        for lsn, t, op, i, p, b in records
+    ]
+    return spark.createDataFrame(rows, CDC_FULL)
+
+
+def _engine(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses")
+    assert view.affected_rows_keys is not None
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    return eng, sink
+
+
+def _truth_ids(spark):
+    return {r[0] for r in spark.table("course").select("id").collect()}
+
+
+def _assert_full_parity(spark, eng, sink):
+    """End state equals a from-scratch recompute of the view."""
+    from sinker_spark.sinks.memory import _row_to_plain
+
+    want = {
+        r[0]: _row_to_plain(r[1])
+        for r in eng.views["course_mv"].compile(spark).collect()
+    }
+    got = sink.indices.get("courses", {})
+    assert got == want
+
+
+def test_dim_rename_targets_exact_fanout(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    n0 = len(sink.action_log)
+    # p-3 → teacher t-1 → courses c-1, c-2 (c-3 untouched)
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["person"] = [("p-3", "Prof G!") if r[0] == "p-3" else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [(1, "person", "UPDATE", "p-3", None, None)]))
+    assert eng.last_stats["course_mv"]["targeted"] == 1
+    touched = {k for (_, op, k) in sink.action_log[n0:]}
+    assert touched == {"c-1", "c-2"}
+    assert sink.get("courses", "c-1")["teacher"]["person"]["name"] == "Prof G!"
+    _assert_full_parity(spark, eng, sink)
+
+
+def test_student_person_rename_walks_enrollment_path(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    n0 = len(sink.action_log)
+    # p-2 → student s-2 → enrollments e-2 (c-1), e-4 (c-2); c-3 untouched
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["person"] = [("p-2", "Lor") if r[0] == "p-2" else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [(1, "person", "UPDATE", "p-2", None, None)]))
+    touched = {k for (_, op, k) in sink.action_log[n0:]}
+    assert touched == {"c-1", "c-2"}
+    _assert_full_parity(spark, eng, sink)
+
+
+def test_child_insert_with_payload_targets_one_doc(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    n0 = len(sink.action_log)
+    from decimal import Decimal
+
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["enrollment"].append(("e-6", "s-2", "c-3", Decimal("2.50")))
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "INSERT", "e-6",
+         {"id": "e-6", "student_id": "s-2", "course_id": "c-3", "grade": "2.50"}, None),
+    ]))
+    assert eng.last_stats["course_mv"]["targeted"] == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"c-3"}
+    _assert_full_parity(spark, eng, sink)
+
+
+def test_child_repoint_with_before_image_targets_both_docs(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    n0 = len(sink.action_log)
+    from decimal import Decimal
+
+    # move e-5 (s-1) from c-3 to c-1: BOTH docs must refresh
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["enrollment"] = [
+        ("e-5", "s-1", "c-1", Decimal("3.50")) if r[0] == "e-5" else r
+        for r in rows["enrollment"]
+    ]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "UPDATE", "e-5",
+         {"id": "e-5", "student_id": "s-1", "course_id": "c-1", "grade": "3.50"},
+         {"id": "e-5", "student_id": "s-1", "course_id": "c-3", "grade": "3.50"}),
+    ]))
+    assert eng.last_stats["course_mv"]["targeted"] == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"c-1", "c-3"}
+    assert len(sink.get("courses", "c-3")["enrollments"] or []) == 0
+    _assert_full_parity(spark, eng, sink)
+
+
+def test_child_mutation_without_before_image_full_refreshes(spark, tmp_path):
+    """The unsoundness gate: an UPDATE/DELETE of a to-many row without
+    its before-image fk may have LEFT a document we cannot identify —
+    the hook must answer None and the engine must take the full path
+    (stale-sink class; same contract the hand-written hook documents)."""
+    eng, sink = _engine(spark, tmp_path)
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[0] != "e-5"]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "DELETE", "e-5", None, None),
+    ]))
+    assert "targeted" not in eng.last_stats["course_mv"]
+    assert len(sink.get("courses", "c-3")["enrollments"] or []) == 0
+    _assert_full_parity(spark, eng, sink)
+
+
+def test_unresolvable_child_insert_full_refreshes(spark, tmp_path):
+    """A payload-less child id that is also absent from the live table
+    cannot be mapped to any parent → None → full refresh (still
+    correct end state)."""
+    eng, sink = _engine(spark, tmp_path)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "INSERT", "e-ghost", None, None),
+    ]))
+    assert "targeted" not in eng.last_stats["course_mv"]
+    _assert_full_parity(spark, eng, sink)
+
+
+def test_schema_ambiguity_disables_hook(spark):
+    """If the unqualified outer ref also names a column of the subquery's
+    own table, PG would have bound it THERE — the parse is wrong and the
+    hook must answer None (validated against the live catalog)."""
+    spark.createDataFrame([("a1", "b1", "x")], "id string, bref string, v string") \
+        .createOrReplaceTempView("amb_a")
+    # amb_b carries ITS OWN column named bref → ambiguity
+    spark.createDataFrame([("b1", "b1", "y")], "id string, bref string, w string") \
+        .createOrReplaceTempView("amb_b")
+    hook = derive_affected_rows_keys(
+        "select id, (select w from amb_b where amb_b.id = bref) as d from amb_a"
+    )
+    assert hook is not None  # parses…
+    rows = spark.createDataFrame(
+        [(1, "public", "amb_b", "UPDATE", "b1", None, None)], CDC_FULL
+    )
+    assert hook(spark, rows) is None  # …but declines at runtime
+
+
+def test_out_of_tree_table_answers_none(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    hook = derive_affected_rows_keys(fx.COURSE_MV_SQL)
+    rows = spark.createDataFrame(
+        [(1, "public", "sometable", "INSERT", "x", None, None)], CDC_FULL
+    )
+    assert hook(spark, rows) is None
+
+
+def test_empty_batch_yields_empty_scope(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    hook = derive_affected_rows_keys(fx.COURSE_MV_SQL)
+    rows = spark.createDataFrame([], CDC_FULL)
+    out = hook(spark, rows)
+    assert out is not None and out.count() == 0
