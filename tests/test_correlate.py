@@ -251,3 +251,87 @@ def test_empty_batch_yields_empty_scope(spark, tmp_path):
     rows = spark.createDataFrame([], CDC_FULL)
     out = hook(spark, rows)
     assert out is not None and out.count() == 0
+
+
+def test_randomized_soak_converges_every_batch(spark, tmp_path):
+    """Seeded CDC soak over the school schema with PROPER per-row CDC
+    records (payload + before-image): random renames, re-points,
+    inserts and deletes on all five tables, engine refresh after every
+    batch, sink compared against a full recompute every time. Mixes
+    targetable batches with ones that must decline (missing
+    before-images), and asserts the targeted path actually ran."""
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(416001)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    cols = {t: [c.split()[0] for c in fx.SCHEMAS[t].split(",")] for t in fx.SCHEMAS}
+
+    def payload(t, r):
+        return {c: (str(v) if isinstance(v, Decimal) else v)
+                for c, v in zip(cols[t], r)}
+
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    sink = InMemorySink()
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses")
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    targeted_batches = 0
+    lsn = 100
+    next_e = 10
+
+    for b in range(12):
+        records = []
+        for _ in range(rng.randrange(1, 4)):
+            roll = rng.random()
+            if roll < 0.25:  # person rename (to-one fan-out, both hops)
+                r = rng.choice(rows["person"])
+                old = list(r)
+                r[1] = f"{r[1]}~{b}"
+                records.append((lsn, "person", "UPDATE", r[0],
+                                payload("person", r), payload("person", old)))
+            elif roll < 0.40:  # course re-point teacher / rename
+                r = rng.choice(rows["course"])
+                old = list(r)
+                if rng.random() < 0.5:
+                    r[3] = rng.choice(["t-1", "t-2"])
+                else:
+                    r[1] = f"{r[1]}!"
+                records.append((lsn, "course", "UPDATE", r[0],
+                                payload("course", r), payload("course", old)))
+            elif roll < 0.60 and rows["enrollment"]:  # enrollment re-point
+                r = rng.choice(rows["enrollment"])
+                old = list(r)
+                r[2] = rng.choice([c[0] for c in rows["course"]])
+                drop_before = rng.random() < 0.25
+                records.append((lsn, "enrollment", "UPDATE", r[0],
+                                payload("enrollment", r),
+                                None if drop_before else payload("enrollment", old)))
+            elif roll < 0.75:  # enrollment insert
+                r = [f"e-n{next_e}", rng.choice(["s-1", "s-2"]),
+                     rng.choice([c[0] for c in rows["course"]]), Decimal("3.00")]
+                next_e += 1
+                rows["enrollment"].append(r)
+                records.append((lsn, "enrollment", "INSERT", r[0],
+                                payload("enrollment", r), None))
+            elif roll < 0.90 and len(rows["enrollment"]) > 1:  # enrollment delete
+                i = rng.randrange(len(rows["enrollment"]))
+                old = rows["enrollment"].pop(i)
+                records.append((lsn, "enrollment", "DELETE", old[0],
+                                None, payload("enrollment", old)))
+            else:  # student re-point person
+                r = rng.choice(rows["student"])
+                old = list(r)
+                r[1] = rng.choice(["p-1", "p-2"])
+                records.append((lsn, "student", "UPDATE", r[0],
+                                payload("student", r), payload("student", old)))
+            lsn += 1
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+        eng.process_cdc_batch(_cdc(spark, records), epoch_id=b)
+        if eng.last_stats["course_mv"].get("targeted"):
+            targeted_batches += 1
+        _assert_full_parity(spark, eng, sink)
+
+    assert targeted_batches >= 6, f"only {targeted_batches} targeted batches"
