@@ -70,9 +70,11 @@ def test_batch_metrics_and_vacuum(spark, tmp_path):
     )
     eng.process_cdc_batch(batch)
     # diff suppression shows in the metrics: one person doc + one course doc
-    # (person_mv auto-derives targeted refresh — single-table view)
+    # (BOTH views auto-derive targeted refresh — person_mv via the
+    # single-table id convention, course_mv via the correlation-tree
+    # walk, compiler/correlate.py)
     assert eng.last_stats["person_mv"] == {"upserts": 1, "deletes": 0, "targeted": 1}
-    assert eng.last_stats["course_mv"] == {"upserts": 1, "deletes": 0}
+    assert eng.last_stats["course_mv"] == {"upserts": 1, "deletes": 0, "targeted": 1}
 
     store = eng.store
     assert store.current_version("person_mv") == 2
