@@ -219,6 +219,67 @@ def _parse_block_rel(own: str) -> _Rel | None:
     return _Rel(table, _norm(alias) if alias else table)
 
 
+_JOIN_PAT = re.compile(
+    rf"\s*(?:(left)\s+(?:outer\s+)?|inner\s+)?join\s+({_IDENT})"
+    rf"(?:\s+(?:as\s+)?({_IDENT}))?\s+on\s+"
+    rf"({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})",
+    re.IGNORECASE,
+)
+_ROOT_BAIL_PAT = re.compile(
+    r"\bunion\b|\bintersect\b|\bexcept\b|\bgroup\s+by\b|\bwith\b|"
+    r"\b(?:right|full|cross|natural)\s+(?:outer\s+)?join\b",
+    re.IGNORECASE,
+)
+
+
+def _parse_root_from(
+    own: str, id_col: str
+) -> tuple[_Rel, list[tuple[_Rel, str, str]]] | None:
+    """Root FROM clause: one parent table followed by zero or more
+    TO-ONE dim joins — ``[LEFT|INNER] JOIN dim [alias] ON a.x = b.y``
+    where the dim-side column is the dim's id (a fan-out join would
+    break the one-doc-per-parent-id key invariant, so anything else is
+    out of grammar). Returns (parent rel, [(dim rel, prev-side
+    qualifier, prev-side fk col)] in join order)."""
+    m = _search_depth0(_FROM_PAT, own)
+    if not m:
+        return None
+    if _search_code(_ROOT_BAIL_PAT, own):
+        return None
+    alias = m.group(2)
+    pos = m.end()
+    if alias is not None and _norm(alias) in _KEYWORDS:
+        # the "alias" was really the next clause keyword (`…from course
+        # join…`): rewind so the join scan sees it
+        pos = m.end(1)
+        alias = None
+    parent = _Rel(_norm(m.group(1)), _norm(alias) if alias else _norm(m.group(1)))
+    joins: list[tuple[_Rel, str, str]] = []
+    while True:
+        jm = _JOIN_PAT.match(own, pos)
+        if not jm:
+            break
+        _how, tbl, jalias, q1, c1, q2, c2 = jm.groups()
+        if jalias is not None and _norm(jalias) in _KEYWORDS:
+            return None
+        rel = _Rel(_norm(tbl), _norm(jalias) if jalias else _norm(tbl))
+        sides = [(_norm(q1), _norm(c1)), (_norm(q2), _norm(c2))]
+        dim_side = [s for s in sides if s[0] in rel.names()]
+        prev_side = [s for s in sides if s[0] not in rel.names()]
+        if len(dim_side) != 1 or len(prev_side) != 1:
+            return None
+        if dim_side[0][1] != id_col:
+            return None  # fan-out join: not keyed one-per-parent-row
+        joins.append((rel, prev_side[0][0], prev_side[0][1]))
+        pos = jm.end()
+    tail = own[pos:]
+    if re.match(r"\s*,", tail):
+        return None
+    if not re.match(r"\s*(where\b.*)?$", tail, re.IGNORECASE | re.DOTALL):
+        return None
+    return parent, joins
+
+
 def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | None:
     """Parse the reference MV grammar: ``SELECT id, <doc-expr> FROM
     parent [WHERE …]`` where every subquery is a single-table correlated
@@ -243,19 +304,39 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
     # --- root block -------------------------------------------------
     top = [x for x in spans if not any(y[0] < x[0] and x[1] <= y[1] for y in spans)]
     root_own = _own_text(sql, (0, len(sql)), top)
-    root_rel = _parse_block_rel(root_own)
-    if root_rel is None:
+    parsed_root = _parse_root_from(root_own, id_col)
+    if parsed_root is None:
         return None
+    root_rel, root_joins = parsed_root
     # subqueries in the root WHERE clause (uncorrelated filters, EXISTS…)
     # are out of grammar: only the doc expression may carry them
     wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), root_own)
     if wm and any(s >= wm.start() for s, _ in top):
         return None
 
+    # main-FROM to-one join chain → one CorrNode per dim, linked to the
+    # relation carrying the fk (the parent or an earlier join dim)
+    nodes: list[CorrNode] = []
+    root_level: dict[str, tuple[_Rel, CorrNode | None]] = {
+        n: (root_rel, None) for n in root_rel.names()
+    }
+    for rel, prev_qual, prev_col in root_joins:
+        if prev_qual not in root_level:
+            return None
+        _prev_rel, prev_node = root_level[prev_qual]
+        node = CorrNode(rel.table, rel.alias, id_col, prev_node, prev_col,
+                        outer_qualified=True)
+        if prev_node is not None:
+            prev_node.children.append(node)
+        nodes.append(node)
+        for n in rel.names():
+            if n in root_level:
+                return None  # duplicate alias/table name: ambiguous refs
+            root_level[n] = (rel, node)
+
     # --- subquery blocks, outermost first ---------------------------
     by_span: dict[tuple[int, int], CorrNode] = {}
     rels: dict[tuple[int, int], _Rel] = {}
-    nodes: list[CorrNode] = []
     for span in sorted(spans, key=lambda x: (x[0], -x[1])):
         inner = direct_inner(span)
         own = _own_text(sql, span, inner)
@@ -281,9 +362,16 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
         outer_node: CorrNode | None = None
         outer_rel: _Rel | None = None
         if outer_qual is None:
-            # unqualified → the IMMEDIATE enclosing block's relation
-            outer_rel = rels[enclosing[0]] if enclosing else root_rel
-            outer_node = by_span.get(enclosing[0]) if enclosing else None
+            if enclosing:
+                # unqualified → the IMMEDIATE enclosing block's relation
+                outer_rel = rels[enclosing[0]]
+                outer_node = by_span.get(enclosing[0])
+            elif not root_joins:
+                outer_rel, outer_node = root_rel, None
+            else:
+                # several root-level relations in scope: an unqualified
+                # ref is ambiguous without schemas → out of grammar
+                return None
         else:
             for enc in enclosing:
                 if outer_qual in rels[enc].names():
@@ -291,9 +379,8 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
                     outer_node = by_span[enc]
                     break
             else:
-                if outer_qual in root_rel.names():
-                    outer_rel = root_rel
-                    outer_node = None
+                if outer_qual in root_level:
+                    outer_rel, outer_node = root_level[outer_qual]
                 else:
                     return None
         del outer_rel  # resolution only; climbing uses node identity

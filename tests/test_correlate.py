@@ -56,7 +56,9 @@ def test_parses_reference_course_mv_shape():
 def test_out_of_grammar_shapes_bail():
     for bad in [
         fx.PERSON_MV_SQL,  # single-table: the simpler id convention applies
-        "select id, x from a join b on a.id = b.id",
+        # fan-out join (dim side is a fk, not the dim's id) — a to-one
+        # join on b.id would parse under the main-FROM join grammar
+        "select id, x from a join b on a.fk = b.other",
         "with c as (select 1) select id, (select v from d where d.id = did) from t",
         "select id, (select v from d where d.id = did and d.x > 1) from t",
         "select id, (select v from d, e where d.id = did) from t",
@@ -335,3 +337,70 @@ def test_randomized_soak_converges_every_batch(spark, tmp_path):
         _assert_full_parity(spark, eng, sink)
 
     assert targeted_batches >= 6, f"only {targeted_batches} targeted batches"
+
+
+# ------------------------------------------------- main-FROM join chains
+
+JOIN_MV_SQL = """select course.id,
+  json_build_object('name', course.name, 'salary', teacher.salary,
+    'tname', (select name from person where person.id = teacher.person_id)) as doc
+from course join teacher on course.teacher_id = teacher.id"""
+
+
+def test_parses_main_from_join_chain():
+    t = parse_correlation_tree(JOIN_MV_SQL)
+    assert t is not None and t.parent_table == "course"
+    assert t.tables() == {"course", "teacher", "person"}
+    edges = {(n.table, n.sub_col,
+              n.outer.table if n.outer else "course", n.outer_col)
+             for n in t.nodes}
+    assert edges == {
+        ("teacher", "id", "course", "teacher_id"),
+        ("person", "id", "teacher", "person_id"),
+    }
+
+
+def test_join_chain_shapes_bail():
+    for bad in [
+        # fan-out main join: dim-side column is not the dim's id
+        "select o.id, 1 from orders o join line l on l.order_id = o.id",
+        # unqualified subquery outer ref with several root relations
+        "select o.id, (select v from d where d.id = did) from orders o "
+        "join customer c on o.cust_id = c.id",
+        # duplicate root-level name
+        "select o.id, 1 from orders o join customer o on o.cust_id = o.id",
+        # non-to-one join kinds
+        "select o.id, 1 from orders o right join customer c on o.cust_id = c.id",
+        "select o.id, 1 from orders o cross join customer c",
+    ]:
+        assert parse_correlation_tree(bad) is None, bad
+
+
+def test_join_chain_engine_targets_through_dim(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_join_mv", sql=JOIN_MV_SQL, index="cj")
+    assert view.affected_rows_keys is not None
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert sink.get("cj", "c-1")["tname"] == "Prof Georgios"
+
+    n0 = len(sink.action_log)
+    # p-3 → teacher t-1 → courses c-1, c-2 (through the JOINED dim)
+    rows = {k: list(v) for k, v in fx.SEED.items()}
+    rows["person"] = [("p-3", "Prof Geo") if r[0] == "p-3" else r for r in rows["person"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [(1, "person", "UPDATE", "p-3", None, None)]))
+    assert eng.last_stats["course_join_mv"]["targeted"] == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"c-1", "c-2"}
+    assert sink.get("cj", "c-1")["tname"] == "Prof Geo"
+
+    # teacher change targets its courses
+    n1 = len(sink.action_log)
+    from decimal import Decimal
+    rows["teacher"] = [("t-2", "p-4", Decimal("120000.00")) if r[0] == "t-2" else r
+                       for r in rows["teacher"]]
+    fx.register(spark, str(tmp_path / "tables"), rows)
+    eng.process_cdc_batch(_cdc(spark, [(2, "teacher", "UPDATE", "t-2", None, None)]))
+    assert {k for (_, op, k) in sink.action_log[n1:]} == {"c-3"}
+    assert sink.get("cj", "c-3")["salary"] == 120000.0
