@@ -77,7 +77,7 @@ class _Rel:
         return {self.table, self.alias}
 
 
-@dataclass
+@dataclass(eq=False)
 class CorrNode:
     """One correlated subquery: ``(SELECT … FROM table WHERE
     table.sub_col = <outer ref to outer.outer_col>)``. ``to_one`` iff
@@ -95,6 +95,10 @@ class CorrNode:
     outer_col: str
     outer_qualified: bool = True
     children: list["CorrNode"] = field(default_factory=list)
+    # [start, end) of the block's ``(select …)`` text in the normalized
+    # SQL (None for main-FROM join nodes) — lets the doc-template parser
+    # (parse_doc_templates) find each block's select expression
+    span: "tuple[int, int] | None" = None
 
     def to_one(self, id_col: str) -> bool:
         return self.sub_col == id_col
@@ -106,6 +110,8 @@ class CorrelationTree:
     parent_alias: str
     id_col: str
     nodes: list[CorrNode]  # every node, any depth
+    sql: str = ""          # normalized SQL the node spans index into
+    n_root_joins: int = 0  # main-FROM join dims (span=None nodes)
 
     def tables(self) -> set[str]:
         return {self.parent_table} | {n.table for n in self.nodes}
@@ -386,7 +392,7 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
         del outer_rel  # resolution only; climbing uses node identity
         node = CorrNode(
             rel.table, rel.alias, sub_col, outer_node, outer_col,
-            outer_qualified=outer_qual is not None,
+            outer_qualified=outer_qual is not None, span=span,
         )
         by_span[span] = node
         rels[span] = rel
@@ -396,7 +402,10 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
 
     if not nodes:
         return None  # single-table views use the simpler id convention
-    return CorrelationTree(root_rel.table, root_rel.alias, id_col, nodes)
+    return CorrelationTree(
+        root_rel.table, root_rel.alias, id_col, nodes,
+        sql=sql, n_root_joins=len(root_joins),
+    )
 
 
 def derive_affected_rows_keys(sql: str, id_col: str = "id"):
@@ -566,3 +575,180 @@ def derive_affected_rows_keys(sql: str, id_col: str = "id"):
 
     hook.correlation_tree = tree  # for tests/introspection
     return hook
+
+
+# ---------------------------------------------------------------------------
+# Doc-template parsing — the json_build_object shape of each block, for
+# deriving a fully-incremental doc-tree lane from the view SQL
+# (sinker_spark/ivm_doc_sql.py builds the spec + nested serve from this).
+
+
+@dataclass
+class DocTemplate:
+    """Ordered ``json_build_object`` entries of one query block:
+    ``(json_key, ('col', column_name))`` for scalar projections of the
+    block's own relation, ``(json_key, ('node', CorrNode))`` for a
+    nested correlated block."""
+
+    entries: list
+
+
+def _split_ranges(sql: str, lo: int, hi: int) -> list[tuple[int, int]]:
+    """Top-level comma-separated item ranges within ``sql[lo:hi]``
+    (paren- and literal-aware), whitespace-stripped."""
+    lits = _literal_spans(sql)
+    out, depth, start = [], 0, lo
+    i = lo
+    while i < hi:
+        if any(s <= i < e for s, e in lits):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append((start, i))
+            start = i + 1
+        i += 1
+    out.append((start, hi))
+
+    def strip(r):
+        s, e = r
+        while s < e and sql[s].isspace():
+            s += 1
+        while e > s and sql[e - 1].isspace():
+            e -= 1
+        return (s, e)
+
+    return [strip(r) for r in out]
+
+
+_JBO_PAT = re.compile(r"json_build_object\s*\(", re.IGNORECASE)
+_JAGG_PAT = re.compile(r"json_agg\s*\(", re.IGNORECASE)
+_COL_PAT = re.compile(rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})$")
+
+
+def _parse_jbo(
+    sql: str, lo: int, hi: int, rel_names: set[str],
+    span_nodes: dict[tuple[int, int], CorrNode],
+) -> DocTemplate | None:
+    """``sql[lo:hi]`` must be exactly ``json_build_object(k, v, …)``;
+    values are own-relation columns or directly nested blocks."""
+    m = _JBO_PAT.match(sql, lo)
+    if not m or m.start() != lo:
+        return None
+    close = _matching_paren(sql, m.end() - 1)
+    if close < 0 or sql[close + 1:hi].strip():
+        return None
+    args = _split_ranges(sql, m.end(), close)
+    if len(args) % 2:
+        return None
+    entries = []
+    for (ks, ke), (vs, ve) in zip(args[::2], args[1::2]):
+        key_txt = sql[ks:ke]
+        if not (key_txt.startswith("'") and key_txt.endswith("'") and len(key_txt) >= 2):
+            return None
+        key = key_txt[1:-1].replace("''", "'")
+        node = span_nodes.get((vs, ve))
+        if node is not None:
+            entries.append((key, ("node", node)))
+            continue
+        cm = _COL_PAT.match(sql[vs:ve])
+        if not cm:
+            return None
+        qual = _norm(cm.group(1)) if cm.group(1) else None
+        col = _norm(cm.group(2))
+        if qual is not None and qual not in rel_names:
+            return None
+        if col in _KEYWORDS:
+            return None
+        entries.append((key, ("col", col)))
+    return DocTemplate(entries)
+
+
+def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemplate] | None":
+    """The per-block document templates of a parsed view, or None when
+    the SQL is outside the doc grammar. Keys: None → the root block,
+    else the CorrNode. Requirements (all bail to None):
+
+    - the root select list is exactly ``<parent id>, json_build_object(…)
+      [AS alias]``;
+    - every to-one block is ``(select json_build_object(…) from … where …)``;
+    - every to-many block is ``(select json_agg(json_build_object(…))
+      from … where …)``;
+    - every template value is a column of the block's own relation or a
+      DIRECTLY nested block correlated to this block.
+    """
+    sql = tree.sql
+    if not sql or tree.n_root_joins:
+        return None
+    span_nodes = {n.span: n for n in tree.nodes if n.span is not None}
+    out: dict[CorrNode | None, DocTemplate] = {}
+
+    # --- root select list --------------------------------------------
+    sm = _search_depth0(re.compile(r"\bselect\s+", re.IGNORECASE), sql)
+    fm = _search_depth0(_FROM_PAT, sql)
+    if not sm or not fm:
+        return None
+    items = _split_ranges(sql, sm.end(), fm.start())
+    if len(items) != 2:
+        return None
+    id_txt = sql[items[0][0]:items[0][1]]
+    if not re.fullmatch(
+        rf'(?:{_IDENT}\s*\.\s*)?"?{tree.id_col}"?', id_txt, re.IGNORECASE
+    ):
+        return None
+    vs, ve = items[1]
+    am = re.search(rf"\s+as\s+{_IDENT}\s*$", sql[vs:ve], re.IGNORECASE)
+    if am:
+        ve = vs + am.start()
+    root_names = {tree.parent_table, tree.parent_alias}
+    tpl = _parse_jbo(sql, vs, ve, root_names, span_nodes)
+    if tpl is None:
+        return None
+    out[None] = tpl
+
+    # --- each block ---------------------------------------------------
+    for node in tree.nodes:
+        if node.span is None:
+            return None  # main-FROM join dims carry no template
+        lo, hi = node.span[0] + 1, node.span[1] - 1
+        body = sql[lo:hi]
+        bm = re.match(r"\s*select\s+", body, re.IGNORECASE)
+        bf = _search_depth0(_FROM_PAT, body)
+        if not bm or not bf:
+            return None
+        es, ee = lo + bm.end(), lo + bf.start()
+        while ee > es and sql[ee - 1].isspace():
+            ee -= 1
+        names = {node.table, node.alias}
+        if node.to_one(tree.id_col):
+            tpl = _parse_jbo(sql, es, ee, names, span_nodes)
+        else:
+            jm = _JAGG_PAT.match(sql, es)
+            if not jm or jm.start() != es:
+                return None
+            close = _matching_paren(sql, jm.end() - 1)
+            if close < 0 or sql[close + 1:ee].strip():
+                return None
+            tpl = _parse_jbo(sql, jm.end(), close, names, span_nodes)
+            if tpl is not None:
+                tpl = DocTemplate(list(tpl.entries))
+        if tpl is None:
+            return None
+        out[node] = tpl
+
+    # every nested-node value must be a DIRECT child of its block
+    for owner, tpl in out.items():
+        for _k, (kind, val) in tpl.entries:
+            if kind == "node" and val.outer is not owner:
+                return None
+    # every node must appear in exactly one template
+    used = [v for tpl in out.values() for _k, (kind, v) in tpl.entries if kind == "node"]
+    if len(used) != len(set(map(id, used))) or set(map(id, used)) != {
+        id(n) for n in tree.nodes
+    }:
+        return None
+    return out

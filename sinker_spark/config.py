@@ -75,6 +75,9 @@ class EngineConfig:
     es_raise_on_error: bool = True       # ELASTICSEARCH_RAISE_ON_ERROR
     es_raise_on_exception: bool = True   # ELASTICSEARCH_RAISE_ON_EXCEPTION
     pg_conninfo: str = ""                # PGHOST/PGUSER/…/PGSSLMODE/PGSSLROOTCERT
+    # opt-in SQL→doc-tree lane for every loaded view (ivm_doc_sql):
+    # fully-incremental fold when the CDC stream carries before-images
+    sql_doctree: bool = False            # SINKER_SPARK_SQL_DOCTREE
     snapshot_root: str = "/tmp/sinker_spark_snapshots"
     checkpoint_root: str = "/tmp/sinker_spark_checkpoints"
 
@@ -97,6 +100,7 @@ class EngineConfig:
             es_raise_on_error=_env_bool("ELASTICSEARCH_RAISE_ON_ERROR", True),
             es_raise_on_exception=_env_bool("ELASTICSEARCH_RAISE_ON_EXCEPTION", True),
             pg_conninfo=pg_conninfo(),
+            sql_doctree=_env_bool("SINKER_SPARK_SQL_DOCTREE", False),
             snapshot_root=os.environ.get("SINKER_SPARK_SNAPSHOT_ROOT", "/tmp/sinker_spark_snapshots"),
             checkpoint_root=os.environ.get("SINKER_SPARK_CHECKPOINT_ROOT", "/tmp/sinker_spark_checkpoints"),
         )
@@ -125,7 +129,7 @@ class EngineConfig:
         for view, index in views_to_indices.items():
             with open(os.path.join(self.definitions_path, f"{view}.sql")) as fh:
                 sql = fh.read()
-            out.append(ViewDef(view, sql=sql, index=index))
+            out.append(ViewDef(view, sql=sql, index=index, sql_doctree=self.sql_doctree))
         return out
 
     def index_settings(self, index: str) -> dict | None:

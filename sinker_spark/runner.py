@@ -257,6 +257,7 @@ class SyncEngine:
         if index_bodies is not None and hasattr(self.sink, "recreate_index"):
             for v in self.views.values():
                 self.sink.recreate_index(v.index, index_bodies.get(v.index))
+        self._derive_sql_doctrees()
         self._refresh_views(list(self.views.values()))
         # seed lane states at the snapshot point (the catalog tables the
         # backfill just read) — the only moment the "fact == snapshot"
@@ -265,6 +266,32 @@ class SyncEngine:
         for v in self.views.values():
             if self._has_lane(v):
                 self._rebuild_lane_states(v)
+
+    def _derive_sql_doctrees(self) -> None:
+        """Opt-in (ViewDef.sql_doctree) SQL→doc-tree derivation
+        (ivm_doc_sql): views whose SQL fits the doc grammar get the
+        fully-incremental lane; the rest keep the targeted/recompute
+        lanes with a logged reason. Needs the catalog registered, so it
+        runs at backfill and lazily before the first CDC batch."""
+        for v in self.views.values():
+            if not getattr(v, "sql_doctree", False) or v.sql is None:
+                continue
+            if v.doctree is not None or getattr(v, "_sql_doc_attempted", False):
+                continue
+            v._sql_doc_attempted = True
+            from sinker_spark.ivm_doc_sql import derive_sql_doctree
+
+            sd = derive_sql_doctree(self.spark, v.sql)
+            if sd is None:
+                logger.warning(
+                    "view %s: sql_doctree requested but the SQL is outside "
+                    "the doc-tree grammar — recompute lanes apply", v.name,
+                )
+                continue
+            v.doctree = sd.spec
+            v._sql_doc = sd
+            logger.info("view %s: derived doc-tree lane from SQL (%s)",
+                        v.name, sorted(sd.spec.all_tables()))
 
     # -- one micro-batch (reference Runner.iterate, runner.py:73-117) -----
     def dirty_views(self, changed_tables: set[str]) -> list[ViewDef]:
@@ -359,6 +386,7 @@ class SyncEngine:
         return report
 
     def _process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
+        self._derive_sql_doctrees()  # streaming-without-backfill opt-ins
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
         if not changed:
             return
@@ -1484,12 +1512,27 @@ class SyncEngine:
         touched = ivm_flagship.touched_parent_keys(
             spec, change_keys, rows_for
         ).localCheckpoint(eager=True)
-        docs = ivm_flagship.serve_docs(spec, touched, rows_for)
-        upserts = docs.select(
-            F.col(spec.key).cast("string").alias(view.key),
-            F.lit(UPSERT).alias("op"),
-            F.struct(*[F.col(c) for c in docs.columns]).alias("doc"),
-        )
+        sql_doc = getattr(view, "_sql_doc", None)
+        if sql_doc is not None:
+            # SQL-declared doc tree (ivm_doc_sql): serve the TRANSPILED
+            # compile's nested shape — NULL first-hop objects instead of
+            # chain retraction, unconditional deeper structs, []-not-NULL
+            # arrays, decimals already canonicalized
+            from sinker_spark import ivm_doc_sql
+
+            docs = ivm_doc_sql.serve_docs_sql(sql_doc, touched, rows_for)
+            upserts = docs.select(
+                F.col(spec.key).cast("string").alias(view.key),
+                F.lit(UPSERT).alias("op"),
+                F.col("doc"),
+            )
+        else:
+            docs = ivm_flagship.serve_docs(spec, touched, rows_for)
+            upserts = docs.select(
+                F.col(spec.key).cast("string").alias(view.key),
+                F.lit(UPSERT).alias("op"),
+                F.struct(*[F.col(c) for c in docs.columns]).alias("doc"),
+            )
         doc_type = upserts.schema["doc"].dataType
         deletes = touched.join(docs.select(spec.key), [spec.key], "left_anti").select(
             F.col(spec.key).cast("string").alias(view.key),

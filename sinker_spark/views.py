@@ -607,6 +607,15 @@ class ViewDef:
     # reference MV shape (compiler/correlate.py) so a course_mv.sql user
     # gets O(affected-docs) refresh with zero Python.
     affected_rows_keys: Callable[[SparkSession, DataFrame], DataFrame | None] | None = None
+    # Opt-in SQL→doc-tree derivation (ivm_doc_sql): when True and the
+    # view SQL fits the doc grammar (one parent + correlated to-one
+    # chain + json_agg child arrays — the reference course_mv shape),
+    # the engine derives a DocTreeViewSpec at backfill and maintains the
+    # view as a pure delta fold. Opt-in rather than default because the
+    # fold needs before-image CDC: payload-less streams would route
+    # every batch through the heavier lane-repair path instead of the
+    # auto-derived targeted refresh.
+    sql_doctree: bool = False
 
     def __post_init__(self) -> None:
         if (self.sql is None) == (self.fn is None):

@@ -116,3 +116,22 @@ def test_pg_conninfo_from_env(monkeypatch):
     assert "password='p\\'w'" in ci  # libpq quoting of embedded quote
     assert "sslmode='verify-full'" in ci
     assert "sslrootcert='/etc/ssl/root.crt'" in ci
+
+
+def test_sql_doctree_env_knob(monkeypatch, tmp_path):
+    import json as _json
+
+    from sinker_spark.config import EngineConfig
+
+    (tmp_path / "views_to_indices.json").write_text(
+        _json.dumps({"v1": "idx1"})
+    )
+    (tmp_path / "v1.sql").write_text("select id, name from t1")
+    monkeypatch.setenv("SINKER_SPARK_SQL_DOCTREE", "1")
+    cfg = EngineConfig.from_env()
+    assert cfg.sql_doctree is True
+    cfg.definitions_path = str(tmp_path)
+    views = cfg.load_views()
+    assert views[0].sql_doctree is True
+    monkeypatch.delenv("SINKER_SPARK_SQL_DOCTREE")
+    assert EngineConfig.from_env().sql_doctree is False

@@ -1,0 +1,271 @@
+"""SQL-declared doc-tree lane (ivm_doc_sql): the reference's own
+course_mv.sql, opted in with ``ViewDef(sql=…, sql_doctree=True)``, is
+maintained by the ENGINE as a pure delta fold on all five tables —
+golden-doc backfill parity, per-batch fold parity against the transpiled
+recompute, dim fan-out through the stored reverse indexes, replay
+idempotence, and the decline→repair path for before-image-less batches."""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from sinker_spark.ivm import SnapshotStore
+from sinker_spark.ivm_doc_sql import derive_sql_doctree
+from sinker_spark.runner import SyncEngine
+from sinker_spark.sinks.memory import InMemorySink, _row_to_plain
+from sinker_spark.views import ViewDef
+
+from tests import school_fixtures as fx
+
+CDC_FULL = (
+    "lsn bigint, schema string, table string, op string, id string, "
+    "payload string, payload_before string"
+)
+COLS = {t: [c.split()[0] for c in fx.SCHEMAS[t].split(",")] for t in fx.SCHEMAS}
+
+
+def _payload(t, r):
+    return {c: (str(v) if isinstance(v, Decimal) else v) for c, v in zip(COLS[t], r)}
+
+
+def _cdc(spark, records):
+    """records: (lsn, table, op, id, payload_dict|None, before_dict|None)."""
+    rows = [
+        (lsn, "public", t, op, i,
+         json.dumps(p) if p else None, json.dumps(b) if b else None)
+        for lsn, t, op, i, p, b in records
+    ]
+    return spark.createDataFrame(rows, CDC_FULL)
+
+
+def _engine(spark, tmp_path):
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_mv", sql=fx.COURSE_MV_SQL, index="courses",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink, SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_mv"].doctree is not None  # lane derived
+    return eng, sink
+
+
+def _check(spark, eng, sink):
+    want = {
+        r[0]: _row_to_plain(r[1])
+        for r in eng.views["course_mv"].compile(spark).collect()
+    }
+    assert sink.indices.get("courses", {}) == want
+
+
+def test_derivation_shape():
+    import tempfile
+
+    from sinker_spark.session import get_spark
+
+    spark = get_spark("t")
+    fx.register(spark, tempfile.mkdtemp())
+    sd = derive_sql_doctree(spark, fx.COURSE_MV_SQL)
+    assert sd is not None
+    assert sd.spec.parent_table == "course"
+    assert [d.table for d in sd.spec.dims] == ["teacher", "person"]
+    assert [(c.table, c.fk, c.alias) for c in sd.spec.children] == [
+        ("enrollment", "course_id", "enrollments")
+    ]
+    assert [d.table for d in sd.spec.children[0].dims] == ["student", "person"]
+    # out-of-grammar SQL refuses derivation
+    assert derive_sql_doctree(spark, fx.PERSON_MV_SQL) is None
+
+
+def test_backfill_golden_then_fold_all_tables(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    assert sink.get("courses", "c-1") == fx.GOLDEN_C1
+    _check(spark, eng, sink)
+
+    # ONE batch mutating every constituent table, with before-images
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["person"][0][1] = "Johnny"                       # p-1 rename
+    rows["teacher"][0][2] = Decimal("111111.00")          # t-1 salary
+    rows["course"][2][1] = "Bizchain 2"                   # c-3 rename
+    rows["student"][1][3] = Decimal("2.22")               # s-2 gpa
+    e_new = ["e-9", "s-1", "c-3", Decimal("1.00")]
+    rows["enrollment"].append(e_new)                      # insert
+    e_del = ["e-4", "s-2", "c-2", Decimal("3.14")]
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[0] != "e-4"]
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    batch = _cdc(spark, [
+        (1, "person", "UPDATE", "p-1", _payload("person", rows["person"][0]),
+         _payload("person", ("p-1", "John"))),
+        (2, "teacher", "UPDATE", "t-1", _payload("teacher", rows["teacher"][0]),
+         _payload("teacher", ("t-1", "p-3", "100000.00"))),
+        (3, "course", "UPDATE", "c-3", _payload("course", rows["course"][2]),
+         _payload("course", ("c-3", "Bizchain", "How to build a business on-chain", "t-2"))),
+        (4, "student", "UPDATE", "s-2", _payload("student", rows["student"][1]),
+         _payload("student", ("s-2", "p-2", True, "3.99"))),
+        (5, "enrollment", "INSERT", "e-9", _payload("enrollment", e_new), None),
+        (6, "enrollment", "DELETE", "e-4", None, _payload("enrollment", e_del)),
+    ])
+    eng.process_cdc_batch(batch, epoch_id=1)
+    assert eng.last_stats["course_mv"].get("doc_tree") == 1
+    _check(spark, eng, sink)
+    # verbatim redelivery: signed fold must not double-apply
+    eng.process_cdc_batch(batch, epoch_id=1)
+    _check(spark, eng, sink)
+
+
+def test_dim_rename_folds_exact_fanout(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    n0 = len(sink.action_log)
+    # p-3 → teacher t-1 → courses c-1, c-2 only (reverse-index walk)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["person"][2][1] = "Prof G2"
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "person", "UPDATE", "p-3", _payload("person", rows["person"][2]),
+         _payload("person", ("p-3", "Prof Georgios"))),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"c-1", "c-2"}
+    assert sink.get("courses", "c-1")["teacher"]["person"]["name"] == "Prof G2"
+    _check(spark, eng, sink)
+
+
+def test_teacher_delete_serves_null_not_retraction(spark, tmp_path):
+    """SQL semantics diverge from the flat DocTreeViewSpec lane: a
+    broken chain serves teacher=NULL, the doc SURVIVES (scalar-subquery
+    semantics of the transpiled compile)."""
+    eng, sink = _engine(spark, tmp_path)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["teacher"] = [r for r in rows["teacher"] if r[0] != "t-1"]
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "teacher", "DELETE", "t-1", None,
+         _payload("teacher", ("t-1", "p-3", "100000.00"))),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_mv"].get("doc_tree") == 1
+    assert sink.get("courses", "c-1") is not None
+    assert sink.get("courses", "c-1")["teacher"] is None
+    _check(spark, eng, sink)
+
+
+def test_parent_delete_retracts_and_childless_serves_empty_array(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["course"] = [r for r in rows["course"] if r[0] != "c-2"]
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[2] != "c-2"]
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "course", "DELETE", "c-2", None,
+         _payload("course", ("c-2", "ZK Proofs", "Sometimes zero knowledge is more than enough", "t-1"))),
+        (2, "enrollment", "DELETE", "e-3", None,
+         _payload("enrollment", ("e-3", "s-1", "c-2", "3.50"))),
+        (3, "enrollment", "DELETE", "e-4", None,
+         _payload("enrollment", ("e-4", "s-2", "c-2", "3.14"))),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_mv"].get("doc_tree") == 1
+    assert sink.get("courses", "c-2") is None
+    _check(spark, eng, sink)
+
+    # remove c-3's only enrollment: doc serves [] (Spark aggregate
+    # semantics of the transpiled compile), not NULL
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[0] != "e-5"]
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "enrollment", "DELETE", "e-5", None,
+         _payload("enrollment", ("e-5", "s-1", "c-3", "3.50"))),
+    ]), epoch_id=2)
+    assert sink.get("courses", "c-3")["enrollments"] == []
+    _check(spark, eng, sink)
+
+
+def test_missing_before_image_routes_to_repair(spark, tmp_path):
+    eng, sink = _engine(spark, tmp_path)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[0] != "e-5"]
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "DELETE", "e-5", None, None),
+    ]), epoch_id=1)
+    assert "lane_fallback" in eng.last_stats["course_mv"]
+    _check(spark, eng, sink)
+    # next foldable batch folds again (repair restored the states)
+    e_new = ["e-9", "s-2", "c-3", Decimal("2.00")]
+    rows["enrollment"].append(e_new)
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "enrollment", "INSERT", "e-9", _payload("enrollment", e_new), None),
+    ]), epoch_id=2)
+    assert eng.last_stats["course_mv"].get("doc_tree") == 1
+    _check(spark, eng, sink)
+
+
+def test_randomized_fold_soak(spark, tmp_path):
+    """Seeded multi-batch churn on all five tables with before-images:
+    fold parity against the transpiled recompute after every batch."""
+    import random
+
+    rng = random.Random(517001)
+    eng, sink = _engine(spark, tmp_path)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    lsn, next_e = 100, 20
+    for b in range(10):
+        records = []
+        for _ in range(rng.randrange(1, 4)):
+            roll = rng.random()
+            if roll < 0.2:
+                r = rng.choice(rows["person"])
+                old = list(r)
+                r[1] = f"{r[1]}~{b}"
+                records.append((lsn, "person", "UPDATE", r[0],
+                                _payload("person", r), _payload("person", old)))
+            elif roll < 0.35:
+                r = rng.choice(rows["teacher"])
+                old = list(r)
+                r[2] = Decimal(f"{rng.randrange(50000, 150000)}.00")
+                records.append((lsn, "teacher", "UPDATE", r[0],
+                                _payload("teacher", r), _payload("teacher", old)))
+            elif roll < 0.5:
+                r = rng.choice(rows["course"])
+                old = list(r)
+                r[3] = rng.choice(["t-1", "t-2", "t-404"])  # incl. dangling
+                records.append((lsn, "course", "UPDATE", r[0],
+                                _payload("course", r), _payload("course", old)))
+            elif roll < 0.65 and rows["enrollment"]:
+                r = rng.choice(rows["enrollment"])
+                old = list(r)
+                r[2] = rng.choice([c[0] for c in rows["course"]])
+                records.append((lsn, "enrollment", "UPDATE", r[0],
+                                _payload("enrollment", r), _payload("enrollment", old)))
+            elif roll < 0.8:
+                r = [f"e-n{next_e}", rng.choice(["s-1", "s-2"]),
+                     rng.choice([c[0] for c in rows["course"]]), Decimal("3.00")]
+                next_e += 1
+                rows["enrollment"].append(r)
+                records.append((lsn, "enrollment", "INSERT", r[0],
+                                _payload("enrollment", r), None))
+            elif roll < 0.9 and len(rows["enrollment"]) > 1:
+                i = rng.randrange(len(rows["enrollment"]))
+                old = rows["enrollment"].pop(i)
+                records.append((lsn, "enrollment", "DELETE", old[0],
+                                None, _payload("enrollment", old)))
+            else:
+                r = rng.choice(rows["student"])
+                old = list(r)
+                r[3] = Decimal(f"{rng.randrange(200, 400) / 100:.2f}")
+                records.append((lsn, "student", "UPDATE", r[0],
+                                _payload("student", r), _payload("student", old)))
+            lsn += 1
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+        eng.process_cdc_batch(_cdc(spark, records), epoch_id=b)
+        assert eng.last_stats["course_mv"].get("doc_tree") == 1, b
+        _check(spark, eng, sink)
