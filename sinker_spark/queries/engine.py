@@ -1592,3 +1592,183 @@ def ivm_multi_child_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("supps_str"),
     )
+
+
+@query(
+    "ivm_sql_doctree_course",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 4 = 0 THEN c_name || '*' ELSE c_name END AS name,
+             c_nationkey AS nat
+      FROM customer),
+    n_post AS (
+      SELECT n_nationkey AS id,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS name
+      FROM nation),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_quantity AS BIGINT) AS qty,
+             l_partkey AS pk
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    p_post AS (
+      SELECT p_partkey AS id,
+             CASE WHEN p_partkey % 10 = 0 THEN p_name || '+' ELSE p_name END AS name
+      FROM part),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT id FROM o_post WHERE cust % 4 = 0
+        UNION ALL SELECT o.id FROM o_post o JOIN c_post c ON o.cust = c.id
+                  WHERE c.nat % 2 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+        UNION ALL SELECT oid FROM i_post WHERE pk % 10 = 0
+      )
+    )
+    SELECT o.id, o.status,
+           c.name AS cust_name, n.name AS nation_name,
+           CAST(COALESCE(ia.n, 0) AS BIGINT) AS n_items,
+           COALESCE(ia.s, '') AS items_str
+    FROM o_post o
+    JOIN touched USING (id)
+    LEFT JOIN c_post c ON o.cust = c.id
+    LEFT JOIN n_post n ON c.nat = n.id
+    LEFT JOIN (
+      SELECT i.oid, COUNT(*) AS n,
+             string_agg(i.qty || ':' || p.name, ';' ORDER BY i.qty, p.name) AS s
+      FROM i_post i LEFT JOIN p_post p ON i.pk = p.id
+      GROUP BY i.oid) ia ON o.id = ia.oid""",
+    doc=(
+        "SQL-DECLARED doc-tree lane (ivm_doc_sql): a course_mv-shaped "
+        "view written as PG SQL over id-keyed mirrors of orders/customer/"
+        "nation/lineitem/part is compiled to the doc-tree lane with ZERO "
+        "Python — derive_sql_doctree parses the correlation tree + doc "
+        "templates and the SAME multiplicity/reverse-index machinery "
+        "folds one batch mutating all five tables (order inserts+deletes, "
+        "customer/nation/part renames, item churn); serve_docs_sql "
+        "rebuilds the touched docs in the TRANSPILED compile's nested "
+        "shape. Output flattened for hashing; oracle rebuilds the same "
+        "touched docs from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_doctree_course(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("sdt_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    ).createOrReplaceTempView("sdt_cust")
+    t["nation"].select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    ).createOrReplaceTempView("sdt_nation")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_partkey").alias("pk"),
+    ).createOrReplaceTempView("sdt_item")
+    t["part"].select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    ).createOrReplaceTempView("sdt_part")
+
+    # the reference MV grammar, zero Python in the declaration
+    sql = """select id, json_build_object('status', status,
+      'customer', (select json_build_object('name', name,
+                     'nation', (select json_build_object('name', name)
+                                from sdt_nation where sdt_nation.id = nat))
+                   from sdt_cust where sdt_cust.id = cust),
+      'items', (select json_agg(json_build_object('qty', qty,
+                  'part', (select json_build_object('name', name)
+                           from sdt_part where sdt_part.id = pk)))
+                from sdt_item where sdt_item.oid = sdt_order.id)
+    ) as doc from sdt_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "course-shaped SQL must derive the doc-tree lane"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("sdt_order")
+    c_all = spark.table("sdt_cust")
+    n_all = spark.table("sdt_nation")
+    i_all = spark.table("sdt_item").select("oid", "qty", "pk")  # state cols
+    p_all = spark.table("sdt_part")
+    i_lines = spark.table("sdt_item")  # incl. line, for the churn rules
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+
+    def rename(all_df, pred, suffix):
+        new = all_df.withColumn(
+            "name",
+            F.when(pred, F.concat(F.col("name"), F.lit(suffix))).otherwise(F.col("name")),
+        )
+        ch = (
+            all_df.where(pred).withColumn("__op", dele)
+            .unionByName(new.where(pred).withColumn("__op", ins))
+        )
+        return new, ch
+
+    _c_new, c_ch = rename(c_all, F.col("id") % 4 == 0, "*")
+    _n_new, n_ch = rename(n_all, F.col("id") % 2 == 0, "!")
+    _p_new, p_ch = rename(p_all, F.col("id") % 10 == 0, "+")
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in).select("oid", "qty", "pk")
+    i_ch = (
+        i_lines.where(churn_in).select("oid", "qty", "pk").withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .select("oid", "qty", "pk").withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "d1": apply_join_state(relation_state(n_all), changes_to_mult(n_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+        "c0d0": apply_join_state(relation_state(p_all), changes_to_mult(p_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "d0": c_ch.select("id"),
+        "d1": n_ch.select("id"),
+        "c0": i_ch.select("oid"),
+        "c0d0": p_ch.select("id"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.col("doc.customer.name").alias("cust_name"),
+        F.col("doc.customer.nation.name").alias("nation_name"),
+        F.size("doc.items").cast("bigint").alias("n_items"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.items"),
+                lambda x: F.concat_ws(
+                    ":", x["qty"].cast("bigint").cast("string"), x["part"]["name"]
+                ),
+            ),
+        ).alias("items_str"),
+    )
