@@ -210,7 +210,10 @@ def test_missing_before_image_routes_to_repair(spark, tmp_path):
 
 def test_randomized_fold_soak(spark, tmp_path):
     """Seeded multi-batch churn on all five tables with before-images:
-    fold parity against the transpiled recompute after every batch."""
+    fold parity against the transpiled recompute after every batch.
+    Every 4th batch drops one before-image, forcing a decline→repair
+    mid-soak — the NEXT batch must fold again off the repaired states
+    (fold→repair→fold transitions under churn)."""
     import random
 
     rng = random.Random(517001)
@@ -218,6 +221,7 @@ def test_randomized_fold_soak(spark, tmp_path):
     rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
     lsn, next_e = 100, 20
     for b in range(10):
+        drop_image = b % 4 == 3
         records = []
         for _ in range(rng.randrange(1, 4)):
             roll = rng.random()
@@ -264,8 +268,16 @@ def test_randomized_fold_soak(spark, tmp_path):
                 records.append((lsn, "student", "UPDATE", r[0],
                                 _payload("student", r), _payload("student", old)))
             lsn += 1
+        if drop_image:
+            for i, rec in enumerate(records):
+                if rec[2] in ("UPDATE", "DELETE") and rec[5] is not None:
+                    records[i] = rec[:5] + (None,)
+                    break
         fx.register(spark, str(tmp_path / "tables"),
                     {k: [tuple(r) for r in v] for k, v in rows.items()})
         eng.process_cdc_batch(_cdc(spark, records), epoch_id=b)
-        assert eng.last_stats["course_mv"].get("doc_tree") == 1, b
+        stats = eng.last_stats["course_mv"]
+        assert stats.get("doc_tree") == 1 or "lane_fallback" in stats, (b, stats)
+        if not drop_image:
+            assert stats.get("doc_tree") == 1, (b, stats)
         _check(spark, eng, sink)
