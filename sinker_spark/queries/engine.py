@@ -1772,3 +1772,101 @@ def ivm_sql_doctree_course(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("items_str"),
     )
+
+
+@query(
+    "correlate_affected_keys_walk",
+    oracle="""
+    WITH affected AS (
+      -- customer renames (id %4): orders carrying those custs
+      SELECT o_orderkey AS id FROM orders WHERE o_custkey % 4 = 0
+      UNION
+      -- nation renames (id %2): custs in those nations -> their orders
+      SELECT o.o_orderkey FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey % 2 = 0
+      UNION
+      -- item re-points (oid %13): BOTH images' parent ids (the payload
+      -- fk and the before-image fk)
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 13 = 0
+      UNION
+      SELECT DISTINCT l_orderkey + 1 FROM lineitem WHERE l_orderkey % 13 = 0
+    )
+    SELECT a.id FROM affected a JOIN orders o ON a.id = o.o_orderkey""",
+    doc=(
+        "REVERSE-LINEAGE WALK of the auto-derived targeted-refresh hook "
+        "(compiler/correlate.derive_affected_rows_keys) AS A QUERY: the "
+        "course-shaped SQL view's correlation tree maps a synthetic CDC "
+        "batch (customer renames, nation renames, item re-points with "
+        "payload + before-image fks) to the affected parent ids via "
+        "semi-join walks - no driver-side key collection, both fk images "
+        "of every re-pointed child reach the docs it joined AND left. "
+        "Oracle recomputes the same affected set relationally (restricted "
+        "to live parents, as the scoped recompute would)"
+    ),
+    tags=("A11", "A6", "targeted-refresh", "composition"),
+)
+def correlate_affected_keys_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.compiler.correlate import derive_affected_rows_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("caw_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    ).createOrReplaceTempView("caw_cust")
+    t["nation"].select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    ).createOrReplaceTempView("caw_nation")
+    t["lineitem"].select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("caw_item")
+
+    sql = """select id, json_build_object('status', status,
+      'customer', (select json_build_object('name', name,
+                     'nation', (select json_build_object('name', name)
+                                from caw_nation where caw_nation.id = nat))
+                   from caw_cust where caw_cust.id = cust),
+      'items', (select json_agg(json_build_object('qty', qty))
+                from caw_item where caw_item.oid = caw_order.id)
+    ) as doc from caw_order"""
+    hook = derive_affected_rows_keys(sql)
+    assert hook is not None, "course-shaped SQL must derive the walk hook"
+
+    cust_ch = spark.table("caw_cust").where(F.col("id") % 4 == 0).select(
+        F.lit("caw_cust").alias("table"), F.lit("UPDATE").alias("op"),
+        F.col("id").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("payload"),
+        F.lit(None).cast("string").alias("payload_before"),
+    )
+    nat_ch = spark.table("caw_nation").where(F.col("id") % 2 == 0).select(
+        F.lit("caw_nation").alias("table"), F.lit("UPDATE").alias("op"),
+        F.col("id").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("payload"),
+        F.lit(None).cast("string").alias("payload_before"),
+    )
+    # item re-points: synthetic UPDATE whose payload fk is the CURRENT
+    # parent and whose before-image fk is parent+1 (the doc it "left")
+    item_ch = (
+        spark.table("caw_item").where(F.col("oid") % 13 == 0)
+        .select("oid").distinct()
+        .select(
+            F.lit("caw_item").alias("table"), F.lit("UPDATE").alias("op"),
+            F.concat(F.lit("i"), F.col("oid").cast("string")).alias("id"),
+            F.to_json(F.struct(F.col("oid"))).alias("payload"),
+            F.to_json(F.struct((F.col("oid") + 1).alias("oid"))).alias("payload_before"),
+        )
+    )
+    rows = cust_ch.unionByName(nat_ch).unionByName(item_ch)
+    scope = hook(spark, rows)
+    assert scope is not None, "fully-imaged batch must be targetable"
+    # the scoped recompute only serves live parents — restrict like it
+    return scope.join(
+        spark.table("caw_order").select(F.col("id").cast("string").alias("id")),
+        "id", "left_semi",
+    ).select(F.col("id").cast("bigint").alias("id"))
