@@ -112,6 +112,11 @@ class CorrelationTree:
     nodes: list[CorrNode]  # every node, any depth
     sql: str = ""          # normalized SQL the node spans index into
     n_root_joins: int = 0  # main-FROM join dims (span=None nodes)
+    # root-block WHERE predicate text (no leading WHERE), or None. The
+    # grammar allows it (_parse_root_from's tail); consumers that serve
+    # documents from state (ivm_doc_sql) must apply it or bail — a view
+    # with a root filter serves only the rows passing it.
+    where_text: str | None = None
 
     def tables(self) -> set[str]:
         return {self.parent_table} | {n.table for n in self.nodes}
@@ -319,6 +324,12 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
     wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), root_own)
     if wm and any(s >= wm.start() for s, _ in top):
         return None
+    # root WHERE predicate (positions in root_own == positions in sql:
+    # _own_text is length-preserving, and the subquery-in-WHERE bail
+    # above guarantees the clause text is verbatim in both)
+    where_text = sql[wm.end():].strip() if wm else None
+    if where_text == "":
+        return None
 
     # main-FROM to-one join chain → one CorrNode per dim, linked to the
     # relation carrying the fk (the parent or an earlier join dim)
@@ -404,7 +415,7 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
         return None  # single-table views use the simpler id convention
     return CorrelationTree(
         root_rel.table, root_rel.alias, id_col, nodes,
-        sql=sql, n_root_joins=len(root_joins),
+        sql=sql, n_root_joins=len(root_joins), where_text=where_text,
     )
 
 
@@ -425,12 +436,15 @@ def derive_affected_rows_keys(sql: str, id_col: str = "id"):
     validated: dict[str, bool] = {}
 
     def _valid(spark) -> bool:
-        """One-time schema sanity check: every parsed column exists on
-        the side the parse assigned it to, and no to-one outer column is
+        """Schema sanity check: every parsed column exists on the side
+        the parse assigned it to, and no to-one outer column is
         AMBIGUOUS (also a column of the subquery table — an unqualified
-        ``teacher_id`` could then have bound to the wrong relation)."""
-        if "ok" in validated:
-            return validated["ok"]
+        ``teacher_id`` could then have bound to the wrong relation).
+        Only a True verdict is cached: a transient catalog failure
+        (first CDC batch arriving before table registration) must not
+        permanently disable targeted refresh for the hook's lifetime."""
+        if validated.get("ok"):
+            return True
 
         def cols(t: str) -> set[str] | None:
             try:
@@ -453,8 +467,9 @@ def derive_affected_rows_keys(sql: str, id_col: str = "id"):
                 # column also exists on the subquery's own table the ref
                 # bound THERE and our outer-edge parse is wrong
                 ok &= n.outer_col not in scols
-        validated["ok"] = bool(ok)
-        return validated["ok"]
+        if ok:
+            validated["ok"] = True
+        return bool(ok)
 
     def _sc(col: str) -> "F.Column":
         return F.col(col).cast("string")
@@ -548,16 +563,25 @@ def derive_affected_rows_keys(sql: str, id_col: str = "id"):
                 .unionByName(t_rows.select(F.col("__fk_old").alias("__cv")))
                 .where(F.col("__cv").isNotNull()).distinct()
             )
-            # payload-less INSERTs: resolve fks from the live table; a
-            # changed row visible NOWHERE (no payload fk, no live row)
-            # leaves an unreachable parent → full refresh
+            # Rows without an after-image fk resolve it from the live
+            # table — covers payload-less INSERTs AND updates whose CDC
+            # payload omits unchanged columns (the before-image alone
+            # would miss the row's NEW parent when only non-fk columns
+            # changed but the sink payload must still refresh). A
+            # genuinely NULL live fk resolves to no parent and is
+            # filtered below. Only a row visible NOWHERE (no payload fk
+            # at all, no live row — an INSERT-then-gone) leaves an
+            # unreachable parent → full refresh.
             uncovered = t_rows.where(
-                F.col("__fk_new").isNull() & F.col("__fk_old").isNull()
+                (F.col("op") != "DELETE") & F.col("__fk_new").isNull()
             ).select("__cid").distinct()
             live = spark.table(node.table).join(
                 uncovered, _sc(id_col) == F.col("__cid"), "inner"
             )
-            if uncovered.join(
+            both_null = t_rows.where(
+                F.col("__fk_new").isNull() & F.col("__fk_old").isNull()
+            ).select("__cid").distinct()
+            if both_null.join(
                 live.select(_sc(id_col).alias("__cid")), "__cid", "left_anti"
             ).limit(1).count():
                 return None

@@ -29,15 +29,22 @@ JOINs and ``json_agg`` into ``sort_array(collect_list(named_struct))``)
 - decimals inside the doc canonicalize to double exactly as
   ``ViewDef.compile`` does (views._decimals_to_double).
 
+A root-block WHERE is supported when the predicate transpiles to a
+Spark expression over parent columns only: the serve applies it, so a
+parent row crossing the predicate retracts/creates its doc exactly as
+the compiled view would.
+
 Shape restrictions (anything else returns None and the view keeps the
 targeted/full lanes): one linear to-one chain at the root, N child
 arrays each with one linear element to-one chain, no to-many blocks
-below the root, no main-FROM joins, and every template value a column
-of its own block's relation.
+below the root, no main-FROM joins, every template value a column of
+its own block's relation, no ambiguous unqualified outer refs, and any
+root WHERE restricted to parent columns.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +54,7 @@ from sinker_spark.compiler.correlate import (
     CorrelationTree,
     CorrNode,
     DocTemplate,
+    _search_depth0,
     parse_correlation_tree,
     parse_doc_templates,
 )
@@ -66,6 +74,84 @@ class SqlDocTree:
     chain: list[CorrNode]               # root to-one chain, outermost first
     child_nodes: list[CorrNode]         # root to-many nodes, template order
     child_chains: list[list[CorrNode]]  # element to-one chain per child
+    # transpiled root WHERE predicate over BARE parent columns (None =
+    # unfiltered view); the serve applies it so filtered-out parents are
+    # retracted exactly as the compiled view omits them
+    where_expr: str | None = None
+
+
+# identifiers legal in a served WHERE predicate that are NOT column
+# references: SQL keywords, literals and the type names reachable after
+# ``CAST(x AS <type>)`` — anything else unresolved against the parent
+# schema bails the derivation (the targeted/full lanes stay sound)
+_PRED_KEYWORDS = frozenset({
+    "and", "or", "not", "true", "false", "null", "is", "in", "like",
+    "ilike", "rlike", "regexp", "between", "case", "when", "then", "else",
+    "end", "cast", "try_cast", "as", "escape", "distinct", "interval",
+    "div", "current_date", "current_timestamp",
+    "int", "integer", "bigint", "smallint", "tinyint", "double", "float",
+    "real", "decimal", "numeric", "string", "text", "varchar", "char",
+    "boolean", "bool", "date", "timestamp", "precision", "varying",
+})
+_QUALIFIED_REF = re.compile(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_\"`]")
+_BARE_IDENT = re.compile(r"\b([A-Za-z_]\w*)\b")
+
+
+def _compile_root_where(
+    spark: SparkSession, tree: CorrelationTree, parent_cols: "dict[str, str]"
+) -> "tuple[str, list[str]] | None":
+    """Transpile the root-block WHERE predicate to a Spark expression
+    over BARE parent columns. Returns ``(spark_pred,
+    referenced_parent_cols)``, or None when the predicate is outside
+    what the state-serve can apply (a qualifier that isn't the parent,
+    an identifier that is neither a keyword, a function call nor a
+    parent column, or a transpile/analysis failure)."""
+    from sinker_spark.compiler.transpile import (
+        _literal_spans,
+        _strip_table_qualifiers,
+        transpile,
+    )
+
+    try:
+        t = transpile(
+            f"select {tree.id_col} from {tree.parent_table} "
+            f"where {tree.where_text}"
+        )
+    except Exception:
+        return None
+    wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), t)
+    if not wm:
+        return None
+    pred = _strip_table_qualifiers(
+        t[wm.end():].strip(), {tree.parent_table, tree.parent_alias}
+    )
+    lits = _literal_spans(pred)
+
+    def in_lit(i: int) -> bool:
+        return any(s <= i < e for s, e in lits)
+
+    for m in _QUALIFIED_REF.finditer(pred):
+        if not in_lit(m.start()):
+            return None  # a qualified ref the parent aliases didn't cover
+    cols: list[str] = []
+    for m in _BARE_IDENT.finditer(pred):
+        if in_lit(m.start()):
+            continue
+        ident = m.group(1).lower()
+        if ident in _PRED_KEYWORDS:
+            continue
+        rest = pred[m.end():]
+        if rest.lstrip().startswith("("):
+            continue  # function call
+        if ident not in parent_cols:
+            return None
+        cols.append(ident)
+    try:
+        probe = spark.table(tree.parent_table).where(F.expr(pred))
+        probe.schema  # force analysis: unknown functions/columns raise
+    except Exception:
+        return None
+    return pred, cols
 
 
 def _linear_chain(
@@ -95,6 +181,33 @@ def derive_sql_doctree(
     if templates is None:
         return None
 
+    def cols_of(t: str) -> dict[str, str] | None:
+        try:
+            return {f.name.lower(): f.dataType.simpleString()
+                    for f in spark.table(t).schema.fields}
+        except Exception:
+            return None
+
+    # PG binds unqualified outer refs innermost-scope first: if the
+    # column also names a column of the subquery's own table, the ref
+    # bound THERE and the parsed edge is wrong — same guard as
+    # derive_affected_rows_keys._valid (compiler/correlate.py)
+    for n in tree.nodes:
+        if not n.outer_qualified:
+            own = cols_of(n.table)
+            if own is None or n.outer_col in own:
+                return None
+
+    # root WHERE: serve only rows passing it (the compiled view omits
+    # them; without this the fold lane would upsert filtered-out docs)
+    where_expr: str | None = None
+    where_cols: list[str] = []
+    if tree.where_text is not None:
+        compiled = _compile_root_where(spark, tree, cols_of(tree.parent_table) or {})
+        if compiled is None:
+            return None
+        where_expr, where_cols = compiled
+
     root_nodes = [v for _k, (kind, v) in templates[None].entries if kind == "node"]
     chain_heads = [n for n in root_nodes if n.to_one(id_col)]
     child_nodes = [n for n in root_nodes if not n.to_one(id_col)]
@@ -115,13 +228,6 @@ def derive_sql_doctree(
             return None
         child_chains.append(echain)
 
-    def cols_of(t: str) -> dict[str, str] | None:
-        try:
-            return {f.name.lower(): f.dataType.simpleString()
-                    for f in spark.table(t).schema.fields}
-        except Exception:
-            return None
-
     def ddl(table: str, needed: list[str]) -> str | None:
         have = cols_of(table)
         if have is None or any(c not in have for c in needed):
@@ -136,7 +242,8 @@ def derive_sql_doctree(
         return [c for c in cols if not (c in seen or seen.add(c))]
 
     parent_needed = uniq(
-        [id_col] + tpl_cols(None) + ([chain[0].outer_col] if chain else [])
+        [id_col] + tpl_cols(None) + where_cols
+        + ([chain[0].outer_col] if chain else [])
     )
     parent_ddl = ddl(tree.parent_table, parent_needed)
     if parent_ddl is None:
@@ -181,7 +288,8 @@ def derive_sql_doctree(
         parent_table=tree.parent_table, key=id_col,
         row_schema_parent=parent_ddl, dims=dims, children=children,
     )
-    return SqlDocTree(spec, tree, templates, chain, child_nodes, child_chains)
+    return SqlDocTree(spec, tree, templates, chain, child_nodes, child_chains,
+                      where_expr=where_expr)
 
 
 def _prefixed(df: DataFrame, pre: str) -> DataFrame:
@@ -201,6 +309,10 @@ def serve_docs_sql(
     states = {s.suffix: s for s in doc_tree_states(spec)}
     tkeys = touched.toDF(id_col)
     cur = expand_mult(rows_for(states["p"], tkeys))
+    if sd.where_expr is not None:
+        # root WHERE: a touched parent failing the predicate serves no
+        # doc → the caller emits the DELETE (compiled-view parity)
+        cur = cur.where(F.expr(sd.where_expr))
 
     def build_struct(node: CorrNode, pre_of: dict) -> F.Column:
         entries = []

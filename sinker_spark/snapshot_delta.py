@@ -209,6 +209,7 @@ class DeltaSnapshotStore:
     def vacuum(
         self,
         view: str,
+        *,
         keep_last: int | None = None,
         retention_hours: float = 168.0,
     ) -> list[int]:

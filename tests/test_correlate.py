@@ -404,3 +404,41 @@ def test_join_chain_engine_targets_through_dim(spark, tmp_path):
     eng.process_cdc_batch(_cdc(spark, [(2, "teacher", "UPDATE", "t-2", None, None)]))
     assert {k for (_, op, k) in sink.action_log[n1:]} == {"c-3"}
     assert sink.get("cj", "c-3")["salary"] == 120000.0
+
+
+def test_update_missing_after_image_fk_resolves_live(spark, tmp_path):
+    """An UPDATE whose CDC payload omits the fk column (fk_new null —
+    payloads often omit unchanged columns) while the before-image
+    carries it must still reach the row's CURRENT parent via the live
+    table, not just the parent it left (r5 ADVICE)."""
+    fx.register(spark, str(tmp_path / "tables"))
+    hook = derive_affected_rows_keys(fx.COURSE_MV_SQL)
+    # live e-5 points at c-3; the (fabricated) before-image says c-2
+    rows = _cdc(spark, [
+        (1, "enrollment", "UPDATE", "e-5",
+         {"id": "e-5", "grade": "2.00"},
+         {"id": "e-5", "student_id": "s-1", "course_id": "c-2", "grade": "3.50"}),
+    ])
+    out = hook(spark, rows)
+    assert out is not None
+    got = {r[0] for r in out.collect()}
+    assert {"c-2", "c-3"} <= got
+
+
+def test_valid_retries_after_catalog_registration(spark):
+    """A transient catalog failure (first CDC batch arriving before the
+    tables are registered) must not permanently disable targeted
+    refresh: only the True verdict is cached (r5 ADVICE)."""
+    hook = derive_affected_rows_keys(
+        "select id, (select w from vr_b where vr_b.id = bref) as d from vr_a"
+    )
+    rows = spark.createDataFrame(
+        [(1, "public", "vr_b", "UPDATE", "b1", None, None)], CDC_FULL
+    )
+    assert hook(spark, rows) is None  # tables not registered yet
+    spark.createDataFrame([("a1", "b1", "x")], "id string, bref string, v string") \
+        .createOrReplaceTempView("vr_a")
+    spark.createDataFrame([("b1", "y")], "id string, w string") \
+        .createOrReplaceTempView("vr_b")
+    out = hook(spark, rows)
+    assert out is not None and {r[0] for r in out.collect()} == {"a1"}

@@ -281,3 +281,118 @@ def test_randomized_fold_soak(spark, tmp_path):
         if not drop_image:
             assert stats.get("doc_tree") == 1, (b, stats)
         _check(spark, eng, sink)
+
+
+# ------------------------------------------------------ root WHERE (r5 ADVICE)
+
+COURSE_MV_WHERE_SQL = fx.COURSE_MV_SQL + "\nwhere name not like 'Hidden%'"
+
+
+def test_root_where_serves_filter_and_retracts(spark, tmp_path):
+    """A root-block WHERE is part of the view: the fold lane must serve
+    only rows passing it and RETRACT a doc whose parent row crosses the
+    predicate (previously the predicate was dropped and filtered-out
+    rows were upserted — r5 ADVICE high)."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_w_mv", sql=COURSE_MV_WHERE_SQL, index="courses_w",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_w_mv"].doctree is not None  # lane still derives
+    assert sink.get("courses_w", "c-1") is not None
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_w_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_w", {}) == want
+
+    # rename c-1 INTO the filter → the FOLD lane must delete the doc
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    old_c1 = tuple(rows["course"][0])
+    rows["course"][0][1] = "Hidden Reth"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", old_c1)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_w_mv"].get("doc_tree") == 1
+    assert sink.get("courses_w", "c-1") is None
+    _parity()
+
+    # …and back OUT of the filter → upsert again, doc complete
+    prev = tuple(rows["course"][0])
+    rows["course"][0][1] = "Reth 2"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", prev)),
+    ]), epoch_id=2)
+    assert eng.last_stats["course_w_mv"].get("doc_tree") == 1
+    assert sink.get("courses_w", "c-1") is not None
+    assert sink.get("courses_w", "c-1")["name"] == "Reth 2"
+    _parity()
+
+    # a dim change must not resurrect a filtered-out doc: hide c-2,
+    # then rename its teacher's person — only c-1 refreshes
+    prev2 = tuple(rows["course"][1])
+    rows["course"][1][1] = "Hidden ZK"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", prev2)),
+    ]), epoch_id=3)
+    assert sink.get("courses_w", "c-2") is None
+    oldp = tuple(rows["person"][2])
+    rows["person"][2][1] = "Prof G3"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "person", "UPDATE", "p-3", _payload("person", rows["person"][2]),
+         _payload("person", oldp)),
+    ]), epoch_id=4)
+    assert eng.last_stats["course_w_mv"].get("doc_tree") == 1
+    assert sink.get("courses_w", "c-2") is None
+    assert sink.get("courses_w", "c-1")["teacher"]["person"]["name"] == "Prof G3"
+    _parity()
+
+
+def test_root_where_out_of_reach_predicates_bail(spark, tmp_path):
+    """Predicates the state-serve cannot apply refuse derivation (the
+    targeted/full lanes stay on): unknown columns, foreign qualifiers."""
+    import tempfile
+
+    fx.register(spark, tempfile.mkdtemp())
+    assert derive_sql_doctree(spark, fx.COURSE_MV_SQL + " where zz > 1") is None
+    assert derive_sql_doctree(
+        spark, fx.COURSE_MV_SQL + " where t9.name = 'x'"
+    ) is None
+    # …but a plain parent predicate derives
+    assert derive_sql_doctree(spark, COURSE_MV_WHERE_SQL) is not None
+
+
+def test_unqualified_outer_ambiguity_bails(spark):
+    """An unqualified outer ref whose column also exists on the
+    subquery's own table binds innermost-scope in PG — the doc-tree
+    derivation must bail like the targeted hook does (r5 ADVICE med)."""
+    spark.createDataFrame([("t1", "b1", "n")],
+                          "id string, buddy_id string, name string") \
+        .createOrReplaceTempView("dq_thing")
+    # dq_buddy carries ITS OWN buddy_id column → ambiguous binding
+    spark.createDataFrame([("b1", "x", "b9")],
+                          "id string, name string, buddy_id string") \
+        .createOrReplaceTempView("dq_buddy")
+    amb = ("select id, json_build_object('n', name, "
+           "'b', (select json_build_object('bn', name) from dq_buddy "
+           "where dq_buddy.id = buddy_id)) as doc from dq_thing")
+    assert derive_sql_doctree(spark, amb) is None
+    # control: same shape, no clashing column → derives
+    spark.createDataFrame([("b1", "x")], "id string, name string") \
+        .createOrReplaceTempView("dq_buddy2")
+    assert derive_sql_doctree(spark, amb.replace("dq_buddy", "dq_buddy2")) is not None
