@@ -99,6 +99,10 @@ class CorrNode:
     # SQL (None for main-FROM join nodes) — lets the doc-template parser
     # (parse_doc_templates) find each block's select expression
     span: "tuple[int, int] | None" = None
+    # main-FROM join nodes only: 'inner' (a missing dim row drops the
+    # parent row from the view) or 'left' (NULL dim columns); None for
+    # correlated-subquery nodes
+    join_how: "str | None" = None
 
     def to_one(self, id_col: str) -> bool:
         return self.sub_col == id_col
@@ -245,13 +249,13 @@ _ROOT_BAIL_PAT = re.compile(
 
 def _parse_root_from(
     own: str, id_col: str
-) -> tuple[_Rel, list[tuple[_Rel, str, str]]] | None:
+) -> tuple[_Rel, list[tuple[_Rel, str, str, str]]] | None:
     """Root FROM clause: one parent table followed by zero or more
     TO-ONE dim joins — ``[LEFT|INNER] JOIN dim [alias] ON a.x = b.y``
     where the dim-side column is the dim's id (a fan-out join would
     break the one-doc-per-parent-id key invariant, so anything else is
     out of grammar). Returns (parent rel, [(dim rel, prev-side
-    qualifier, prev-side fk col)] in join order)."""
+    qualifier, prev-side fk col, 'left'|'inner')] in join order)."""
     m = _search_depth0(_FROM_PAT, own)
     if not m:
         return None
@@ -265,12 +269,12 @@ def _parse_root_from(
         pos = m.end(1)
         alias = None
     parent = _Rel(_norm(m.group(1)), _norm(alias) if alias else _norm(m.group(1)))
-    joins: list[tuple[_Rel, str, str]] = []
+    joins: list[tuple[_Rel, str, str, str]] = []
     while True:
         jm = _JOIN_PAT.match(own, pos)
         if not jm:
             break
-        _how, tbl, jalias, q1, c1, q2, c2 = jm.groups()
+        how, tbl, jalias, q1, c1, q2, c2 = jm.groups()
         if jalias is not None and _norm(jalias) in _KEYWORDS:
             return None
         rel = _Rel(_norm(tbl), _norm(jalias) if jalias else _norm(tbl))
@@ -281,7 +285,9 @@ def _parse_root_from(
             return None
         if dim_side[0][1] != id_col:
             return None  # fan-out join: not keyed one-per-parent-row
-        joins.append((rel, prev_side[0][0], prev_side[0][1]))
+        joins.append(
+            (rel, prev_side[0][0], prev_side[0][1], "left" if how else "inner")
+        )
         pos = jm.end()
     tail = own[pos:]
     if re.match(r"\s*,", tail):
@@ -337,12 +343,12 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
     root_level: dict[str, tuple[_Rel, CorrNode | None]] = {
         n: (root_rel, None) for n in root_rel.names()
     }
-    for rel, prev_qual, prev_col in root_joins:
+    for rel, prev_qual, prev_col, how in root_joins:
         if prev_qual not in root_level:
             return None
         _prev_rel, prev_node = root_level[prev_qual]
         node = CorrNode(rel.table, rel.alias, id_col, prev_node, prev_col,
-                        outer_qualified=True)
+                        outer_qualified=True, join_how=how)
         if prev_node is not None:
             prev_node.children.append(node)
         nodes.append(node)
@@ -657,9 +663,14 @@ _COL_PAT = re.compile(rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})$")
 def _parse_jbo(
     sql: str, lo: int, hi: int, rel_names: set[str],
     span_nodes: dict[tuple[int, int], CorrNode],
+    join_names: "dict[str, CorrNode] | None" = None,
 ) -> DocTemplate | None:
     """``sql[lo:hi]`` must be exactly ``json_build_object(k, v, …)``;
-    values are own-relation columns or directly nested blocks."""
+    values are own-relation columns, directly nested blocks, or — in
+    the root block when main-FROM join dims exist (``join_names``
+    alias/table → join CorrNode) — join-dim columns, which become
+    ``('jcol', (node, col))`` entries. With join dims in scope an
+    UNQUALIFIED column value is ambiguous without schemas → None."""
     m = _JBO_PAT.match(sql, lo)
     if not m or m.start() != lo:
         return None
@@ -684,10 +695,15 @@ def _parse_jbo(
             return None
         qual = _norm(cm.group(1)) if cm.group(1) else None
         col = _norm(cm.group(2))
-        if qual is not None and qual not in rel_names:
-            return None
         if col in _KEYWORDS:
             return None
+        if join_names and qual is not None and qual in join_names:
+            entries.append((key, ("jcol", (join_names[qual], col))))
+            continue
+        if qual is not None and qual not in rel_names:
+            return None
+        if qual is None and join_names:
+            return None  # several root relations in scope: ambiguous
         entries.append((key, ("col", col)))
     return DocTemplate(entries)
 
@@ -698,17 +714,25 @@ def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemp
     else the CorrNode. Requirements (all bail to None):
 
     - the root select list is exactly ``<parent id>, json_build_object(…)
-      [AS alias]``;
+      [AS alias]`` (the id parent-qualified or bare; with main-FROM join
+      dims a bare id still binds to the parent — dim ids would be the
+      join key, and a dim-qualified id is out of grammar);
     - every to-one block is ``(select json_build_object(…) from … where …)``;
     - every to-many block is ``(select json_agg(json_build_object(…))
       from … where …)``;
-    - every template value is a column of the block's own relation or a
-      DIRECTLY nested block correlated to this block.
+    - every template value is a column of the block's own relation, a
+      DIRECTLY nested block correlated to this block, or — root block
+      only — a qualified column of a main-FROM join dim (``jcol``).
     """
     sql = tree.sql
-    if not sql or tree.n_root_joins:
+    if not sql:
         return None
     span_nodes = {n.span: n for n in tree.nodes if n.span is not None}
+    join_nodes = [n for n in tree.nodes if n.span is None]
+    join_names: dict[str, CorrNode] = {}
+    for n in join_nodes:
+        join_names[n.table] = n
+        join_names[n.alias] = n
     out: dict[CorrNode | None, DocTemplate] = {}
 
     # --- root select list --------------------------------------------
@@ -720,16 +744,20 @@ def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemp
     if len(items) != 2:
         return None
     id_txt = sql[items[0][0]:items[0][1]]
-    if not re.fullmatch(
-        rf'(?:{_IDENT}\s*\.\s*)?"?{tree.id_col}"?', id_txt, re.IGNORECASE
-    ):
+    idm = re.fullmatch(
+        rf'(?:({_IDENT})\s*\.\s*)?"?{tree.id_col}"?', id_txt, re.IGNORECASE
+    )
+    if not idm:
         return None
+    id_qual = _norm(idm.group(1)) if idm.group(1) else None
+    if id_qual is not None and id_qual not in {tree.parent_table, tree.parent_alias}:
+        return None  # doc keyed on a join dim's id: out of grammar
     vs, ve = items[1]
     am = re.search(rf"\s+as\s+{_IDENT}\s*$", sql[vs:ve], re.IGNORECASE)
     if am:
         ve = vs + am.start()
     root_names = {tree.parent_table, tree.parent_alias}
-    tpl = _parse_jbo(sql, vs, ve, root_names, span_nodes)
+    tpl = _parse_jbo(sql, vs, ve, root_names, span_nodes, join_names or None)
     if tpl is None:
         return None
     out[None] = tpl
@@ -737,7 +765,7 @@ def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemp
     # --- each block ---------------------------------------------------
     for node in tree.nodes:
         if node.span is None:
-            return None  # main-FROM join dims carry no template
+            continue  # main-FROM join dims carry no template (jcol serves them)
         lo, hi = node.span[0] + 1, node.span[1] - 1
         body = sql[lo:hi]
         bm = re.match(r"\s*select\s+", body, re.IGNORECASE)
@@ -764,15 +792,23 @@ def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemp
             return None
         out[node] = tpl
 
-    # every nested-node value must be a DIRECT child of its block
+    # every nested-node value must be a DIRECT child of its block; a
+    # root-template node may also anchor on a main-FROM join dim (the
+    # join dim is part of the root block's scope)
     for owner, tpl in out.items():
         for _k, (kind, val) in tpl.entries:
-            if kind == "node" and val.outer is not owner:
-                return None
-    # every node must appear in exactly one template
+            if kind != "node":
+                continue
+            if val.outer is owner:
+                continue
+            if owner is None and val.outer is not None and val.outer.span is None:
+                continue
+            return None
+    # every SUBQUERY node must appear in exactly one template; join dims
+    # appear only via jcol entries (possibly not at all — pure bridges)
     used = [v for tpl in out.values() for _k, (kind, v) in tpl.entries if kind == "node"]
     if len(used) != len(set(map(id, used))) or set(map(id, used)) != {
-        id(n) for n in tree.nodes
+        id(n) for n in tree.nodes if n.span is not None
     }:
         return None
     return out

@@ -34,12 +34,26 @@ Spark expression over parent columns only: the serve applies it, so a
 parent row crossing the predicate retracts/creates its doc exactly as
 the compiled view would.
 
+The root's to-one structure is a TREE, fed from two spellings that
+real MVs mix freely:
+
+- **main-FROM joins** — ``FROM course JOIN teacher t ON
+  course.teacher_id = t.id`` — serve FLAT columns (``'tname', t.name``
+  in the root template); an INNER join drops the doc when the dim row
+  is missing, LEFT serves NULL columns;
+- **correlated scalar subqueries** — serve nested structs; a missing
+  dim row NULLs the field (outermost) or serves a struct of NULLs
+  (nested), exactly the transpiled compile's semantics;
+- branches anywhere: a parent with two independent lookups, a join dim
+  carrying a correlated block, a correlated block whose template nests
+  two sibling objects.
+
 Shape restrictions (anything else returns None and the view keeps the
-targeted/full lanes): one linear to-one chain at the root, N child
-arrays each with one linear element to-one chain, no to-many blocks
-below the root, no main-FROM joins, every template value a column of
-its own block's relation, no ambiguous unqualified outer refs, and any
-root WHERE restricted to parent columns.
+targeted/full lanes): to-many blocks only at the root, each keyed
+directly on the parent id, with one LINEAR element to-one chain; every
+template value a column of its own block's relation (or, root template
+only, a qualified main-FROM dim column); no ambiguous unqualified
+outer refs; any root WHERE restricted to parent columns.
 """
 
 from __future__ import annotations
@@ -64,6 +78,21 @@ from sinker_spark.views import ChildArraySpec, DimLookup, DocTreeViewSpec
 
 
 @dataclass
+class RootDim:
+    """One to-one hop of the root dim TREE: a main-FROM join dim
+    (``corr.span is None``; serves flat ``jcol`` columns, 'inner' joins
+    drop the parent row when the dim is missing) or a correlated
+    scalar-subquery block (serves a nested struct). ``idx`` is the
+    DFS-preorder number — the node's states are ``d{idx}``/``rp{idx}``,
+    matching :func:`sinker_spark.views.dim_nodes` over the derived
+    spec's ``dim_forest``."""
+
+    idx: int
+    corr: CorrNode
+    parent: "int | None"  # referrer RootDim idx; None = the parent table
+
+
+@dataclass
 class SqlDocTree:
     """A SQL view compiled to the doc-tree lane: the state/walk spec
     plus the template structure the nested serve builds from."""
@@ -71,7 +100,7 @@ class SqlDocTree:
     spec: DocTreeViewSpec
     tree: CorrelationTree
     templates: "dict[CorrNode | None, DocTemplate]"
-    chain: list[CorrNode]               # root to-one chain, outermost first
+    root_dims: list[RootDim]            # root to-one tree, DFS preorder
     child_nodes: list[CorrNode]         # root to-many nodes, template order
     child_chains: list[list[CorrNode]]  # element to-one chain per child
     # transpiled root WHERE predicate over BARE parent columns (None =
@@ -171,11 +200,16 @@ def _linear_chain(
     return chain
 
 
+class _Bail(Exception):
+    """Internal: the SQL is outside the doc-tree shape — derivation
+    returns None and the view keeps the targeted/full lanes."""
+
+
 def derive_sql_doctree(
     spark: SparkSession, sql: str, id_col: str = "id"
 ) -> SqlDocTree | None:
     tree = parse_correlation_tree(sql, id_col)
-    if tree is None or tree.n_root_joins:
+    if tree is None:
         return None
     templates = parse_doc_templates(tree)
     if templates is None:
@@ -208,14 +242,60 @@ def derive_sql_doctree(
             return None
         where_expr, where_cols = compiled
 
-    root_nodes = [v for _k, (kind, v) in templates[None].entries if kind == "node"]
-    chain_heads = [n for n in root_nodes if n.to_one(id_col)]
-    child_nodes = [n for n in root_nodes if not n.to_one(id_col)]
-    if len(chain_heads) > 1:
-        return None  # DocTreeViewSpec carries ONE root chain
-    chain = _linear_chain(chain_heads[0], templates, id_col) if chain_heads else []
-    if chain is None:
+    root_entries = [v for _k, (kind, v) in templates[None].entries if kind == "node"]
+    to_one_entries = [n for n in root_entries if n.to_one(id_col)]
+    child_nodes = [n for n in root_entries if not n.to_one(id_col)]
+    join_nodes = [n for n in tree.nodes if n.span is None]
+
+    # jcol columns referenced per join node (root template only)
+    jcols: dict[int, list[str]] = {}
+    for _k, (kind, v) in templates[None].entries:
+        if kind == "jcol":
+            node, col = v
+            jcols.setdefault(id(node), []).append(col)
+
+    # ---- root to-one TREE (main-FROM joins + correlated blocks) ------
+    # DFS preorder; children ordering is deterministic: join dims in
+    # parse order, then correlated blocks in template order — the same
+    # order the DimLookup forest is emitted in, so RootDim.idx ==
+    # views.dim_nodes(spec) numbering == state suffixes d{idx}/rp{idx}.
+    root_dims: list[RootDim] = []
+
+    def corr_kids(owner: CorrNode) -> list[CorrNode]:
+        """To-one blocks nested in a correlated block's template; a
+        nested to-many is out of shape."""
+        kids = []
+        for _k, (kind, v) in templates[owner].entries:
+            if kind == "node":
+                if not v.to_one(id_col):
+                    raise _Bail
+                kids.append(v)
+        return kids
+
+    def visit(corr: CorrNode, parent_idx: "int | None") -> int:
+        idx = len(root_dims)
+        root_dims.append(RootDim(idx, corr, parent_idx))
+        if corr.span is None:  # join dim: joins + root-template blocks
+            kids = [j for j in join_nodes if j.outer is corr]
+            kids += [t for t in to_one_entries if t.outer is corr]
+        else:                   # correlated block: its nested blocks
+            kids = corr_kids(corr)
+        for k in kids:
+            visit(k, idx)
+        return idx
+
+    try:
+        anchors = [j for j in join_nodes if j.outer is None]
+        anchors += [t for t in to_one_entries if t.outer is None]
+        for a in anchors:
+            visit(a, None)
+    except _Bail:
         return None
+    # (no orphan check needed: parse_doc_templates guarantees every
+    # subquery block appears in exactly one template and is a direct
+    # child of its owner, so the DFS + the to-many element chains below
+    # reach every node)
+
     child_chains: list[list[CorrNode]] = []
     for cn in child_nodes:
         if cn.outer is not None or cn.outer_col != id_col:
@@ -243,11 +323,25 @@ def derive_sql_doctree(
 
     parent_needed = uniq(
         [id_col] + tpl_cols(None) + where_cols
-        + ([chain[0].outer_col] if chain else [])
+        + [rd.corr.outer_col for rd in root_dims if rd.parent is None]
     )
     parent_ddl = ddl(tree.parent_table, parent_needed)
     if parent_ddl is None:
         return None
+
+    # ---- DimLookup forest mirroring the RootDim DFS ------------------
+    lookups: list[DimLookup] = []
+    forest: list[DimLookup] = []
+    for rd in root_dims:
+        n = rd.corr
+        own = tpl_cols(n) if n.span is not None else jcols.get(id(n), [])
+        kid_fks = [r.corr.outer_col for r in root_dims if r.parent == rd.idx]
+        d = ddl(n.table, uniq([id_col] + own + kid_fks))
+        if d is None:
+            return None
+        dl = DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d)
+        lookups.append(dl)
+        (forest if rd.parent is None else lookups[rd.parent].children).append(dl)
 
     def chain_dims(nodes: list[CorrNode]) -> list[DimLookup] | None:
         dims = []
@@ -262,9 +356,6 @@ def derive_sql_doctree(
             dims.append(DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d))
         return dims
 
-    dims = chain_dims(chain)
-    if dims is None:
-        return None
     children = []
     for cn, echain, (key, _v) in zip(
         child_nodes, child_chains,
@@ -286,10 +377,10 @@ def derive_sql_doctree(
 
     spec = DocTreeViewSpec(
         parent_table=tree.parent_table, key=id_col,
-        row_schema_parent=parent_ddl, dims=dims, children=children,
+        row_schema_parent=parent_ddl, dim_forest=forest, children=children,
     )
-    return SqlDocTree(spec, tree, templates, chain, child_nodes, child_chains,
-                      where_expr=where_expr)
+    return SqlDocTree(spec, tree, templates, root_dims, child_nodes,
+                      child_chains, where_expr=where_expr)
 
 
 def _prefixed(df: DataFrame, pre: str) -> DataFrame:
@@ -351,20 +442,38 @@ def serve_docs_sql(
                 ).where(F.col(id_col).isNotNull()).distinct()
         return frame, pre_of
 
+    # ---- root to-one tree: join each dim's state frame onto the
+    # parent rows in DFS preorder (the referrer's prefixed columns are
+    # already present). Main-FROM 'inner' joins drop parent rows whose
+    # dim is missing (compiled-view parity); everything else is LEFT.
     root_fields: dict[str, F.Column] = {}
-    if sd.chain:
-        frame, pre_of = joined_chain(sd.chain, "d", cur, spec.dims[0].fk)
-        cur = cur.join(
-            frame,
-            F.col(spec.dims[0].fk) == F.col(f"__d0_{id_col}"),
-            "left",
+    root_pre: dict = {}  # id(CorrNode) → column prefix, whole root tree
+    for rd in sd.root_dims:
+        pre = f"__d{rd.idx}_"
+        root_pre[id(rd.corr)] = pre
+        fk = (
+            F.col(rd.corr.outer_col) if rd.parent is None
+            else F.col(f"__d{rd.parent}_{rd.corr.outer_col}")
         )
-        # scalar-subquery semantics on the FIRST hop only: NULL field
-        # when the dim row is missing; deeper hops serve structs of NULLs
-        s0 = build_struct(sd.chain[0], pre_of)
-        root_fields[id(sd.chain[0])] = F.when(
-            F.col(f"__d0_{id_col}").isNotNull(), s0
-        )
+        probe = cur.select(fk.alias(id_col)).where(
+            F.col(id_col).isNotNull()
+        ).distinct()
+        dframe = _prefixed(expand_mult(rows_for(states[f"d{rd.idx}"], probe)), pre)
+        how = "inner" if rd.corr.join_how == "inner" else "left"
+        cur = cur.join(dframe, fk == F.col(f"{pre}{id_col}"), how)
+    # ROOT-TEMPLATE correlated blocks are the compile's OUTERMOST scalar
+    # subqueries: NULL field when the dim row is missing, doc survives;
+    # nested blocks (rewritten to LEFT JOIN + named_struct) serve
+    # structs of NULLs unconditionally (build_struct recursion)
+    for rd in sd.root_dims:
+        if rd.corr.span is not None and any(
+            kind == "node" and v is rd.corr
+            for _k, (kind, v) in templates[None].entries
+        ):
+            s0 = build_struct(rd.corr, root_pre)
+            root_fields[id(rd.corr)] = F.when(
+                F.col(f"__d{rd.idx}_{id_col}").isNotNull(), s0
+            )
 
     for i, (cn, echain) in enumerate(zip(sd.child_nodes, sd.child_chains)):
         ch = spec.children[i]
@@ -398,6 +507,9 @@ def serve_docs_sql(
     for k, (kind, v) in templates[None].entries:
         if kind == "col":
             entries.append(F.col(v).alias(k))
+        elif kind == "jcol":
+            node, col = v
+            entries.append(F.col(f"{root_pre[id(node)]}{col}").alias(k))
         else:
             entries.append(root_fields[id(v)].alias(k))
     out = cur.select(F.col(id_col), F.struct(*entries).alias("doc"))

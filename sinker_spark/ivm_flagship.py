@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from sinker_spark import ivm_delta
 from sinker_spark.ivm_doc import expand_mult
-from sinker_spark.views import DocTreeViewSpec
+from sinker_spark.views import DocTreeViewSpec, dim_nodes
 
 
 @dataclass(frozen=True)
@@ -77,31 +77,38 @@ class DocStateDef:
 
 def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
     """Every state the lane maintains: base multiplicity states for the
-    parent, each chain dim, each child and each element dim, plus one
-    reverse index per to-one hop (bucketed by the hop's dim key)."""
+    parent, each dim (chain or tree — see views.dim_nodes), each child
+    and each element dim, plus one reverse index per to-one hop
+    (bucketed by the hop's dim key). Linear chains keep the historical
+    ``d{j}``/``rp{j}`` numbering bit-for-bit."""
+    nodes = dim_nodes(spec)
     out: list[DocStateDef] = [
         DocStateDef(
             "p", spec.parent_table, tuple(_ddl_cols(spec.row_schema_parent)),
             (spec.key,), schema=spec.row_schema_parent,
         )
     ]
-    for j, d in enumerate(spec.dims):
+    for nd in nodes:
         out.append(
             DocStateDef(
-                f"d{j}", d.table, tuple(_ddl_cols(d.row_schema)), (d.key,),
-                schema=d.row_schema,
+                f"d{nd.idx}", nd.dim.table, tuple(_ddl_cols(nd.dim.row_schema)),
+                (nd.dim.key,), schema=nd.dim.row_schema,
             )
         )
-    for j, d in enumerate(spec.dims):
-        if j == 0:
-            out.append(
-                DocStateDef("rp0", spec.parent_table, (d.fk, spec.key), (d.fk,), source="p")
-            )
-        else:
-            prev = spec.dims[j - 1]
+    for nd in nodes:
+        if nd.parent is None:
             out.append(
                 DocStateDef(
-                    f"rp{j}", prev.table, (d.fk, prev.key), (d.fk,), source=f"d{j - 1}"
+                    f"rp{nd.idx}", spec.parent_table, (nd.dim.fk, spec.key),
+                    (nd.dim.fk,), source="p",
+                )
+            )
+        else:
+            ref = nodes[nd.parent].dim
+            out.append(
+                DocStateDef(
+                    f"rp{nd.idx}", ref.table, (nd.dim.fk, ref.key), (nd.dim.fk,),
+                    source=f"d{nd.parent}",
                 )
             )
     for i, ch in enumerate(spec.children):
@@ -171,6 +178,7 @@ def touched_parent_keys(
     ``change_keys`` maps base-state suffix → one-column DataFrame of
     that relation's changed key values (old AND new images)."""
     states = {s.suffix: s for s in doc_tree_states(spec)}
+    nodes = dim_nodes(spec)
     outs: list[DataFrame] = []
     if "p" in change_keys:
         outs.append(change_keys["p"].toDF(spec.key))
@@ -192,12 +200,24 @@ def touched_parent_keys(
         ).distinct()
         return rows_for(states[f"{idx_prefix}0"], probe).select(final_key).distinct()
 
-    for j, d in enumerate(spec.dims):
-        if f"d{j}" in change_keys:
-            keys = change_keys[f"d{j}"].toDF(d.key)
-            outs.append(
-                walk(keys, spec.dims[: j + 1], "rp", spec.key).toDF(spec.key)
-            )
+    def walk_up(keys: DataFrame, idx: int) -> DataFrame:
+        # keys: one column named nodes[idx].dim.key — follow parent
+        # pointers through each hop's reverse index to the parent keys
+        while True:
+            nd = nodes[idx]
+            probe = keys.select(F.col(nd.dim.key).alias(nd.dim.fk)).where(
+                F.col(nd.dim.fk).isNotNull()
+            ).distinct()
+            ref_key = spec.key if nd.parent is None else nodes[nd.parent].dim.key
+            keys = rows_for(states[f"rp{nd.idx}"], probe).select(ref_key).distinct()
+            if nd.parent is None:
+                return keys
+            idx = nd.parent
+
+    for nd in nodes:
+        if f"d{nd.idx}" in change_keys:
+            keys = change_keys[f"d{nd.idx}"].toDF(nd.dim.key)
+            outs.append(walk_up(keys, nd.idx).toDF(spec.key))
     for i, ch in enumerate(spec.children):
         for j, d in enumerate(ch.dims):
             if f"c{i}d{j}" in change_keys:
@@ -214,10 +234,12 @@ def touched_parent_keys(
 
 
 def doc_columns(spec: DocTreeViewSpec) -> list[str]:
-    """Flat column list of the served document, in emission order."""
+    """Flat column list of the served document, in emission order
+    (dims in preorder; column names must be distinct across the doc —
+    the SQL lane's prefixed serve has no such restriction)."""
     cols = list(_ddl_cols(spec.row_schema_parent))
-    for d in spec.dims:
-        cols += [c for c in _ddl_cols(d.row_schema) if c != d.key]
+    for nd in dim_nodes(spec):
+        cols += [c for c in _ddl_cols(nd.dim.row_schema) if c != nd.dim.key]
     cols += [ch.alias for ch in spec.children]
     return cols
 
@@ -234,15 +256,18 @@ def serve_docs(
     states = {s.suffix: s for s in doc_tree_states(spec)}
     tkeys = touched.toDF(spec.key)
     cur = expand_mult(rows_for(states["p"], tkeys))
-    for j, d in enumerate(spec.dims):
+    for nd in dim_nodes(spec):
+        d = nd.dim
+        # preorder guarantees the referrer (parent cols or the referrer
+        # dim's cols) is already in ``cur``, so d.fk is resolvable
         probe = cur.select(F.col(d.fk).alias(d.key)).where(
             F.col(d.key).isNotNull()
         ).distinct()
-        dim = expand_mult(rows_for(states[f"d{j}"], probe))
+        dim = expand_mult(rows_for(states[f"d{nd.idx}"], probe))
         # a dim whose key column shares the fk's NAME (org.mgr referenced
         # by dims.mgr) would make the join condition ambiguous — alias
         # the dim key before joining
-        k_alias = d.key if d.key != d.fk else f"__dtk{j}"
+        k_alias = d.key if d.key != d.fk else f"__dtk{nd.idx}"
         if k_alias != d.key:
             dim = dim.withColumnRenamed(d.key, k_alias)
         cur = cur.join(dim, F.col(d.fk) == F.col(k_alias), "inner").drop(k_alias)

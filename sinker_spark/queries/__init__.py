@@ -64,6 +64,74 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Driver-evidence rotation: the correctness driver samples the FIRST 50
+# registry entries each round. Rounds 1-5 sampled 120 distinct lanes
+# (112 driver-green); every lane is green in the in-repo oracle gate
+# (tests/test_oracle_gate.py replays all of them), but the per-round
+# driver artifact should certify lanes that never had a driver row.
+# This list is moved to the FRONT of the registry: 8 lanes whose only
+# driver rows are r01/r02 harness-era errors (fixed in r3, never
+# re-sampled), this round's new gate queries, then the highest-value
+# never-sampled lanes. Rotate the list each round until the registry is
+# exhausted; everything else keeps its import order behind it.
+_SAMPLE_PREFIX = [
+    # never-driver-green (r01/r02 harness-era errors, fixed since r3)
+    "array_agg_order_parts",
+    "approx_percentile_prices",
+    "approx_distinct_customers",
+    "pagerank_nation_trade",
+    "embedding_centroids_by_label",
+    "embedding_quantize_int8",
+    "kmeans_embedding_clusters",
+    "ann_ivf_trained_topk",
+    # round-6 gate queries
+    "ivm_sql_doctree_joined",
+    "ivm_branched_doc",
+    # never-sampled, highest value first: the TPC-H remainder…
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipping_lag_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # …temporal/streaming-shaped lanes…
+    "asof_last_signup_before_purchase",
+    "session_windows_per_user",
+    "scd2_user_event_history",
+    "hypertable_rollup_events",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "latest_event_per_user_type",
+    "gapfill_locf_hourly",
+    "cohort_retention_matrix",
+    # …sketches, SQL batteries, retrieval/ANN variants
+    "hll_manual_distinct_customers",
+    "sketch_hll_mergeable",
+    "bitmap_exact_distinct",
+    "sketch_count_min_tokens",
+    "battery_null_semantics",
+    "variant_shred_events",
+    "window_value_functions",
+    "string_agg_region_nations",
+    "ordered_set_median_mode",
+    "semantic_dedup_embeddings",
+    "duplicated_substring_spans",
+    "ann_ivf_multiprobe_topk",
+    "ann_pq_adc_topk",
+    "hybrid_search_rrf",
+]
+
 
 def _load() -> None:
     """Import all query modules (side effect: registry population)."""
@@ -74,7 +142,8 @@ def _load() -> None:
     # sample in. Highest-value lanes first — flagship, engine (IVM/CDC/
     # streaming/UDF), documents (dedup/text/decontam), vectors (ANN) —
     # so any prefix-limited correctness sample exercises the engine lanes
-    # before the scalar-function batteries.
+    # before the scalar-function batteries. _SAMPLE_PREFIX (driver-
+    # evidence rotation) is then moved to the front.
     from sinker_spark.queries import (  # noqa: F401
         flagship,
         engine,
@@ -92,4 +161,11 @@ def _load() -> None:
         tpch_extra,
     )
 
+    front = [n for n in _SAMPLE_PREFIX if n in REGISTRY]
+    if front:
+        fronted = set(front)
+        order = front + [n for n in REGISTRY if n not in fronted]
+        rebuilt = {n: REGISTRY[n] for n in order}
+        REGISTRY.clear()
+        REGISTRY.update(rebuilt)
     _LOADED = True

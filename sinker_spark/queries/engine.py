@@ -1870,3 +1870,307 @@ def correlate_affected_keys_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("caw_order").select(F.col("id").cast("string").alias("id")),
         "id", "left_semi",
     ).select(F.col("id").cast("bigint").alias("id"))
+
+
+@query(
+    "ivm_sql_doctree_joined",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 6 = 0 THEN c_name || '*' ELSE c_name END AS name,
+             c_nationkey AS nat
+      FROM customer WHERE c_custkey % 4 <> 0),
+    n_post AS (
+      SELECT n_nationkey AS id,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS name
+      FROM nation),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT id FROM o_post WHERE cust % 4 = 0 OR cust % 6 = 0
+        UNION ALL SELECT o.id FROM o_post o JOIN c_post c ON o.cust = c.id
+                  WHERE c.nat % 2 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+      )
+    )
+    SELECT o.id, o.status,
+           c.name AS cust_name, n.name AS nation_name,
+           CAST(COALESCE(ia.n, 0) AS BIGINT) AS n_items,
+           COALESCE(ia.s, '') AS items_str
+    FROM o_post o
+    JOIN touched USING (id)
+    JOIN c_post c ON o.cust = c.id
+    LEFT JOIN n_post n ON c.nat = n.id
+    LEFT JOIN (
+      SELECT oid, COUNT(*) AS n,
+             string_agg(CAST(qty AS VARCHAR), ';' ORDER BY qty) AS s
+      FROM i_post GROUP BY oid) ia ON o.id = ia.oid""",
+    doc=(
+        "SQL-DECLARED doc-tree lane, MAIN-FROM JOIN spelling (r6): the "
+        "view is written `FROM order o JOIN cust c ON o.cust = c.id` "
+        "with a flat jcol (c.name), a correlated nation block anchored "
+        "ON THE JOIN DIM (c.nat), and an items array — derive_sql_"
+        "doctree folds the join dim into the root dim tree (same hop "
+        "algebra as correlated scalar subqueries) and maintains it as a "
+        "pure delta fold. INNER-join semantics are part of the gate: "
+        "the batch DELETES every 4th customer and their orders' docs "
+        "must retract (serve drops them; the oracle inner-joins). "
+        "Customer renames fan out through the join dim's reverse index, "
+        "nation renames walk nation->cust->order"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "B13", "composition"),
+)
+def ivm_sql_doctree_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("sdtj_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    ).createOrReplaceTempView("sdtj_cust")
+    t["nation"].select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    ).createOrReplaceTempView("sdtj_nation")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("sdtj_item")
+
+    sql = """select o.id, json_build_object('status', o.status,
+      'cust_name', c.name,
+      'nation', (select json_build_object('name', name)
+                 from sdtj_nation where sdtj_nation.id = c.nat),
+      'items', (select json_agg(json_build_object('qty', qty))
+                from sdtj_item where sdtj_item.oid = o.id)
+    ) as doc from sdtj_order o join sdtj_cust c on o.cust = c.id"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "join-spelled SQL must derive the doc-tree lane"
+    assert sd.root_dims[0].corr.join_how == "inner"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("sdtj_order")
+    c_all = spark.table("sdtj_cust")
+    n_all = spark.table("sdtj_nation")
+    i_lines = spark.table("sdtj_item")
+    i_all = i_lines.select("oid", "qty")
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    # customers: DELETE every 4th (inner-join retraction), rename every
+    # 6th of the survivors (jcol fan-out)
+    c_renamed = c_all.withColumn(
+        "name",
+        F.when(F.col("id") % 6 == 0, F.concat(F.col("name"), F.lit("*")))
+        .otherwise(F.col("name")),
+    )
+    c_ch = (
+        c_all.where((F.col("id") % 4 == 0) | (F.col("id") % 6 == 0))
+        .withColumn("__op", dele)
+        .unionByName(
+            c_renamed.where((F.col("id") % 4 != 0) & (F.col("id") % 6 == 0))
+            .withColumn("__op", ins)
+        )
+    )
+    n_renamed = n_all.withColumn(
+        "name",
+        F.when(F.col("id") % 2 == 0, F.concat(F.col("name"), F.lit("!")))
+        .otherwise(F.col("name")),
+    )
+    n_ch = (
+        n_all.where(F.col("id") % 2 == 0).withColumn("__op", dele)
+        .unionByName(n_renamed.where(F.col("id") % 2 == 0).withColumn("__op", ins))
+    )
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in).select("oid", "qty")
+    i_ch = (
+        i_lines.where(churn_in).select("oid", "qty").withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .select("oid", "qty").withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "d1": apply_join_state(relation_state(n_all), changes_to_mult(n_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "d0": c_ch.select("id"),
+        "d1": n_ch.select("id"),
+        "c0": i_ch.select("oid"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.col("doc.cust_name").alias("cust_name"),
+        F.col("doc.nation.name").alias("nation_name"),
+        F.size("doc.items").cast("bigint").alias("n_items"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.items"),
+                lambda x: x["qty"].cast("bigint").cast("string"),
+            ),
+        ).alias("items_str"),
+    )
+
+
+@query(
+    "ivm_branched_doc",
+    oracle="""
+    WITH l_post AS (
+      SELECT l_orderkey * 10 + l_linenumber AS lkey, l_partkey AS pkey,
+             l_suppkey AS skey, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey * 10 + l_linenumber) % 3 = 0
+         OR (l_orderkey * 10 + l_linenumber) % 5 <> 0),
+    p_post AS (
+      SELECT p_partkey AS partkey,
+             CASE WHEN p_partkey % 10 = 0 THEN p_name || '+' ELSE p_name END AS pname
+      FROM part),
+    s_post AS (
+      SELECT s_suppkey AS suppkey,
+             CASE WHEN s_suppkey % 4 = 0 THEN s_name || '*' ELSE s_name END AS sname,
+             s_nationkey AS snat
+      FROM supplier),
+    n_post AS (
+      SELECT n_nationkey AS natkey,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS nname
+      FROM nation),
+    touched AS (
+      SELECT DISTINCT lkey FROM (
+        SELECT l_orderkey * 10 + l_linenumber AS lkey FROM lineitem
+        WHERE (l_orderkey * 10 + l_linenumber) % 3 = 0
+           OR (l_orderkey * 10 + l_linenumber) % 5 = 0
+        UNION ALL SELECT lkey FROM l_post WHERE pkey % 10 = 0
+        UNION ALL SELECT lkey FROM l_post WHERE skey % 4 = 0
+        UNION ALL SELECT l.lkey FROM l_post l JOIN s_post s ON l.skey = s.suppkey
+                  WHERE s.snat % 2 = 0
+      )
+    )
+    SELECT l.lkey, l.qty, p.pname, s.sname, n.nname
+    FROM l_post l
+    JOIN touched USING (lkey)
+    JOIN p_post p ON l.pkey = p.partkey
+    JOIN s_post s ON l.skey = s.suppkey
+    JOIN n_post n ON s.snat = n.natkey""",
+    doc=(
+        "BRANCHED dim forest (r6, DocTreeViewSpec.dim_forest / "
+        "ivm_flagship): one doc per lineitem with TWO INDEPENDENT root "
+        "lookups — lineitem->part AND lineitem->supplier->nation — "
+        "maintained as a pure delta fold. One batch churns lineitems, "
+        "renames every 10th part (branch-1 reverse index rp0), every "
+        "4th supplier (branch-2 rp1) and every 2nd nation (two-hop walk "
+        "nation->supplier->lineitem through rp2 then rp1); only the "
+        "affected docs re-serve, each branch walked independently. "
+        "Oracle rebuilds the touched docs from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "composition"),
+)
+def ivm_branched_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_flagship import (
+        relation_rows_for, serve_docs, touched_parent_keys,
+    )
+    from sinker_spark.views import DimLookup, DocTreeViewSpec
+
+    t = load_tables(spark, sf_dir)
+    l_all = t["lineitem"].select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lkey"),
+        F.col("l_partkey").alias("pkey"),
+        F.col("l_suppkey").alias("skey"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    p_all = t["part"].select(
+        F.col("p_partkey").alias("partkey"), F.col("p_name").alias("pname")
+    )
+    s_all = t["supplier"].select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("sname"),
+        F.col("s_nationkey").alias("snat"),
+    )
+    n_all = t["nation"].select(
+        F.col("n_nationkey").alias("natkey"), F.col("n_name").alias("nname")
+    )
+
+    spec = DocTreeViewSpec(
+        parent_table="lineitem", key="lkey",
+        row_schema_parent="lkey bigint, pkey bigint, skey bigint, qty bigint",
+        dim_forest=[
+            DimLookup("part", fk="pkey", key="partkey",
+                      row_schema="partkey bigint, pname string"),
+            DimLookup("supplier", fk="skey", key="suppkey",
+                      row_schema="suppkey bigint, sname string, snat bigint",
+                      children=[DimLookup("nation", fk="snat", key="natkey",
+                                          row_schema="natkey bigint, nname string")]),
+        ],
+    )
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    l_old = l_all.where(F.col("lkey") % 3 != 0)
+    l_ch = (
+        l_all.where(F.col("lkey") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            l_all.where((F.col("lkey") % 5 == 0) & (F.col("lkey") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+
+    def rename(all_df, keycol, namecol, pred, suffix):
+        new = all_df.withColumn(
+            namecol,
+            F.when(pred, F.concat(F.col(namecol), F.lit(suffix))).otherwise(F.col(namecol)),
+        )
+        ch = (
+            all_df.where(pred).withColumn("__op", dele)
+            .unionByName(new.where(pred).withColumn("__op", ins))
+        )
+        return new, ch
+
+    _p_new, p_ch = rename(p_all, "partkey", "pname", F.col("partkey") % 10 == 0, "+")
+    _s_new, s_ch = rename(s_all, "suppkey", "sname", F.col("suppkey") % 4 == 0, "*")
+    _n_new, n_ch = rename(n_all, "natkey", "nname", F.col("natkey") % 2 == 0, "!")
+
+    posts = {
+        "p": apply_join_state(relation_state(l_old), changes_to_mult(l_ch)),
+        "d0": apply_join_state(relation_state(p_all), changes_to_mult(p_ch)),
+        "d1": apply_join_state(relation_state(s_all), changes_to_mult(s_ch)),
+        "d2": apply_join_state(relation_state(n_all), changes_to_mult(n_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": l_ch.select("lkey"),
+        "d0": p_ch.select("partkey"),
+        "d1": s_ch.select("suppkey"),
+        "d2": n_ch.select("natkey"),
+    }
+    touched = touched_parent_keys(spec, change_keys, rows_for)
+    docs = serve_docs(spec, touched, rows_for)
+    return docs.select("lkey", "qty", "pname", "sname", "nname")

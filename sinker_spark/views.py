@@ -447,17 +447,21 @@ class NestedDocViewSpec:
 
 @dataclass
 class DimLookup:
-    """One to-one lookup hop in a :class:`DocTreeViewSpec` chain:
-    ``fk`` is the referencing column IN THE PREVIOUS relation (the
-    parent/child for the first hop, the previous dim's table after),
+    """One to-one lookup hop in a :class:`DocTreeViewSpec` chain/tree:
+    ``fk`` is the referencing column IN THE REFERRER relation (the
+    parent/child for an anchor hop, the referrer dim's table after),
     ``key`` the dim's unique key column, ``row_schema`` the DDL of the
-    dim columns the document projects (must include ``key`` and, if a
-    further hop follows, that hop's ``fk``)."""
+    dim columns the document projects (must include ``key``, plus every
+    deeper hop's ``fk``). ``children``: further to-one lookups whose fk
+    is a column of THIS dim's table — only meaningful inside
+    :attr:`DocTreeViewSpec.dim_forest` (tree form); entries of the
+    legacy linear ``dims`` chain must leave it empty."""
 
     table: str
     fk: str
     key: str
     row_schema: str
+    children: list["DimLookup"] = field(default_factory=list)
 
 
 @dataclass
@@ -499,13 +503,22 @@ class DocTreeViewSpec:
     - ``parent_table``/``key``/``row_schema_parent``: the doc root;
       ``key`` must be unique per parent row (it is the doc id)
     - ``dims``: the parent's to-one chain, outermost first
-      (``dims[0].fk`` is a parent column)
+      (``dims[0].fk`` is a parent column) — the LINEAR form
+    - ``dim_forest``: the TREE form (mutually exclusive with ``dims``):
+      a list of parent-anchored :class:`DimLookup` trees (each entry's
+      ``fk`` is a parent column; each node's ``children`` hang off that
+      node's table) — a doc with two independent root lookups
+      (orders→customer AND orders→clerk) branches here. A linear
+      ``dims`` chain is exactly the one-path special case; both forms
+      normalize to the same numbered node list (:func:`dim_nodes`), so
+      state naming — ``d{j}``/``rp{j}`` — is identical where the
+      shapes coincide.
     - ``children``: N child arrays (0 permitted: chain-only doc)
 
-    The emitted document is ``struct(<parent cols>, <each chain dim's
-    non-key cols>, <child alias: array<struct<payload + element-dim
-    non-key cols>>>…)``. Same before-image contract, replay guard and
-    fallback behavior as the other delta lanes.
+    The emitted document is ``struct(<parent cols>, <each dim's
+    non-key cols in preorder>, <child alias: array<struct<payload +
+    element-dim non-key cols>>>…)``. Same before-image contract, replay
+    guard and fallback behavior as the other delta lanes.
     """
 
     parent_table: str
@@ -513,14 +526,57 @@ class DocTreeViewSpec:
     row_schema_parent: str
     dims: list[DimLookup] = field(default_factory=list)
     children: list[ChildArraySpec] = field(default_factory=list)
+    dim_forest: list[DimLookup] = field(default_factory=list)
 
     def all_tables(self) -> set[str]:
         out = {self.parent_table}
-        out.update(d.table for d in self.dims)
+        out.update(nd.dim.table for nd in dim_nodes(self))
         for ch in self.children:
             out.add(ch.table)
             out.update(d.table for d in ch.dims)
         return out
+
+
+@dataclass(frozen=True)
+class DimNode:
+    """One normalized to-one hop of a :class:`DocTreeViewSpec`:
+    ``idx`` is the node's DFS-preorder number (its state suffix is
+    ``d{idx}``, its reverse index ``rp{idx}``), ``parent`` the preorder
+    number of the referrer dim (None = the spec's parent table carries
+    ``dim.fk``)."""
+
+    idx: int
+    dim: DimLookup
+    parent: "int | None"
+
+
+def dim_nodes(spec: "DocTreeViewSpec") -> list[DimNode]:
+    """Normalize the spec's to-one structure — linear ``dims`` chain or
+    ``dim_forest`` tree — to one DFS-preorder node list. For a linear
+    chain the numbering (and therefore every state name) is exactly the
+    historical ``d0..dN`` / ``rp0..rpN``."""
+    if spec.dims and spec.dim_forest:
+        raise ValueError("DocTreeViewSpec: dims and dim_forest are mutually exclusive")
+    out: list[DimNode] = []
+    if spec.dims:
+        for j, d in enumerate(spec.dims):
+            if d.children:
+                raise ValueError(
+                    "DocTreeViewSpec: linear dims entries must not carry "
+                    "children — use dim_forest for trees"
+                )
+            out.append(DimNode(j, d, j - 1 if j else None))
+        return out
+
+    def visit(d: DimLookup, parent: "int | None") -> None:
+        idx = len(out)
+        out.append(DimNode(idx, d, parent))
+        for c in d.children:
+            visit(c, idx)
+
+    for root in spec.dim_forest:
+        visit(root, None)
+    return out
 
 
 @dataclass

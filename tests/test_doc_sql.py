@@ -67,10 +67,16 @@ def test_derivation_shape():
 
     spark = get_spark("t")
     fx.register(spark, tempfile.mkdtemp())
+    from sinker_spark.views import dim_nodes
+
     sd = derive_sql_doctree(spark, fx.COURSE_MV_SQL)
     assert sd is not None
     assert sd.spec.parent_table == "course"
-    assert [d.table for d in sd.spec.dims] == ["teacher", "person"]
+    # linear chain → same normalized numbering (d0=teacher, d1=person)
+    nodes = dim_nodes(sd.spec)
+    assert [(nd.idx, nd.dim.table, nd.parent) for nd in nodes] == [
+        (0, "teacher", None), (1, "person", 0)
+    ]
     assert [(c.table, c.fk, c.alias) for c in sd.spec.children] == [
         ("enrollment", "course_id", "enrollments")
     ]
@@ -396,3 +402,206 @@ def test_unqualified_outer_ambiguity_bails(spark):
     spark.createDataFrame([("b1", "x")], "id string, name string") \
         .createOrReplaceTempView("dq_buddy2")
     assert derive_sql_doctree(spark, amb.replace("dq_buddy", "dq_buddy2")) is not None
+
+
+# ------------------------------------- main-FROM joins + branches (r6)
+
+COURSE_MV_JOINED_SQL = """select course.id,
+  json_build_object('name', course.name, 'description', course.description,
+    'teacher_salary', t.salary,
+    'teacher_person', (select json_build_object('name', name)
+                       from person where person.id = t.person_id),
+    'enrollments', (select json_agg(json_build_object('grade', "grade",
+                      'student', (select json_build_object('gpa', "gpa")
+                                  from student where student.id = student_id)))
+                    from enrollment where enrollment.course_id = course.id))
+from course join teacher t on course.teacher_id = t.id"""
+
+ENROLL_MV_BRANCHED_SQL = """select id,
+  json_build_object('grade', grade,
+    'student', (select json_build_object('gpa', gpa,
+                  'person', (select json_build_object('name', name)
+                             from person where person.id = person_id))
+                from student where student.id = student_id),
+    'course', (select json_build_object('name', name)
+               from course where course.id = course_id))
+from enrollment"""
+
+
+def test_joined_derivation_shape(spark):
+    """Main-FROM join spelling: the join dim becomes root-dim d0 with
+    the correlated person block as its child d1; jcol serves flat."""
+    import tempfile
+
+    fx.register(spark, tempfile.mkdtemp())
+    sd = derive_sql_doctree(spark, COURSE_MV_JOINED_SQL)
+    assert sd is not None
+    assert [(rd.idx, rd.corr.table, rd.parent, rd.corr.join_how)
+            for rd in sd.root_dims] == [
+        (0, "teacher", None, "inner"), (1, "person", 0, None)
+    ]
+    assert [c.table for c in sd.spec.children] == ["enrollment"]
+    # INNER-join grammar guards: fan-out join (dim side not its id) bails
+    assert derive_sql_doctree(
+        spark,
+        "select id, json_build_object('n', course.name) "
+        "from course join teacher t on course.teacher_id = t.person_id",
+    ) is None
+    # unqualified root template value with joins in scope is ambiguous
+    assert derive_sql_doctree(
+        spark,
+        "select id, json_build_object('n', name) "
+        "from course join teacher t on course.teacher_id = t.id",
+    ) is None
+
+
+def test_joined_engine_fold_inner_semantics(spark, tmp_path):
+    """Engine e2e on the JOIN spelling: jcol refresh fans out through
+    the join dim's reverse index; an INNER-joined dim's delete RETRACTS
+    the docs (unlike the scalar-subquery NULL); parity with the
+    transpiled compile after every batch."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("course_j_mv", sql=COURSE_MV_JOINED_SQL, index="courses_j",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_j_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_j_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_j", {}) == want
+
+    _parity()
+    assert sink.get("courses_j", "c-1")["teacher_salary"] == 100000.0
+    assert sink.get("courses_j", "c-1")["teacher_person"] == {"name": "Prof Georgios"}
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    # salary change (jcol) fans out to t-1's courses only
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["teacher"][0][2] = Decimal("123456.00")
+    _sync(rows)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "teacher", "UPDATE", "t-1", _payload("teacher", rows["teacher"][0]),
+         _payload("teacher", ("t-1", "p-3", "100000.00"))),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_j_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"c-1", "c-2"}
+    assert sink.get("courses_j", "c-1")["teacher_salary"] == 123456.0
+    _parity()
+
+    # person rename reaches the docs through join-dim d0's child d1
+    oldp = tuple(rows["person"][2])
+    rows["person"][2][1] = "Prof GJ"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "person", "UPDATE", "p-3", _payload("person", rows["person"][2]),
+         _payload("person", oldp)),
+    ]), epoch_id=2)
+    assert eng.last_stats["course_j_mv"].get("doc_tree") == 1
+    assert sink.get("courses_j", "c-1")["teacher_person"] == {"name": "Prof GJ"}
+    _parity()
+
+    # INNER join: deleting teacher t-2 retracts c-3's doc entirely
+    rows["teacher"] = [r for r in rows["teacher"] if r[0] != "t-2"]
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "teacher", "DELETE", "t-2", None,
+         _payload("teacher", ("t-2", "p-4", "100000.00"))),
+    ]), epoch_id=3)
+    assert eng.last_stats["course_j_mv"].get("doc_tree") == 1
+    assert sink.get("courses_j", "c-3") is None
+    _parity()
+
+    # enrollment churn still folds (child array unaffected by the joins)
+    e_new = ["e-9", "s-2", "c-1", Decimal("2.50")]
+    rows["enrollment"].append(e_new)
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "enrollment", "INSERT", "e-9", _payload("enrollment", e_new), None),
+    ]), epoch_id=4)
+    assert eng.last_stats["course_j_mv"].get("doc_tree") == 1
+    _parity()
+
+
+def test_branched_sql_engine_fold(spark, tmp_path):
+    """Two independent root lookups (enrollment→student→person AND
+    enrollment→course): the derived forest branches at the parent and
+    each branch's dim changes walk back through their own indexes."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, ENROLL_MV_BRANCHED_SQL)
+    assert sd is not None
+    assert [(rd.idx, rd.corr.table, rd.parent) for rd in sd.root_dims] == [
+        (0, "student", None), (1, "person", 0), (2, "course", None)
+    ]
+
+    sink = InMemorySink()
+    view = ViewDef("enroll_mv", sql=ENROLL_MV_BRANCHED_SQL, index="enrolls",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["enroll_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["enroll_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("enrolls", {}) == want
+
+    _parity()
+    assert sink.get("enrolls", "e-1")["student"]["person"] == {"name": "John"}
+    assert sink.get("enrolls", "e-1")["course"] == {"name": "Reth"}
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    # person rename: branch-1 two-hop walk → s-1's enrollments only
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["person"][0][1] = "John B"
+    _sync(rows)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "person", "UPDATE", "p-1", _payload("person", rows["person"][0]),
+         _payload("person", ("p-1", "John"))),
+    ]), epoch_id=1)
+    assert eng.last_stats["enroll_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"e-1", "e-3", "e-5"}
+    _parity()
+
+    # course rename: branch-2 one-hop walk → c-1's enrollments only
+    oldc = tuple(rows["course"][0])
+    rows["course"][0][1] = "Reth II"
+    _sync(rows)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", oldc)),
+    ]), epoch_id=2)
+    assert eng.last_stats["enroll_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"e-1", "e-2"}
+    assert sink.get("enrolls", "e-1")["course"] == {"name": "Reth II"}
+    _parity()
+
+    # course delete: branch dims are scalar subqueries → field NULLs,
+    # docs survive (transpiled semantics, unlike an INNER join)
+    rows["course"] = [r for r in rows["course"] if r[0] != "c-3"]
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "course", "DELETE", "c-3", None,
+         _payload("course", ("c-3", "Bizchain", "How to build a business on-chain", "t-2"))),
+    ]), epoch_id=3)
+    assert eng.last_stats["enroll_mv"].get("doc_tree") == 1
+    assert sink.get("enrolls", "e-5") is not None
+    assert sink.get("enrolls", "e-5")["course"] is None
+    _parity()

@@ -343,3 +343,140 @@ def test_depth0_multichild_folds(spark, tmp_path):
     # verbatim redelivery must not double-apply
     eng.process_cdc_batch(batch, epoch_id=1)
     check()
+
+
+# ----------------------------------------------- branched dim trees (r6)
+
+K_SCHEMA = "kkey bigint, kname string"
+BT_ORDERS = [(1, 10, 70), (2, 10, 71), (3, 11, 70), (4, 12, 71)]
+BT_CLERKS = [(70, "kim"), (71, "lee")]
+
+
+def _bt_tables(spark, orders, custs, nations, clerks):
+    spark.createDataFrame(orders or [], "okey bigint, cust bigint, clerk bigint") \
+        .createOrReplaceTempView("bt_orders")
+    spark.createDataFrame(custs or [], C_SCHEMA).createOrReplaceTempView("bt_cust")
+    spark.createDataFrame(nations or [], N_SCHEMA).createOrReplaceTempView("bt_nation")
+    spark.createDataFrame(clerks or [], K_SCHEMA).createOrReplaceTempView("bt_clerk")
+
+
+def _bt_view():
+    def recompute(spark):
+        o = spark.table("bt_orders")
+        c = spark.table("bt_cust")
+        n = spark.table("bt_nation")
+        k = spark.table("bt_clerk")
+        cur = (
+            o.join(c, o["cust"] == c["ckey"], "inner").drop("ckey")
+            .join(n, F.col("nkey") == n["natkey"], "inner").drop("natkey")
+            .join(k, F.col("clerk") == k["kkey"], "inner").drop("kkey")
+        )
+        return cur.select(
+            F.col("okey").cast("string").alias("k"),
+            F.struct("okey", "cust", "clerk", "cname", "nkey", "nname",
+                     "kname").alias("doc"),
+        )
+
+    return ViewDef(
+        name="bt_view", fn=recompute, key="k",
+        deps={"bt_orders", "bt_cust", "bt_nation", "bt_clerk"},
+        doctree=DocTreeViewSpec(
+            parent_table="bt_orders", key="okey",
+            row_schema_parent="okey bigint, cust bigint, clerk bigint",
+            dim_forest=[
+                DimLookup("bt_cust", fk="cust", key="ckey", row_schema=C_SCHEMA,
+                          children=[DimLookup("bt_nation", fk="nkey",
+                                              key="natkey", row_schema=N_SCHEMA)]),
+                DimLookup("bt_clerk", fk="clerk", key="kkey", row_schema=K_SCHEMA),
+            ],
+        ),
+    )
+
+
+def _bt_truth(spark):
+    from sinker_spark.sinks.memory import _row_to_plain
+
+    return {r["k"]: _row_to_plain(r["doc"]) for r in _bt_view().fn(spark).collect()}
+
+
+@pytest.fixture()
+def bt_engine(spark, tmp_path):
+    _bt_tables(spark, list(BT_ORDERS), list(CUSTS), list(NATIONS), list(BT_CLERKS))
+    sink = InMemorySink()
+    eng = SyncEngine(spark, [_bt_view()], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert sink.indices.get("bt_view", {}) == _bt_truth(spark)
+    return eng, sink
+
+
+def test_branched_forest_state_naming_is_preorder(spark):
+    """dim_forest normalization: d0=cust, d1=nation (child of d0),
+    d2=clerk (second parent-anchored root) — and the reverse indexes
+    anchor on the right referrers."""
+    from sinker_spark.ivm_flagship import doc_tree_states
+
+    states = {s.suffix: s for s in doc_tree_states(_bt_view().doctree)}
+    assert states["d0"].table == "bt_cust"
+    assert states["d1"].table == "bt_nation"
+    assert states["d2"].table == "bt_clerk"
+    assert states["rp0"].table == "bt_orders" and states["rp0"].source == "p"
+    assert states["rp1"].table == "bt_cust" and states["rp1"].source == "d0"
+    assert states["rp2"].table == "bt_orders" and states["rp2"].source == "p"
+
+
+def test_branched_fanout_walks_each_branch(spark, bt_engine):
+    eng, sink = bt_engine
+    # clerk 70 rename → orders 1,3 only (branch-2 reverse index)
+    clerks = [(70, "kim2"), (71, "lee")]
+    _bt_tables(spark, list(BT_ORDERS), list(CUSTS), list(NATIONS), clerks)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "bt_clerk", "UPDATE", {"kkey": 70, "kname": "kim2"},
+         {"kkey": 70, "kname": "kim"}),
+    ]), epoch_id=1)
+    assert eng.last_stats["bt_view"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"1", "3"}
+    assert sink.indices.get("bt_view", {}) == _bt_truth(spark)
+
+    # nation 100 rename → custs 10,11 → orders 1,2,3 (branch-1 walk,
+    # two hops); order 4 (jp) untouched
+    nations = [(100, "de!"), (200, "jp")]
+    _bt_tables(spark, list(BT_ORDERS), list(CUSTS), nations, clerks)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "bt_nation", "UPDATE", {"natkey": 100, "nname": "de!"},
+         {"natkey": 100, "nname": "de"}),
+    ]), epoch_id=2)
+    assert eng.last_stats["bt_view"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"1", "2", "3"}
+    assert sink.indices.get("bt_view", {}) == _bt_truth(spark)
+
+
+def test_branched_retraction_and_repoint(spark, bt_engine):
+    eng, sink = bt_engine
+    # clerk 71 delete → docs 2,4 retract (inner chain on branch 2)
+    clerks = [(70, "kim")]
+    _bt_tables(spark, list(BT_ORDERS), list(CUSTS), list(NATIONS), clerks)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "bt_clerk", "DELETE", None, {"kkey": 71, "kname": "lee"}),
+    ]), epoch_id=1)
+    assert eng.last_stats["bt_view"].get("doc_tree") == 1
+    assert sink.get("bt_view", "2") is None and sink.get("bt_view", "4") is None
+    assert sink.indices.get("bt_view", {}) == _bt_truth(spark)
+
+    # re-point order 2's clerk to 70 → doc reappears with kim
+    orders = [(1, 10, 70), (2, 10, 70), (3, 11, 70), (4, 12, 71)]
+    _bt_tables(spark, orders, list(CUSTS), list(NATIONS), clerks)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "bt_orders", "UPDATE", {"okey": 2, "cust": 10, "clerk": 70},
+         {"okey": 2, "cust": 10, "clerk": 71}),
+    ]), epoch_id=2)
+    assert eng.last_stats["bt_view"].get("doc_tree") == 1
+    assert sink.get("bt_view", "2")["kname"] == "kim"
+    # replay the same batch verbatim: signed fold must not double-apply
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "bt_orders", "UPDATE", {"okey": 2, "cust": 10, "clerk": 70},
+         {"okey": 2, "cust": 10, "clerk": 71}),
+    ]), epoch_id=2)
+    assert sink.indices.get("bt_view", {}) == _bt_truth(spark)

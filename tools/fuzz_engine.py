@@ -52,10 +52,15 @@ from sinker_spark.views import (
 
 SALES_SCHEMA = "id string, region string, cat string, amount double"
 DIM_SCHEMA = "region string, mgr string"
+# the fz_dims TABLE carries a second fk (coach) so the doc-tree lane can
+# fuzz BRANCHED dim forests; lanes that declare DIM_SCHEMA simply never
+# parse/serve the extra column (from_json ignores it)
+DIM3_SCHEMA = "region string, mgr string, coach string"
 ORG_SCHEMA = "mgr string, dept string"
 CATS_SCHEMA = "cat string, label string"
 DEPTS_SCHEMA = "dept string, floor string"
 NOTES_SCHEMA = "nid string, region string, txt string"
+COACH_SCHEMA = "coach string, grade string"
 CDC_COLS = (
     "lsn bigint, schema string, table string, op string, id string, "
     "payload string, payload_before string"
@@ -348,6 +353,10 @@ def make_doctree_view(rng, name):
     depth = rng.randrange(0, 3)
     elem_dim = rng.random() < 0.5
     two_children = rng.random() < 0.5
+    # branch mode: a SECOND independent parent-anchored lookup
+    # (dims.coach → fz_coach) alongside the org chain — the dim_forest
+    # tree form, each branch walked through its own reverse index
+    branch = rng.random() < 0.5
     extra = rng.choice([[], ["cat"], ["amount"], ["cat", "amount"]])
     order = ["id", *extra]
 
@@ -374,20 +383,27 @@ def make_doctree_view(rng, name):
         )
     doc_fields = (
         ["region", "mgr"]
+        + (["coach"] if branch else [])
         + (["dept"] if depth >= 1 else [])
         + (["floor"] if depth >= 2 else [])
+        + (["grade"] if branch else [])
         + ["rows"]
         + (["notes"] if two_children else [])
     )
 
     def fn(spark):
         cur = spark.table("fz_dims").where(F.col("region").isNotNull())
+        if not branch:
+            cur = cur.drop("coach")
         if depth >= 1:
             o = spark.table("fz_org")
             cur = cur.join(o, cur["mgr"] == o["mgr"], "inner").drop(o["mgr"])
         if depth >= 2:
             dp = spark.table("fz_depts")
             cur = cur.join(dp, cur["dept"] == dp["dept"], "inner").drop(dp["dept"])
+        if branch:
+            co = spark.table("fz_coach")
+            cur = cur.join(co, cur["coach"] == co["coach"], "inner").drop(co["coach"])
 
         c = spark.table("fz_sales").where(F.col("region").isNotNull())
         payload = ["id", "cat", "amount"]
@@ -425,10 +441,26 @@ def make_doctree_view(rng, name):
             F.struct(*doc_fields).alias("doc"),
         )
 
-    spec = DocTreeViewSpec(
-        parent_table="fz_dims", key="region", row_schema_parent=DIM_SCHEMA,
-        dims=chain, children=children,
-    )
+    if branch:
+        # tree form: the org chain nests as children, the coach lookup
+        # is a second parent-anchored root
+        forest = []
+        if chain:
+            for prev, nxt in zip(chain, chain[1:]):
+                prev.children.append(nxt)
+            forest.append(chain[0])
+        forest.append(
+            DimLookup("fz_coach", fk="coach", key="coach", row_schema=COACH_SCHEMA)
+        )
+        spec = DocTreeViewSpec(
+            parent_table="fz_dims", key="region", row_schema_parent=DIM3_SCHEMA,
+            dim_forest=forest, children=children,
+        )
+    else:
+        spec = DocTreeViewSpec(
+            parent_table="fz_dims", key="region", row_schema_parent=DIM_SCHEMA,
+            dims=chain, children=children,
+        )
     return ViewDef(
         name=name, fn=fn, key="k", deps=spec.all_tables(), doctree=spec,
     )
@@ -443,14 +475,17 @@ MAKERS = [
 
 # ------------------------------------------------------------ CDC generator
 
-def register_truth(spark, sales, dims, org, cats, depts, notes):
+def register_truth(spark, sales, dims, org, cats, depts, notes, coaches):
     spark.createDataFrame(
         [(sid, r, c, a) for sid, (r, c, a) in sorted(sales.items())] or [],
         SALES_SCHEMA,
     ).createOrReplaceTempView("fz_sales")
     spark.createDataFrame(
-        [(r, m) for r, m in sorted(dims.items())] or [], DIM_SCHEMA
+        [(r, m, co) for r, (m, co) in sorted(dims.items())] or [], DIM3_SCHEMA
     ).createOrReplaceTempView("fz_dims")
+    spark.createDataFrame(
+        [(co, g) for co, g in sorted(coaches.items())] or [], COACH_SCHEMA
+    ).createOrReplaceTempView("fz_coach")
     spark.createDataFrame(
         [(m, d) for m, d in sorted(org.items())] or [], ORG_SCHEMA
     ).createOrReplaceTempView("fz_org")
@@ -465,13 +500,14 @@ def register_truth(spark, sales, dims, org, cats, depts, notes):
     ).createOrReplaceTempView("fz_notes")
 
 
-def gen_batch(rng, sales, dims, org, cats, depts, notes, next_id, lsn, drop_image):
+def gen_batch(rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
+              drop_image):
     records = []
     dropped = drop_image
     for _ in range(rng.randrange(2, 7)):
         roll = rng.random()
         if roll >= 0.94:  # element-dim / deep-chain-dim / second-child churn
-            kind = rng.choice(["cats", "depts", "notes"])
+            kind = rng.choice(["cats", "depts", "notes", "coach"])
             if kind == "cats":
                 c = rng.choice(["a", "b"])
                 if c in cats and rng.random() < 0.4:
@@ -498,6 +534,22 @@ def gen_batch(rng, sales, dims, org, cats, depts, notes, next_id, lsn, drop_imag
                     else:
                         records.append((lsn, "fz_depts", "UPDATE",
                                         {"dept": d, "floor": depts[d]}, {"dept": d, "floor": old}))
+            elif kind == "coach":
+                co = f"c{rng.randrange(3)}"
+                if co in coaches and rng.random() < 0.4:
+                    old = coaches.pop(co)
+                    records.append((lsn, "fz_coach", "DELETE", None,
+                                    {"coach": co, "grade": old}))
+                else:
+                    old = coaches.get(co)
+                    coaches[co] = f"g{rng.randrange(3)}"
+                    if old is None:
+                        records.append((lsn, "fz_coach", "INSERT",
+                                        {"coach": co, "grade": coaches[co]}, None))
+                    else:
+                        records.append((lsn, "fz_coach", "UPDATE",
+                                        {"coach": co, "grade": coaches[co]},
+                                        {"coach": co, "grade": old}))
             else:
                 sub = rng.random()
                 if sub < 0.5 or not notes:
@@ -553,19 +605,28 @@ def gen_batch(rng, sales, dims, org, cats, depts, notes, next_id, lsn, drop_imag
             records.append((lsn, "fz_sales", "DELETE", None,
                             {"id": sid, "region": old[0], "cat": old[1], "amount": old[2]}))
             lsn += 1
-        elif roll < 0.91:  # dim churn
+        elif roll < 0.91:  # dim churn (mgr and/or coach re-point)
             r = rng.choice([r for r in REGIONS if r is not None])
             if r in dims and rng.random() < 0.5:
                 old = dims.pop(r)
-                records.append((lsn, "fz_dims", "DELETE", None, {"region": r, "mgr": old}))
+                records.append((lsn, "fz_dims", "DELETE", None,
+                                {"region": r, "mgr": old[0], "coach": old[1]}))
             else:
                 old = dims.get(r)
-                dims[r] = f"m{rng.randrange(4)}"
+                new_mgr = f"m{rng.randrange(4)}"
+                new_coach = (
+                    f"c{rng.randrange(3)}" if old is None or rng.random() < 0.5
+                    else old[1]
+                )
+                dims[r] = (new_mgr, new_coach)
                 if old is None:
-                    records.append((lsn, "fz_dims", "INSERT", {"region": r, "mgr": dims[r]}, None))
+                    records.append((lsn, "fz_dims", "INSERT",
+                                    {"region": r, "mgr": new_mgr, "coach": new_coach},
+                                    None))
                 else:
                     records.append((lsn, "fz_dims", "UPDATE",
-                                    {"region": r, "mgr": dims[r]}, {"region": r, "mgr": old}))
+                                    {"region": r, "mgr": new_mgr, "coach": new_coach},
+                                    {"region": r, "mgr": old[0], "coach": old[1]}))
             lsn += 1
         else:  # org churn (re-parent a manager's dept)
             m = f"m{rng.randrange(4)}"
@@ -629,16 +690,17 @@ def one_run(spark, seed, n_batches):
         f"s{i:04d}": (rng.choice(REGIONS), rng.choice(CATS), rng.randrange(0, 101) / 4.0)
         for i in range(10)
     }
-    dims = {"eu": "m1", "us": "m2"}
+    dims = {"eu": ("m1", "c1"), "us": ("m2", "c0")}
     org = {"m0": "d0", "m1": "d1", "m2": "d0"}
     cats = {"a": "L0", "b": "L1"}
     depts = {"d0": "f0", "d1": "f1"}
+    coaches = {"c0": "g0", "c1": "g1"}
     notes = {
         f"n{i:04d}": (rng.choice(REGIONS), f"t{rng.randrange(5)}")
         for i in range(4)
     }
     next_id, lsn = 10, 1
-    register_truth(spark, sales, dims, org, cats, depts, notes)
+    register_truth(spark, sales, dims, org, cats, depts, notes, coaches)
 
     root = tempfile.mkdtemp(prefix="fz_engine_")
     try:
@@ -650,10 +712,10 @@ def one_run(spark, seed, n_batches):
             return errs
         for b in range(1, n_batches + 1):
             records, next_id, lsn = gen_batch(
-                rng, sales, dims, org, cats, depts, notes, next_id, lsn,
+                rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
                 drop_image=(b % 4 == 0)
             )
-            register_truth(spark, sales, dims, org, cats, depts, notes)
+            register_truth(spark, sales, dims, org, cats, depts, notes, coaches)
             batch = cdc_df(spark, records)
             eng.process_cdc_batch(batch, epoch_id=b)
             errs = check_views(spark, sink, views, f"seed={seed} batch={b}")
