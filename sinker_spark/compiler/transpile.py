@@ -31,7 +31,10 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
 
 - ``expr [NOT] SIMILAR TO 'pat' [ESCAPE 'e']`` → anchored ``RLIKE``
   (PG similar_escape semantics: ``%``→``.*``, ``_``→``.``, regex metas
-  kept, ``. ^ $ \\`` literal)
+  kept, ``. ^ $ \\`` literal). NON-literal patterns (column refs,
+  calls, ``||`` chains) rewrite to the same translation performed at
+  RUNTIME by a pure Spark-SQL ``aggregate`` fold over the pattern's
+  characters — JVM-side, no UDF (ESCAPE must still be a literal)
 - jsonb predicates: ``a @> b`` / ``a <@ b`` (flat-object containment
   via ``from_json`` maps; array-literal sides via ``array<string>``),
   ``a ? 'k'`` → ``map_contains_key``, ``a ?| / ?& ARRAY[…]`` →
@@ -43,10 +46,13 @@ inside string literals. ``ILIKE``, aggregate ``FILTER (WHERE …)``
 (including after ``string_agg``'s WITHIN GROUP rewrite), correlated
 ``LATERAL (subquery)`` joins, and ``TABLESAMPLE`` pass through
 untouched — Spark SQL supports them natively. Known-unsupported PG constructs (ON CONFLICT, RETURNING,
-FOR UPDATE, non-literal SIMILAR TO patterns, unrewritable jsonb
-operator shapes, ``::regclass``)
+FOR UPDATE, unparseable SIMILAR TO shapes (e.g. a non-literal ESCAPE),
+unrewritable jsonb operator shapes, ``::regclass``)
 raise ``ValueError`` at transpile time instead of surfacing as Spark
-parser errors at refresh time.
+parser errors at refresh time. The surviving rejects are DML/lock/
+catalog-only or genuinely expression-shape-unresolvable without a
+schema — every SELECT-legal construct the reference's PG accepts in a
+view body either passes through or rewrites.
 
 This is a pragmatic text-level transpiler covering the reference corpus
 (validated in tests/test_transpile.py and the school-schema golden e2e);
@@ -178,7 +184,7 @@ _UNSUPPORTED = [
     (re.compile(r"\bon\s+conflict\b", re.IGNORECASE), "ON CONFLICT"),
     (re.compile(r"\breturning\b", re.IGNORECASE), "RETURNING"),
     (re.compile(r"\bfor\s+(update|share|no\s+key\s+update|key\s+share)\b", re.IGNORECASE), "FOR UPDATE/SHARE"),
-    (re.compile(r"\bsimilar\s+to\b", re.IGNORECASE), "SIMILAR TO with a non-literal pattern (literal patterns are rewritten to RLIKE)"),
+    (re.compile(r"\bsimilar\s+to\b", re.IGNORECASE), "SIMILAR TO shape the rewriter can't parse (literal patterns compile to RLIKE; expression patterns — operand/call/|| chains with a literal ESCAPE — rewrite to a runtime similar_escape fold)"),
     (re.compile(r"@>|<@|\?\||\?&|#>>|#>|\?"), "jsonb operator shape the rewriter can't express (literal-operand @>, <@, ?, ?|, ?&, #>, #>> are rewritten)"),
     (re.compile(r"::\s*regclass\b", re.IGNORECASE), "::regclass"),
 ]
@@ -517,6 +523,12 @@ def _rewrite_similar_to(sql: str) -> str:
         if not m:
             return sql
         neg, lit, esc = m.groups()
+        if re.compile(r"\s*\|\|").match(sql, m.end()):
+            # the "literal" is only the head of a || concatenation
+            # (SIMILAR TO '(' || col || ')%'): not a complete pattern —
+            # leave it for the runtime-fold pass, which consumes chains
+            pos = m.end()
+            continue
         escape = _unquote_pg_lit(esc) if esc else "\\"
         if len(escape) != 1:
             raise ValueError(
@@ -532,6 +544,105 @@ def _rewrite_similar_to(sql: str) -> str:
         if neg:
             repl = f"NOT {repl}"
         sql = f"{sql[:s]}{repl}{sql[m.end():]}"
+        pos = 0
+
+
+def _similar_runtime_regex_sql(pat_expr: str, escape: str = "\\") -> str:
+    """Runtime twin of :func:`_similar_to_java_regex`: a pure Spark-SQL
+    expression (``aggregate`` higher-order fold over ``split(pat, '')``)
+    that performs PG's similar_escape translation on a NON-LITERAL
+    pattern expression per input row, producing the anchored Java regex
+    for ``RLIKE``. Stays entirely JVM-side — no UDF. State: ``o`` the
+    regex built so far, ``e`` previous char was the escape char, ``k``
+    inside a character class. The branch order mirrors the literal
+    translator exactly (escaped char → class body → escape char → ``%``
+    → ``_`` → class open → pass-through metas → literal metas)."""
+    e = _spark_str_lit(escape)
+    # the escape char itself, regex-escaped, for a dangling trailing
+    # escape (the literal path appends it as a literal char)
+    e_rx = _spark_str_lit(escape if (escape.isalnum() or escape == "_") else "\\" + escape)
+    ns = "named_struct('o', {o}, 'e', {e}, 'k', {k})"
+    return (
+        "concat('^(?:', aggregate(split(" + pat_expr + ", ''), "
+        + ns.format(o="CAST('' AS STRING)", e="false", k="false")
+        + ", (a, c) -> CASE "
+        "WHEN c = '' THEN a "
+        "WHEN a.e THEN " + ns.format(
+            o="concat(a.o, CASE WHEN c RLIKE '^[0-9A-Za-z_]$' THEN c "
+              "ELSE concat('\\\\', c) END)", e="false", k="a.k") + " "
+        "WHEN a.k THEN " + ns.format(o="concat(a.o, c)", e="false", k="c != ']'") + " "
+        f"WHEN c = {e} THEN " + ns.format(o="a.o", e="true", k="false") + " "
+        "WHEN c = '%' THEN " + ns.format(o="concat(a.o, '.*')", e="false", k="false") + " "
+        "WHEN c = '_' THEN " + ns.format(o="concat(a.o, '.')", e="false", k="false") + " "
+        "WHEN c = '[' THEN " + ns.format(o="concat(a.o, '[')", e="false", k="true") + " "
+        "WHEN c IN ('|','*','+','?','(',')','{','}',']') THEN "
+        + ns.format(o="concat(a.o, c)", e="false", k="false") + " "
+        "WHEN c IN ('.','^','$','\\\\') THEN "
+        + ns.format(o="concat(a.o, concat('\\\\', c))", e="false", k="false") + " "
+        "ELSE " + ns.format(o="concat(a.o, c)", e="false", k="false") + " END, "
+        f"a -> CASE WHEN a.e THEN concat(a.o, {e_rx}) ELSE a.o END"
+        "), ')$')"
+    )
+
+
+def _rewrite_similar_to_runtime(sql: str) -> str:
+    """``expr [NOT] SIMILAR TO <pattern-expression> [ESCAPE 'e']`` →
+    ``expr RLIKE <runtime similar_escape fold>``. Runs AFTER the literal
+    pass (:func:`_rewrite_similar_to`), so every remaining SIMILAR TO
+    has a non-literal pattern. The pattern expression is parsed as an
+    operand optionally chained with ``||`` (how PG views build dynamic
+    patterns); ESCAPE must still be a literal — the escape character is
+    baked into the fold's branch structure. Shapes neither pass can
+    parse fall through to the loud ``_reject_unsupported`` error."""
+    pat = re.compile(r"\b(not\s+)?similar\s+to\b", re.IGNORECASE)
+    cat = re.compile(r"\s*\|\|")
+    esc_pat = re.compile(rf"\s*escape\s*({_STR_LIT})", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = _search_code(pat, sql, pos)
+        if not m:
+            return sql
+        # pattern expression: operand (|| operand)*
+        pend = _operand_end(sql, m.end())
+        if sql[m.end():pend].strip():
+            while True:
+                cm = cat.match(sql, pend)
+                if not cm:
+                    break
+                nxt = _operand_end(sql, cm.end())
+                if not sql[cm.end():nxt].strip():
+                    break
+                pend = nxt
+        pat_expr = sql[m.end():pend].strip()
+        s = _operand_start(sql, m.start())
+        operand = sql[s:m.start()].rstrip()
+        if not pat_expr or not operand:
+            pos = m.end()
+            continue
+        if pat_expr.lower() in ("case", "select", "exists", "not", "interval", "null"):
+            # a keyword head of a larger construct the operand parser
+            # cannot span (CASE … END, subquery, …): reject loudly
+            # rather than splice a truncated pattern expression
+            pos = m.end()
+            continue
+        escape, tail = "\\", pend
+        em = esc_pat.match(sql, pend)
+        if em:
+            escape = _unquote_pg_lit(em.group(1))
+            if len(escape) != 1:
+                raise ValueError(
+                    f"transpile: SIMILAR TO ESCAPE must be a single character, got {em.group(1)}"
+                )
+            tail = em.end()
+        elif re.compile(r"\s*escape\b", re.IGNORECASE).match(sql, pend):
+            # non-literal ESCAPE: leave the construct for the loud
+            # _reject_unsupported error instead of emitting broken SQL
+            pos = m.end()
+            continue
+        repl = f"{operand} RLIKE {_similar_runtime_regex_sql(pat_expr, escape)}"
+        if m.group(1):
+            repl = f"NOT ({repl})"
+        sql = f"{sql[:s]}{repl}{sql[tail:]}"
         pos = 0
 
 
@@ -1319,6 +1430,7 @@ def transpile(sql: str) -> str:
     sql = sql.strip().rstrip(";")
     sql = _replace_quoted_idents(sql)
     sql = _rewrite_similar_to(sql)
+    sql = _rewrite_similar_to_runtime(sql)
     sql = _rewrite_jsonb_ops(sql)
     _reject_unsupported(sql)
     sql = _rewrite_pg_casts(sql)

@@ -251,7 +251,8 @@ def test_unsupported_constructs_raise():
         "insert into t values (1) on conflict do nothing",
         "update t set x = 1 returning id",
         "select * from t for update",
-        "select * from t where a similar to b",  # non-literal pattern
+        "select * from t where a similar to b escape e",  # non-literal ESCAPE
+        "select * from t where a similar to case when b then c end",  # unparseable pattern shape
         "select doc #> path_col from t",  # non-literal path
         "select 'x'::regclass",
     ]:

@@ -314,17 +314,45 @@ class Gen:
             if c is not None:
                 a, b = r.sample(["a", "e", "o", "C", "1", "RI"], 2)
                 neg = "NOT " if r.random() < 0.25 else ""
-                shape = r.choice(["prefix", "sub", "underscore", "alt"])
+                shape = r.choice(["prefix", "sub", "underscore", "alt",
+                                  "rt_upper", "rt_alt", "rt_col"])
                 if shape == "prefix":
                     return Pair(f"({c} {neg}SIMILAR TO '{a}%')", f"({c} {neg}LIKE '{a}%')")
                 if shape == "sub":
                     return Pair(f"({c} {neg}SIMILAR TO '%{a}%')", f"({c} {neg}LIKE '%{a}%')")
                 if shape == "underscore":
                     return Pair(f"({c} {neg}SIMILAR TO '{a}_%')", f"({c} {neg}LIKE '{a}_%')")
-                duck = f"({c} LIKE '{a}%' OR {c} LIKE '{b}%')"
-                if neg:
-                    duck = f"(NOT {duck})"
-                return Pair(f"({c} {neg}SIMILAR TO '({a}|{b})%')", duck)
+                if shape == "alt":
+                    duck = f"({c} LIKE '{a}%' OR {c} LIKE '{b}%')"
+                    if neg:
+                        duck = f"(NOT {duck})"
+                    return Pair(f"({c} {neg}SIMILAR TO '({a}|{b})%')", duck)
+                # NON-literal pattern expressions (transpiler → runtime
+                # similar_escape fold, a pure Spark-SQL aggregate HOF):
+                # built from runtime pieces whose value is known, so the
+                # independent DuckDB rendering uses plain LIKE/OR-LIKE
+                if shape == "rt_upper":
+                    return Pair(
+                        f"({c} {neg}SIMILAR TO upper('{a.lower()}') || '%')",
+                        f"({c} {neg}LIKE '{a.upper()}%')",
+                    )
+                if shape == "rt_alt":
+                    duck = f"({c} LIKE '{a}%' OR {c} LIKE '{b}%')"
+                    if neg:
+                        duck = f"(NOT {duck})"
+                    return Pair(
+                        f"({c} {neg}SIMILAR TO '(' || '{a}' || '|' || '{b}' || ')%')",
+                        duck,
+                    )
+                # rt_col: pattern from another string column — safe for
+                # LIKE-equivalence because the first two chars of every
+                # seeded string value are alnum/space/# (no %_ or
+                # SIMILAR-metas), where LIKE and SIMILAR TO agree
+                c2 = self.col("str") or c
+                return Pair(
+                    f"({c} {neg}SIMILAR TO substr({c2}, 1, 2) || '%')",
+                    f"({c} {neg}LIKE substr({c2}, 1, 2) || '%')",
+                )
         if k == "jsonpred":
             # jsonb predicate operators (transpiler → from_json map
             # predicates) vs DuckDB's native json_keys/json_contains
