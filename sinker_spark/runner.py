@@ -406,80 +406,31 @@ class SyncEngine:
             changed_ids = {}
 
         full, targeted, lane_repair = [], [], []
-        for v in dirty:
-            # delta-aggregate lane: fold the batch into stored aggregate
-            # state (O(batch), no recompute) — eligible when the only
-            # changed dependency is the declared fact table and the batch
-            # carries the before-images the fold needs; otherwise fall
-            # through to the authoritative lanes below
-            if v.agg is not None and (changed & v.deps) <= {v.agg.table}:
-                if self._delta_agg_refresh(v, cdc, epoch_id):
-                    continue
-            # delta-join lane: bilinear-rule refresh for two-table join
-            # views — same eligibility contract as the aggregate lane
-            if v.join is not None and (changed & v.deps) <= {v.join.table_a, v.join.table_b}:
-                if self._delta_join_refresh(v, cdc, epoch_id):
-                    continue
-            # composed lane: aggregate over a join — join delta feeds the
-            # aggregate fold through signed multiplicities
-            if v.joinagg is not None and (changed & v.deps) <= {v.joinagg.table_a, v.joinagg.table_b}:
-                if self._join_agg_refresh(v, cdc, epoch_id):
-                    continue
-            # n-way join chain: the bilinear rule cascaded through
-            # stored intermediate join states
-            if v.joinchain is not None and (changed & v.deps) <= set(v.joinchain.tables):
-                if self._join_chain_refresh(v, cdc, epoch_id):
-                    continue
-            # nested-document lane: touched parents re-serve their docs
-            # from the parent/child states — no base-table rescan
-            if v.nesteddoc is not None and (changed & v.deps) <= {
-                v.nesteddoc.parent_table, v.nesteddoc.child_table,
-            }:
-                if self._nested_doc_refresh(v, cdc, epoch_id):
-                    continue
-            # doc-tree lane: the complete flagship shape (parent + dim
-            # chain + child arrays with element dims) — dim deltas walk
-            # reverse indexes to the affected docs, pure delta fold
-            if v.doctree is not None and (changed & v.deps) <= v.doctree.all_tables():
-                if self._doctree_refresh(v, cdc, epoch_id):
-                    continue
-            # distinct-count lanes: exact=True folds signed support
-            # counts (delete-maintainable, before-images required);
-            # exact=False MAX-merges HLL registers (monotone —
-            # deletes/updates fall back)
-            if v.distinct is not None and (changed & v.deps) <= {v.distinct.table}:
-                refresh = (
-                    self._exact_distinct_refresh if v.distinct.exact else self._hll_distinct_refresh
-                )
-                if refresh(v, cdc, epoch_id):
-                    continue
-            # Bloom membership lane: INSERT-only batches bit_or into the
-            # stored word relation (monotone — deletes/updates fall back)
-            if v.membership is not None and (changed & v.deps) <= {v.membership.table}:
-                if self._bloom_membership_refresh(v, cdc, epoch_id):
-                    continue
-            # top-k lane: buffered top-(k+buffer) fold; buffer-exhausted
-            # groups heal via a key-scoped recompute inside the lane
-            if v.topk is not None and (changed & v.deps) <= {v.topk.table}:
-                if self._topk_refresh(v, cdc, epoch_id):
-                    continue
-            # a lane view that could not fold this batch: the generic
-            # recompute lanes would leave the lane states (and the doc
-            # snapshot the diff trusts) stale — route through the
-            # authoritative repair instead
-            if self._has_lane(v):
+        # per-view routing (lane folds + scope hooks) touches only
+        # view-local state — fan it out on the same per-view thread-pool
+        # contract the recompute path uses (reference parity,
+        # runner.py:44-50: Spark jobs submitted from separate threads run
+        # concurrently; exceptions re-raise on future.result()). Serial
+        # when max_parallel_views == 1 (default).
+        if self.max_parallel_views > 1 and len(dirty) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.max_parallel_views, len(dirty))
+            ) as pool:
+                routed = list(pool.map(
+                    lambda v: self._route_one(v, cdc, changed, changed_ids, epoch_id),
+                    dirty,
+                ))
+        else:
+            routed = [self._route_one(v, cdc, changed, changed_ids, epoch_id) for v in dirty]
+        for v, (kind, scope) in zip(dirty, routed):
+            if kind == "repair":
                 lane_repair.append(v)
-                continue
-            # each view's hook sees only the changed tables it depends on
-            if v.affected_rows_keys is not None:
-                rows = cdc.where(F.col("table").isin(*sorted(v.deps)))
-                scope = v.affected_rows_keys(self.spark, rows)
-            elif v.affected_keys is not None:
-                relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
-                scope = v.affected_keys(self.spark, relevant)
-            else:
-                scope = None
-            (targeted if scope is not None else full).append((v, scope))
+            elif kind == "targeted":
+                targeted.append((v, scope))
+            elif kind == "full":
+                full.append((v, scope))
         self._refresh_views([v for v, _ in full], epoch_id)
         for v, scope in targeted:
             self._targeted_refresh_one(v, scope, epoch_id)
@@ -491,6 +442,85 @@ class SyncEngine:
                 self._lane_fallback_refresh(v, epoch_id, max_lsn=batch_max_lsn)
         if ids is not None:
             ids.unpersist()
+
+    def _route_one(self, v: ViewDef, cdc: DataFrame, changed: set,
+                   changed_ids: dict, epoch_id: int | None):
+        """Route ONE dirty view for this batch: try its delta lane (which
+        completes the refresh in place when it folds), else classify for
+        the shared downstream passes. Returns ("done"|"repair"|
+        "targeted"|"full", scope)."""
+        # delta-aggregate lane: fold the batch into stored aggregate
+        # state (O(batch), no recompute) — eligible when the only
+        # changed dependency is the declared fact table and the batch
+        # carries the before-images the fold needs; otherwise fall
+        # through to the authoritative lanes below
+        if v.agg is not None and (changed & v.deps) <= {v.agg.table}:
+            if self._delta_agg_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # delta-join lane: bilinear-rule refresh for two-table join
+        # views — same eligibility contract as the aggregate lane
+        if v.join is not None and (changed & v.deps) <= {v.join.table_a, v.join.table_b}:
+            if self._delta_join_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # composed lane: aggregate over a join — join delta feeds the
+        # aggregate fold through signed multiplicities
+        if v.joinagg is not None and (changed & v.deps) <= {v.joinagg.table_a, v.joinagg.table_b}:
+            if self._join_agg_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # n-way join chain: the bilinear rule cascaded through
+        # stored intermediate join states
+        if v.joinchain is not None and (changed & v.deps) <= set(v.joinchain.tables):
+            if self._join_chain_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # nested-document lane: touched parents re-serve their docs
+        # from the parent/child states — no base-table rescan
+        if v.nesteddoc is not None and (changed & v.deps) <= {
+            v.nesteddoc.parent_table, v.nesteddoc.child_table,
+        }:
+            if self._nested_doc_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # doc-tree lane: the complete flagship shape (parent + dim
+        # chain + child arrays with element dims) — dim deltas walk
+        # reverse indexes to the affected docs, pure delta fold
+        if v.doctree is not None and (changed & v.deps) <= v.doctree.all_tables():
+            if self._doctree_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # distinct-count lanes: exact=True folds signed support
+        # counts (delete-maintainable, before-images required);
+        # exact=False MAX-merges HLL registers (monotone —
+        # deletes/updates fall back)
+        if v.distinct is not None and (changed & v.deps) <= {v.distinct.table}:
+            refresh = (
+                self._exact_distinct_refresh if v.distinct.exact else self._hll_distinct_refresh
+            )
+            if refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # Bloom membership lane: INSERT-only batches bit_or into the
+        # stored word relation (monotone — deletes/updates fall back)
+        if v.membership is not None and (changed & v.deps) <= {v.membership.table}:
+            if self._bloom_membership_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # top-k lane: buffered top-(k+buffer) fold; buffer-exhausted
+        # groups heal via a key-scoped recompute inside the lane
+        if v.topk is not None and (changed & v.deps) <= {v.topk.table}:
+            if self._topk_refresh(v, cdc, epoch_id):
+                return ("done", None)
+        # a lane view that could not fold this batch: the generic
+        # recompute lanes would leave the lane states (and the doc
+        # snapshot the diff trusts) stale — route through the
+        # authoritative repair instead
+        if self._has_lane(v):
+            return ("repair", None)
+        # each view's hook sees only the changed tables it depends on
+        if v.affected_rows_keys is not None:
+            rows = cdc.where(F.col("table").isin(*sorted(v.deps)))
+            scope = v.affected_rows_keys(self.spark, rows)
+        elif v.affected_keys is not None:
+            relevant = {t: ids for t, ids in changed_ids.items() if t in v.deps}
+            scope = v.affected_keys(self.spark, relevant)
+        else:
+            scope = None
+        return ("targeted", scope) if scope is not None else ("full", scope)
 
     def _delta_agg_refresh(self, view: ViewDef, cdc: DataFrame, epoch_id: int | None) -> bool:
         """Delta-maintenance lane for keyed-aggregate views (ivm_delta):
