@@ -152,6 +152,26 @@ class SyncEngine:
         self.maintenance = MaintenancePolicy() if maintenance == "auto" else maintenance
         self._epochs_since_maintenance = 0
 
+    def _apply_counted(self, view: ViewDef, actions: DataFrame) -> dict[str, int]:
+        """Persist the actions frame, collect per-op counts (batch
+        stats), apply to the sink, unpersist. ONE execution of the
+        upstream serve/fold lineage instead of two — without the
+        persist, the count collect and the sink write would each
+        recompute the whole serve (state reads, joins, doc assembly),
+        doubling per-batch latency for every lane. The frame is
+        touched-docs-sized (bounded by batch fan-out, never the corpus),
+        so caching it is safe at any scale."""
+        actions = actions.persist()
+        try:
+            counts = {
+                r["op"]: r["n"]
+                for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()
+            }
+            self.sink.apply_actions(view.index, actions)
+        finally:
+            actions.unpersist()
+        return counts
+
     def _refresh_one(self, view: ViewDef, epoch_id: int | None = None) -> None:
         from sinker_spark.ivm import SchemaEvolutionError
 
@@ -638,8 +658,7 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         self._write_agg_state(view, new_state)
         self._write_lane_marker(view, batch_max_lsn)
@@ -746,8 +765,7 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         self._write_topk_states(view, new_rows, new_counts)
         self._write_lane_marker(view, batch_max_lsn)
@@ -813,8 +831,7 @@ class SyncEngine:
                 F.col("n_distinct_est"),
             ).alias("doc"),
         )
-        n_up = upserts.count()
-        self.sink.apply_actions(view.index, upserts)
+        n_up = self._apply_counted(view, upserts).get(UPSERT, 0)
 
         self._write_hll_state(view, new_state)
         self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "hll_distinct": 1}
@@ -891,8 +908,7 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         self._write_dc_state(view, new_state)
         self._write_lane_marker(view, batch_max_lsn)
@@ -958,8 +974,7 @@ class SyncEngine:
             F.lit(UPSERT).alias("op"),
             F.struct("word_idx", "word").alias("doc"),
         )
-        n_up = upserts.count()
-        self.sink.apply_actions(view.index, upserts)
+        n_up = self._apply_counted(view, upserts).get(UPSERT, 0)
 
         self._write_bloom_state(view, new_state)
         self.last_stats[view.name] = {"upserts": n_up, "deletes": 0, "bloom_membership": 1}
@@ -1073,8 +1088,7 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         self._write_join_states(view, new_a, new_b, new_j)
         self._write_lane_marker(view, batch_max_lsn)
@@ -1253,8 +1267,7 @@ class SyncEngine:
                 F.lit(None).cast(doc_type).alias("doc"),
             )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         self._write_chain_states(view, new_rs, new_js, new_agg)
         self._write_lane_marker(view, batch_max_lsn)
@@ -1381,8 +1394,7 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         # key-local merge: only the touched keys' buckets are rewritten
         self.keyed.merge_for_keys(p_name, touched, new_p, spec.on)
@@ -1551,13 +1563,19 @@ class SyncEngine:
             from sinker_spark import ivm_doc_sql
 
             docs = ivm_doc_sql.serve_docs_sql(sql_doc, touched, rows_for)
+        else:
+            docs = ivm_flagship.serve_docs(spec, touched, rows_for)
+        # the serve lineage (state reads + dim joins + array assembly) is
+        # referenced by BOTH action branches (upserts, and the retraction
+        # anti-join) — persist it so it executes once
+        docs = docs.persist()
+        if sql_doc is not None:
             upserts = docs.select(
                 F.col(spec.key).cast("string").alias(view.key),
                 F.lit(UPSERT).alias("op"),
                 F.col("doc"),
             )
         else:
-            docs = ivm_flagship.serve_docs(spec, touched, rows_for)
             upserts = docs.select(
                 F.col(spec.key).cast("string").alias(view.key),
                 F.lit(UPSERT).alias("op"),
@@ -1570,8 +1588,10 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        try:
+            counts = self._apply_counted(view, actions)
+        finally:
+            docs.unpersist()
 
         # key-local merges AFTER the sink actions (action-before-state):
         # each state rewrites only its changed keys' buckets. Index
@@ -1766,8 +1786,7 @@ class SyncEngine:
             F.lit(None).cast(doc_type).alias("doc"),
         )
         actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
 
         self._write_joinagg_states(view, new_a, new_b, new_agg)
         self._write_lane_marker(view, batch_max_lsn)
@@ -2343,8 +2362,7 @@ class SyncEngine:
                 )
             )
             actions = upserts.unionByName(deletes)
-        counts = {r["op"]: r["n"] for r in actions.groupBy("op").agg(F.count("*").alias("n")).collect()}
-        self.sink.apply_actions(view.index, actions)
+        counts = self._apply_counted(view, actions)
         self.store.write(view.name, new_df, key=view.key)
         # post-batch tables already include every change up to max_lsn,
         # so the rebuilt states carry that watermark for replay suppression
