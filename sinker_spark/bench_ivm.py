@@ -250,10 +250,18 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
 
         batch = _mixed_batch(spark)
         batch.count()  # materialize the plan so the fold timing is the fold
-        t0 = time.perf_counter()
-        eng.process_cdc_batch(batch, epoch_id=1)
-        out["fold_batch_s"] = round(time.perf_counter() - t0, 3)
+        import os
+
+        os.environ["SINKER_SPARK_LANE_TIMING"] = "1"
+        try:
+            t0 = time.perf_counter()
+            eng.process_cdc_batch(batch, epoch_id=1)
+            out["fold_batch_s"] = round(time.perf_counter() - t0, 3)
+        finally:
+            os.environ.pop("SINKER_SPARK_LANE_TIMING", None)
         stats = eng.last_stats.get("bi_doc", {})
+        if stats.get("phases"):
+            out["fold_phases"] = stats["phases"]
         out["fold_lane"] = "doc_tree" if stats.get("doc_tree") else "fallback"
         out["fold_upserts"] = int(stats.get("upserts", 0))
         out["fold_deletes"] = int(stats.get("deletes", 0))

@@ -21,6 +21,7 @@ isolation; the interface here is identical.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,10 +53,38 @@ class BucketedSnapshotStore:
     def exists(self, view: str) -> bool:
         return os.path.isdir(self._path(view))
 
+    def _schema_file(self, view: str) -> str:
+        # inside the snapshot dir, '_'-prefixed → invisible to parquet reads
+        return os.path.join(self._path(view), "_schema.json")
+
+    def _save_schema(self, view: str, schema) -> None:
+        """An EMPTY snapshot (empty view; a partial refresh that deletes
+        every doc in every affected bucket of a 1-bucket snapshot)
+        writes zero part files, and a bare parquet read of a file-less
+        dir fails with UNABLE_TO_INFER_SCHEMA — the sidecar keeps the
+        empty snapshot readable with its real schema (same pattern as
+        KeyedStateStore)."""
+        os.makedirs(self._path(view), exist_ok=True)
+        tmp = self._schema_file(view) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(schema.json())
+        os.replace(tmp, self._schema_file(view))
+
+    def _read_parquet(self, view: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        try:
+            return self.spark.read.parquet(self._path(view))
+        except AnalysisException:
+            with open(self._schema_file(view)) as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return self.spark.createDataFrame([], schema)
+
     def read(self, view: str) -> DataFrame | None:
         if not self.exists(view):
             return None
-        return self.spark.read.parquet(self._path(view)).drop("__bucket")
+        return self._read_parquet(view).drop("__bucket")
 
     def write(self, view: str, df: DataFrame, key: str = "id") -> None:
         out = with_doc_hash(df.dropDuplicates([key]), key).withColumn("__bucket", self._bucket(F.col(key)))
@@ -65,6 +94,7 @@ class BucketedSnapshotStore:
             .mode("overwrite")
             .parquet(self._path(view))
         )
+        self._save_schema(view, out.schema)
 
     def reset(self, view: str) -> None:
         """Drop ALL state for ``view`` — the remediation for a breaking
@@ -114,7 +144,7 @@ class BucketedSnapshotStore:
             r["b"] for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
         ]
         if buckets:
-            full = self.spark.read.parquet(self._path(view))  # includes __bucket
+            full = self._read_parquet(view)  # includes __bucket
             affected_old = full.where(F.col("__bucket").isin(buckets))
             keep = affected_old.drop("__bucket").select(key, "doc").join(merge_keys, key, "left_anti")
             rebuilt = keep.unionByName(new_partial.select(key, "doc"))

@@ -36,6 +36,7 @@ bulk_action_generator.py:34-36); divergence documented in SURVEY.md §2.
 from __future__ import annotations
 
 import logging
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -384,7 +385,7 @@ class SyncEngine:
             marker = self._read_lane_marker(view)
             cutoff = None
             if marker is not None:
-                cutoff, versions = marker
+                cutoff, versions, _fp = marker
                 if versions and any(
                     self._state_version(n) != v for n, v in versions.items()
                 ):
@@ -1449,6 +1450,9 @@ class SyncEngine:
         preserving the lanes' action-before-state crash discipline. Same
         before-image contract, replay guard and fallback behavior as the
         other delta lanes."""
+        import os as _os
+        import time as _time
+
         from sinker_spark import ivm_flagship
         from sinker_spark.ivm_flagship import _notnull, doc_tree_states
 
@@ -1457,8 +1461,25 @@ class SyncEngine:
         sdefs = {s.suffix: s for s in states}
         names = {s.suffix: f"{view.name}__dt_{s.suffix}" for s in states}
 
+        # opt-in phase decomposition (SINKER_SPARK_LANE_TIMING=1):
+        # surfaces where a batch's wall time goes (parse/fold vs reverse
+        # walk vs serve+sink vs state merge) in last_stats["phases"] —
+        # the bench's ivm section embeds it so refresh-latency
+        # regressions are attributable without a profiler
+        _timing = bool(_os.environ.get("SINKER_SPARK_LANE_TIMING"))
+        _phases: dict[str, float] = {}
+        _tprev = _time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _tprev
+            if _timing:
+                now = _time.perf_counter()
+                _phases[name] = round(now - _tprev, 3)
+                _tprev = now
+
         rows = cdc.where(F.col("table").isin(*sorted(spec.all_tables())))
         torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        _mark("guard")
         if torn:
             return False
         has_before = "payload_before" in cdc.columns
@@ -1490,13 +1511,21 @@ class SyncEngine:
         # contribute to a document — same rationale as the nested-doc
         # lane's filter); both images enter, so re-pointed references
         # cover their old targets' fan-out
-        changes: dict[str, DataFrame] = {}
-        for s in states:
-            if s.source is not None:
-                continue
+        def _one_change(s) -> tuple[str, DataFrame | None]:
             ch = batch_for(s.table, s.schema).where(_notnull(s.key_cols))
             if ch.limit(1).count():
-                changes[s.suffix] = ch.localCheckpoint(eager=True)
+                return s.suffix, ch.localCheckpoint(eager=True)
+            return s.suffix, None
+
+        # per-base-state parse+checkpoint jobs are independent — fan out
+        # on threads (concurrent Spark jobs) instead of paying N
+        # sequential job latencies for a bounded-size batch
+        base_states = [s for s in states if s.source is None]
+        changes = {}
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(base_states)))) as pool:
+            for sfx, ch in pool.map(_one_change, base_states):
+                if ch is not None:
+                    changes[sfx] = ch
         if not changes:
             # every row was replay-suppressed / irrelevant: nothing to fold
             self._write_lane_marker(view, batch_max_lsn)
@@ -1522,6 +1551,7 @@ class SyncEngine:
             # still be at the snapshot point (same contract as the other
             # lanes' in-hook init)
             self._write_doctree_states(view)
+        _mark("parse_fold")
 
         def rows_for(sdef, keys: DataFrame) -> DataFrame:
             """Stored state rows for ``keys`` (bucket-pruned + exact
@@ -1554,6 +1584,7 @@ class SyncEngine:
         touched = ivm_flagship.touched_parent_keys(
             spec, change_keys, rows_for
         ).localCheckpoint(eager=True)
+        _mark("reverse_walk")
         sql_doc = getattr(view, "_sql_doc", None)
         if sql_doc is not None:
             # SQL-declared doc tree (ivm_doc_sql): serve the TRANSPILED
@@ -1592,11 +1623,16 @@ class SyncEngine:
             counts = self._apply_counted(view, actions)
         finally:
             docs.unpersist()
+        _mark("serve_sink")
 
         # key-local merges AFTER the sink actions (action-before-state):
         # each state rewrites only its changed keys' buckets. Index
         # merges fold from THEIR stored rows + the source's change frame,
-        # never from the (already-merged) source state files.
+        # never from the (already-merged) source state files — which
+        # also makes the per-state merges independent of each other, so
+        # they fan out on threads (concurrent Spark jobs) instead of
+        # paying N sequential read+merge+write latencies.
+        merge_work = []
         for s in states:
             if s.source is None:
                 ch = changes.get(s.suffix)
@@ -1608,13 +1644,24 @@ class SyncEngine:
                 if src_ch is None:
                     continue
                 skeys = src_ch.where(_notnull(s.cols)).select(s.key_cols[0]).distinct()
+            merge_work.append((s, skeys))
+
+        def _one_merge(work) -> None:
+            s, skeys = work
             new_rows = rows_for(s, skeys)
             self.keyed.merge_for_keys(names[s.suffix], skeys, new_rows, list(s.key_cols))
+
+        if merge_work:
+            with ThreadPoolExecutor(max_workers=min(8, len(merge_work))) as pool:
+                list(pool.map(_one_merge, merge_work))
+        _mark("state_merge")
         self._write_lane_marker(view, batch_max_lsn)
+        _mark("marker")
         self.last_stats[view.name] = {
             "upserts": counts.get(UPSERT, 0),
             "deletes": counts.get(DELETE, 0),
             "doc_tree": 1,
+            **({"phases": _phases} if _timing else {}),
         }
         logger.info("doc-tree refreshed view %s (epoch %s): %s", view.name, epoch_id,
                     self.last_stats[view.name])
@@ -1875,7 +1922,31 @@ class SyncEngine:
             names.append(f"{view.name}__dcstate")
         return names
 
-    def _read_lane_marker(self, view: ViewDef) -> tuple[int | None, dict[str, int]] | None:
+    def _lane_spec_fp(self, view: ViewDef) -> str:
+        """Fingerprint of the view's lane spec + doc key. A redefinition
+        whose stored lane states happen to stay schema-compatible (e.g.
+        a chain view flipping between aggregate and raw-join mode keeps
+        the same relation/join state schemas) must still DECLINE the
+        fold: folding under the new spec serves the new shape for
+        touched keys but never retracts the old shape's documents —
+        they stay in the sink forever (found by tools/soak_longhaul.py,
+        evolution step: orphaned aggregate docs). The guard compares
+        this fingerprint against the marker's recorded one and routes a
+        mismatch through the authoritative fallback, which deletes every
+        key known to the old snapshot/states. Semantic edits invisible
+        to the spec (a changed sum EXPRESSION under the same alias)
+        remain the manual-reset contract documented on _checked_state."""
+        import hashlib
+
+        payload = repr((
+            view.key, view.agg, view.join, view.distinct, view.membership,
+            view.topk, view.joinagg, view.joinchain, view.nesteddoc, view.doctree,
+        ))
+        return hashlib.md5(payload.encode()).hexdigest()
+
+    def _read_lane_marker(
+        self, view: ViewDef
+    ) -> tuple[int | None, dict[str, int], str | None] | None:
         packed = self.store.read(f"{view.name}__lane_wm")
         if packed is None:
             return None
@@ -1883,7 +1954,12 @@ class SyncEngine:
         if not rows:
             return None
         doc = rows[0]["doc"]
-        return doc["lsn"], dict(zip(doc["state_names"], doc["state_versions"]))
+        d = doc.asDict()
+        return (
+            doc["lsn"],
+            dict(zip(doc["state_names"], doc["state_versions"])),
+            d.get("spec_fp"),  # pre-fingerprint markers lack the field
+        )
 
     def _state_version(self, name: str) -> int:
         """Version of a lane state wherever it lives: the key-local
@@ -1901,8 +1977,9 @@ class SyncEngine:
             return
         versions = [self._state_version(n) for n in names]
         df = self.spark.createDataFrame(
-            [(view.name, (lsn, names, versions))],
-            "id string, doc struct<lsn:bigint, state_names:array<string>, state_versions:array<int>>",
+            [(view.name, (lsn, names, versions, self._lane_spec_fp(view)))],
+            "id string, doc struct<lsn:bigint, state_names:array<string>, "
+            "state_versions:array<int>, spec_fp:string>",
         )
         self.store.write(f"{view.name}__lane_wm", df, key="id")
 
@@ -1916,7 +1993,14 @@ class SyncEngine:
         batch_max = rows.agg(F.max("lsn")).collect()[0][0] if "lsn" in rows.columns else None
         if marker is None:
             return False, rows, batch_max
-        cutoff, versions = marker
+        cutoff, versions, spec_fp = marker
+        if spec_fp is not None and spec_fp != self._lane_spec_fp(view):
+            logger.warning(
+                "view %s: lane spec changed since the marker was written — "
+                "declining to fold; fallback rebuilds states and retracts the "
+                "old shape's documents", view.name
+            )
+            return True, rows, batch_max
         if versions:
             if any(self._state_version(n) != v for n, v in versions.items()):
                 logger.warning(

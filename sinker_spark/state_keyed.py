@@ -82,12 +82,40 @@ class KeyedStateStore:
             json.dump({"version": v}, fh)
         os.replace(tmp, self._vfile(name))
 
+    def _schema_file(self, name: str) -> str:
+        # inside the state dir, '_'-prefixed → invisible to parquet reads
+        return os.path.join(self._path(name), "_schema.json")
+
+    def _save_schema(self, name: str, schema) -> None:
+        """Persist the state schema next to the data: an EMPTY state
+        (empty initial relation; a merge that empties every bucket)
+        writes zero part files, and a bare parquet read of a file-less
+        dir fails with UNABLE_TO_INFER_SCHEMA — the sidecar lets
+        ``_read_parquet`` serve the empty state with its real schema."""
+        os.makedirs(self._path(name), exist_ok=True)
+        tmp = self._schema_file(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(schema.json())
+        os.replace(tmp, self._schema_file(name))
+
+    def _read_parquet(self, name: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        try:
+            return self.spark.read.parquet(self._path(name))
+        except AnalysisException:
+            # zero data files: rebuild the empty frame from the sidecar
+            with open(self._schema_file(name)) as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return self.spark.createDataFrame([], schema)
+
     def read(self, name: str) -> DataFrame | None:
         """Full state (initialization checks, fallback rebuilds, doc-key
         derivation) — NOT the per-batch path."""
         if not self.exists(name):
             return None
-        return self.spark.read.parquet(self._path(name)).drop("__bucket")
+        return self._read_parquet(name).drop("__bucket")
 
     def read_for_keys(self, name: str, keys: DataFrame, key_cols: list[str]) -> DataFrame | None:
         """Bucket-pruned read: every stored row whose key COULD be in
@@ -99,7 +127,7 @@ class KeyedStateStore:
             r["b"]
             for r in keys.select(self._bucket(key_cols).alias("b")).distinct().collect()
         ]
-        df = self.spark.read.parquet(self._path(name))
+        df = self._read_parquet(name)
         if not buckets:
             return df.where(F.lit(False)).drop("__bucket")
         return df.where(F.col("__bucket").isin(buckets)).drop("__bucket")
@@ -122,6 +150,7 @@ class KeyedStateStore:
             .mode("overwrite")
             .parquet(self._path(name))
         )
+        self._save_schema(name, out.schema)
 
     def merge_for_keys(
         self, name: str, keys: DataFrame, new_rows: DataFrame, key_cols: list[str]
@@ -141,7 +170,7 @@ class KeyedStateStore:
         if not buckets:
             self._bump(name)
             return
-        full = self.spark.read.parquet(self._path(name))
+        full = self._read_parquet(name)
         affected_old = full.where(F.col("__bucket").isin(buckets)).drop("__bucket")
         keep = affected_old.join(kdf, key_cols, "left_anti")
         rebuilt = keep.unionByName(new_rows.select(*affected_old.columns))
@@ -215,7 +244,7 @@ class KeyedStateStore:
         ]
         if not doomed:
             return []
-        full = self.spark.read.parquet(self._path(name))
+        full = self._read_parquet(name)
         rebuilt = full.where(F.col("__bucket").isin(doomed))
         rebuilt = rebuilt.localCheckpoint(eager=True)
         self._bump(name)

@@ -110,3 +110,32 @@ def test_composite_key_routing(spark, tmp_path):
     st.merge_for_keys("s", keys, df.limit(0), ["a", "b"])  # delete (1,y)
     remaining = {(r.a, r.b) for r in st.read("s").collect()}
     assert remaining == {(1, "x"), (2, "x")}
+
+
+def test_empty_state_write_remains_readable(spark, tmp_path):
+    """An EMPTY state (empty initial relation) writes zero parquet part
+    files; the schema sidecar must keep the dir readable — found by the
+    long-haul soak: a doc-tree view over an initially-empty dim table
+    crashed every subsequent read with UNABLE_TO_INFER_SCHEMA."""
+    st = KeyedStateStore(spark, str(tmp_path), n_buckets=8)
+    st.write("s", _rows(spark, []), ["k"])
+    got = st.read("s")
+    assert got is not None and got.count() == 0
+    assert set(got.columns) == {"k", "payload", "__mult"}
+    keys = spark.createDataFrame([(1,)], "k bigint")
+    assert st.read_for_keys("s", keys, ["k"]).count() == 0
+    # and the state grows normally afterwards
+    st.merge_for_keys("s", keys, _rows(spark, [(1, "a", 1)]), ["k"])
+    assert {(r.k, r.payload) for r in st.read("s").collect()} == {(1, "a")}
+
+
+def test_merge_emptying_every_bucket_remains_readable(spark, tmp_path):
+    """Deleting the last rows of every bucket leaves a file-less dir;
+    reads must still serve the empty state with its schema."""
+    st = KeyedStateStore(spark, str(tmp_path), n_buckets=8)
+    st.write("s", _rows(spark, [(1, "a", 1), (2, "b", 1)]), ["k"])
+    keys = spark.createDataFrame([(1,), (2,)], "k bigint")
+    st.merge_for_keys("s", keys, _rows(spark, []), ["k"])
+    got = st.read("s")
+    assert got is not None and got.count() == 0
+    assert set(got.columns) == {"k", "payload", "__mult"}

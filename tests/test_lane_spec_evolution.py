@@ -321,3 +321,96 @@ def test_join_schema_widening_declines_then_refolds(spark, tmp_path):
     assert sink.get("ev_join", "3") == {
         "region": "eu", "id": "3", "mgr": "ada", "floor": "f1", "n_rows": 1,
     }
+
+
+def _chain_view(agg_mode: bool):
+    """Chain view whose two modes share IDENTICAL lane-state schemas
+    (relation + join states) but produce different doc shapes/keys —
+    the column-presence evolution check cannot tell them apart."""
+    from sinker_spark.views import JoinChainViewSpec
+
+    if agg_mode:
+        def fn(spark):
+            j = spark.table("ev2_sales").join(spark.table("ev2_dims"), "region")
+            g = j.groupBy("mgr").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.expr("CAST(amount AS DECIMAL(18,2))")).alias("__s"),
+            )
+            return g.select(
+                F.col("mgr").alias("k"),
+                F.struct("mgr", "n_rows", F.col("__s").cast("double").alias("sum_amt")).alias("doc"),
+            )
+
+        spec = JoinChainViewSpec(
+            tables=["ev2_sales", "ev2_dims"], ons=[["region"]],
+            row_schemas=["id string, region string, amount double",
+                         "region string, mgr string"],
+            keys=["mgr"], sums={"sum_amt": "CAST(amount AS DECIMAL(18,2))"},
+        )
+    else:
+        def fn(spark):
+            j = spark.table("ev2_sales").join(spark.table("ev2_dims"), "region")
+            g = j.groupBy("region", "id", "amount", "mgr").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows")
+            )
+            return g.select(
+                F.col("id").alias("k"),
+                F.struct("region", "id", "amount", "mgr", "n_rows").alias("doc"),
+            )
+
+        spec = JoinChainViewSpec(
+            tables=["ev2_sales", "ev2_dims"], ons=[["region"]],
+            row_schemas=["id string, region string, amount double",
+                         "region string, mgr string"],
+            key_cols=["id"],
+        )
+    return ViewDef(name="ev2_chain", fn=fn, key="k",
+                   deps={"ev2_sales", "ev2_dims"}, joinchain=spec)
+
+
+def test_spec_edit_with_compatible_states_retracts_old_docs(spark, tmp_path):
+    """Redefining a lane view so its doc SHAPE/KEYS change while the
+    stored lane states stay schema-compatible (chain aggregate -> raw
+    mode) must decline the fold and route through the fallback — the
+    lane-spec fingerprint in the replay marker catches what the
+    column-presence check cannot. Without it the old shape's docs stay
+    in the sink forever (found by tools/soak_longhaul.py)."""
+    spark.createDataFrame(
+        [("1", "eu", 10.0), ("2", "eu", 20.0), ("3", "us", 5.0)],
+        "id string, region string, amount double",
+    ).createOrReplaceTempView("ev2_sales")
+    spark.createDataFrame(
+        [("eu", "m1"), ("us", "m2")], "region string, mgr string"
+    ).createOrReplaceTempView("ev2_dims")
+    sink = InMemorySink()
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    eng1 = SyncEngine(spark, [_chain_view(agg_mode=True)], sink, store)
+    eng1.backfill()
+    assert set(sink.ids("ev2_chain")) == {"m1", "m2"}
+
+    # redefinition: raw mode — same state schemas, different doc keys
+    eng2 = SyncEngine(spark, [_chain_view(agg_mode=False)], sink, store,
+                      on_schema_change="reset")
+    spark.createDataFrame(
+        [("1", "eu", 10.0), ("2", "eu", 20.0), ("3", "us", 5.0), ("4", "us", 2.0)],
+        "id string, region string, amount double",
+    ).createOrReplaceTempView("ev2_sales")
+    eng2.process_cdc_batch(_cdc(spark, "ev2_sales", [
+        (1, "INSERT", {"id": "4", "region": "us", "amount": 2.0}, None),
+    ]))
+    # old aggregate docs must be retracted, new per-row docs present
+    assert set(sink.ids("ev2_chain")) == {"1", "2", "3", "4"}
+    stats = eng2.last_stats["ev2_chain"]
+    assert stats.get("lane_fallback") == 1
+
+    # and the NEXT batch folds again under the new spec
+    spark.createDataFrame(
+        [("1", "eu", 10.0), ("2", "eu", 20.0), ("3", "us", 5.0), ("4", "us", 2.0),
+         ("5", "eu", 1.0)],
+        "id string, region string, amount double",
+    ).createOrReplaceTempView("ev2_sales")
+    eng2.process_cdc_batch(_cdc(spark, "ev2_sales", [
+        (2, "INSERT", {"id": "5", "region": "eu", "amount": 1.0}, None),
+    ]))
+    assert set(sink.ids("ev2_chain")) == {"1", "2", "3", "4", "5"}
+    assert eng2.last_stats["ev2_chain"].get("join_chain") == 1
