@@ -139,3 +139,21 @@ def test_merge_emptying_every_bucket_remains_readable(spark, tmp_path):
     got = st.read("s")
     assert got is not None and got.count() == 0
     assert set(got.columns) == {"k", "payload", "__mult"}
+
+
+def test_read_for_keys_partition_prunes_in_the_plan(spark, tmp_path):
+    """The store's central scale claim — per-batch reads touch only the
+    batch's buckets — must be visible in the physical plan as a
+    PartitionFilter on __bucket, not a post-scan filter (which would
+    read every bucket's files and filter rows afterwards)."""
+    st = KeyedStateStore(spark, str(tmp_path), n_buckets=8)
+    df = spark.createDataFrame(
+        [(i, "x", 1) for i in range(100)], SCHEMA
+    )
+    st.write("s", df, ["k"])
+    keys = spark.createDataFrame([(5,)], "k bigint")
+    plan = st.read_for_keys("s", keys, ["k"])._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "__bucket" in m.group(1) and "=" in m.group(1), plan
