@@ -111,33 +111,72 @@ def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
                     source=f"d{nd.parent}",
                 )
             )
-    for i, ch in enumerate(spec.children):
-        out.append(
-            DocStateDef(
-                f"c{i}", ch.table, tuple(_ddl_cols(ch.row_schema)), (ch.fk,),
-                schema=ch.row_schema,
+    for node in child_nodes(spec):
+        sfx, ch = node.suffix, node.child
+        ch_cols = tuple(_ddl_cols(ch.row_schema))
+        if ch.children and ch.key not in ch_cols:
+            raise ValueError(
+                f"ChildArraySpec({ch.table}): key {ch.key!r} must appear "
+                f"in row_schema (got {ch_cols})"
             )
+        out.append(
+            DocStateDef(sfx, ch.table, ch_cols, (ch.fk,), schema=ch.row_schema)
         )
         for j, d in enumerate(ch.dims):
             out.append(
                 DocStateDef(
-                    f"c{i}d{j}", d.table, tuple(_ddl_cols(d.row_schema)), (d.key,),
+                    f"{sfx}d{j}", d.table, tuple(_ddl_cols(d.row_schema)), (d.key,),
                     schema=d.row_schema,
                 )
             )
         for j, d in enumerate(ch.dims):
             if j == 0:
                 out.append(
-                    DocStateDef(f"rc{i}0", ch.table, (d.fk, ch.fk), (d.fk,), source=f"c{i}")
+                    DocStateDef(f"r{sfx}0", ch.table, (d.fk, ch.fk), (d.fk,), source=sfx)
                 )
             else:
                 prev = ch.dims[j - 1]
                 out.append(
                     DocStateDef(
-                        f"rc{i}{j}", prev.table, (d.fk, prev.key), (d.fk,),
-                        source=f"c{i}d{j - 1}",
+                        f"r{sfx}{j}", prev.table, (d.fk, prev.key), (d.fk,),
+                        source=f"{sfx}d{j - 1}",
                     )
                 )
+        if ch.children:
+            # child key → container key: the ascent edge a nested array's
+            # (or its element dims') delta walks to reach this child's
+            # container — bucketed by the child's own key
+            out.append(
+                DocStateDef(f"rk{sfx}", ch.table, (ch.key, ch.fk), (ch.key,), source=sfx)
+            )
+    return out
+
+
+@dataclass(frozen=True)
+class ChildNode:
+    """One to-many relation occurrence in the doc tree, in preorder.
+    ``suffix`` is the state-name path (top level ``c{i}`` — the
+    historical flat naming, kept bit-for-bit — nested ``{parent}x{k}``);
+    ``parent`` is the containing child's suffix (None at the top level,
+    where the container is the doc parent)."""
+
+    suffix: str
+    child: "ChildArraySpec"  # noqa: F821 — views.ChildArraySpec
+    parent: str | None
+
+
+def child_nodes(spec: DocTreeViewSpec) -> list[ChildNode]:
+    """Preorder flat list of every to-many occurrence (arbitrary
+    nesting depth)."""
+    out: list[ChildNode] = []
+
+    def rec(ch, sfx: str, parent: str | None) -> None:
+        out.append(ChildNode(sfx, ch, parent))
+        for k, g in enumerate(ch.children):
+            rec(g, f"{sfx}x{k}", sfx)
+
+    for i, ch in enumerate(spec.children):
+        rec(ch, f"c{i}", None)
     return out
 
 
@@ -179,12 +218,30 @@ def touched_parent_keys(
     that relation's changed key values (old AND new images)."""
     states = {s.suffix: s for s in doc_tree_states(spec)}
     nodes = dim_nodes(spec)
+    cnodes = {n.suffix: n for n in child_nodes(spec)}
     outs: list[DataFrame] = []
     if "p" in change_keys:
         outs.append(change_keys["p"].toDF(spec.key))
-    for i, ch in enumerate(spec.children):
-        if f"c{i}" in change_keys:
-            outs.append(change_keys[f"c{i}"].toDF(spec.key))
+
+    def ascend(keys: DataFrame, parent_sfx: str | None) -> DataFrame:
+        # keys: one column of the child-at-parent_sfx's KEY values (the
+        # fk values of some nested relation) — follow the child→container
+        # rk indexes up to the doc parent's keys
+        while parent_sfx is not None:
+            pn = cnodes[parent_sfx]
+            probe = keys.toDF(pn.child.key).where(
+                F.col(pn.child.key).isNotNull()
+            ).distinct()
+            keys = rows_for(states[f"rk{parent_sfx}"], probe).select(
+                pn.child.fk
+            ).distinct()
+            parent_sfx = pn.parent
+        return keys
+
+    for cn in child_nodes(spec):
+        if cn.suffix in change_keys:
+            # a child delta's key values are its CONTAINER's key values
+            outs.append(ascend(change_keys[cn.suffix], cn.parent).toDF(spec.key))
 
     def walk(keys: DataFrame, chain, idx_prefix: str, final_key: str) -> DataFrame:
         # keys: one column named chain[h].key at entry level h; walk to
@@ -218,13 +275,15 @@ def touched_parent_keys(
         if f"d{nd.idx}" in change_keys:
             keys = change_keys[f"d{nd.idx}"].toDF(nd.dim.key)
             outs.append(walk_up(keys, nd.idx).toDF(spec.key))
-    for i, ch in enumerate(spec.children):
+    for cn in child_nodes(spec):
+        ch = cn.child
         for j, d in enumerate(ch.dims):
-            if f"c{i}d{j}" in change_keys:
-                keys = change_keys[f"c{i}d{j}"].toDF(d.key)
-                outs.append(
-                    walk(keys, ch.dims[: j + 1], f"rc{i}", ch.fk).toDF(spec.key)
-                )
+            if f"{cn.suffix}d{j}" in change_keys:
+                keys = change_keys[f"{cn.suffix}d{j}"].toDF(d.key)
+                # dim walk lands on this child's fk values (= its
+                # container's keys); ascend the rk chain to the doc root
+                to_container = walk(keys, ch.dims[: j + 1], f"r{cn.suffix}", ch.fk)
+                outs.append(ascend(to_container, cn.parent).toDF(spec.key))
     if not outs:
         raise ValueError("touched_parent_keys: no change keys supplied")
     acc = outs[0]
@@ -271,43 +330,65 @@ def serve_docs(
         if k_alias != d.key:
             dim = dim.withColumnRenamed(d.key, k_alias)
         cur = cur.join(dim, F.col(d.fk) == F.col(k_alias), "inner").drop(k_alias)
-    for i, ch in enumerate(spec.children):
-        probe_c = tkeys.select(F.col(spec.key).alias(ch.fk))
-        elem = expand_mult(rows_for(states[f"c{i}"], probe_c))
-        payload = [c for c in elem.columns if c != ch.fk]
-        for j, d in enumerate(ch.dims):
-            probe = elem.select(F.col(d.fk).alias(d.key)).where(
-                F.col(d.key).isNotNull()
+    def attach(cur: DataFrame, container_key: str, level: list[ChildNode]) -> DataFrame:
+        # attach one array column per child node onto ``cur`` (the
+        # container rows — parent docs at the top level, the containing
+        # child's elements when nested), recursing into nested arrays
+        for cn in level:
+            ch = cn.child
+            probe_c = cur.select(F.col(container_key).alias(ch.fk)).where(
+                F.col(ch.fk).isNotNull()
             ).distinct()
-            dim = expand_mult(rows_for(states[f"c{i}d{j}"], probe))
-            k_alias = d.key if d.key != d.fk else f"__dtek{i}_{j}"
-            if k_alias != d.key:
-                dim = dim.withColumnRenamed(d.key, k_alias)
-            elem = elem.join(dim, F.col(d.fk) == F.col(k_alias), "left").drop(k_alias)
-            payload += [c for c in _ddl_cols(d.row_schema) if c != d.key]
-        order_cols = ch.order if ch.order is not None else [
-            c for c in _ddl_cols(ch.row_schema) if c != ch.fk
-        ]
-        pair = F.struct(
-            *[F.col(c).alias(f"__o{k}") for k, c in enumerate(order_cols)],
-            F.struct(*[F.col(c) for c in payload]).alias("__c"),
-        )
-        arrays = (
-            elem.groupBy(ch.fk)
-            .agg(F.array_sort(F.collect_list(pair)).alias("__pairs"))
-            .select(
-                ch.fk,
-                F.transform(F.col("__pairs"), lambda x: x["__c"]).alias(ch.alias),
+            elem = expand_mult(rows_for(states[cn.suffix], probe_c))
+            payload = [c for c in elem.columns if c != ch.fk]
+            for j, d in enumerate(ch.dims):
+                probe = elem.select(F.col(d.fk).alias(d.key)).where(
+                    F.col(d.key).isNotNull()
+                ).distinct()
+                dim = expand_mult(rows_for(states[f"{cn.suffix}d{j}"], probe))
+                k_alias = d.key if d.key != d.fk else f"__dtek_{cn.suffix}_{j}"
+                if k_alias != d.key:
+                    dim = dim.withColumnRenamed(d.key, k_alias)
+                elem = elem.join(dim, F.col(d.fk) == F.col(k_alias), "left").drop(k_alias)
+                payload += [c for c in _ddl_cols(d.row_schema) if c != d.key]
+            if ch.children:
+                elem = attach(
+                    elem,
+                    ch.key,
+                    [
+                        ChildNode(f"{cn.suffix}x{k}", g, cn.suffix)
+                        for k, g in enumerate(ch.children)
+                    ],
+                )
+                payload += [g.alias for g in ch.children]
+            order_cols = ch.order if ch.order is not None else [
+                c for c in _ddl_cols(ch.row_schema) if c != ch.fk
+            ]
+            pair = F.struct(
+                *[F.col(c).alias(f"__o{k}") for k, c in enumerate(order_cols)],
+                F.struct(*[F.col(c) for c in payload]).alias("__c"),
             )
-        )
-        fk_alias = ch.fk if ch.fk != spec.key else f"__dtf{i}"
-        if fk_alias != ch.fk:
-            arrays = arrays.withColumnRenamed(ch.fk, fk_alias)
-        cur = cur.join(arrays, F.col(spec.key) == F.col(fk_alias), "left").drop(fk_alias)
-        arr_type = cur.schema[ch.alias].dataType
-        cur = cur.withColumn(
-            ch.alias, F.coalesce(F.col(ch.alias), F.array().cast(arr_type))
-        )
+            arrays = (
+                elem.groupBy(ch.fk)
+                .agg(F.array_sort(F.collect_list(pair)).alias("__pairs"))
+                .select(
+                    ch.fk,
+                    F.transform(F.col("__pairs"), lambda x: x["__c"]).alias(ch.alias),
+                )
+            )
+            fk_alias = ch.fk if ch.fk != container_key else f"__dtf_{cn.suffix}"
+            if fk_alias != ch.fk:
+                arrays = arrays.withColumnRenamed(ch.fk, fk_alias)
+            cur = cur.join(
+                arrays, F.col(container_key) == F.col(fk_alias), "left"
+            ).drop(fk_alias)
+            arr_type = cur.schema[ch.alias].dataType
+            cur = cur.withColumn(
+                ch.alias, F.coalesce(F.col(ch.alias), F.array().cast(arr_type))
+            )
+        return cur
+
+    cur = attach(cur, spec.key, [n for n in child_nodes(spec) if n.parent is None])
     return cur.select(*doc_columns(spec))
 
 

@@ -149,6 +149,7 @@ _SAMPLE_PREFIX = [
     # round-6 gate queries
     "ivm_sql_doctree_joined",
     "ivm_branched_doc",
+    "ivm_nested_child_doc",
     # never-sampled, highest value first: the TPC-H remainder…
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -1595,6 +1595,168 @@ def ivm_multi_child_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_nested_child_doc",
+    oracle="""
+    WITH
+    c_post AS (SELECT c_custkey AS ckey,
+                      CASE WHEN c_custkey % 4 = 0 THEN c_name || '*' ELSE c_name END AS cname
+               FROM customer),
+    o_post AS (SELECT o_orderkey AS okey, o_custkey AS ocust, o_orderstatus AS ostat
+               FROM orders WHERE o_orderkey % 9 <> 0),
+    l_del AS (SELECT l_orderkey AS lord FROM lineitem
+              WHERE (l_orderkey + l_linenumber) % 7 = 0),
+    l_post AS (SELECT l_orderkey AS lord, l_linenumber AS lnum,
+                      CAST(l_quantity AS BIGINT) AS lqty, l_partkey AS lpart
+               FROM lineitem WHERE (l_orderkey + l_linenumber) % 7 <> 0),
+    p_post AS (SELECT p_partkey AS pkey,
+                      CASE WHEN p_partkey % 10 = 0 THEN p_name || '+' ELSE p_name END AS pname
+               FROM part),
+    touched AS (
+      SELECT DISTINCT ckey FROM (
+        SELECT c_custkey AS ckey FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL SELECT o_custkey FROM orders WHERE o_orderkey % 9 = 0
+        UNION ALL SELECT o.ocust FROM o_post o JOIN l_del d ON o.okey = d.lord
+        UNION ALL SELECT o.ocust FROM o_post o JOIN l_post l ON o.okey = l.lord
+                  WHERE l.lpart % 10 = 0
+      )
+    ),
+    items AS (
+      SELECT l.lord, string_agg(
+               l.lnum || ':' || l.lqty || ':' || p.pname, ','
+               ORDER BY l.lnum, l.lqty, l.lpart, p.pname) AS s
+      FROM l_post l LEFT JOIN p_post p ON l.lpart = p.pkey GROUP BY l.lord),
+    ords AS (
+      SELECT o.ocust, COUNT(*) AS n,
+             string_agg(o.okey || '|' || o.ostat || '|' || COALESCE(i.s, ''), ';'
+                        ORDER BY o.okey) AS s
+      FROM o_post o LEFT JOIN items i ON o.okey = i.lord GROUP BY o.ocust)
+    SELECT c.ckey, c.cname,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_ords,
+           COALESCE(o.s, '') AS ords_str
+    FROM c_post c
+    JOIN touched USING (ckey)
+    LEFT JOIN ords o ON c.ckey = o.ocust""",
+    doc=(
+        "NESTED to-many doc tree (ChildArraySpec.children / ivm_flagship "
+        "recursion): one doc per customer carrying an orders[] array "
+        "whose ELEMENTS each carry their own lineitems[] sub-array with "
+        "a part element-dim — two to-many levels, maintained as a pure "
+        "delta fold. ONE batch renames customers AND deletes orders AND "
+        "deletes lineitems AND renames parts; a part rename walks "
+        "part→lineitem→order→customer through the reverse indexes + the "
+        "rk child-key ascent index, so only genuinely affected customer "
+        "docs re-serve. Nested arrays serialized for hashing; oracle "
+        "rebuilds the exact touched set + docs from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "B7", "composition", "nested"),
+)
+def ivm_nested_child_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_flagship import (
+        relation_rows_for, serve_docs, touched_parent_keys,
+    )
+    from sinker_spark.views import ChildArraySpec, DimLookup, DocTreeViewSpec
+
+    t = load_tables(spark, sf_dir)
+    c_all = t["customer"].select(
+        F.col("c_custkey").alias("ckey"), F.col("c_name").alias("cname")
+    )
+    o_all = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ocust"),
+        F.col("o_orderstatus").alias("ostat"),
+    )
+    l_all = t["lineitem"].select(
+        F.col("l_orderkey").alias("lord"), F.col("l_linenumber").alias("lnum"),
+        F.col("l_quantity").cast("bigint").alias("lqty"),
+        F.col("l_partkey").alias("lpart"),
+    )
+    p_all = t["part"].select(
+        F.col("p_partkey").alias("pkey"), F.col("p_name").alias("pname")
+    )
+
+    spec = DocTreeViewSpec(
+        parent_table="customer", key="ckey",
+        row_schema_parent="ckey bigint, cname string",
+        children=[ChildArraySpec(
+            table="orders", fk="ocust",
+            row_schema="okey bigint, ocust bigint, ostat string",
+            alias="ords", order=["okey"], key="okey",
+            children=[ChildArraySpec(
+                table="lineitem", fk="lord",
+                row_schema="lord bigint, lnum int, lqty bigint, lpart bigint",
+                alias="items", order=["lnum", "lqty", "lpart"],
+                dims=[DimLookup(table="part", fk="lpart", key="pkey",
+                                row_schema="pkey bigint, pname string")],
+            )],
+        )],
+    )
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    pred_c = F.col("ckey") % 4 == 0
+    c_new = c_all.withColumn(
+        "cname", F.when(pred_c, F.concat(F.col("cname"), F.lit("*"))).otherwise(F.col("cname"))
+    )
+    c_ch = (
+        c_all.where(pred_c).withColumn("__op", dele)
+        .unionByName(c_new.where(pred_c).withColumn("__op", ins))
+    )
+    o_ch = o_all.where(F.col("okey") % 9 == 0).withColumn("__op", dele)
+    l_ch = l_all.where((F.col("lord") + F.col("lnum")) % 7 == 0).withColumn("__op", dele)
+    pred_p = F.col("pkey") % 10 == 0
+    p_new = p_all.withColumn(
+        "pname", F.when(pred_p, F.concat(F.col("pname"), F.lit("+"))).otherwise(F.col("pname"))
+    )
+    p_ch = (
+        p_all.where(pred_p).withColumn("__op", dele)
+        .unionByName(p_new.where(pred_p).withColumn("__op", ins))
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "c0": apply_join_state(relation_state(o_all), changes_to_mult(o_ch)),
+        "c0x0": apply_join_state(relation_state(l_all), changes_to_mult(l_ch)),
+        "c0x0d0": apply_join_state(relation_state(p_all), changes_to_mult(p_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": c_ch.select("ckey"),
+        "c0": o_ch.select("ocust"),
+        "c0x0": l_ch.select("lord"),
+        "c0x0d0": p_ch.select("pkey"),
+    }
+    touched = touched_parent_keys(spec, change_keys, rows_for)
+    docs = serve_docs(spec, touched, rows_for)
+    return docs.select(
+        "ckey",
+        "cname",
+        F.size("ords").cast("bigint").alias("n_ords"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("ords"),
+                lambda o: F.concat_ws(
+                    "|",
+                    o["okey"].cast("string"),
+                    o["ostat"],
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            o["items"],
+                            lambda x: F.concat_ws(
+                                ":",
+                                x["lnum"].cast("string"),
+                                x["lqty"].cast("string"),
+                                x["pname"],
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ).alias("ords_str"),
+    )
+
+
+@query(
     "ivm_sql_doctree_course",
     oracle="""
     WITH o_post AS (

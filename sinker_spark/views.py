@@ -467,12 +467,23 @@ class DimLookup:
 @dataclass
 class ChildArraySpec:
     """One to-many child array in a :class:`DocTreeViewSpec`: rows of
-    ``table`` whose ``fk`` equals the parent key become an array of
-    structs under ``alias``, each element carrying the child payload
-    (minus ``fk``) plus its own to-one ``dims`` chain (LEFT-joined:
-    a missing element dim serves NULL fields, reference course_mv's
-    correlated-subquery semantics). ``order``: child columns forming a
-    total order within one parent (default: all payload columns)."""
+    ``table`` whose ``fk`` equals the CONTAINER's key (the parent key at
+    the top level, the containing child's ``key`` when nested) become an
+    array of structs under ``alias``, each element carrying the child
+    payload (minus ``fk``) plus its own to-one ``dims`` chain
+    (LEFT-joined: a missing element dim serves NULL fields, reference
+    course_mv's correlated-subquery semantics). ``order``: child columns
+    forming a total order within one container (default: all payload
+    columns).
+
+    NESTED to-many: ``children`` hangs further arrays off each element
+    (customer doc → orders[] → lineitems[] — reference README person
+    example generalized one level down). A child that declares
+    ``children`` must also declare ``key`` — its own unique key column
+    (must appear in ``row_schema``) — which the nested arrays' ``fk``
+    references and which anchors the child→container reverse index the
+    fold lane walks. Depth is unbounded (the maintenance recursion is
+    uniform per level)."""
 
     table: str
     fk: str
@@ -480,6 +491,15 @@ class ChildArraySpec:
     alias: str
     order: list[str] | None = None
     dims: list[DimLookup] = field(default_factory=list)
+    key: str | None = None
+    children: list["ChildArraySpec"] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.children and not self.key:
+            raise ValueError(
+                f"ChildArraySpec({self.table}): nested children require "
+                "an explicit unique `key` column on the containing child"
+            )
 
 
 @dataclass
@@ -531,9 +551,15 @@ class DocTreeViewSpec:
     def all_tables(self) -> set[str]:
         out = {self.parent_table}
         out.update(nd.dim.table for nd in dim_nodes(self))
-        for ch in self.children:
+
+        def rec(ch: ChildArraySpec) -> None:
             out.add(ch.table)
             out.update(d.table for d in ch.dims)
+            for g in ch.children:
+                rec(g)
+
+        for ch in self.children:
+            rec(ch)
         return out
 
 
