@@ -41,6 +41,16 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
   ``exists`` / ``forall``, ``a #> / #>> '{x,y,0}'`` →
   ``get_json_object(a, '$.x.y[0]')``
 
+Correlated subqueries nested INSIDE other subqueries are inlined as
+joins (_decorrelate_nested): to-one lookups as LEFT JOINs on the
+correlation predicate; AGGREGATE subqueries (a ``json_agg`` inside
+another ``json_agg``'s element — nested to-many document levels, or a
+nested correlated ``count(*)``) as pre-grouped derived-table LEFT
+JOINs, since textual inlining would nest one aggregate call inside
+another (illegal in Spark). Empty-group parity with PG: the derived
+join serves NULL exactly where PG's json_agg/sum/… return NULL over
+zero rows; ``count`` coalesces to 0.
+
 Operator rewrites (``::``, ``->``, ``~``) ignore operator-shaped text
 inside string literals. ``ILIKE``, aggregate ``FILTER (WHERE …)``
 (including after ``string_agg``'s WITHIN GROUP rewrite), correlated
@@ -254,7 +264,10 @@ def _rename_calls(sql: str, mapping: dict[str, str]) -> str:
 
 
 def _wrap_calls(sql: str, fname: str, prefix: str, suffix: str) -> str:
-    """fname(args) → prefix fname(args) suffix, repeatedly."""
+    """fname(args) → prefix fname(args) suffix, repeatedly — including
+    calls NESTED inside another call's arguments (a doubly-nested
+    json_agg must sort at both levels), so the scan resumes just inside
+    the wrapped call's name, not past its span."""
     out = sql
     offset = 0
     while True:
@@ -264,7 +277,7 @@ def _wrap_calls(sql: str, fname: str, prefix: str, suffix: str) -> str:
         s, e, _args = found
         s, e = s + offset, e + offset
         out = out[:s] + prefix + out[s:e] + suffix + out[e:]
-        offset = e + len(prefix) + len(suffix)
+        offset = s + len(prefix) + 1
 
 
 def _clause_kw_at(sql: str, pos: int) -> str | None:
@@ -1225,50 +1238,212 @@ def _split_subquery(body: str) -> tuple[str, str, str] | None:
     return expr, body[from_i + 4 : where_i].strip(), body[where_i + 5 :].strip()
 
 
+def _split_conjuncts(text: str) -> list[str]:
+    """Split a predicate on top-level AND (paren- and literal-aware)."""
+    lits = _literal_spans(text)
+    low = text.lower()
+    out, depth, start, i = [], 0, 0, 0
+    while i < len(text):
+        if any(a <= i < b for a, b in lits):
+            i += 1
+            continue
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith("and", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (i + 3 >= len(text) or not (text[i + 3].isalnum() or text[i + 3] == "_"))
+        ):
+            out.append(text[start:i].strip())
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    out.append(text[start:].strip())
+    return [c for c in out if c]
+
+
+_REF_EQ_REF = re.compile(
+    r"^\s*([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)\s*=\s*"
+    r"([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)\s*$"
+)
+
+# identifiers legal in an inner-only conjunct that are not column refs
+_CONJ_KEYWORDS = frozenset(
+    """and or not in is null true false like ilike rlike between escape
+    case when then else end cast try_cast as distinct interval
+    decimal numeric double float real int integer bigint smallint tinyint
+    date timestamp string varchar char boolean text precision
+    current_timestamp current_date""".split()
+)
+
+
+def _agg_subquery_join(
+    sql: str, parent: tuple[int, int], target: tuple[int, int],
+    inner: tuple[str, str, str],
+) -> str | None:
+    """Rewrite one innermost AGGREGATE subquery nested inside another
+    subquery — ``(SELECT agg(x) FROM rel WHERE rel.fk = outer.key [AND
+    inner-only preds])`` — into a pre-grouped derived table LEFT JOIN:
+
+        … LEFT JOIN (SELECT rel.fk AS __ck, agg(x) AS __cv
+                     FROM rel [WHERE inner-only] GROUP BY rel.fk) __corrN
+              ON __corrN.__ck = outer.key
+
+    with the subquery expression replaced by ``__corrN.__cv``. Inlining
+    an aggregate subquery the way to-one lookups are inlined would nest
+    one aggregate call inside another — illegal in Spark
+    (NESTED_AGGREGATE_FUNCTION) — so the inner agg must pre-group.
+    Empty-group parity with PG: the LEFT JOIN serves NULL, which is what
+    PG's json_agg/sum/… return over zero rows; count(…) (which PG
+    defines as 0) gets a coalesce. Returns None when the correlation is
+    outside this shape (no single cross-scope equality, an unqualified
+    ref whose scope is ambiguous, …) — the caller leaves the SQL for
+    Spark to judge."""
+    s, e = target
+    i_expr, i_from, i_where = inner
+    # _split_subquery strips the FROM keyword _from_clause_aliases scans for
+    aliases = {a.lower() for a in _from_clause_aliases(f"from {i_from}")}
+    key_inner = key_outer = None
+    inner_only: list[str] = []
+    for conj in _split_conjuncts(i_where):
+        m = _REF_EQ_REF.match(conj)
+        quals_m = (
+            [q.split(".")[0].strip().lower() if "." in q else None
+             for q in (m.group(1), m.group(2))] if m else None
+        )
+        if m and quals_m and None not in quals_m and (
+            (quals_m[0] in aliases) != (quals_m[1] in aliases)
+        ):
+            # the cross-scope correlation equality — exactly one allowed
+            if key_inner is not None:
+                return None
+            if quals_m[0] in aliases:
+                key_inner, key_outer = m.group(1), m.group(2)
+            else:
+                key_inner, key_outer = m.group(2), m.group(1)
+            continue
+        # anything else must be inner-only: every qualified ref's
+        # qualifier resolves to the inner FROM, and every bare identifier
+        # is a keyword or a function call (unqualified columns are
+        # scope-ambiguous → bail)
+        lits = _literal_spans(conj)
+        ok = True
+        for im in re.finditer(r"\b([A-Za-z_]\w*)\b", conj):
+            if any(a <= im.start() < b for a, b in lits):
+                continue
+            word = im.group(1).lower()
+            rest = conj[im.end():]
+            if rest.lstrip().startswith("."):
+                ok = ok and word in aliases
+            elif conj[: im.start()].rstrip().endswith("."):
+                continue  # the column part of a qualified ref
+            elif rest.lstrip().startswith("("):
+                continue  # function call
+            elif word not in _CONJ_KEYWORDS:
+                ok = False
+            if not ok:
+                break
+        if not ok:
+            return None
+        inner_only.append(conj)
+    if key_inner is None:
+        return None
+    n = sql.count("__corr")
+    alias = f"__corr{n}"
+    dt_where = f" WHERE {' AND '.join(inner_only)}" if inner_only else ""
+    dt = (
+        f"(SELECT {key_inner} AS __ck, {i_expr} AS __cv "
+        f"FROM {i_from}{dt_where} GROUP BY {key_inner}) {alias}"
+    )
+    val = f"{alias}.__cv"
+    if re.match(r"\s*count(?:_if)?\s*\(", i_expr, re.IGNORECASE):
+        val = f"coalesce({val}, 0)"
+    o_body = sql[parent[0] + 1 : parent[1] - 1]
+    rel_s, rel_e = s - (parent[0] + 1), e - (parent[0] + 1)
+    o2 = _split_subquery(o_body[:rel_s] + val + o_body[rel_e:])
+    if o2 is None:
+        return None
+    o_expr, o_from, o_where = o2
+    rebuilt = (
+        f"(SELECT {o_expr} FROM {o_from} LEFT JOIN {dt} "
+        f"ON {alias}.__ck = {key_outer}"
+        + (f" WHERE {o_where}" if o_where else "")
+        + ")"
+    )
+    return sql[: parent[0]] + rebuilt + sql[parent[1]:]
+
+
+# code that may directly precede a subquery NOT in scalar-expression
+# position: a relation (FROM/JOIN), a set operation, or a quantified /
+# membership predicate — none of these may be inlined as a join
+_NON_SCALAR_BEFORE = re.compile(
+    r"\b(from|join|union|intersect|except|all|in|exists|any|some)\s*$",
+    re.IGNORECASE,
+)
+
+
 def _decorrelate_nested(sql: str) -> str:
-    """Inline lookup subqueries nested inside other subqueries as joins."""
-    for _ in range(20):  # bounded fixpoint
+    """Inline lookup subqueries nested inside other subqueries as joins;
+    nested AGGREGATE subqueries become pre-grouped derived-table joins
+    (_agg_subquery_join). Candidates outside either pattern are skipped,
+    not fatal — each fixpoint pass rewrites the first innermost
+    rewritable subquery until none remains."""
+    for _ in range(40):  # bounded fixpoint
         spans = _subquery_spans(sql)
-        # find an inner subquery strictly inside another subquery, itself
-        # containing no further subquery
-        target = None
+        progressed = False
         for (s, e) in spans:
             inside = any(ps < s and e <= pe for ps, pe in spans if (ps, pe) != (s, e))
             has_child = any(s < cs and ce <= e for cs, ce in spans if (cs, ce) != (s, e))
-            if inside and not has_child:
-                target = (s, e)
+            if not inside or has_child:
+                continue
+            if _NON_SCALAR_BEFORE.search(sql[:s].rstrip()):
+                continue  # relation / set-op / membership position
+            parent = None
+            for (ps, pe) in spans:
+                if ps < s and e <= pe and (parent is None or ps > parent[0]):
+                    parent = (ps, pe)
+            inner = _split_subquery(sql[s + 1 : e - 1])
+            outer = _split_subquery(sql[parent[0] + 1 : parent[1] - 1])
+            if inner is None or outer is None or not inner[2]:
+                continue  # not the lookup pattern; leave for Spark to judge
+            if re.search(r"\bgroup\s+by\b", inner[1] + " " + inner[2], re.IGNORECASE):
+                continue  # already grouped (e.g. a derived table this pass built)
+            i_expr, i_from, i_where = inner
+            if _find_call(i_expr, _AGG_CALL_PAT) is not None:
+                rewritten = _agg_subquery_join(sql, parent, (s, e), inner)
+                if rewritten is None:
+                    continue
+                sql = rewritten
+                progressed = True
                 break
-        if target is None:
+            o_expr_from_where = sql[parent[0] + 1 : parent[1] - 1]
+            # replace inner subquery text with its projection expression
+            rel_s, rel_e = s - (parent[0] + 1), e - (parent[0] + 1)
+            new_projection_body = o_expr_from_where[:rel_s] + i_expr + o_expr_from_where[rel_e:]
+            o2 = _split_subquery(new_projection_body)
+            if o2 is None:
+                continue
+            o_expr, o_from, o_where = o2
+            # split the inner FROM into base relation + its own trailing joins
+            # so the correlation ON attaches to the base: A LEFT JOIN base ON
+            # corr LEFT JOIN x ON ... (flat join list, no nested-join grouping)
+            jm = re.search(r"\b(left|right|full|inner|cross|join)\b", i_from, re.IGNORECASE)
+            if jm:
+                base, trailing = i_from[: jm.start()].strip(), i_from[jm.start():].strip()
+                joined_from = f"{o_from} LEFT JOIN {base} ON {i_where} {trailing}"
+            else:
+                joined_from = f"{o_from} LEFT JOIN {i_from} ON {i_where}"
+            rebuilt = f"(SELECT {o_expr} FROM {joined_from}" + (f" WHERE {o_where}" if o_where else "") + ")"
+            sql = sql[: parent[0]] + rebuilt + sql[parent[1]:]
+            progressed = True
+            break
+        if not progressed:
             return sql
-        s, e = target
-        parent = None
-        for (ps, pe) in spans:
-            if ps < s and e <= pe and (parent is None or ps > parent[0]):
-                parent = (ps, pe)
-        inner = _split_subquery(sql[s + 1 : e - 1])
-        outer = _split_subquery(sql[parent[0] + 1 : parent[1] - 1])
-        if inner is None or outer is None or not inner[2]:
-            return sql  # not the lookup pattern; leave for Spark to judge
-        i_expr, i_from, i_where = inner
-        o_expr_from_where = sql[parent[0] + 1 : parent[1] - 1]
-        # replace inner subquery text with its projection expression
-        rel_s, rel_e = s - (parent[0] + 1), e - (parent[0] + 1)
-        new_projection_body = o_expr_from_where[:rel_s] + i_expr + o_expr_from_where[rel_e:]
-        o2 = _split_subquery(new_projection_body)
-        if o2 is None:
-            return sql
-        o_expr, o_from, o_where = o2
-        # split the inner FROM into base relation + its own trailing joins
-        # so the correlation ON attaches to the base: A LEFT JOIN base ON
-        # corr LEFT JOIN x ON ... (flat join list, no nested-join grouping)
-        jm = re.search(r"\b(left|right|full|inner|cross|join)\b", i_from, re.IGNORECASE)
-        if jm:
-            base, trailing = i_from[: jm.start()].strip(), i_from[jm.start():].strip()
-            joined_from = f"{o_from} LEFT JOIN {base} ON {i_where} {trailing}"
-        else:
-            joined_from = f"{o_from} LEFT JOIN {i_from} ON {i_where}"
-        rebuilt = f"(SELECT {o_expr} FROM {joined_from}" + (f" WHERE {o_where}" if o_where else "") + ")"
-        sql = sql[: parent[0]] + rebuilt + sql[parent[1]:]
     return sql
 
 

@@ -48,12 +48,22 @@ real MVs mix freely:
   carrying a correlated block, a correlated block whose template nests
   two sibling objects.
 
+To-many blocks NEST: a ``json_agg`` inside a child's element template
+(customer→orders[]→lineitems[], any depth) derives
+``ChildArraySpec.children`` — the transpiled compile pre-groups the
+inner agg into a derived-table LEFT JOIN (transpile._agg_subquery_join)
+and the serve reproduces its semantics exactly: a NESTED array with
+zero rows is NULL (PG json_agg-over-empty through the derived-table
+join), while a ROOT-level array coalesces to ``[]`` (Spark
+aggregate-over-empty in the compiled correlated scalar subquery).
+
 Shape restrictions (anything else returns None and the view keeps the
-targeted/full lanes): to-many blocks only at the root, each keyed
-directly on the parent id, with one LINEAR element to-one chain; every
-template value a column of its own block's relation (or, root template
-only, a qualified main-FROM dim column); no ambiguous unqualified
-outer refs; any root WHERE restricted to parent columns.
+targeted/full lanes): root to-many blocks keyed directly on the parent
+id and nested ones on their container block's id; one LINEAR element
+to-one chain per to-many block; every template value a column of its
+own block's relation (or, root template only, a qualified main-FROM
+dim column); no ambiguous unqualified outer refs; any root WHERE
+restricted to parent columns.
 """
 
 from __future__ import annotations
@@ -93,6 +103,20 @@ class RootDim:
 
 
 @dataclass
+class SqlChild:
+    """One to-many block of the derived doc tree (any nesting depth):
+    ``suffix`` is the ivm_flagship state path (``c{i}`` at the root,
+    ``{container}x{k}`` nested), ``echain`` its linear element to-one
+    chain, ``children`` its own nested to-many blocks (a json_agg inside
+    the element template, keyed on this block's id)."""
+
+    node: CorrNode
+    suffix: str
+    echain: list[CorrNode]
+    children: list["SqlChild"]
+
+
+@dataclass
 class SqlDocTree:
     """A SQL view compiled to the doc-tree lane: the state/walk spec
     plus the template structure the nested serve builds from."""
@@ -102,11 +126,14 @@ class SqlDocTree:
     templates: "dict[CorrNode | None, DocTemplate]"
     root_dims: list[RootDim]            # root to-one tree, DFS preorder
     child_nodes: list[CorrNode]         # root to-many nodes, template order
-    child_chains: list[list[CorrNode]]  # element to-one chain per child
+    child_chains: list[list[CorrNode]]  # element to-one chain per root child
     # transpiled root WHERE predicate over BARE parent columns (None =
     # unfiltered view); the serve applies it so filtered-out parents are
     # retracted exactly as the compiled view omits them
     where_expr: str | None = None
+    # recursive to-many structure (supersedes child_nodes/child_chains,
+    # which remain the top level of this forest)
+    sql_children: "list[SqlChild]" = None  # type: ignore[assignment]
 
 
 # identifiers legal in a served WHERE predicate that are NOT column
@@ -296,17 +323,35 @@ def derive_sql_doctree(
     # child of its owner, so the DFS + the to-many element chains below
     # reach every node)
 
-    child_chains: list[list[CorrNode]] = []
-    for cn in child_nodes:
+    def child_shape(cn: CorrNode, suffix: str) -> SqlChild:
+        """Validate + shape one to-many block (recursing into nested
+        to-many blocks in its element template): at most one to-one
+        element chain, every nested array keyed directly on this block's
+        own id column."""
+        nested_nodes = [v for _k, (kind, v) in templates[cn].entries if kind == "node"]
+        to_ones = [n for n in nested_nodes if n.to_one(id_col)]
+        to_manys = [n for n in nested_nodes if not n.to_one(id_col)]
+        if len(to_ones) > 1:
+            raise _Bail
+        echain = _linear_chain(to_ones[0], templates, id_col) if to_ones else []
+        if echain is None:
+            raise _Bail
+        subs = []
+        for k, g in enumerate(to_manys):
+            if g.outer is not cn or g.outer_col != id_col:
+                raise _Bail  # nested array must key on its container's id
+            subs.append(child_shape(g, f"{suffix}x{k}"))
+        return SqlChild(cn, suffix, echain, subs)
+
+    sql_children: list[SqlChild] = []
+    for i, cn in enumerate(child_nodes):
         if cn.outer is not None or cn.outer_col != id_col:
             return None  # array must key directly on the parent id
-        nested = [v for _k, (kind, v) in templates[cn].entries if kind == "node"]
-        if len(nested) > 1:
+        try:
+            sql_children.append(child_shape(cn, f"c{i}"))
+        except _Bail:
             return None
-        echain = _linear_chain(nested[0], templates, id_col) if nested else []
-        if echain is None:
-            return None
-        child_chains.append(echain)
+    child_chains = [sc.echain for sc in sql_children]
 
     def ddl(table: str, needed: list[str]) -> str | None:
         have = cols_of(table)
@@ -356,31 +401,42 @@ def derive_sql_doctree(
             dims.append(DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d))
         return dims
 
-    children = []
-    for cn, echain, (key, _v) in zip(
-        child_nodes, child_chains,
-        [(k, v) for k, (kind, v) in templates[None].entries if kind == "node"
-         and not v.to_one(id_col)],
-    ):
+    def alias_of(container: "CorrNode | None", node: CorrNode) -> str:
+        for k, (kind, v) in templates[container].entries:
+            if kind == "node" and v is node:
+                return k
+        raise _Bail
+
+    def build_child_spec(sc: SqlChild, container: "CorrNode | None") -> ChildArraySpec:
+        cn = sc.node
         needed = uniq(
             [cn.sub_col] + tpl_cols(cn)
-            + ([echain[0].outer_col] if echain else [])
+            + ([sc.echain[0].outer_col] if sc.echain else [])
+            + ([id_col] if sc.children else [])  # nested arrays key on it
         )
         d = ddl(cn.table, needed)
-        edims = chain_dims(echain)
+        edims = chain_dims(sc.echain)
         if d is None or edims is None:
-            return None
-        children.append(
-            ChildArraySpec(table=cn.table, fk=cn.sub_col, row_schema=d,
-                           alias=key, order=None, dims=edims)
+            raise _Bail
+        return ChildArraySpec(
+            table=cn.table, fk=cn.sub_col, row_schema=d,
+            alias=alias_of(container, cn), order=None, dims=edims,
+            key=id_col if sc.children else None,
+            children=[build_child_spec(g, cn) for g in sc.children],
         )
+
+    try:
+        children = [build_child_spec(sc, None) for sc in sql_children]
+    except _Bail:
+        return None
 
     spec = DocTreeViewSpec(
         parent_table=tree.parent_table, key=id_col,
         row_schema_parent=parent_ddl, dim_forest=forest, children=children,
     )
     return SqlDocTree(spec, tree, templates, root_dims, child_nodes,
-                      child_chains, where_expr=where_expr)
+                      child_chains, where_expr=where_expr,
+                      sql_children=sql_children)
 
 
 def _prefixed(df: DataFrame, pre: str) -> DataFrame:
@@ -405,13 +461,19 @@ def serve_docs_sql(
         # doc → the caller emits the DELETE (compiled-view parity)
         cur = cur.where(F.expr(sd.where_expr))
 
-    def build_struct(node: CorrNode, pre_of: dict) -> F.Column:
+    def build_struct(
+        node: CorrNode, pre_of: dict, arrays: "dict | None" = None
+    ) -> F.Column:
+        arrays = arrays or {}
         entries = []
         for k, (kind, v) in templates[node].entries:
             if kind == "col":
                 entries.append(F.col(f"{pre_of[id(node)]}{v}").alias(k))
+            elif id(v) in arrays:
+                # a nested to-many block: the pre-built array column
+                entries.append(F.col(arrays[id(v)]).alias(k))
             else:
-                entries.append(build_struct(v, pre_of).alias(k))
+                entries.append(build_struct(v, pre_of, arrays).alias(k))
         return F.struct(*entries)
 
     def joined_chain(
@@ -475,33 +537,63 @@ def serve_docs_sql(
                 F.col(f"__d{rd.idx}_{id_col}").isNotNull(), s0
             )
 
-    for i, (cn, echain) in enumerate(zip(sd.child_nodes, sd.child_chains)):
-        ch = spec.children[i]
-        probe_c = tkeys.select(F.col(id_col).alias(ch.fk))
-        pre_c = f"__c{i}_"
-        elem = _prefixed(expand_mult(rows_for(states[f"c{i}"], probe_c)), pre_c)
+    def array_frame(sc: SqlChild, probe: DataFrame) -> DataFrame:
+        """One to-many block's array rows restricted to the probed
+        container keys → 2-col frame ``(__k, __arr)``: container key,
+        sorted element array. Recurses into nested to-many blocks —
+        their arrays are joined onto the element rows by THIS block's id
+        and embedded in the element struct. A nested array with zero
+        rows serves NULL (the transpiled compile's derived-table LEFT
+        JOIN does too — PG json_agg-over-empty parity), unlike the
+        root-level arrays, which coalesce to [] (Spark's
+        aggregate-over-empty semantics in the compiled scalar
+        subquery)."""
+        cn = sc.node
+        pre_c = f"__{sc.suffix}_"
+        elem = _prefixed(expand_mult(rows_for(states[sc.suffix], probe)), pre_c)
         pre_of = {id(cn): pre_c}
-        if echain:
+        arrays: dict = {}
+        if sc.echain:
             eframe, e_pre = joined_chain(
-                echain, f"c{i}d", elem, f"{pre_c}{echain[0].outer_col}"
+                sc.echain, f"{sc.suffix}d", elem, f"{pre_c}{sc.echain[0].outer_col}"
             )
             elem = elem.join(
                 eframe,
-                F.col(f"{pre_c}{echain[0].outer_col}")
-                == F.col(f"__c{i}d0_{id_col}"),
+                F.col(f"{pre_c}{sc.echain[0].outer_col}")
+                == F.col(f"__{sc.suffix}d0_{id_col}"),
                 "left",
             )
             pre_of.update(e_pre)
-        estruct = build_struct(cn, pre_of)
-        arr = elem.groupBy(F.col(f"{pre_c}{ch.fk}").alias(f"__k{i}")).agg(
-            F.sort_array(F.collect_list(estruct)).alias(f"__arr{i}")
+        for g in sc.children:
+            gprobe = elem.select(
+                F.col(f"{pre_c}{id_col}").alias(g.node.sub_col)
+            ).where(F.col(g.node.sub_col).isNotNull()).distinct()
+            gk, gv = f"__k_{g.suffix}", f"__arr_{g.suffix}"
+            garr = array_frame(g, gprobe).toDF(gk, gv)
+            elem = elem.join(
+                garr, F.col(f"{pre_c}{id_col}") == F.col(gk), "left"
+            ).drop(gk)
+            arrays[id(g.node)] = gv
+        estruct = build_struct(cn, pre_of, arrays)
+        return elem.groupBy(F.col(f"{pre_c}{cn.sub_col}").alias("__k")).agg(
+            F.sort_array(F.collect_list(estruct)).alias("__arr")
         )
-        cur = cur.join(arr, F.col(id_col) == F.col(f"__k{i}"), "left").drop(f"__k{i}")
-        arr_type = cur.schema[f"__arr{i}"].dataType
-        cur = cur.withColumn(
-            f"__arr{i}", F.coalesce(F.col(f"__arr{i}"), F.array().cast(arr_type))
-        )
-        root_fields[id(cn)] = F.col(f"__arr{i}")
+
+    sql_children = sd.sql_children
+    if sql_children is None:  # pre-nesting callers constructing SqlDocTree by hand
+        sql_children = [
+            SqlChild(cn, f"c{i}", echain, [])
+            for i, (cn, echain) in enumerate(zip(sd.child_nodes, sd.child_chains))
+        ]
+    for i, sc in enumerate(sql_children):
+        cn = sc.node
+        probe_c = tkeys.select(F.col(id_col).alias(cn.sub_col))
+        gk, gv = f"__k{i}", f"__arr{i}"
+        arr = array_frame(sc, probe_c).toDF(gk, gv)
+        cur = cur.join(arr, F.col(id_col) == F.col(gk), "left").drop(gk)
+        arr_type = cur.schema[gv].dataType
+        cur = cur.withColumn(gv, F.coalesce(F.col(gv), F.array().cast(arr_type)))
+        root_fields[id(cn)] = F.col(gv)
 
     entries = []
     for k, (kind, v) in templates[None].entries:

@@ -41,6 +41,15 @@ element dims (missing element dim serves NULL fields, course_mv's
 correlated-subquery semantics). Arrays are ``array_sort``-canonical
 under the spec's order columns.
 
+Child arrays NEST to arbitrary depth (ChildArraySpec.children:
+customer→orders[]→lineitems[], each level with its own element dims).
+A nesting child keeps one extra ``rk`` reverse index (its key → its
+container's key, bucketed by the child key); a nested relation's (or
+its dims') delta first walks its dim indexes to its container keys,
+then ASCENDS the rk chain to the root parent keys — still O(affected
+docs). Serving recurses: each level's sub-arrays are grouped by the
+container key and embedded in the element structs.
+
 All states live in the key-local store (state_keyed) bucketed by their
 own probe key: per-batch state I/O is O(touched buckets), and the
 whole refresh — fold, walk, serve, merge — is O(|Δ| · doc fan-out)

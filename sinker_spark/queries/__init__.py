@@ -150,6 +150,7 @@ _SAMPLE_PREFIX = [
     "ivm_sql_doctree_joined",
     "ivm_branched_doc",
     "ivm_nested_child_doc",
+    "ivm_sql_doctree_nested",
     # never-sampled, highest value first: the TPC-H remainder…
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -1937,6 +1937,172 @@ def ivm_sql_doctree_course(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_sql_doctree_nested",
+    oracle="""
+    WITH
+    c_post AS (SELECT c_custkey AS id,
+                      CASE WHEN c_custkey % 4 = 0 THEN c_name || '*' ELSE c_name END AS name
+               FROM customer),
+    o_post AS (SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status
+               FROM orders WHERE o_orderkey % 9 <> 0),
+    i_del AS (SELECT l_orderkey AS oid FROM lineitem
+              WHERE (l_orderkey + l_linenumber) % 7 = 0),
+    i_post AS (SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS line,
+                      CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk
+               FROM lineitem WHERE (l_orderkey + l_linenumber) % 7 <> 0),
+    p_post AS (SELECT p_partkey AS id,
+                      CASE WHEN p_partkey % 10 = 0 THEN p_name || '+' ELSE p_name END AS name
+               FROM part),
+    touched AS (
+      SELECT DISTINCT cid FROM (
+        SELECT c_custkey AS cid FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL SELECT o_custkey FROM orders WHERE o_orderkey % 9 = 0
+        UNION ALL SELECT o.cust FROM o_post o JOIN i_del d ON o.id = d.oid
+        UNION ALL SELECT o.cust FROM o_post o JOIN i_post i ON o.id = i.oid
+                  WHERE i.pk % 10 = 0
+      )
+    ),
+    items AS (
+      SELECT i.oid, string_agg(i.line || ':' || i.qty || ':' || p.name, ','
+                               ORDER BY i.line, i.qty, p.name) AS s
+      FROM i_post i LEFT JOIN p_post p ON i.pk = p.id GROUP BY i.oid),
+    ords AS (
+      SELECT o.cust, COUNT(*) AS n,
+             string_agg(o.id || '|' || o.status || '|' || COALESCE(it.s, '~'), ';'
+                        ORDER BY o.id) AS s
+      FROM o_post o LEFT JOIN items it ON o.id = it.oid GROUP BY o.cust)
+    SELECT c.id, c.name,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_ords,
+           COALESCE(o.s, '') AS ords_str
+    FROM c_post c
+    JOIN touched ON c.id = touched.cid
+    LEFT JOIN ords o ON c.id = o.cust""",
+    doc=(
+        "SQL-DECLARED NESTED doc tree (ivm_doc_sql × ChildArraySpec."
+        "children): a customer→orders[]→lineitems[] view written as "
+        "plain PG SQL — a json_agg INSIDE the child's element template "
+        "— derives the two-level fold lane with zero Python (the "
+        "transpiler pre-groups the inner json_agg into a derived-table "
+        "join; the serve reproduces its semantics: nested empty arrays "
+        "are NULL ('~' marker), root-level empty arrays []). ONE batch "
+        "renames customers, deletes orders, deletes lineitems, renames "
+        "parts; only genuinely affected customer docs re-serve"
+    ),
+    tags=("A11", "A2", "ivm", "ivm-doc", "B5", "B7", "composition", "nested"),
+)
+def ivm_sql_doctree_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import (
+        doc_tree_states, relation_rows_for, touched_parent_keys,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    ).createOrReplaceTempView("sdn_cust")
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("sdn_order")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_partkey").alias("pk"),
+    ).createOrReplaceTempView("sdn_item")
+    t["part"].select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    ).createOrReplaceTempView("sdn_part")
+
+    sql = """select id, json_build_object('name', name,
+      'orders', (select json_agg(json_build_object('okey', o.id, 'status', o.status,
+                   'items', (select json_agg(json_build_object('line', line, 'qty', qty,
+                               'part', (select json_build_object('name', name)
+                                        from sdn_part where sdn_part.id = pk)))
+                             from sdn_item where sdn_item.oid = o.id)))
+                 from sdn_order o where o.cust = sdn_cust.id)
+    ) as doc from sdn_cust"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "nested SQL must derive the two-level doc-tree lane"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    sdefs = {s.suffix: s for s in doc_tree_states(sd.spec) if s.source is None}
+    tables = {"p": "sdn_cust", "c0": "sdn_order", "c0x0": "sdn_item",
+              "c0x0d0": "sdn_part"}
+    alls = {sfx: spark.table(tables[sfx]).select(*sdefs[sfx].cols) for sfx in sdefs}
+
+    pred_c = F.col("id") % 4 == 0
+    c_new = alls["p"].withColumn(
+        "name", F.when(pred_c, F.concat(F.col("name"), F.lit("*"))).otherwise(F.col("name"))
+    )
+    c_ch = (
+        alls["p"].where(pred_c).withColumn("__op", dele)
+        .unionByName(c_new.where(pred_c).withColumn("__op", ins))
+    )
+    o_ch = alls["c0"].where(F.col("id") % 9 == 0).withColumn("__op", dele)
+    o_old = alls["c0"]
+    i_ch = (
+        alls["c0x0"].where((F.col("oid") + F.col("line")) % 7 == 0)
+        .withColumn("__op", dele)
+    )
+    pred_p = F.col("id") % 10 == 0
+    p_new = alls["c0x0d0"].withColumn(
+        "name", F.when(pred_p, F.concat(F.col("name"), F.lit("+"))).otherwise(F.col("name"))
+    )
+    p_ch = (
+        alls["c0x0d0"].where(pred_p).withColumn("__op", dele)
+        .unionByName(p_new.where(pred_p).withColumn("__op", ins))
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(alls["p"]), changes_to_mult(c_ch)),
+        "c0": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "c0x0": apply_join_state(relation_state(alls["c0x0"]), changes_to_mult(i_ch)),
+        "c0x0d0": apply_join_state(relation_state(alls["c0x0d0"]), changes_to_mult(p_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": c_ch.select("id"),
+        "c0": o_ch.select("cust"),
+        "c0x0": i_ch.select("oid"),
+        "c0x0d0": p_ch.select("id"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.name").alias("name"),
+        F.size("doc.orders").cast("bigint").alias("n_ords"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.orders"),
+                lambda o: F.concat_ws(
+                    "|",
+                    o["okey"].cast("string"),
+                    o["status"],
+                    F.when(o["items"].isNull(), F.lit("~")).otherwise(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                o["items"],
+                                lambda x: F.concat_ws(
+                                    ":",
+                                    x["line"].cast("string"),
+                                    x["qty"].cast("string"),
+                                    x["part"]["name"],
+                                ),
+                            ),
+                        )
+                    ),
+                ),
+            ),
+        ).alias("ords_str"),
+    )
+
+
+@query(
     "correlate_affected_keys_walk",
     oracle="""
     WITH affected AS (

@@ -605,3 +605,135 @@ def test_branched_sql_engine_fold(spark, tmp_path):
     assert sink.get("enrolls", "e-5") is not None
     assert sink.get("enrolls", "e-5")["course"] is None
     _parity()
+
+
+TEACHER_MV_NESTED_SQL = """select id,
+  json_build_object('salary', "salary",
+    'courses', (select json_agg(json_build_object('cid', c.id, 'cname', c.name,
+                  'enrollments', (select json_agg(json_build_object('grade', e.grade,
+                        'student', (select json_build_object('gpa', "gpa")
+                                    from student where student.id = e.student_id)))
+                      from enrollment e where e.course_id = c.id)))
+                from course c where c.teacher_id = teacher.id)) as "doc"
+from teacher """
+
+
+def test_nested_sql_derivation_shape(spark):
+    """NESTED to-many spelling: a json_agg inside the child's element
+    template derives ChildArraySpec.children — the whole two-level
+    teacher→courses[]→enrollments[] doc is fold-lane maintained."""
+    import tempfile
+
+    from sinker_spark.ivm_flagship import doc_tree_states
+
+    fx.register(spark, tempfile.mkdtemp())
+    sd = derive_sql_doctree(spark, TEACHER_MV_NESTED_SQL)
+    assert sd is not None
+    assert sd.spec.parent_table == "teacher"
+    (ch,) = sd.spec.children
+    assert (ch.table, ch.fk, ch.key, ch.alias) == ("course", "teacher_id", "id", "courses")
+    (gc,) = ch.children
+    assert (gc.table, gc.fk, gc.alias) == ("enrollment", "course_id", "enrollments")
+    assert [d.table for d in gc.dims] == ["student"]
+    assert [s.suffix for s in doc_tree_states(sd.spec)] == [
+        "p", "c0", "rkc0", "c0x0", "c0x0d0", "rc0x00",
+    ]
+    # a nested array NOT keyed on its container's id bails
+    assert derive_sql_doctree(spark, """select id,
+      json_build_object('courses', (select json_agg(json_build_object('n', c.name,
+          'x', (select json_agg(json_build_object('g', e.grade))
+                from enrollment e where e.student_id = c.teacher_id)))
+        from course c where c.teacher_id = teacher.id)) as "doc"
+      from teacher """) is None
+
+
+def test_nested_sql_engine_fold(spark, tmp_path):
+    """Engine e2e on the nested spelling: a student gpa change (a
+    grandchild ELEMENT-DIM delta) walks student→enrollment→course→
+    teacher through the reverse indexes + the rk ascent and re-serves
+    exactly the affected teacher docs; grandchild churn and re-pointing
+    fold; parity with the transpiled compile after every batch."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sink = InMemorySink()
+    view = ViewDef("teacher_mv", sql=TEACHER_MV_NESTED_SQL, index="teachers",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["teacher_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["teacher_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("teachers", {}) == want
+
+    _parity()
+    t1 = sink.get("teachers", "t-1")
+    assert [c["cid"] for c in t1["courses"]] == ["c-1", "c-2"]
+    assert {e["grade"] for c in t1["courses"] for e in c["enrollments"]} == {3.5, 3.14}
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    # student s-2 gpa change: s-2 is enrolled in c-1, c-2 (both t-1) —
+    # the fold must re-serve t-1 ONLY (grandchild-dim walk + rk ascent)
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    old_s2 = tuple(rows["student"][1])
+    rows["student"][1][3] = Decimal("2.22")
+    _sync(rows)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "student", "UPDATE", "s-2", _payload("student", rows["student"][1]),
+         _payload("student", old_s2)),
+    ]), epoch_id=1)
+    assert eng.last_stats["teacher_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"t-1"}
+    _parity()
+
+    # grandchild re-point: e-5 (s-1, c-3/t-2) moves to c-2 (t-1) —
+    # BOTH teachers' docs re-serve
+    old_e5 = tuple(rows["enrollment"][4])
+    rows["enrollment"][4][2] = "c-2"
+    _sync(rows)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "enrollment", "UPDATE", "e-5", _payload("enrollment", rows["enrollment"][4]),
+         _payload("enrollment", old_e5)),
+    ]), epoch_id=2)
+    assert eng.last_stats["teacher_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"t-1", "t-2"}
+    assert sink.get("teachers", "t-2")["courses"][0]["enrollments"] is None
+    _parity()
+
+    # child re-point: course c-2 (with its enrollments) moves t-1 → t-2
+    old_c2 = tuple(rows["course"][1])
+    rows["course"][1][3] = "t-2"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", old_c2)),
+    ]), epoch_id=3)
+    assert eng.last_stats["teacher_mv"].get("doc_tree") == 1
+    assert [c["cid"] for c in sink.get("teachers", "t-2")["courses"]] == ["c-2", "c-3"]
+    _parity()
+
+    # replay idempotence: the verbatim batch folds to a no-op
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", old_c2)),
+    ]), epoch_id=3)
+    _parity()
+
+    # parent delete retracts the doc
+    rows["teacher"] = [r for r in rows["teacher"] if r[0] != "t-1"]
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "teacher", "DELETE", "t-1", None,
+         _payload("teacher", ("t-1", "p-3", "100000.00"))),
+    ]), epoch_id=4)
+    assert eng.last_stats["teacher_mv"].get("doc_tree") == 1
+    assert sink.get("teachers", "t-1") is None
+    _parity()

@@ -61,6 +61,7 @@ CATS_SCHEMA = "cat string, label string"
 DEPTS_SCHEMA = "dept string, floor string"
 NOTES_SCHEMA = "nid string, region string, txt string"
 COACH_SCHEMA = "coach string, grade string"
+LINES_SCHEMA = "lid string, sid string, val double"  # nested: sale → lines[]
 CDC_COLS = (
     "lsn bigint, schema string, table string, op string, id string, "
     "payload string, payload_before string"
@@ -357,6 +358,10 @@ def make_doctree_view(rng, name):
     # (dims.coach → fz_coach) alongside the org chain — the dim_forest
     # tree form, each branch walked through its own reverse index
     branch = rng.random() < 0.5
+    # nested mode: the sales elements each carry their own fz_lines[]
+    # sub-array (ChildArraySpec.children — two to-many levels; a line
+    # delta ascends the rk index sale→region to reach the doc)
+    nested = rng.random() < 0.5
     extra = rng.choice([[], ["cat"], ["amount"], ["cat", "amount"]])
     order = ["id", *extra]
 
@@ -371,6 +376,13 @@ def make_doctree_view(rng, name):
             table="fz_sales", fk="region",
             row_schema="region string, id string, cat string, amount double",
             alias="rows", order=order, dims=sales_dims,
+            key="id" if nested else None,
+            children=(
+                [ChildArraySpec(table="fz_lines", fk="sid",
+                                row_schema=LINES_SCHEMA, alias="lines",
+                                order=["lid"])]
+                if nested else []
+            ),
         )
     ]
     if two_children:
@@ -411,6 +423,19 @@ def make_doctree_view(rng, name):
             ct = spark.table("fz_cats")
             c = c.join(ct, c["cat"] == ct["cat"], "left").drop(ct["cat"])
             payload.append("label")
+        if nested:
+            ln = spark.table("fz_lines").where(F.col("sid").isNotNull())
+            lpair = F.struct(
+                F.col("lid").alias("__o0"), F.struct("lid", "val").alias("__c")
+            )
+            larr = ln.groupBy("sid").agg(
+                F.transform(F.array_sort(F.collect_list(lpair)), lambda x: x["__c"]).alias("lines")
+            )
+            c = c.join(larr.withColumnRenamed("sid", "__s"),
+                       F.col("id") == F.col("__s"), "left").drop("__s")
+            lt = c.schema["lines"].dataType
+            c = c.withColumn("lines", F.coalesce(F.col("lines"), F.array().cast(lt)))
+            payload.append("lines")
         pair = F.struct(
             *[F.col(col).alias(f"__o{k}") for k, col in enumerate(order)],
             F.struct(*payload).alias("__c"),
@@ -475,7 +500,12 @@ MAKERS = [
 
 # ------------------------------------------------------------ CDC generator
 
-def register_truth(spark, sales, dims, org, cats, depts, notes, coaches):
+def register_truth(spark, sales, dims, org, cats, depts, notes, coaches,
+                   lines=None):
+    spark.createDataFrame(
+        [(lid, s, v) for lid, (s, v) in sorted((lines or {}).items())] or [],
+        LINES_SCHEMA,
+    ).createOrReplaceTempView("fz_lines")
     spark.createDataFrame(
         [(sid, r, c, a) for sid, (r, c, a) in sorted(sales.items())] or [],
         SALES_SCHEMA,
@@ -501,13 +531,45 @@ def register_truth(spark, sales, dims, org, cats, depts, notes, coaches):
 
 
 def gen_batch(rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
-              drop_image):
+              drop_image, lines=None):
     records = []
     dropped = drop_image
     for _ in range(rng.randrange(2, 7)):
         roll = rng.random()
         if roll >= 0.94:  # element-dim / deep-chain-dim / second-child churn
-            kind = rng.choice(["cats", "depts", "notes", "coach"])
+            kind = rng.choice(
+                ["cats", "depts", "notes", "coach"]
+                + (["lines"] if lines is not None else [])
+            )
+            if kind == "lines":
+                # nested-grandchild churn: insert / re-point (across
+                # sales, incl. dead ones) / delete an fz_lines row
+                sub = rng.random()
+                sale_pool = sorted(sales) or ["s-dead"]
+                if sub < 0.5 or not lines:
+                    lid = f"l{next_id:04d}"
+                    next_id += 1
+                    lines[lid] = (rng.choice(sale_pool), rng.randrange(0, 20) / 2.0)
+                    records.append((lsn, "fz_lines", "INSERT",
+                                    {"lid": lid, "sid": lines[lid][0], "val": lines[lid][1]},
+                                    None))
+                elif sub < 0.8:
+                    lid = rng.choice(sorted(lines))
+                    old = lines[lid]
+                    lines[lid] = (
+                        rng.choice(sale_pool) if rng.random() < 0.5 else old[0],
+                        rng.randrange(0, 20) / 2.0,
+                    )
+                    records.append((lsn, "fz_lines", "UPDATE",
+                                    {"lid": lid, "sid": lines[lid][0], "val": lines[lid][1]},
+                                    {"lid": lid, "sid": old[0], "val": old[1]}))
+                else:
+                    lid = rng.choice(sorted(lines))
+                    old = lines.pop(lid)
+                    records.append((lsn, "fz_lines", "DELETE", None,
+                                    {"lid": lid, "sid": old[0], "val": old[1]}))
+                lsn += 1
+                continue
             if kind == "cats":
                 c = rng.choice(["a", "b"])
                 if c in cats and rng.random() < 0.4:
@@ -699,8 +761,12 @@ def one_run(spark, seed, n_batches):
         f"n{i:04d}": (rng.choice(REGIONS), f"t{rng.randrange(5)}")
         for i in range(4)
     }
+    lines = {
+        f"l{i:04d}": (f"s{rng.randrange(10):04d}", rng.randrange(0, 20) / 2.0)
+        for i in range(6)
+    }
     next_id, lsn = 10, 1
-    register_truth(spark, sales, dims, org, cats, depts, notes, coaches)
+    register_truth(spark, sales, dims, org, cats, depts, notes, coaches, lines)
 
     root = tempfile.mkdtemp(prefix="fz_engine_")
     try:
@@ -713,9 +779,9 @@ def one_run(spark, seed, n_batches):
         for b in range(1, n_batches + 1):
             records, next_id, lsn = gen_batch(
                 rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
-                drop_image=(b % 4 == 0)
+                drop_image=(b % 4 == 0), lines=lines,
             )
-            register_truth(spark, sales, dims, org, cats, depts, notes, coaches)
+            register_truth(spark, sales, dims, org, cats, depts, notes, coaches, lines)
             batch = cdc_df(spark, records)
             eng.process_cdc_batch(batch, epoch_id=b)
             errs = check_views(spark, sink, views, f"seed={seed} batch={b}")

@@ -99,8 +99,10 @@ def main() -> int:
     depts = {"d0": "f0", "d1": "f1"}
     coaches = {"c0": "g0", "c1": "g1"}
     notes = {f"n{i:04d}": (rng.choice(REGIONS), f"t{rng.randrange(5)}") for i in range(4)}
+    lines = {f"l{i:04d}": (f"s{rng.randrange(10):04d}", rng.randrange(0, 20) / 2.0)
+             for i in range(6)}
     next_id, lsn = 10, 1
-    register_truth(spark, sales, dims, org, cats, depts, notes, coaches)
+    register_truth(spark, sales, dims, org, cats, depts, notes, coaches, lines)
 
     root = tempfile.mkdtemp(prefix="soak_longhaul_")
     evolve_at = {n_batches // 3, 2 * n_batches // 3}
@@ -129,9 +131,9 @@ def main() -> int:
 
             records, next_id, lsn = gen_batch(
                 rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
-                drop_image=(b % 4 == 0),
+                drop_image=(b % 4 == 0), lines=lines,
             )
-            register_truth(spark, sales, dims, org, cats, depts, notes, coaches)
+            register_truth(spark, sales, dims, org, cats, depts, notes, coaches, lines)
             batch = cdc_df(spark, records)
             t0 = time.perf_counter()
             eng.process_cdc_batch(batch, epoch_id=b)
