@@ -1300,15 +1300,23 @@ def _agg_subquery_join(
     (NESTED_AGGREGATE_FUNCTION) — so the inner agg must pre-group.
     Empty-group parity with PG: the LEFT JOIN serves NULL, which is what
     PG's json_agg/sum/… return over zero rows; count(…) (which PG
-    defines as 0) gets a coalesce. Returns None when the correlation is
-    outside this shape (no single cross-scope equality, an unqualified
-    ref whose scope is ambiguous, …) — the caller leaves the SQL for
-    Spark to judge."""
+    defines as 0) gets a coalesce. When the correlation is outside this
+    shape (no single cross-scope equality, or an UNQUALIFIED ref whose
+    scope a text-level pass cannot resolve — ``l_orderkey =
+    o_orderkey``), the subquery instead becomes ``LEFT JOIN LATERAL
+    (SELECT <agg> AS __cv FROM <rel> WHERE <orig where>) __corrN ON
+    true``: name resolution stays with Spark (both scopes visible), PG
+    empty-group semantics hold exactly (a lateral aggregate over zero
+    rows is one global-agg row: count 0, sum NULL — no coalesce
+    needed), and Catalyst decorrelates it into the same pre-grouped
+    hash join (verified via explain). Returns None only when the outer
+    block cannot be re-split."""
     s, e = target
     i_expr, i_from, i_where = inner
     # _split_subquery strips the FROM keyword _from_clause_aliases scans for
     aliases = {a.lower() for a in _from_clause_aliases(f"from {i_from}")}
     key_inner = key_outer = None
+    scope_ok = True
     inner_only: list[str] = []
     for conj in _split_conjuncts(i_where):
         m = _REF_EQ_REF.match(conj)
@@ -1321,7 +1329,8 @@ def _agg_subquery_join(
         ):
             # the cross-scope correlation equality — exactly one allowed
             if key_inner is not None:
-                return None
+                scope_ok = False
+                break
             if quals_m[0] in aliases:
                 key_inner, key_outer = m.group(1), m.group(2)
             else:
@@ -1349,20 +1358,32 @@ def _agg_subquery_join(
             if not ok:
                 break
         if not ok:
-            return None
+            scope_ok = False
+            break
         inner_only.append(conj)
-    if key_inner is None:
-        return None
     n = sql.count("__corr")
     alias = f"__corr{n}"
-    dt_where = f" WHERE {' AND '.join(inner_only)}" if inner_only else ""
-    dt = (
-        f"(SELECT {key_inner} AS __ck, {i_expr} AS __cv "
-        f"FROM {i_from}{dt_where} GROUP BY {key_inner}) {alias}"
-    )
-    val = f"{alias}.__cv"
-    if re.match(r"\s*count(?:_if)?\s*\(", i_expr, re.IGNORECASE):
-        val = f"coalesce({val}, 0)"
+    if scope_ok and key_inner is not None:
+        # scope resolved: pre-grouped derived table keyed on the
+        # correlation column
+        dt_where = f" WHERE {' AND '.join(inner_only)}" if inner_only else ""
+        dt = (
+            f"(SELECT {key_inner} AS __ck, {i_expr} AS __cv "
+            f"FROM {i_from}{dt_where} GROUP BY {key_inner}) {alias}"
+        )
+        join = f"LEFT JOIN {dt} ON {alias}.__ck = {key_outer}"
+        val = f"{alias}.__cv"
+        if re.match(r"\s*count(?:_if)?\s*\(", i_expr, re.IGNORECASE):
+            val = f"coalesce({val}, 0)"
+    else:
+        # scope-ambiguous correlation: keep it verbatim inside a LATERAL
+        # subquery — Spark resolves the names, Catalyst decorrelates to
+        # the same pre-grouped join, PG empty-group semantics exact
+        join = (
+            f"LEFT JOIN LATERAL (SELECT {i_expr} AS __cv "
+            f"FROM {i_from} WHERE {i_where}) {alias} ON true"
+        )
+        val = f"{alias}.__cv"
     o_body = sql[parent[0] + 1 : parent[1] - 1]
     rel_s, rel_e = s - (parent[0] + 1), e - (parent[0] + 1)
     o2 = _split_subquery(o_body[:rel_s] + val + o_body[rel_e:])
@@ -1370,8 +1391,7 @@ def _agg_subquery_join(
         return None
     o_expr, o_from, o_where = o2
     rebuilt = (
-        f"(SELECT {o_expr} FROM {o_from} LEFT JOIN {dt} "
-        f"ON {alias}.__ck = {key_outer}"
+        f"(SELECT {o_expr} FROM {o_from} {join}"
         + (f" WHERE {o_where}" if o_where else "")
         + ")"
     )
@@ -1382,7 +1402,7 @@ def _agg_subquery_join(
 # position: a relation (FROM/JOIN), a set operation, or a quantified /
 # membership predicate — none of these may be inlined as a join
 _NON_SCALAR_BEFORE = re.compile(
-    r"\b(from|join|union|intersect|except|all|in|exists|any|some)\s*$",
+    r"\b(from|join|lateral|union|intersect|except|all|in|exists|any|some)\s*$",
     re.IGNORECASE,
 )
 

@@ -292,3 +292,69 @@ def test_replay_suppressed_and_retraction(spark, engine):
     ]), epoch_id=2)
     assert "11" not in sink.indices["nx_view"]
     _check(spark, sink)
+
+
+def test_depth3_algebra_fold(spark):
+    """Three to-many levels (region→custs[]→orders[]→items[]): the
+    deepest relation's delta ascends TWO rk hops to the root; state
+    names are path-suffixed per level."""
+    from pyspark.sql import functions as F
+
+    from sinker_spark.ivm_delta import (
+        apply_join_state, changes_to_mult, relation_state,
+    )
+    from sinker_spark.ivm_flagship import (
+        doc_tree_states, relation_rows_for, serve_docs, touched_parent_keys,
+    )
+
+    spec = DocTreeViewSpec(
+        parent_table="d3_region", key="rkey", row_schema_parent="rkey bigint, rname string",
+        children=[ChildArraySpec(
+            table="d3_cust", fk="creg", row_schema="ckey bigint, creg bigint",
+            alias="custs", order=["ckey"], key="ckey",
+            children=[ChildArraySpec(
+                table="d3_ord", fk="ocust", row_schema="okey bigint, ocust bigint",
+                alias="ords", order=["okey"], key="okey",
+                children=[ChildArraySpec(
+                    table="d3_item", fk="iord", row_schema="inum int, iord bigint, iqty bigint",
+                    alias="items", order=["inum"],
+                )],
+            )],
+        )],
+    )
+    assert [s.suffix for s in doc_tree_states(spec)] == [
+        "p", "c0", "rkc0", "c0x0", "rkc0x0", "c0x0x0",
+    ]
+
+    regions = spark.createDataFrame([(1, "eu"), (2, "us")], "rkey bigint, rname string")
+    custs = spark.createDataFrame([(10, 1), (11, 1), (12, 2)], "ckey bigint, creg bigint")
+    ords = spark.createDataFrame([(100, 10), (101, 11), (102, 12)], "okey bigint, ocust bigint")
+    items = spark.createDataFrame(
+        [(1, 100, 5), (2, 100, 3), (1, 102, 2)], "inum int, iord bigint, iqty bigint"
+    )
+    # delta: ONE new item under order 101 (cust 11, region 1) — the walk
+    # must ascend item→order(rk c0x0)→cust(rk c0)→region and touch 1 only
+    i_ch = spark.createDataFrame([(9, 101, 7)], "inum int, iord bigint, iqty bigint") \
+        .withColumn("__op", F.lit("insert"))
+    posts = {
+        "p": relation_state(regions),
+        "c0": relation_state(custs),
+        "c0x0": relation_state(ords),
+        "c0x0x0": apply_join_state(
+            relation_state(items), changes_to_mult(i_ch)
+        ),
+    }
+    rows_for = relation_rows_for(posts)
+    touched = touched_parent_keys(spec, {"c0x0x0": i_ch.select("iord")}, rows_for)
+    assert [r["rkey"] for r in touched.collect()] == [1]
+    docs = serve_docs(spec, touched, rows_for)
+    rows = docs.collect()
+    assert len(rows) == 1
+    doc = rows[0]
+    assert doc["rkey"] == 1 and [c["ckey"] for c in doc["custs"]] == [10, 11]
+    c11 = doc["custs"][1]
+    assert [o["okey"] for o in c11["ords"]] == [101]
+    assert [i["iqty"] for i in c11["ords"][0]["items"]] == [7]
+    # deepest arrays three levels down for cust 10 intact
+    c10 = doc["custs"][0]
+    assert [i["iqty"] for o in c10["ords"] for i in o["items"]] == [5, 3]

@@ -610,6 +610,52 @@ def q_scalar_subquery(rng: random.Random) -> Pair:
     return Pair(sql)
 
 
+def q_nested_agg_subquery(rng: random.Random) -> Pair:
+    """Correlated AGGREGATE subquery nested INSIDE another aggregate
+    subquery — the transpiler must pre-group the inner agg into a
+    derived-table LEFT JOIN (textual inlining would nest aggregate
+    calls, illegal in Spark). Exercises: count-inside-sum (count's
+    0-over-empty preserved), sum-inside-string_agg (NULL-over-empty),
+    multiple nested aggs in one outer block, inner-only conjuncts."""
+    thr = rng.randint(0, 3000)
+    extra = rng.random() < 0.5  # inner-only conjunct on the deepest block
+    inner_where = "l_orderkey = o_orderkey" + (
+        " AND l_quantity > 5" if extra else ""
+    )
+    variant = rng.randrange(3)
+    if variant == 0:
+        # total lineitem count over the customer's orders, agg-in-agg
+        c0 = (
+            "coalesce((SELECT CAST(sum(CAST("
+            f"(SELECT count(*) FROM lineitem WHERE {inner_where})"
+            " AS DECIMAL(18,2))) AS DOUBLE) "
+            "FROM orders WHERE o_custkey = c_custkey), -1)"
+        )
+    elif variant == 1:
+        # per-order counts serialized: nested agg inside string_agg
+        c0 = (
+            "coalesce((SELECT string_agg(CAST("
+            f"(SELECT count(*) FROM lineitem WHERE {inner_where})"
+            " AS VARCHAR(20)), ';' ORDER BY o_orderkey) "
+            "FROM orders WHERE o_custkey = c_custkey), '~')"
+        )
+    else:
+        # NULL-over-empty parity: inner sum (not count) stays NULL for
+        # item-less orders; outer min over the coalesced per-order sums
+        c0 = (
+            "coalesce((SELECT CAST(min(coalesce("
+            "(SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            f"FROM lineitem WHERE {inner_where}), -9)) AS DOUBLE) "
+            "FROM orders WHERE o_custkey = c_custkey), -1)"
+        )
+    sql = (
+        f"SELECT c_custkey AS k0, {c0} AS c0, "
+        "(SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS c1 "
+        f"FROM customer WHERE c_acctbal > {thr}"
+    )
+    return Pair(sql)
+
+
 def q_setop(rng: random.Random) -> Pair:
     t = rng.choice(list(CATALOG))
     g = Gen(rng, _scope([t]))
@@ -760,7 +806,7 @@ def q_series(rng: random.Random) -> Pair:
 SHAPES = [
     (q_project, 3), (q_agg, 3), (q_join, 3), (q_distinct, 1),
     (q_distinct_on, 1), (q_cte, 2), (q_derived, 1),
-    (q_scalar_subquery, 1), (q_series, 1),
+    (q_scalar_subquery, 1), (q_nested_agg_subquery, 2), (q_series, 1),
     (q_setop, 2), (q_grouping, 2), (q_window, 2), (q_exists, 2),
     (q_lateral, 2),
 ]
