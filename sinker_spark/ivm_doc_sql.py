@@ -57,13 +57,20 @@ zero rows is NULL (PG json_agg-over-empty through the derived-table
 join), while a ROOT-level array coalesces to ``[]`` (Spark
 aggregate-over-empty in the compiled correlated scalar subquery).
 
+To-many blocks also anchor AT DIM NODES (DimLookup.arrays): a
+``json_agg`` inside a to-one block's template keyed on that block (the
+teacher object carrying the teacher's courses[]), or in the root
+template keyed on a main-FROM join dim. Dim-template arrays serve NULL
+over empty (derived-table join parity); root-template (join-dim) ones
+coalesce to ``[]`` like other root arrays.
+
 Shape restrictions (anything else returns None and the view keeps the
-targeted/full lanes): root to-many blocks keyed directly on the parent
-id and nested ones on their container block's id; one LINEAR element
-to-one chain per to-many block; every template value a column of its
-own block's relation (or, root template only, a qualified main-FROM
-dim column); no ambiguous unqualified outer refs; any root WHERE
-restricted to parent columns.
+targeted/full lanes): every to-many block keyed directly on the id of
+its anchor (the parent, its container block, or a to-one dim); one
+LINEAR element to-one chain per to-many block; every template value a
+column of its own block's relation (or, root template only, a
+qualified main-FROM dim column); no ambiguous unqualified outer refs;
+any root WHERE restricted to parent columns.
 """
 
 from __future__ import annotations
@@ -134,6 +141,10 @@ class SqlDocTree:
     # recursive to-many structure (supersedes child_nodes/child_chains,
     # which remain the top level of this forest)
     sql_children: "list[SqlChild]" = None  # type: ignore[assignment]
+    # dim-anchored arrays: (dim idx, shape, declared-at-root?) — at-root
+    # (join-dim-anchored) arrays serve [] over empty like other root
+    # arrays; dim-template ones serve NULL (derived-table join parity)
+    dim_sql_children: "list[tuple[int, SqlChild, bool]] | None" = None
 
 
 # identifiers legal in a served WHERE predicate that are NOT column
@@ -289,12 +300,16 @@ def derive_sql_doctree(
     root_dims: list[RootDim] = []
 
     def corr_kids(owner: CorrNode) -> list[CorrNode]:
-        """To-one blocks nested in a correlated block's template; a
-        nested to-many is out of shape."""
+        """To-one blocks nested in a correlated block's template. A
+        nested to-many KEYED ON THE OWNER becomes a dim-anchored array
+        (collected later from the template); one keyed elsewhere is out
+        of shape."""
         kids = []
         for _k, (kind, v) in templates[owner].entries:
             if kind == "node":
                 if not v.to_one(id_col):
+                    if v.outer is owner and v.outer_col == id_col:
+                        continue  # dim-anchored array, handled below
                     raise _Bail
                 kids.append(v)
         return kids
@@ -343,15 +358,49 @@ def derive_sql_doctree(
             subs.append(child_shape(g, f"{suffix}x{k}"))
         return SqlChild(cn, suffix, echain, subs)
 
+    parent_children = [n for n in child_nodes if n.outer is None]
     sql_children: list[SqlChild] = []
-    for i, cn in enumerate(child_nodes):
-        if cn.outer is not None or cn.outer_col != id_col:
+    for i, cn in enumerate(parent_children):
+        if cn.outer_col != id_col:
             return None  # array must key directly on the parent id
         try:
             sql_children.append(child_shape(cn, f"c{i}"))
         except _Bail:
             return None
     child_chains = [sc.echain for sc in sql_children]
+    child_nodes = parent_children
+
+    # ---- DIM-ANCHORED arrays: a to-many keyed on a to-one node — in
+    # the ROOT template anchored on a main-FROM join dim (its alias is
+    # in scope there), or inside a CORRELATED block's template keyed on
+    # its owner. Suffix numbering d{idx}a{k} mirrors
+    # ivm_flagship.child_nodes' enumeration of DimLookup.arrays.
+    corr_rd = {id(rd.corr): rd for rd in root_dims}
+    dim_sql_children: list[tuple[int, SqlChild, bool]] = []
+    a_counts: dict[int, int] = {}
+
+    def collect_anchored(tmpl_owner: "CorrNode | None") -> None:
+        for _k, (kind, v) in templates[tmpl_owner].entries:
+            if kind != "node" or v.to_one(id_col):
+                continue
+            if tmpl_owner is None and v.outer is None:
+                continue  # parent-anchored, collected above
+            rd = corr_rd.get(id(v.outer)) if v.outer is not None else None
+            if rd is None or v.outer_col != id_col:
+                raise _Bail
+            k = a_counts.get(rd.idx, 0)
+            a_counts[rd.idx] = k + 1
+            dim_sql_children.append(
+                (rd.idx, child_shape(v, f"d{rd.idx}a{k}"), tmpl_owner is None)
+            )
+
+    try:
+        collect_anchored(None)
+        for rd in root_dims:
+            if rd.corr.span is not None:
+                collect_anchored(rd.corr)
+    except _Bail:
+        return None
 
     def ddl(table: str, needed: list[str]) -> str | None:
         have = cols_of(table)
@@ -427,6 +476,10 @@ def derive_sql_doctree(
 
     try:
         children = [build_child_spec(sc, None) for sc in sql_children]
+        for idx, sc, at_root in dim_sql_children:
+            lookups[idx].arrays.append(
+                build_child_spec(sc, None if at_root else root_dims[idx].corr)
+            )
     except _Bail:
         return None
 
@@ -436,7 +489,8 @@ def derive_sql_doctree(
     )
     return SqlDocTree(spec, tree, templates, root_dims, child_nodes,
                       child_chains, where_expr=where_expr,
-                      sql_children=sql_children)
+                      sql_children=sql_children,
+                      dim_sql_children=dim_sql_children)
 
 
 def _prefixed(df: DataFrame, pre: str) -> DataFrame:
@@ -523,20 +577,6 @@ def serve_docs_sql(
         dframe = _prefixed(expand_mult(rows_for(states[f"d{rd.idx}"], probe)), pre)
         how = "inner" if rd.corr.join_how == "inner" else "left"
         cur = cur.join(dframe, fk == F.col(f"{pre}{id_col}"), how)
-    # ROOT-TEMPLATE correlated blocks are the compile's OUTERMOST scalar
-    # subqueries: NULL field when the dim row is missing, doc survives;
-    # nested blocks (rewritten to LEFT JOIN + named_struct) serve
-    # structs of NULLs unconditionally (build_struct recursion)
-    for rd in sd.root_dims:
-        if rd.corr.span is not None and any(
-            kind == "node" and v is rd.corr
-            for _k, (kind, v) in templates[None].entries
-        ):
-            s0 = build_struct(rd.corr, root_pre)
-            root_fields[id(rd.corr)] = F.when(
-                F.col(f"__d{rd.idx}_{id_col}").isNotNull(), s0
-            )
-
     def array_frame(sc: SqlChild, probe: DataFrame) -> DataFrame:
         """One to-many block's array rows restricted to the probed
         container keys → 2-col frame ``(__k, __arr)``: container key,
@@ -578,6 +618,40 @@ def serve_docs_sql(
         return elem.groupBy(F.col(f"{pre_c}{cn.sub_col}").alias("__k")).agg(
             F.sort_array(F.collect_list(estruct)).alias("__arr")
         )
+
+    # ---- DIM-ANCHORED arrays: probe by the dim frame's prefixed id,
+    # join onto cur. Declared-at-root (join-dim-anchored) arrays are
+    # root fields and coalesce to [] like other root arrays; ones inside
+    # a correlated block's template embed in that block's struct and
+    # stay NULL over empty (derived-table join parity).
+    dim_arr_cols: dict = {}
+    for idx, sc, at_root in (sd.dim_sql_children or []):
+        probe = cur.select(
+            F.col(f"__d{idx}_{id_col}").alias(sc.node.sub_col)
+        ).where(F.col(sc.node.sub_col).isNotNull()).distinct()
+        gk, gv = f"__k_{sc.suffix}", f"__arr_{sc.suffix}"
+        arr = array_frame(sc, probe).toDF(gk, gv)
+        cur = cur.join(arr, F.col(f"__d{idx}_{id_col}") == F.col(gk), "left").drop(gk)
+        if at_root:
+            at = cur.schema[gv].dataType
+            cur = cur.withColumn(gv, F.coalesce(F.col(gv), F.array().cast(at)))
+            root_fields[id(sc.node)] = F.col(gv)
+        else:
+            dim_arr_cols[id(sc.node)] = gv
+
+    # ROOT-TEMPLATE correlated blocks are the compile's OUTERMOST scalar
+    # subqueries: NULL field when the dim row is missing, doc survives;
+    # nested blocks (rewritten to LEFT JOIN + named_struct) serve
+    # structs of NULLs unconditionally (build_struct recursion)
+    for rd in sd.root_dims:
+        if rd.corr.span is not None and any(
+            kind == "node" and v is rd.corr
+            for _k, (kind, v) in templates[None].entries
+        ):
+            s0 = build_struct(rd.corr, root_pre, dim_arr_cols)
+            root_fields[id(rd.corr)] = F.when(
+                F.col(f"__d{rd.idx}_{id_col}").isNotNull(), s0
+            )
 
     sql_children = sd.sql_children
     if sql_children is None:  # pre-nesting callers constructing SqlDocTree by hand

@@ -165,27 +165,34 @@ def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
 class ChildNode:
     """One to-many relation occurrence in the doc tree, in preorder.
     ``suffix`` is the state-name path (top level ``c{i}`` — the
-    historical flat naming, kept bit-for-bit — nested ``{parent}x{k}``);
-    ``parent`` is the containing child's suffix (None at the top level,
-    where the container is the doc parent)."""
+    historical flat naming, kept bit-for-bit — nested ``{parent}x{k}``,
+    dim-anchored ``d{j}a{k}``); ``parent`` is the containing child's
+    suffix (None when the container is the doc parent or a dim);
+    ``anchor_dim`` is the :func:`~sinker_spark.views.dim_nodes` index of
+    the to-one node the (top-of-its-chain) array hangs off, or None when
+    it hangs off the doc parent."""
 
     suffix: str
     child: "ChildArraySpec"  # noqa: F821 — views.ChildArraySpec
     parent: str | None
+    anchor_dim: int | None = None
 
 
 def child_nodes(spec: DocTreeViewSpec) -> list[ChildNode]:
     """Preorder flat list of every to-many occurrence (arbitrary
-    nesting depth)."""
+    nesting depth; parent-, nested- and dim-anchored)."""
     out: list[ChildNode] = []
 
-    def rec(ch, sfx: str, parent: str | None) -> None:
-        out.append(ChildNode(sfx, ch, parent))
+    def rec(ch, sfx: str, parent: str | None, anchor: int | None = None) -> None:
+        out.append(ChildNode(sfx, ch, parent, anchor))
         for k, g in enumerate(ch.children):
-            rec(g, f"{sfx}x{k}", sfx)
+            rec(g, f"{sfx}x{k}", sfx, anchor)
 
     for i, ch in enumerate(spec.children):
         rec(ch, f"c{i}", None)
+    for nd in dim_nodes(spec):
+        for k, ch in enumerate(nd.dim.arrays):
+            rec(ch, f"d{nd.idx}a{k}", None, nd.idx)
     return out
 
 
@@ -232,26 +239,6 @@ def touched_parent_keys(
     if "p" in change_keys:
         outs.append(change_keys["p"].toDF(spec.key))
 
-    def ascend(keys: DataFrame, parent_sfx: str | None) -> DataFrame:
-        # keys: one column of the child-at-parent_sfx's KEY values (the
-        # fk values of some nested relation) — follow the child→container
-        # rk indexes up to the doc parent's keys
-        while parent_sfx is not None:
-            pn = cnodes[parent_sfx]
-            probe = keys.toDF(pn.child.key).where(
-                F.col(pn.child.key).isNotNull()
-            ).distinct()
-            keys = rows_for(states[f"rk{parent_sfx}"], probe).select(
-                pn.child.fk
-            ).distinct()
-            parent_sfx = pn.parent
-        return keys
-
-    for cn in child_nodes(spec):
-        if cn.suffix in change_keys:
-            # a child delta's key values are its CONTAINER's key values
-            outs.append(ascend(change_keys[cn.suffix], cn.parent).toDF(spec.key))
-
     def walk(keys: DataFrame, chain, idx_prefix: str, final_key: str) -> DataFrame:
         # keys: one column named chain[h].key at entry level h; walk to
         # the referrer level via the per-hop index until the root
@@ -280,6 +267,28 @@ def touched_parent_keys(
                 return keys
             idx = nd.parent
 
+    def ascend(keys: DataFrame, cn: ChildNode) -> DataFrame:
+        # keys: one column of cn's FK values (= its container's keys) —
+        # follow child→container rk indexes up the nesting chain, then
+        # (for a dim-anchored chain) the dim's rp walk to the doc parent
+        node = cn
+        while node.parent is not None:
+            pn = cnodes[node.parent]
+            probe = keys.toDF(pn.child.key).where(
+                F.col(pn.child.key).isNotNull()
+            ).distinct()
+            keys = rows_for(states[f"rk{node.parent}"], probe).select(
+                pn.child.fk
+            ).distinct()
+            node = pn
+        if node.anchor_dim is not None:
+            return walk_up(keys.toDF(nodes[node.anchor_dim].dim.key), node.anchor_dim)
+        return keys
+
+    for cn in child_nodes(spec):
+        if cn.suffix in change_keys:
+            # a child delta's key values are its CONTAINER's key values
+            outs.append(ascend(change_keys[cn.suffix], cn).toDF(spec.key))
     for nd in nodes:
         if f"d{nd.idx}" in change_keys:
             keys = change_keys[f"d{nd.idx}"].toDF(nd.dim.key)
@@ -292,7 +301,7 @@ def touched_parent_keys(
                 # dim walk lands on this child's fk values (= its
                 # container's keys); ascend the rk chain to the doc root
                 to_container = walk(keys, ch.dims[: j + 1], f"r{cn.suffix}", ch.fk)
-                outs.append(ascend(to_container, cn.parent).toDF(spec.key))
+                outs.append(ascend(to_container, cn).toDF(spec.key))
     if not outs:
         raise ValueError("touched_parent_keys: no change keys supplied")
     acc = outs[0]
@@ -308,6 +317,7 @@ def doc_columns(spec: DocTreeViewSpec) -> list[str]:
     cols = list(_ddl_cols(spec.row_schema_parent))
     for nd in dim_nodes(spec):
         cols += [c for c in _ddl_cols(nd.dim.row_schema) if c != nd.dim.key]
+        cols += [ch.alias for ch in nd.dim.arrays]
     cols += [ch.alias for ch in spec.children]
     return cols
 
@@ -397,7 +407,18 @@ def serve_docs(
             )
         return cur
 
-    cur = attach(cur, spec.key, [n for n in child_nodes(spec) if n.parent is None])
+    for nd in dim_nodes(spec):
+        if nd.dim.arrays:
+            # dim-anchored arrays: the dim's key values live in the
+            # REFERRER's fk column, already joined into ``cur``
+            cur = attach(cur, nd.dim.fk, [
+                ChildNode(f"d{nd.idx}a{k}", ch, None, nd.idx)
+                for k, ch in enumerate(nd.dim.arrays)
+            ])
+    cur = attach(
+        cur, spec.key,
+        [n for n in child_nodes(spec) if n.parent is None and n.anchor_dim is None],
+    )
     return cur.select(*doc_columns(spec))
 
 

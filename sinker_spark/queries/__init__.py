@@ -151,6 +151,8 @@ _SAMPLE_PREFIX = [
     "ivm_branched_doc",
     "ivm_nested_child_doc",
     "ivm_sql_doctree_nested",
+    "ivm_dim_anchored_doc",
+    "ivm_sql_dim_anchored",
     # never-sampled, highest value first: the TPC-H remainder…
     "q2_min_cost_supplier",
     "q4_order_priority",

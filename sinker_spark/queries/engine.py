@@ -1937,6 +1937,136 @@ def ivm_sql_doctree_course(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_dim_anchored_doc",
+    oracle="""
+    WITH
+    s_post AS (SELECT s_suppkey AS skey, s_name AS sname, s_nationkey AS snat
+               FROM supplier WHERE s_suppkey % 9 <> 0),
+    n_post AS (SELECT n_nationkey AS nkey,
+                      CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS nname
+               FROM nation),
+    c_post AS (SELECT c_custkey AS ckey, c_nationkey AS cnat,
+                      CASE WHEN c_custkey % 5 = 0 THEN c_name || '*' ELSE c_name END AS cname
+               FROM customer WHERE c_custkey % 7 <> 0 OR c_custkey % 5 = 0),
+    touched AS (
+      SELECT DISTINCT skey FROM (
+        SELECT s_suppkey AS skey FROM supplier WHERE s_suppkey % 9 = 0
+        UNION ALL SELECT s.skey FROM s_post s WHERE s.snat % 2 = 0
+        UNION ALL SELECT s.skey FROM s_post s
+                  JOIN (SELECT DISTINCT c_nationkey AS nat FROM customer
+                        WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0) x
+                  ON s.snat = x.nat
+      )
+    ),
+    ca AS (
+      SELECT cnat, COUNT(*) AS n,
+             string_agg(ckey || ':' || cname, ';' ORDER BY ckey) AS s
+      FROM c_post GROUP BY cnat)
+    SELECT s.skey, s.sname, n.nname AS nation_name,
+           CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_custs,
+           COALESCE(ca.s, '') AS custs_str
+    FROM s_post s
+    JOIN touched USING (skey)
+    JOIN n_post n ON s.snat = n.nkey
+    LEFT JOIN ca ON s.snat = ca.cnat""",
+    doc=(
+        "DIM-ANCHORED arrays (DimLookup.arrays / ivm_flagship): a "
+        "supplier doc whose nation OBJECT carries the nation's "
+        "customers[] array — a to-many hanging off a to-one dim, the "
+        "remaining placement in the doc-tree shape lattice. ONE batch "
+        "renames+deletes customers, renames nations, deletes suppliers; "
+        "a customer delta's values are nation keys that ascend the "
+        "dim's rp reverse-index walk to exactly the affected supplier "
+        "docs. Oracle rebuilds the touched set + docs from post-batch "
+        "tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "B7", "composition", "nested"),
+)
+def ivm_dim_anchored_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_flagship import (
+        relation_rows_for, serve_docs, touched_parent_keys,
+    )
+    from sinker_spark.views import ChildArraySpec, DimLookup, DocTreeViewSpec
+
+    t = load_tables(spark, sf_dir)
+    s_all = t["supplier"].select(
+        F.col("s_suppkey").alias("skey"), F.col("s_name").alias("sname"),
+        F.col("s_nationkey").alias("snat"),
+    )
+    n_all = t["nation"].select(
+        F.col("n_nationkey").alias("nkey"), F.col("n_name").alias("nname")
+    )
+    c_all = t["customer"].select(
+        F.col("c_custkey").alias("ckey"), F.col("c_nationkey").alias("cnat"),
+        F.col("c_name").alias("cname"),
+    )
+
+    spec = DocTreeViewSpec(
+        parent_table="supplier", key="skey",
+        row_schema_parent="skey bigint, sname string, snat bigint",
+        dims=[DimLookup(
+            "nation", fk="snat", key="nkey",
+            row_schema="nkey bigint, nname string",
+            arrays=[ChildArraySpec(
+                table="customer", fk="cnat",
+                row_schema="ckey bigint, cnat bigint, cname string",
+                alias="ncusts", order=["ckey"],
+            )],
+        )],
+    )
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    s_ch = s_all.where(F.col("skey") % 9 == 0).withColumn("__op", dele)
+    pred_n = F.col("nkey") % 2 == 0
+    n_new = n_all.withColumn(
+        "nname", F.when(pred_n, F.concat(F.col("nname"), F.lit("!"))).otherwise(F.col("nname"))
+    )
+    n_ch = (
+        n_all.where(pred_n).withColumn("__op", dele)
+        .unionByName(n_new.where(pred_n).withColumn("__op", ins))
+    )
+    pred_c = F.col("ckey") % 5 == 0
+    c_new = c_all.withColumn(
+        "cname", F.when(pred_c, F.concat(F.col("cname"), F.lit("*"))).otherwise(F.col("cname"))
+    )
+    c_ch = (
+        c_all.where(pred_c).withColumn("__op", dele)
+        .unionByName(c_new.where(pred_c).withColumn("__op", ins))
+        .unionByName(
+            c_all.where((F.col("ckey") % 7 == 0) & ~pred_c).withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(s_all), changes_to_mult(s_ch)),
+        "d0": apply_join_state(relation_state(n_all), changes_to_mult(n_ch)),
+        "d0a0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": s_ch.select("skey"),
+        "d0": n_ch.select("nkey"),
+        "d0a0": c_ch.select("cnat"),
+    }
+    touched = touched_parent_keys(spec, change_keys, rows_for)
+    docs = serve_docs(spec, touched, rows_for)
+    return docs.select(
+        "skey",
+        "sname",
+        F.col("nname").alias("nation_name"),
+        F.size("ncusts").cast("bigint").alias("n_custs"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("ncusts"),
+                lambda x: F.concat_ws(":", x["ckey"].cast("string"), x["cname"]),
+            ),
+        ).alias("custs_str"),
+    )
+
+
+@query(
     "ivm_sql_doctree_nested",
     oracle="""
     WITH
@@ -2099,6 +2229,132 @@ def ivm_sql_doctree_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ).alias("ords_str"),
+    )
+
+
+@query(
+    "ivm_sql_dim_anchored",
+    oracle="""
+    WITH
+    s_post AS (SELECT s_suppkey AS id, s_name AS sname, s_nationkey AS nat
+               FROM supplier WHERE s_suppkey % 9 <> 0),
+    n_post AS (SELECT n_nationkey AS id,
+                      CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS name
+               FROM nation),
+    c_post AS (SELECT c_custkey AS id, c_nationkey AS nat,
+                      CASE WHEN c_custkey % 5 = 0 THEN c_name || '*' ELSE c_name END AS cname
+               FROM customer WHERE c_custkey % 7 <> 0 OR c_custkey % 5 = 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT s_suppkey AS id FROM supplier WHERE s_suppkey % 9 = 0
+        UNION ALL SELECT s.id FROM s_post s WHERE s.nat % 2 = 0
+        UNION ALL SELECT s.id FROM s_post s
+                  JOIN (SELECT DISTINCT c_nationkey AS nat FROM customer
+                        WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0) x
+                  ON s.nat = x.nat
+      )
+    ),
+    ca AS (
+      SELECT nat, string_agg(id || ':' || cname, ';' ORDER BY id, cname) AS s
+      FROM c_post GROUP BY nat)
+    SELECT s.id, s.sname, n.name AS nation_name,
+           COALESCE(ca.s, '~') AS custs_str
+    FROM s_post s
+    JOIN touched USING (id)
+    LEFT JOIN n_post n ON s.nat = n.id
+    LEFT JOIN ca ON s.nat = ca.nat""",
+    doc=(
+        "SQL-DECLARED dim-anchored array (ivm_doc_sql × DimLookup."
+        "arrays): a supplier view written as PG SQL whose nation BLOCK "
+        "contains a json_agg keyed on the nation — derives the dim-"
+        "anchored fold lane with zero Python. Customer deltas ascend "
+        "the nation's rp reverse-index walk to exactly the affected "
+        "supplier docs; serve matches the transpiled compile (empty "
+        "dim-template array is NULL → '~' marker)"
+    ),
+    tags=("A11", "A2", "ivm", "ivm-doc", "B5", "B7", "composition", "nested"),
+)
+def ivm_sql_dim_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import (
+        doc_tree_states, relation_rows_for, touched_parent_keys,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t["supplier"].select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("sname"),
+        F.col("s_nationkey").alias("nat"),
+    ).createOrReplaceTempView("sda_supp")
+    t["nation"].select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")
+    ).createOrReplaceTempView("sda_nation")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nat"),
+        F.col("c_name").alias("cname"),
+    ).createOrReplaceTempView("sda_cust")
+
+    sql = """select id, json_build_object('sname', sname,
+      'nation', (select json_build_object('name', name,
+                   'custs', (select json_agg(json_build_object('ckey', c.id, 'cname', c.cname))
+                             from sda_cust c where c.nat = sda_nation.id))
+                 from sda_nation where sda_nation.id = nat)
+    ) as doc from sda_supp"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "dim-anchored SQL must derive the doc-tree lane"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    sdefs = {s.suffix: s for s in doc_tree_states(sd.spec) if s.source is None}
+    tables = {"p": "sda_supp", "d0": "sda_nation", "d0a0": "sda_cust"}
+    alls = {sfx: spark.table(tables[sfx]).select(*sdefs[sfx].cols) for sfx in sdefs}
+
+    s_ch = alls["p"].where(F.col("id") % 9 == 0).withColumn("__op", dele)
+    pred_n = F.col("id") % 2 == 0
+    n_new = alls["d0"].withColumn(
+        "name", F.when(pred_n, F.concat(F.col("name"), F.lit("!"))).otherwise(F.col("name"))
+    )
+    n_ch = (
+        alls["d0"].where(pred_n).withColumn("__op", dele)
+        .unionByName(n_new.where(pred_n).withColumn("__op", ins))
+    )
+    pred_c = F.col("id") % 5 == 0
+    c_new = alls["d0a0"].withColumn(
+        "cname", F.when(pred_c, F.concat(F.col("cname"), F.lit("*"))).otherwise(F.col("cname"))
+    )
+    c_ch = (
+        alls["d0a0"].where(pred_c).withColumn("__op", dele)
+        .unionByName(c_new.where(pred_c).withColumn("__op", ins))
+        .unionByName(
+            alls["d0a0"].where((F.col("id") % 7 == 0) & ~pred_c).withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(alls["p"]), changes_to_mult(s_ch)),
+        "d0": apply_join_state(relation_state(alls["d0"]), changes_to_mult(n_ch)),
+        "d0a0": apply_join_state(relation_state(alls["d0a0"]), changes_to_mult(c_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": s_ch.select("id"),
+        "d0": n_ch.select("id"),
+        "d0a0": c_ch.select("nat"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.sname").alias("sname"),
+        F.col("doc.nation.name").alias("nation_name"),
+        F.when(F.col("doc.nation.custs").isNull(), F.lit("~")).otherwise(
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.col("doc.nation.custs"),
+                    lambda x: F.concat_ws(":", x["ckey"].cast("string"), x["cname"]),
+                ),
+            )
+        ).alias("custs_str"),
     )
 
 

@@ -455,13 +455,21 @@ class DimLookup:
     deeper hop's ``fk``). ``children``: further to-one lookups whose fk
     is a column of THIS dim's table — only meaningful inside
     :attr:`DocTreeViewSpec.dim_forest` (tree form); entries of the
-    legacy linear ``dims`` chain must leave it empty."""
+    legacy linear ``dims`` chain must leave it empty.
+
+    ``arrays``: to-many child arrays ANCHORED AT THIS DIM — rows of each
+    array's ``table`` whose ``fk`` equals this dim's ``key`` value (a
+    supplier doc whose nation object carries the nation's customers[]).
+    Maintained by the same fold: the array's delta values are dim keys,
+    which ascend to parent docs through the dim's existing ``rp``
+    reverse-index walk — no new index needed at this level."""
 
     table: str
     fk: str
     key: str
     row_schema: str
     children: list["DimLookup"] = field(default_factory=list)
+    arrays: list["ChildArraySpec"] = field(default_factory=list)
 
 
 @dataclass
@@ -550,7 +558,6 @@ class DocTreeViewSpec:
 
     def all_tables(self) -> set[str]:
         out = {self.parent_table}
-        out.update(nd.dim.table for nd in dim_nodes(self))
 
         def rec(ch: ChildArraySpec) -> None:
             out.add(ch.table)
@@ -558,6 +565,10 @@ class DocTreeViewSpec:
             for g in ch.children:
                 rec(g)
 
+        for nd in dim_nodes(self):
+            out.add(nd.dim.table)
+            for ch in nd.dim.arrays:
+                rec(ch)
         for ch in self.children:
             rec(ch)
         return out

@@ -737,3 +737,101 @@ def test_nested_sql_engine_fold(spark, tmp_path):
     assert eng.last_stats["teacher_mv"].get("doc_tree") == 1
     assert sink.get("teachers", "t-1") is None
     _parity()
+
+
+COURSE_MV_DIM_ARRAY_SQL = """select id,
+  json_build_object('name', "name",
+    'teacher', (select json_build_object('salary', "salary",
+                  'courses', (select json_agg(json_build_object('cname', c2.name))
+                              from course c2 where c2.teacher_id = teacher.id))
+                from teacher where teacher.id = teacher_id)) as "doc"
+from course """
+
+
+def test_dim_anchored_sql_derivation_and_engine(spark, tmp_path):
+    """DIM-ANCHORED array from SQL: a json_agg inside a to-one block's
+    template keyed on that block (the teacher object carries the
+    teacher's courses[] — siblings included). A sibling-course rename
+    fans out through the dim's rp walk to every course of that teacher;
+    parity with the transpiled compile after every batch."""
+    from sinker_spark.ivm_flagship import doc_tree_states
+
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_DIM_ARRAY_SQL)
+    assert sd is not None
+    assert [s.suffix for s in doc_tree_states(sd.spec)] == [
+        "p", "d0", "rp0", "d0a0",
+    ]
+    (dim,) = sd.spec.dim_forest or sd.spec.dims
+    assert [(a.table, a.fk, a.alias) for a in dim.arrays] == [
+        ("course", "teacher_id", "courses")
+    ]
+
+    sink = InMemorySink()
+    view = ViewDef("course_da_mv", sql=COURSE_MV_DIM_ARRAY_SQL, index="courses_da",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_da_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_da_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_da", {}) == want
+
+    _parity()
+    c1 = sink.get("courses_da", "c-1")
+    assert [x["cname"] for x in c1["teacher"]["courses"]] == ["Reth", "ZK Proofs"]
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    # sibling rename: course c-2 (t-1) renamed — the t-1 docs (c-1, c-2)
+    # re-serve (c-2 via its own delta, c-1 via the dim-anchored ascent);
+    # c-3 (t-2) must NOT
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    old_c2 = tuple(rows["course"][1])
+    rows["course"][1][1] = "ZK2"
+    _sync(rows)
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", old_c2)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_da_mv"].get("doc_tree") == 1
+    assert {k for (_, op, k) in sink.action_log[n0:]} == {"c-1", "c-2"}
+    assert [x["cname"] for x in sink.get("courses_da", "c-1")["teacher"]["courses"]] \
+        == ["Reth", "ZK2"]
+    _parity()
+
+    # course re-pointed to the other teacher: arrays on BOTH teachers'
+    # docs change (it leaves t-1's list, joins t-2's)
+    old_c2b = tuple(rows["course"][1])
+    rows["course"][1][3] = "t-2"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", old_c2b)),
+    ]), epoch_id=2)
+    assert eng.last_stats["course_da_mv"].get("doc_tree") == 1
+    assert [x["cname"] for x in sink.get("courses_da", "c-1")["teacher"]["courses"]] \
+        == ["Reth"]
+    assert [x["cname"] for x in sink.get("courses_da", "c-3")["teacher"]["courses"]] \
+        == ["Bizchain", "ZK2"]
+    _parity()
+
+    # teacher delete: t-2's docs serve teacher=NULL (scalar-subquery
+    # semantics), arrays under the missing dim vanish with the struct
+    rows["teacher"] = [r for r in rows["teacher"] if r[0] != "t-2"]
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "teacher", "DELETE", "t-2", None,
+         _payload("teacher", ("t-2", "p-4", "100000.00"))),
+    ]), epoch_id=3)
+    assert eng.last_stats["course_da_mv"].get("doc_tree") == 1
+    assert sink.get("courses_da", "c-3")["teacher"] is None
+    _parity()
