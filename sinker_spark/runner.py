@@ -152,6 +152,10 @@ class SyncEngine:
 
         self.maintenance = MaintenancePolicy() if maintenance == "auto" else maintenance
         self._epochs_since_maintenance = 0
+        # views already checked for a stored-marker spec-fingerprint
+        # mismatch (redefinition adopted over an existing store) — once
+        # per engine lifetime, see _stale_spec_views
+        self._spec_checked: set[str] = set()
 
     def _apply_counted(self, view: ViewDef, actions: DataFrame) -> dict[str, int]:
         """Persist the actions frame, collect per-op counts (batch
@@ -406,12 +410,45 @@ class SyncEngine:
             logger.info("maintenance sweep: %s", report)
         return report
 
+    def _stale_spec_views(self) -> list[ViewDef]:
+        """Views whose STORED replay marker records a different lane-spec
+        fingerprint than the current definition — a redefinition adopted
+        by a fresh engine over an existing store. Without this check a
+        redefined view heals only when its deps next see traffic; if
+        they never do, the sink serves the OLD definition's documents
+        forever (found by tools/soak_longhaul.py: an evolution step whose
+        subsequent batch touched none of the redrawn view's tables).
+        Checked once per view per engine lifetime — the definition
+        cannot change within one instance, and the healing fallback
+        rewrites the marker with the new fingerprint. Views without a
+        marker (no lane states) keep the documented contract:
+        redefinition requires a backfill (reference DROP+CREATE)."""
+        out = []
+        for v in self.views.values():
+            if v.name in self._spec_checked:
+                continue
+            self._spec_checked.add(v.name)
+            marker = self._read_lane_marker(v)
+            if marker is not None and marker[2] is not None and (
+                marker[2] != self._lane_spec_fp(v)
+            ):
+                out.append(v)
+        return out
+
     def _process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
         self._derive_sql_doctrees()  # streaming-without-backfill opt-ins
         changed = {r["table"] for r in cdc.select("table").distinct().collect()}
         if not changed:
             return
         dirty = self.dirty_views(changed)
+        stale = self._stale_spec_views()
+        if stale:
+            # force-route redefined views THIS batch even when none of
+            # their deps changed: the lane guard declines on the
+            # fingerprint mismatch and the fallback retracts the old
+            # definition's documents
+            have = {v.name for v in dirty}
+            dirty = dirty + [v for v in stale if v.name not in have]
         ids = None
         if any(v.affected_keys is not None for v in dirty):
             # one shared distinct pass, cached because every hook slices it

@@ -414,3 +414,62 @@ def test_spec_edit_with_compatible_states_retracts_old_docs(spark, tmp_path):
     ]))
     assert set(sink.ids("ev2_chain")) == {"1", "2", "3", "4", "5"}
     assert eng2.last_stats["ev2_chain"].get("join_chain") == 1
+
+
+def test_redefined_view_heals_without_dep_traffic(spark, tmp_path):
+    """A redefined lane view must heal even when the batch touches NONE
+    of its dependency tables: the engine checks every view's stored
+    replay-marker fingerprint against the current definition once per
+    lifetime and force-routes mismatches through the fallback. Without
+    this, a redefinition whose deps never see traffic serves the OLD
+    definition's documents forever (found by tools/soak_longhaul.py:
+    an evolution step followed by batches that only touched other
+    views' tables)."""
+    spark.createDataFrame(
+        [("1", "eu", 10.0), ("2", "eu", 20.0), ("3", "us", 5.0)],
+        "id string, region string, amount double",
+    ).createOrReplaceTempView("ev2_sales")
+    spark.createDataFrame(
+        [("eu", "m1"), ("us", "m2")], "region string, mgr string"
+    ).createOrReplaceTempView("ev2_dims")
+    spark.createDataFrame(
+        [("x1", "a")], "id string, tag string"
+    ).createOrReplaceTempView("ev3_other")
+
+    def other_view():
+        def fn(spark):
+            return spark.table("ev3_other").select(
+                F.col("id"), F.struct("id", "tag").alias("doc")
+            )
+        return ViewDef(name="ev3_view", fn=fn, deps={"ev3_other"})
+
+    sink = InMemorySink()
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    eng1 = SyncEngine(spark, [_chain_view(agg_mode=True), other_view()], sink, store)
+    eng1.backfill()
+    assert set(sink.ids("ev2_chain")) == {"m1", "m2"}
+
+    # redefinition adopted by a FRESH engine; the only batch traffic is
+    # the OTHER view's table — ev2_chain's deps see nothing
+    eng2 = SyncEngine(spark, [_chain_view(agg_mode=False), other_view()], sink, store,
+                      on_schema_change="reset")
+    spark.createDataFrame(
+        [("x1", "a"), ("x2", "b")], "id string, tag string"
+    ).createOrReplaceTempView("ev3_other")
+    eng2.process_cdc_batch(_cdc(spark, "ev3_other", [
+        (1, "INSERT", {"id": "x2", "tag": "b"}, None),
+    ]))
+    # the redefined view healed anyway: aggregate docs retracted,
+    # per-row docs served
+    assert set(sink.ids("ev2_chain")) == {"1", "2", "3"}
+    assert eng2.last_stats["ev2_chain"].get("lane_fallback") == 1
+    # the check runs once per lifetime: the next unrelated batch does
+    # NOT re-route the healed view
+    spark.createDataFrame(
+        [("x1", "a"), ("x2", "b"), ("x3", "c")], "id string, tag string"
+    ).createOrReplaceTempView("ev3_other")
+    eng2.process_cdc_batch(_cdc(spark, "ev3_other", [
+        (2, "INSERT", {"id": "x3", "tag": "c"}, None),
+    ]))
+    assert "ev2_chain" not in eng2.last_stats or \
+        eng2.last_stats["ev2_chain"].get("lane_fallback") == 1
