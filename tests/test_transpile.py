@@ -500,3 +500,71 @@ def test_jsonb_path_extract_ops(spark):
     ).collect()
     assert rows[0]["deep"] == "y"
     assert rows[0]["top"] == "top"
+
+
+def test_split_conjuncts_paren_and_literal_aware():
+    from sinker_spark.compiler.transpile import _split_conjuncts
+
+    assert _split_conjuncts("a = b AND c > 2") == ["a = b", "c > 2"]
+    # AND inside parens / literals is not a split point
+    assert _split_conjuncts("(a = 1 AND b = 2) OR c = 3") == [
+        "(a = 1 AND b = 2) OR c = 3"
+    ]
+    assert _split_conjuncts("x = ' AND ' AND y = 2") == ["x = ' AND '", "y = 2"]
+    # identifier containing 'and' is not a boundary
+    assert _split_conjuncts("brand = 1 AND andy = 2") == ["brand = 1", "andy = 2"]
+
+
+def test_nested_agg_subquery_pre_groups_into_derived_table():
+    """A json_agg nested inside another json_agg must NOT inline as a
+    row-level join (that nests aggregate calls — NESTED_AGGREGATE_
+    FUNCTION in Spark): with qualified correlation it becomes a
+    pre-grouped derived table; count() gains the PG 0-over-empty
+    coalesce; inner-only conjuncts stay in the derived table WHERE."""
+    sql = """SELECT c.id, (SELECT json_agg(json_build_object(
+        'k', o.id,
+        'n', (SELECT count(*) FROM li l WHERE l.oid = o.id AND l.qty > 5)))
+      FROM orders o WHERE o.cid = c.id) AS v FROM cust c"""
+    out = transpile(sql)
+    assert "GROUP BY l.oid" in out
+    assert "coalesce(__corr" in out          # count → 0 over empty
+    assert "WHERE l.qty > 5 GROUP BY" in out  # inner-only conjunct kept
+    assert "LEFT JOIN (SELECT l.oid AS __ck" in out
+    # the outer json_agg stays a correlated scalar subquery (depth-1,
+    # Catalyst handles it natively)
+    assert "WHERE o.cid = c.id" in out
+
+
+def test_nested_agg_bare_columns_fall_back_to_lateral():
+    """Bare-column correlation (l_orderkey = o_orderkey) is textually
+    scope-ambiguous — the rewrite keeps the predicate verbatim inside a
+    LEFT JOIN LATERAL subquery and lets Spark resolve the names."""
+    sql = """SELECT c_custkey, (SELECT sum(
+        (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey))
+      FROM orders WHERE o_custkey = c_custkey) AS v FROM customer"""
+    out = transpile(sql)
+    assert "LEFT JOIN LATERAL (SELECT count(*) AS __cv FROM lineitem " \
+           "WHERE l_orderkey = o_orderkey)" in out
+    assert "ON true" in out
+
+
+def test_wrap_calls_wraps_nested_occurrences():
+    from sinker_spark.compiler.transpile import _wrap_calls
+
+    s = "json_agg(f('a', (SELECT json_agg(y) FROM t)))"
+    out = _wrap_calls(s, "json_agg", "sort_array(", ")")
+    assert out == "sort_array(json_agg(f('a', (SELECT sort_array(json_agg(y)) FROM t))))"
+    # literal-embedded call text untouched
+    s2 = "json_agg(x) || ' json_agg(y) '"
+    assert _wrap_calls(s2, "json_agg", "s(", ")") == "s(json_agg(x)) || ' json_agg(y) '"
+
+
+def test_decorrelate_skips_non_scalar_positions():
+    """Membership/relation-position subqueries must never be inlined as
+    joins even when they look like lookup patterns."""
+    sql = """SELECT c.id, (SELECT max(o.total) FROM orders o WHERE o.cid = c.id
+               AND o.id IN (SELECT x.oid FROM flagged x WHERE x.oid = o.id)) AS v
+             FROM cust c"""
+    out = transpile(sql)
+    # the IN-subquery survives verbatim (not replaced by a join column)
+    assert "IN (SELECT x.oid FROM flagged x" in out
