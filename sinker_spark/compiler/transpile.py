@@ -12,6 +12,13 @@ tests (SURVEY.md §2 Table B) into Spark SQL:
   (PG emits unspecified scan order — the reference's own golden test and
   README disagree on it, SURVEY.md §5 — so we *define* array order as
   ascending element order; deterministic under any partitioning.)
+- ``json_agg/array_agg(x ORDER BY k …)`` → ``transform(array_sort(
+  collect_list(named_struct(keys…, x)), comparator), e -> e.__e)`` —
+  the DECLARED order is honored exactly (ASC/DESC, NULLS FIRST/LAST
+  with PG defaults); ties beyond the declared keys break on the
+  element itself, keeping arrays deterministic. ``DISTINCT x ORDER BY
+  x`` drops the ORDER BY (the sort_array wrap already yields it); any
+  other DISTINCT + ORDER BY combination is rejected like PG does.
 - ``FROM unnest(arr) AS x``       → ``FROM (SELECT explode(arr) AS x)``
 - ``jsonb_each_text(m) AS kv(k,v)`` → explode of ``from_json`` map
 - ``expr::type``                  → ``CAST(expr AS type)`` (tight binding,
@@ -980,6 +987,129 @@ def _rewrite_string_agg(sql: str) -> str:
         sql = sql[:s] + call + sql[tail_at:]
 
 
+def _top_level_order_by(text: str) -> "tuple[int, int] | None":
+    """[start, end) of a top-level ``ORDER BY`` keyword inside ``text``
+    (paren- and literal-aware), or None."""
+    lits = _literal_spans(text)
+    depth, i, n = 0, 0, len(text)
+    pat = re.compile(r"\border\s+by\b", re.IGNORECASE)
+    while i < n:
+        if any(s <= i < e for s, e in lits):
+            i += 1
+            continue
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m:
+                return m.start(), m.end()
+        i += 1
+    return None
+
+
+def _parse_order_keys(text: str) -> "list[tuple[str, bool, bool]] | None":
+    """``k1 [ASC|DESC] [NULLS FIRST|LAST], k2 …`` → [(expr, desc,
+    nulls_first)] with PG defaults (ASC → NULLS LAST, DESC → NULLS
+    FIRST); None on an empty key."""
+    keys = []
+    for item in _split_top_level(text):
+        m = re.match(
+            r"(?is)^\s*(.*?)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?\s*$",
+            item,
+        )
+        expr = m.group(1).strip()
+        if not expr:
+            return None
+        desc = (m.group(2) or "").lower() == "desc"
+        nulls = m.group(3).lower() if m.group(3) else ("first" if desc else "last")
+        keys.append((expr, desc, nulls == "first"))
+    return keys
+
+
+def _ordered_agg_expr(elem: str, keys: "list[tuple[str, bool, bool]]") -> str:
+    """The Spark expression honoring ``json_agg/array_agg(elem ORDER BY
+    keys)``: collect (keys, elem) structs, array_sort with a comparator
+    encoding each key's direction and null placement, project the
+    element back out. Ties beyond the declared keys break on the element
+    itself, keeping the engine's arrays deterministic under any
+    partitioning (the module's defined-order policy)."""
+    fields = ", ".join(
+        f"'__o{i}', {k}" for i, (k, _d, _nf) in enumerate(keys)
+    )
+    struct_expr = f"named_struct({fields}, '__e', {elem})"
+    parts = []
+    for i, (_k, desc, nfirst) in enumerate(keys):
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        nl, nr = ("-1", "1") if nfirst else ("1", "-1")
+        parts += [
+            f"WHEN l.__o{i} IS NULL AND r.__o{i} IS NOT NULL THEN {nl}",
+            f"WHEN l.__o{i} IS NOT NULL AND r.__o{i} IS NULL THEN {nr}",
+            f"WHEN l.__o{i} < r.__o{i} THEN {lt}",
+            f"WHEN l.__o{i} > r.__o{i} THEN {gt}",
+        ]
+    parts += ["WHEN l.__e < r.__e THEN -1", "WHEN l.__e > r.__e THEN 1"]
+    cmp_ = f"(l, r) -> CASE {' '.join(parts)} ELSE 0 END"
+    return (
+        f"transform(array_sort(collect_list({struct_expr}), {cmp_}), "
+        f"x -> x.__e)"
+    )
+
+
+def _rewrite_ordered_aggs(sql: str) -> str:
+    """``json_agg/array_agg(elem ORDER BY k …)`` → a sorted-collect
+    expression honoring the DECLARED order (PG specifies it here, unlike
+    the bare-call case the sort_array wrap covers): see
+    _ordered_agg_expr. ``DISTINCT elem ORDER BY elem`` (ASC) drops the
+    ORDER BY — the later sort_array wrap already yields exactly that
+    order; any other DISTINCT + ORDER BY combination PG itself restricts
+    and we reject. Runs innermost-first so doubly-nested ordered
+    aggregates rewrite at both levels."""
+    while True:
+        cands = []
+        for fname in ("json_agg", "array_agg"):
+            pos = 0
+            while True:
+                found = _find_call(sql[pos:], fname)
+                if not found:
+                    break
+                s, e, args = found
+                s, e = s + pos, e + pos
+                om = _top_level_order_by(args)
+                if om is not None:
+                    cands.append((s, e, args, om))
+                pos = s + 1
+        if not cands:
+            return sql
+        # innermost: a candidate containing no other candidate
+        s, e, args, om = next(
+            c for c in cands
+            if not any(c[0] < o[0] and o[1] <= c[1] for o in cands if o != c)
+        )
+        elem = args[: om[0]].strip()
+        keys = _parse_order_keys(args[om[1]:])
+        if keys is None:
+            raise ValueError(f"unparseable aggregate ORDER BY: {args!r}")
+        dm = re.match(r"(?is)^distinct\b(.*)$", elem)
+        if dm:
+            bare = dm.group(1).strip()
+            if (
+                len(keys) == 1 and not keys[0][1] and not keys[0][2]
+                and re.sub(r"\s+", "", keys[0][0]) == re.sub(r"\s+", "", bare)
+            ):
+                # keep the DISTINCT call for the plain wrap; drop ORDER BY
+                head = sql[s:e].split("(", 1)[0]
+                sql = sql[:s] + head + f"({elem})" + sql[e:]
+                continue
+            raise ValueError(
+                "aggregate DISTINCT with an ORDER BY other than the "
+                f"element itself is not supported: {args!r}"
+            )
+        sql = sql[:s] + _ordered_agg_expr(elem, keys) + sql[e:]
+
+
 def _rewrite_extract_epoch(sql: str) -> str:
     """``extract(epoch from x)`` → ``unix_timestamp(x)`` (Spark's EXTRACT
     supports the calendar fields but not EPOCH)."""
@@ -1640,6 +1770,7 @@ def transpile(sql: str) -> str:
     sql = _rewrite_unnest_select(sql)
     sql = _rewrite_generate_series(sql)
     sql = _rename_calls(sql, {"json_build_object": "named_struct", "now": "current_timestamp"})
+    sql = _rewrite_ordered_aggs(sql)
     for agg in ("json_agg", "array_agg"):
         sql = _wrap_calls(sql, agg, "sort_array(", ")")
     sql = _rename_calls(sql, {"json_agg": "collect_list", "array_agg": "collect_list"})

@@ -568,3 +568,70 @@ def test_decorrelate_skips_non_scalar_positions():
     out = transpile(sql)
     # the IN-subquery survives verbatim (not replaced by a join column)
     assert "IN (SELECT x.oid FROM flagged x" in out
+
+
+def test_ordered_json_agg_honors_declared_order(spark):
+    """``json_agg/array_agg(x ORDER BY k …)`` — PG DECLARES the order
+    here (unlike the bare call, where scan order is unspecified and the
+    engine's sort_array policy applies): the rewrite must honor key
+    direction and PG null placement (ASC→NULLS LAST, DESC→NULLS FIRST),
+    with deterministic element tie-break."""
+    spark.createDataFrame(
+        [(1, 1, "b"), (1, 2, "a"), (1, None, "z"), (2, 3, "c"), (2, 3, "a"),
+         (2, None, None)],
+        "cid int, d int, s string",
+    ).createOrReplaceTempView("oa_e")
+    rows = {
+        r["cid"]: r["a"]
+        for r in spark.sql(transpile(
+            "select cid, array_agg(s order by d) as a from oa_e group by cid"
+        )).collect()
+    }
+    assert rows[1] == ["b", "a", "z"]          # ASC, nulls-last key
+    assert rows[2][2] is None                  # NULL d sorts last
+    rows = {
+        r["cid"]: r["a"]
+        for r in spark.sql(transpile(
+            "select cid, array_agg(d order by s desc) as a from oa_e group by cid"
+        )).collect()
+    }
+    assert rows[1] == [None, 1, 2]             # s desc: z, b, a
+    assert rows[2][0] is None                  # NULL s first on DESC (PG)
+    # multi-key with explicit NULLS, ties broken by the second key
+    rows = {
+        r["cid"]: r["a"]
+        for r in spark.sql(transpile(
+            "select cid, array_agg(s order by d desc nulls last, s) as a "
+            "from oa_e group by cid"
+        )).collect()
+    }
+    assert rows[2] == ["a", "c", None]
+    # correlated to-many doc shape (the MV case): ordered element structs
+    spark.createDataFrame([(1,), (2,), (3,)], "id int").createOrReplaceTempView("oa_c")
+    out = spark.sql(transpile(
+        "select id, (select json_agg(json_build_object('d', e.d, 's', e.s) "
+        "order by e.d desc) from oa_e e where e.cid = oa_c.id) as arr "
+        "from oa_c"
+    )).orderBy("id").collect()
+    assert [x["s"] for x in out[0]["arr"]] == ["z", "a", "b"]  # NULL d first on DESC
+    assert out[2]["arr"] == []                 # scalar-subquery empty → []
+
+
+def test_ordered_agg_distinct_and_nested():
+    # DISTINCT elem ORDER BY elem (ASC) → the plain sorted-collect wrap
+    out = transpile("select array_agg(distinct s order by s) as a from t")
+    assert "sort_array(collect_list(distinct s))" in out.lower()
+    # any other DISTINCT + ORDER BY → rejected like PG
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        transpile("select array_agg(distinct s order by d) from t")
+    # nested ordered json_agg rewrites at BOTH levels and still
+    # pre-groups the inner aggregate into a derived-table join
+    t = transpile(
+        "select c.id, (select json_agg(json_build_object('ok', o.id, 'lines', "
+        "(select json_agg(json_build_object('q', l.q) order by l.q desc) "
+        "from l where l.oid = o.id)) order by o.id) from o where o.cid = c.id) "
+        "as doc from c"
+    )
+    assert t.count("array_sort") == 2 and "__corr0.__cv" in t
+    assert "order by" not in t.lower().replace("group by", "")
