@@ -95,6 +95,13 @@ class CorrNode:
     outer_col: str
     outer_qualified: bool = True
     children: list["CorrNode"] = field(default_factory=list)
+    # non-correlation WHERE conjuncts of the block (raw PG text) — the
+    # reference MVs filter children (``AND e.active``). They never
+    # affect the reverse-lineage WALK (dropping a filter only widens
+    # the affected set → sound over-approximation), but any consumer
+    # SERVING rows from state must apply them or bail (ivm_doc_sql
+    # validates each against the block's own schema and applies them)
+    filters: list[str] = field(default_factory=list)
     # [start, end) of the block's ``(select …)`` text in the normalized
     # SQL (None for main-FROM join nodes) — lets the doc-template parser
     # (parse_doc_templates) find each block's select expression
@@ -185,10 +192,64 @@ _BAIL_PAT = re.compile(
     r"\bjoin\b|\bunion\b|\bintersect\b|\bexcept\b|\bgroup\s+by\b|\bwith\b",
     re.IGNORECASE,
 )
-_EQ_PAT = re.compile(
-    rf"\bwhere\s+({_IDENT})\s*\.\s*({_IDENT})\s*=\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*$",
+# one WHERE conjunct that is a plain column equality (either side may be
+# qualified) — the correlation-candidate shape
+_CONJ_EQ = re.compile(
+    rf"^(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})$"
+)
+# keyword-valued "identifiers" that can appear on the right of an
+# equality without being column references
+_LITERAL_WORDS = {"true", "false", "null", "unknown"}
+_BLOCK_TAIL_BAIL = re.compile(
+    r"\border\s+by\b|\bgroup\s+by\b|\bhaving\b|\blimit\b|\boffset\b",
     re.IGNORECASE,
 )
+
+
+def _parse_block_where(
+    body: str, rel: _Rel
+) -> "tuple[str, str | None, str, bool, list[str]] | None":
+    """Parse one subquery block's WHERE into (sub_col, outer_qual,
+    outer_col, outer_qualified, filters): EXACTLY one conjunct must be a
+    cross-scope equality between a column of ``rel`` (either side) and
+    an outer reference; every other conjunct is recorded as a filter
+    (raw text — consumers validate against schemas). None when no
+    unambiguous correlation conjunct exists or the clause carries
+    ORDER BY/LIMIT/… tails."""
+    from sinker_spark.compiler.transpile import _split_conjuncts
+
+    wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), body)
+    if not wm:
+        return None
+    wtail = body[wm.end():]
+    if _BLOCK_TAIL_BAIL.search(wtail):
+        return None
+    corr: "tuple[str, str | None, str, bool] | None" = None
+    filters: list[str] = []
+    for conj in _split_conjuncts(wtail):
+        m = _CONJ_EQ.match(conj)
+        sides = None
+        if m:
+            q1, c1, q2, c2 = m.groups()
+            s1 = (_norm(q1) if q1 else None, _norm(c1))
+            s2 = (_norm(q2) if q2 else None, _norm(c2))
+            own1 = s1[0] in rel.names() if s1[0] else False
+            own2 = s2[0] in rel.names() if s2[0] else False
+            if own1 != own2:
+                own, other = (s1, s2) if own1 else (s2, s1)
+                # a bare keyword-literal right side (``e.flag = true``)
+                # is a filter, not a correlation
+                if other[0] is not None or other[1] not in _LITERAL_WORDS:
+                    sides = (own[1], other[0], other[1], other[0] is not None)
+        if sides is None:
+            filters.append(conj)
+            continue
+        if corr is not None:
+            return None  # two cross-scope equalities: ambiguous edge
+        corr = sides
+    if corr is None:
+        return None
+    return corr[0], corr[1], corr[2], corr[3], filters
 
 
 def _search_depth0(pat: re.Pattern, text: str) -> re.Match | None:
@@ -300,8 +361,10 @@ def _parse_root_from(
 def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | None:
     """Parse the reference MV grammar: ``SELECT id, <doc-expr> FROM
     parent [WHERE …]`` where every subquery is a single-table correlated
-    block whose WHERE is exactly one equality ``sub.col = [outer.]col``
-    at the end of the block. Returns None (caller keeps full refresh)
+    block whose WHERE holds exactly one cross-scope equality (either
+    side order: ``sub.col = [outer.]col`` or ``[outer.]col = sub.col``)
+    plus any number of FILTER conjuncts, recorded raw on
+    ``CorrNode.filters``. Returns None (caller keeps full refresh)
     for anything else."""
     sql = sql.strip().rstrip(";")
     if re.match(r"\s*with\b", sql, re.IGNORECASE):
@@ -367,16 +430,15 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
         rel = _parse_block_rel(body)
         if rel is None:
             return None
-        em = _EQ_PAT.search(body)
-        if not em:
+        # a subquery INSIDE the block's WHERE (EXISTS/IN/scalar filter)
+        # is blanked in `body` — its conjunct text is unusable → bail
+        bwm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), body)
+        if bwm and any(cs >= span[0] + 1 + bwm.start() for cs, _ce in inner):
             return None
-        q1, c1, q2, c2 = em.groups()
-        # sub side must be qualified with THIS block's relation
-        if _norm(q1) not in rel.names():
+        parsed_w = _parse_block_where(body, rel)
+        if parsed_w is None:
             return None
-        sub_col = _norm(c1)
-        outer_qual = _norm(q2) if q2 else None
-        outer_col = _norm(c2)
+        sub_col, outer_qual, outer_col, _oq, filters = parsed_w
         # resolve the outer side against enclosing blocks, nearest first
         enclosing = sorted(
             [x for x in spans if x[0] < span[0] and span[1] <= x[1]],
@@ -410,6 +472,7 @@ def parse_correlation_tree(sql: str, id_col: str = "id") -> CorrelationTree | No
         node = CorrNode(
             rel.table, rel.alias, sub_col, outer_node, outer_col,
             outer_qualified=outer_qual is not None, span=span,
+            filters=filters,
         )
         by_span[span] = node
         rels[span] = rel
@@ -618,9 +681,18 @@ class DocTemplate:
     """Ordered ``json_build_object`` entries of one query block:
     ``(json_key, ('col', column_name))`` for scalar projections of the
     block's own relation, ``(json_key, ('node', CorrNode))`` for a
-    nested correlated block."""
+    nested correlated block. To-many blocks may also carry:
+
+    - ``order_text`` — the raw ``ORDER BY`` key list inside the block's
+      ``json_agg`` (PG DECLARES element order there; consumers honor it
+      or bail);
+    - ``agg`` — ``(fname, col|None)`` when the block is a correlated
+      SCALAR AGGREGATE (``(select count(*) from e where e.fk = id)``)
+      instead of a json_agg array; entries is empty then."""
 
     entries: list
+    order_text: "str | None" = None
+    agg: "tuple[str, str | None] | None" = None
 
 
 def _split_ranges(sql: str, lo: int, hi: int) -> list[tuple[int, int]]:
@@ -692,7 +764,18 @@ def _parse_jbo(
             continue
         cm = _COL_PAT.match(sql[vs:ve])
         if not cm:
-            return None
+            # arbitrary EXPRESSION value ('total', o.price * o.qty):
+            # recorded raw; the doc-tree derivation transpiles it,
+            # validates every reference against the block's OWN schema
+            # and computes it over the state rows — out-of-reach
+            # expressions bail THERE, not here. With main-FROM join
+            # dims in scope a root-template expression is ambiguous
+            # without schemas (a bare ident could be the parent's or a
+            # dim's) → out of grammar.
+            if join_names:
+                return None
+            entries.append((key, ("expr", sql[vs:ve])))
+            continue
         qual = _norm(cm.group(1)) if cm.group(1) else None
         col = _norm(cm.group(2))
         if col in _KEYWORDS:
@@ -706,6 +789,64 @@ def _parse_jbo(
             return None  # several root relations in scope: ambiguous
         entries.append((key, ("col", col)))
     return DocTemplate(entries)
+
+
+_SAGG_PAT = re.compile(r"(count|sum|min|max|avg)\s*\(", re.IGNORECASE)
+
+
+def _parse_to_many_select(
+    sql: str, es: int, ee: int, names: set[str],
+    span_nodes: "dict[tuple[int, int], CorrNode]",
+) -> DocTemplate | None:
+    """One to-many block's select expression ``sql[es:ee]``:
+
+    - ``json_agg(json_build_object(…) [ORDER BY keys])`` → entries +
+      raw ``order_text`` (PG declares element order INSIDE the agg);
+    - ``count(*)`` / ``count|sum|min|max|avg([qual.]col)`` → a scalar
+      AGGREGATE block: empty entries, ``agg=(fname, col|None)``."""
+    jm = _JAGG_PAT.match(sql, es)
+    if jm:
+        close = _matching_paren(sql, jm.end() - 1)
+        if close < 0 or sql[close + 1:ee].strip():
+            return None
+        lo = jm.end()
+        while lo < close and sql[lo].isspace():
+            lo += 1
+        jbm = _JBO_PAT.match(sql, lo)
+        if not jbm:
+            return None
+        jclose = _matching_paren(sql, jbm.end() - 1)
+        if jclose < 0 or jclose >= close:
+            return None
+        order_text = None
+        tail = sql[jclose + 1:close].strip()
+        if tail:
+            om = re.match(r"(?is)^order\s+by\s+(.+)$", tail)
+            if not om:
+                return None
+            order_text = om.group(1).strip()
+        tpl = _parse_jbo(sql, lo, jclose + 1, names, span_nodes)
+        if tpl is None:
+            return None
+        return DocTemplate(list(tpl.entries), order_text=order_text)
+    sm = _SAGG_PAT.match(sql, es)
+    if not sm:
+        return None
+    close = _matching_paren(sql, sm.end() - 1)
+    if close < 0 or sql[close + 1:ee].strip():
+        return None
+    fname = sm.group(1).lower()
+    arg = sql[sm.end():close].strip()
+    if arg == "*":
+        return DocTemplate([], agg=(fname, None)) if fname == "count" else None
+    cm = _COL_PAT.match(arg)
+    if not cm:
+        return None
+    qual = _norm(cm.group(1)) if cm.group(1) else None
+    col = _norm(cm.group(2))
+    if (qual is not None and qual not in names) or col in _KEYWORDS:
+        return None
+    return DocTemplate([], agg=(fname, col))
 
 
 def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemplate] | None":
@@ -779,15 +920,7 @@ def parse_doc_templates(tree: CorrelationTree) -> "dict[CorrNode | None, DocTemp
         if node.to_one(tree.id_col):
             tpl = _parse_jbo(sql, es, ee, names, span_nodes)
         else:
-            jm = _JAGG_PAT.match(sql, es)
-            if not jm or jm.start() != es:
-                return None
-            close = _matching_paren(sql, jm.end() - 1)
-            if close < 0 or sql[close + 1:ee].strip():
-                return None
-            tpl = _parse_jbo(sql, jm.end(), close, names, span_nodes)
-            if tpl is not None:
-                tpl = DocTemplate(list(tpl.entries))
+            tpl = _parse_to_many_select(sql, es, ee, names, span_nodes)
         if tpl is None:
             return None
         out[node] = tpl

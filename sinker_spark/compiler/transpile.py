@@ -1571,6 +1571,19 @@ def _decorrelate_nested(sql: str) -> str:
                 sql = rewritten
                 progressed = True
                 break
+            # to-one LOOKUP subquery → plain LEFT JOIN on the block's
+            # WHERE. A LATERAL spelling would avoid name capture and
+            # serve PG's exact NULL-over-missing, but Catalyst refuses
+            # LateralJoin under a correlated Filter ("Unexpected
+            # operator LateralJoin … in correlated subquery below
+            # filter"), and these lookups almost always sit inside a
+            # correlated json_agg block — so the inline join stays.
+            # Consequences, both documented: a missing lookup row
+            # serves a struct of NULLs (the engine-defined semantics
+            # every lane reproduces), and an outer-block bare column
+            # that ALSO names a column of the inlined relation fails
+            # LOUDLY with AMBIGUOUS_REFERENCE (qualify the column to
+            # fix; never silent misexecution).
             o_expr_from_where = sql[parent[0] + 1 : parent[1] - 1]
             # replace inner subquery text with its projection expression
             rel_s, rel_e = s - (parent[0] + 1), e - (parent[0] + 1)

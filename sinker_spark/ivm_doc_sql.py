@@ -64,13 +64,37 @@ template keyed on a main-FROM join dim. Dim-template arrays serve NULL
 over empty (derived-table join parity); root-template (join-dim) ones
 coalesce to ``[]`` like other root arrays.
 
+Further grammar the lane serves with exact compiled-view parity:
+
+- **per-block FILTER conjuncts** (``… where e.course_id = c.id AND
+  e.active``, any conjunct order, either equality side order): compiled
+  against the block's OWN schema and applied to its state rows — a
+  to-one row failing its filter serves NULL, a to-many row drops out of
+  its array/aggregate; correlated filters (outer refs) bail;
+- **correlated SCALAR AGGREGATES** (``(select count(*)|sum|min|max|
+  avg(col) from child where child.fk = anchor.id [AND …])``) at any
+  anchor (root template, to-one block template, to-many element
+  template): the same child state serves one value — ``count``
+  coalesces to 0 over empty everywhere (Spark's depth-0 scalar COUNT
+  and the derived-table coalesce agree), others serve NULL;
+- **declared element order** (``json_agg(jbo(…) ORDER BY k [DESC]
+  [NULLS …], …)``): keys must be own-relation columns; served via the
+  same array_sort comparator the transpiled compile emits
+  (ASC→NULLS LAST / DESC→NULLS FIRST, element tie-break);
+- **expression template values** (``'total', o.price * o.qty``,
+  function calls, CASE, ``||`` chains with PG casts): compiled against
+  the block's own schema, computed as slot columns on the state rows;
+  outer refs, subqueries and rand/uuid bail.
+
 Shape restrictions (anything else returns None and the view keeps the
 targeted/full lanes): every to-many block keyed directly on the id of
 its anchor (the parent, its container block, or a to-one dim); one
 LINEAR element to-one chain per to-many block; every template value a
-column of its own block's relation (or, root template only, a
-qualified main-FROM dim column); no ambiguous unqualified outer refs;
-any root WHERE restricted to parent columns.
+column or own-schema expression of its block's relation (root template
+with main-FROM join dims: qualified columns only — a bare name there
+is ambiguous without schemas); no ambiguous unqualified outer refs;
+any root WHERE restricted to parent columns; block filters and
+json_agg ORDER BY keys restricted to own-block columns.
 """
 
 from __future__ import annotations
@@ -121,6 +145,12 @@ class SqlChild:
     suffix: str
     echain: list[CorrNode]
     children: list["SqlChild"]
+    # scalar-aggregate block: (fname, argcol|None) — serves ONE value
+    # (count coalesced to 0 over empty, others NULL), never an array
+    agg: "tuple[str, str | None] | None" = None
+    # declared json_agg ORDER BY: [(own_col, desc, nulls_first)] — the
+    # serve honors it exactly as the transpiled compile does
+    order_keys: "list[tuple[str, bool, bool]] | None" = None
 
 
 @dataclass
@@ -145,6 +175,17 @@ class SqlDocTree:
     # (join-dim-anchored) arrays serve [] over empty like other root
     # arrays; dim-template ones serve NULL (derived-table join parity)
     dim_sql_children: "list[tuple[int, SqlChild, bool]] | None" = None
+    # id(CorrNode) → compiled Spark filter predicate over the block's
+    # BARE own columns (the block's non-correlation WHERE conjuncts);
+    # the serve applies it to that block's state rows
+    node_pred: "dict[int, str] | None" = None
+    # template EXPRESSION values: per-block slot columns computed on
+    # the state rows ({id(node): [(slot, spark_expr)]}), the slot each
+    # (block, json key) serves from, and the root template's compiled
+    # expressions (evaluated directly on the parent frame)
+    node_exprs: "dict[int, list[tuple[str, str]]] | None" = None
+    expr_slots: "dict[tuple[int, str], str] | None" = None
+    root_exprs: "dict[str, str] | None" = None
 
 
 # identifiers legal in a served WHERE predicate that are NOT column
@@ -164,15 +205,18 @@ _QUALIFIED_REF = re.compile(r"[A-Za-z_]\w*\s*\.\s*[A-Za-z_\"`]")
 _BARE_IDENT = re.compile(r"\b([A-Za-z_]\w*)\b")
 
 
-def _compile_root_where(
-    spark: SparkSession, tree: CorrelationTree, parent_cols: "dict[str, str]"
+def _compile_pred(
+    spark: SparkSession, table: str, aliases: "set[str]",
+    where_text: str, own_cols: "dict[str, str]", id_col: str,
 ) -> "tuple[str, list[str]] | None":
-    """Transpile the root-block WHERE predicate to a Spark expression
-    over BARE parent columns. Returns ``(spark_pred,
-    referenced_parent_cols)``, or None when the predicate is outside
-    what the state-serve can apply (a qualifier that isn't the parent,
-    an identifier that is neither a keyword, a function call nor a
-    parent column, or a transpile/analysis failure)."""
+    """Transpile one block's predicate text to a Spark expression over
+    BARE columns of ``table``. Returns ``(spark_pred,
+    referenced_cols)``, or None when the predicate is outside what the
+    state-serve can apply (a qualifier not covered by ``aliases``, an
+    identifier that is neither a keyword, a function call nor a column
+    of ``table``, or a transpile/analysis failure). An unqualified
+    identifier that is a column of ``table`` binds there by PG's
+    innermost-scope rule, so no outer-ambiguity check is needed."""
     from sinker_spark.compiler.transpile import (
         _literal_spans,
         _strip_table_qualifiers,
@@ -180,45 +224,103 @@ def _compile_root_where(
     )
 
     try:
-        t = transpile(
-            f"select {tree.id_col} from {tree.parent_table} "
-            f"where {tree.where_text}"
-        )
+        t = transpile(f"select {id_col} from {table} where {where_text}")
     except Exception:
         return None
     wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), t)
     if not wm:
         return None
-    pred = _strip_table_qualifiers(
-        t[wm.end():].strip(), {tree.parent_table, tree.parent_alias}
-    )
-    lits = _literal_spans(pred)
+    pred = _strip_table_qualifiers(t[wm.end():].strip(), aliases)
+    cols = _validate_refs(pred, own_cols)
+    if cols is None:
+        return None
+    try:
+        probe = spark.table(table).where(F.expr(pred))
+        probe.schema  # force analysis: unknown functions/columns raise
+    except Exception:
+        return None
+    return pred, cols
+
+
+def _validate_refs(expr: str, own_cols: "dict[str, str]") -> "list[str] | None":
+    """Every identifier in a transpiled, qualifier-stripped expression
+    must be a keyword, a function call, or a column of the block's own
+    relation (returned); any surviving qualified ref (an alias the strip
+    did not cover — i.e. an OUTER reference) fails."""
+    from sinker_spark.compiler.transpile import _literal_spans
+
+    lits = _literal_spans(expr)
 
     def in_lit(i: int) -> bool:
         return any(s <= i < e for s, e in lits)
 
-    for m in _QUALIFIED_REF.finditer(pred):
+    for m in _QUALIFIED_REF.finditer(expr):
         if not in_lit(m.start()):
-            return None  # a qualified ref the parent aliases didn't cover
+            return None  # a qualified ref the aliases didn't cover
     cols: list[str] = []
-    for m in _BARE_IDENT.finditer(pred):
+    for m in _BARE_IDENT.finditer(expr):
         if in_lit(m.start()):
             continue
         ident = m.group(1).lower()
         if ident in _PRED_KEYWORDS:
             continue
-        rest = pred[m.end():]
+        rest = expr[m.end():]
         if rest.lstrip().startswith("("):
             continue  # function call
-        if ident not in parent_cols:
+        if expr[: m.start()].rstrip().endswith("."):
+            continue  # column part of a (stripped) qualified ref
+        if ident not in own_cols:
             return None
         cols.append(ident)
+    return cols
+
+
+_NONDET_CALL = re.compile(
+    r"(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\s*\(",
+)
+
+
+def _compile_expr(
+    spark: SparkSession, table: str, aliases: "set[str]",
+    expr_text: str, own_cols: "dict[str, str]",
+) -> "tuple[str, list[str]] | None":
+    """Transpile one template EXPRESSION value (``'total', o.price *
+    o.qty``) to a Spark expression over BARE columns of ``table``.
+    Returns ``(spark_expr, referenced_cols)`` or None when out of reach:
+    outer references, scalar subqueries, value-nondeterministic calls
+    (rand/uuid — a fold would freeze one draw while the compiled
+    recompute redraws), or transpile/analysis failure."""
+    from sinker_spark.compiler.correlate import _SUBQ_OPEN
+    from sinker_spark.compiler.transpile import (
+        _search_code,
+        _strip_table_qualifiers,
+        transpile,
+    )
+
+    if _search_code(_SUBQ_OPEN, expr_text) or _NONDET_CALL.search(expr_text):
+        return None
     try:
-        probe = spark.table(tree.parent_table).where(F.expr(pred))
-        probe.schema  # force analysis: unknown functions/columns raise
+        t = transpile(f"select {expr_text} as __x from {table}")
     except Exception:
         return None
-    return pred, cols
+    sm = re.match(r"(?is)^\s*select\s+", t)
+    fm = _search_depth0(re.compile(r"\bfrom\b", re.IGNORECASE), t)
+    if not sm or not fm:
+        return None
+    e = t[sm.end():fm.start()].strip()
+    am = re.search(r"(?is)\s+as\s+__x\s*$", e)
+    if not am:
+        return None
+    e = _strip_table_qualifiers(e[: am.start()].strip(), aliases)
+    cols = _validate_refs(e, own_cols)
+    if cols is None:
+        return None
+    try:
+        probe = spark.table(table).select(F.expr(e))
+        probe.schema  # force analysis
+    except Exception:
+        return None
+    return e, cols
 
 
 def _linear_chain(
@@ -236,6 +338,34 @@ def _linear_chain(
             return None
         node = nested[0] if nested else None
     return chain
+
+
+def _parse_child_order(
+    order_text: "str | None", cn: CorrNode
+) -> "list[tuple[str, bool, bool]] | None":
+    """Parse a to-many block's declared ``json_agg … ORDER BY`` into
+    [(own_col, desc, nulls_first)] — every key must be a plain
+    [qual.]column of the block's OWN relation (the only names in scope
+    of the aggregate's argument list that the state holds); anything
+    else raises _Bail so the view keeps the targeted/full lanes."""
+    if order_text is None:
+        return None
+    from sinker_spark.compiler.correlate import _COL_PAT, _norm
+    from sinker_spark.compiler.transpile import _parse_order_keys
+
+    keys = _parse_order_keys(order_text)
+    if keys is None:
+        raise _Bail
+    out = []
+    for expr, desc, nfirst in keys:
+        cm = _COL_PAT.match(expr)
+        if not cm:
+            raise _Bail
+        qual = _norm(cm.group(1)) if cm.group(1) else None
+        if qual is not None and qual not in {cn.table, cn.alias}:
+            raise _Bail
+        out.append((_norm(cm.group(2)), desc, nfirst))
+    return out
 
 
 class _Bail(Exception):
@@ -275,10 +405,74 @@ def derive_sql_doctree(
     where_expr: str | None = None
     where_cols: list[str] = []
     if tree.where_text is not None:
-        compiled = _compile_root_where(spark, tree, cols_of(tree.parent_table) or {})
+        compiled = _compile_pred(
+            spark, tree.parent_table,
+            {tree.parent_table, tree.parent_alias},
+            tree.where_text, cols_of(tree.parent_table) or {}, id_col,
+        )
         if compiled is None:
             return None
         where_expr, where_cols = compiled
+
+    # per-block FILTER conjuncts (``AND e.active``): compile each block's
+    # non-correlation predicate against its OWN relation — the serve
+    # applies it to the block's state rows, reproducing the compiled
+    # view exactly (a to-one row failing its filter serves NULL, a
+    # to-many row is excluded from its array). Outside-own references
+    # (correlated filters) bail the whole derivation.
+    node_pred: "dict[int, str]" = {}
+    node_pred_cols: "dict[int, list[str]]" = {}
+    for n in tree.nodes:
+        if not n.filters:
+            continue
+        own = cols_of(n.table)
+        if own is None:
+            return None
+        compiled = _compile_pred(
+            spark, n.table, {n.table, n.alias},
+            " and ".join(f"({c})" for c in n.filters), own, id_col,
+        )
+        if compiled is None:
+            return None
+        node_pred[id(n)], node_pred_cols[id(n)] = compiled
+
+    # template EXPRESSION values ('total', o.price * o.qty): compile
+    # each against its block's OWN schema; the serve computes slot
+    # columns (__x{j}) on the block's state rows before prefixing, so
+    # build_struct reads them like plain columns. Out-of-reach
+    # expressions (outer refs, subqueries, rand/uuid) bail.
+    node_exprs: "dict[int, list[tuple[str, str]]]" = {}
+    expr_slots: "dict[tuple[int, str], str]" = {}
+    node_expr_cols: "dict[int, list[str]]" = {}
+    root_exprs: "dict[str, str]" = {}
+    root_expr_cols: "list[str]" = []
+    for owner, tpl in templates.items():
+        exprs = [(k, v) for k, (kind, v) in tpl.entries if kind == "expr"]
+        if not exprs:
+            continue
+        tbl = tree.parent_table if owner is None else owner.table
+        aliases = (
+            {tree.parent_table, tree.parent_alias} if owner is None
+            else {owner.table, owner.alias}
+        )
+        own = cols_of(tbl)
+        if own is None:
+            return None
+        for j, (k, raw) in enumerate(exprs):
+            comp = _compile_expr(spark, tbl, aliases, raw, own)
+            if comp is None:
+                return None
+            if owner is None:
+                root_exprs[k] = comp[0]
+                root_expr_cols.extend(comp[1])
+            else:
+                key = (id(owner), k)
+                if key in expr_slots:
+                    return None  # duplicate json key: ambiguous slot
+                slot = f"__x{j}"
+                expr_slots[key] = slot
+                node_exprs.setdefault(id(owner), []).append((slot, comp[0]))
+                node_expr_cols.setdefault(id(owner), []).extend(comp[1])
 
     root_entries = [v for _k, (kind, v) in templates[None].entries if kind == "node"]
     to_one_entries = [n for n in root_entries if n.to_one(id_col)]
@@ -356,7 +550,9 @@ def derive_sql_doctree(
             if g.outer is not cn or g.outer_col != id_col:
                 raise _Bail  # nested array must key on its container's id
             subs.append(child_shape(g, f"{suffix}x{k}"))
-        return SqlChild(cn, suffix, echain, subs)
+        order_keys = _parse_child_order(templates[cn].order_text, cn)
+        return SqlChild(cn, suffix, echain, subs,
+                        agg=templates[cn].agg, order_keys=order_keys)
 
     parent_children = [n for n in child_nodes if n.outer is None]
     sql_children: list[SqlChild] = []
@@ -416,7 +612,7 @@ def derive_sql_doctree(
         return [c for c in cols if not (c in seen or seen.add(c))]
 
     parent_needed = uniq(
-        [id_col] + tpl_cols(None) + where_cols
+        [id_col] + tpl_cols(None) + where_cols + root_expr_cols
         + [rd.corr.outer_col for rd in root_dims if rd.parent is None]
     )
     parent_ddl = ddl(tree.parent_table, parent_needed)
@@ -430,7 +626,9 @@ def derive_sql_doctree(
         n = rd.corr
         own = tpl_cols(n) if n.span is not None else jcols.get(id(n), [])
         kid_fks = [r.corr.outer_col for r in root_dims if r.parent == rd.idx]
-        d = ddl(n.table, uniq([id_col] + own + kid_fks))
+        d = ddl(n.table, uniq([id_col] + own + kid_fks
+                              + node_pred_cols.get(id(n), [])
+                              + node_expr_cols.get(id(n), [])))
         if d is None:
             return None
         dl = DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d)
@@ -443,6 +641,8 @@ def derive_sql_doctree(
             needed = uniq(
                 [id_col] + tpl_cols(n)
                 + ([nodes[j + 1].outer_col] if j + 1 < len(nodes) else [])
+                + node_pred_cols.get(id(n), [])
+                + node_expr_cols.get(id(n), [])
             )
             d = ddl(n.table, needed)
             if d is None:
@@ -462,6 +662,10 @@ def derive_sql_doctree(
             [cn.sub_col] + tpl_cols(cn)
             + ([sc.echain[0].outer_col] if sc.echain else [])
             + ([id_col] if sc.children else [])  # nested arrays key on it
+            + node_pred_cols.get(id(cn), [])
+            + node_expr_cols.get(id(cn), [])
+            + ([sc.agg[1]] if sc.agg and sc.agg[1] else [])
+            + [k for k, _d, _nf in (sc.order_keys or [])]
         )
         d = ddl(cn.table, needed)
         edims = chain_dims(sc.echain)
@@ -490,7 +694,57 @@ def derive_sql_doctree(
     return SqlDocTree(spec, tree, templates, root_dims, child_nodes,
                       child_chains, where_expr=where_expr,
                       sql_children=sql_children,
-                      dim_sql_children=dim_sql_children)
+                      dim_sql_children=dim_sql_children,
+                      node_pred=node_pred, node_exprs=node_exprs,
+                      expr_slots=expr_slots, root_exprs=root_exprs)
+
+
+def _order_cmp(keys: "list[tuple[str, bool, bool]]"):
+    """array_sort comparator honoring declared key directions and PG
+    null placement, with the same element tie-break the transpiled
+    compile emits (_ordered_agg_expr) — fold-vs-compile bit parity."""
+    def comparator(l, r):  # noqa: ANN001 — Column lambdas
+        chain = None
+
+        def add(cond, val):
+            nonlocal chain
+            chain = (F.when(cond, F.lit(val)) if chain is None
+                     else chain.when(cond, F.lit(val)))
+
+        for i, (_k, desc, nfirst) in enumerate(keys):
+            lo, ro = l[f"__o{i}"], r[f"__o{i}"]
+            nl, nr = (-1, 1) if nfirst else (1, -1)
+            lt, gt = (1, -1) if desc else (-1, 1)
+            add(lo.isNull() & ro.isNotNull(), nl)
+            add(lo.isNotNull() & ro.isNull(), nr)
+            add(lo < ro, lt)
+            add(lo > ro, gt)
+        add(l["__e"] < r["__e"], -1)
+        add(l["__e"] > r["__e"], 1)
+        return chain.otherwise(F.lit(0)).cast("int")
+
+    return comparator
+
+
+_SAGG_FNS = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max,
+             "avg": F.avg}
+
+
+def _empty_fix(df: DataFrame, gv: str, sc: SqlChild, root_array: bool) -> DataFrame:
+    """Post-join empty-group semantics, matching the transpiled compile:
+    scalar ``count`` coalesces to 0 EVERYWHERE (Spark's depth-0 scalar
+    COUNT returns 0; the nested derived-table join is coalesced by
+    _agg_subquery_join); other scalar aggregates stay NULL; arrays
+    coalesce to ``[]`` only at root-array anchors (nested arrays serve
+    NULL through the derived-table join)."""
+    if sc.agg:
+        if sc.agg[0] == "count":
+            return df.withColumn(gv, F.coalesce(F.col(gv), F.lit(0)))
+        return df
+    if root_array:
+        at = df.schema[gv].dataType
+        return df.withColumn(gv, F.coalesce(F.col(gv), F.array().cast(at)))
+    return df
 
 
 def _prefixed(df: DataFrame, pre: str) -> DataFrame:
@@ -515,6 +769,20 @@ def serve_docs_sql(
         # doc → the caller emits the DELETE (compiled-view parity)
         cur = cur.where(F.expr(sd.where_expr))
 
+    def state_rows(state_key: str, probe: DataFrame, corr: CorrNode) -> DataFrame:
+        """One block's live state rows restricted to probed keys, with
+        the block's compiled FILTER conjuncts applied — so a to-one row
+        failing its filter serves NULL and a to-many row is excluded
+        from its array, exactly as the compiled view's inlined
+        LEFT-JOIN/correlated-subquery predicates behave."""
+        raw = expand_mult(rows_for(states[state_key], probe))
+        pred = (sd.node_pred or {}).get(id(corr))
+        if pred:
+            raw = raw.where(F.expr(pred))
+        for slot, e in (sd.node_exprs or {}).get(id(corr), []):
+            raw = raw.withColumn(slot, F.expr(e))
+        return raw
+
     def build_struct(
         node: CorrNode, pre_of: dict, arrays: "dict | None" = None
     ) -> F.Column:
@@ -523,6 +791,9 @@ def serve_docs_sql(
         for k, (kind, v) in templates[node].entries:
             if kind == "col":
                 entries.append(F.col(f"{pre_of[id(node)]}{v}").alias(k))
+            elif kind == "expr":
+                slot = (sd.expr_slots or {})[(id(node), k)]
+                entries.append(F.col(f"{pre_of[id(node)]}{slot}").alias(k))
             elif id(v) in arrays:
                 # a nested to-many block: the pre-built array column
                 entries.append(F.col(arrays[id(v)]).alias(k))
@@ -543,7 +814,7 @@ def serve_docs_sql(
         for j, n in enumerate(nodes):
             pre = f"__{sfx}{j}_"
             pre_of[id(n)] = pre
-            dj = _prefixed(expand_mult(rows_for(states[f"{sfx}{j}"], probe)), pre)
+            dj = _prefixed(state_rows(f"{sfx}{j}", probe, n), pre)
             if frame is None:
                 frame = dj
             else:
@@ -574,7 +845,7 @@ def serve_docs_sql(
         probe = cur.select(fk.alias(id_col)).where(
             F.col(id_col).isNotNull()
         ).distinct()
-        dframe = _prefixed(expand_mult(rows_for(states[f"d{rd.idx}"], probe)), pre)
+        dframe = _prefixed(state_rows(f"d{rd.idx}", probe, rd.corr), pre)
         how = "inner" if rd.corr.join_how == "inner" else "left"
         cur = cur.join(dframe, fk == F.col(f"{pre}{id_col}"), how)
     def array_frame(sc: SqlChild, probe: DataFrame) -> DataFrame:
@@ -590,7 +861,7 @@ def serve_docs_sql(
         subquery)."""
         cn = sc.node
         pre_c = f"__{sc.suffix}_"
-        elem = _prefixed(expand_mult(rows_for(states[sc.suffix], probe)), pre_c)
+        elem = _prefixed(state_rows(sc.suffix, probe, cn), pre_c)
         pre_of = {id(cn): pre_c}
         arrays: dict = {}
         if sc.echain:
@@ -613,10 +884,27 @@ def serve_docs_sql(
             elem = elem.join(
                 garr, F.col(f"{pre_c}{id_col}") == F.col(gk), "left"
             ).drop(gk)
+            elem = _empty_fix(elem, gv, g, False)
             arrays[id(g.node)] = gv
+        if sc.agg:
+            fname, argc = sc.agg
+            val = (_SAGG_FNS[fname](F.col(f"{pre_c}{argc}")) if argc
+                   else F.count(F.lit(1)))
+            return elem.groupBy(
+                F.col(f"{pre_c}{cn.sub_col}").alias("__k")
+            ).agg(val.alias("__arr"))
         estruct = build_struct(cn, pre_of, arrays)
+        if sc.order_keys:
+            okeys = [F.col(f"{pre_c}{k}").alias(f"__o{i}")
+                     for i, (k, _d, _nf) in enumerate(sc.order_keys)]
+            coll = F.collect_list(F.struct(*okeys, estruct.alias("__e")))
+            arr = F.transform(
+                F.array_sort(coll, _order_cmp(sc.order_keys)), lambda x: x["__e"]
+            )
+        else:
+            arr = F.sort_array(F.collect_list(estruct))
         return elem.groupBy(F.col(f"{pre_c}{cn.sub_col}").alias("__k")).agg(
-            F.sort_array(F.collect_list(estruct)).alias("__arr")
+            arr.alias("__arr")
         )
 
     # ---- DIM-ANCHORED arrays: probe by the dim frame's prefixed id,
@@ -632,9 +920,8 @@ def serve_docs_sql(
         gk, gv = f"__k_{sc.suffix}", f"__arr_{sc.suffix}"
         arr = array_frame(sc, probe).toDF(gk, gv)
         cur = cur.join(arr, F.col(f"__d{idx}_{id_col}") == F.col(gk), "left").drop(gk)
+        cur = _empty_fix(cur, gv, sc, at_root and not sc.agg)
         if at_root:
-            at = cur.schema[gv].dataType
-            cur = cur.withColumn(gv, F.coalesce(F.col(gv), F.array().cast(at)))
             root_fields[id(sc.node)] = F.col(gv)
         else:
             dim_arr_cols[id(sc.node)] = gv
@@ -665,14 +952,15 @@ def serve_docs_sql(
         gk, gv = f"__k{i}", f"__arr{i}"
         arr = array_frame(sc, probe_c).toDF(gk, gv)
         cur = cur.join(arr, F.col(id_col) == F.col(gk), "left").drop(gk)
-        arr_type = cur.schema[gv].dataType
-        cur = cur.withColumn(gv, F.coalesce(F.col(gv), F.array().cast(arr_type)))
+        cur = _empty_fix(cur, gv, sc, True)
         root_fields[id(cn)] = F.col(gv)
 
     entries = []
     for k, (kind, v) in templates[None].entries:
         if kind == "col":
             entries.append(F.col(v).alias(k))
+        elif kind == "expr":
+            entries.append(F.expr((sd.root_exprs or {})[k]).alias(k))
         elif kind == "jcol":
             node, col = v
             entries.append(F.col(f"{root_pre[id(node)]}{col}").alias(k))

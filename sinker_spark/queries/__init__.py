@@ -153,6 +153,7 @@ _SAMPLE_PREFIX = [
     "ivm_sql_doctree_nested",
     "ivm_dim_anchored_doc",
     "ivm_sql_dim_anchored",
+    "ivm_sql_filtered_agg_doc",
     # never-sampled, highest value first: the TPC-H remainder…
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -2758,3 +2758,303 @@ def ivm_branched_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched = touched_parent_keys(spec, change_keys, rows_for)
     docs = serve_docs(spec, touched, rows_for)
     return docs.select("lkey", "qty", "pname", "sname", "nname")
+
+
+@query(
+    "ivm_sql_filtered_agg_doc",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 4 = 0 THEN c_name || '*' ELSE c_name END AS name
+      FROM customer),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS line,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT o.id FROM o_post o WHERE o.cust % 4 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+      )
+    )
+    SELECT o.id, o.status,
+           c.name AS cust_name,
+           CAST(COALESCE(bi.n, 0) AS BIGINT) AS n_big,
+           CAST(av.a AS DOUBLE) AS avg_qty,
+           COALESCE(hi.s, '') AS top_items
+    FROM o_post o
+    JOIN touched USING (id)
+    LEFT JOIN c_post c ON o.cust = c.id AND c.name NOT LIKE '%*'
+    LEFT JOIN (SELECT oid, COUNT(*) AS n FROM i_post WHERE qty > 10
+               GROUP BY oid) bi ON o.id = bi.oid
+    LEFT JOIN (SELECT oid, AVG(qty) AS a FROM i_post GROUP BY oid) av
+           ON o.id = av.oid
+    LEFT JOIN (SELECT oid,
+                      string_agg(line || ':' || qty, ';'
+                                 ORDER BY qty DESC, line) AS s
+               FROM i_post WHERE qty > 25 GROUP BY oid) hi ON o.id = hi.oid""",
+    doc=(
+        "SQL doc-tree lane, round-6 generality: per-block FILTER "
+        "conjuncts (a to-one customer lookup guarded by `name not like "
+        "'%*'` serving NULL when the post-rename row fails it; to-many "
+        "blocks filtered on qty), correlated SCALAR AGGREGATES "
+        "(count(*) over a filtered child set → 0 over empty; avg(qty) → "
+        "NULL over empty) and a DECLARED `json_agg … ORDER BY qty DESC, "
+        "line` honored exactly — all derived from the PG SQL with zero "
+        "Python and folded as one batch churning all three tables. The "
+        "avg block also uses the REVERSED correlation spelling "
+        "(`sfa_order.id = i2.oid`). Oracle rebuilds the same touched "
+        "docs from the post-batch tables"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_filtered_agg_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("sfa_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+    ).createOrReplaceTempView("sfa_cust")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("sfa_item")
+
+    sql = """select id, json_build_object('status', status,
+      'customer', (select json_build_object('name', name) from sfa_cust
+                   where name not like '%*' and sfa_cust.id = cust),
+      'n_big', (select count(*) from sfa_item
+                where sfa_item.oid = sfa_order.id and qty > 10),
+      'avg_qty', (select avg(qty) from sfa_item i2
+                  where sfa_order.id = i2.oid),
+      'top_items', (select json_agg(json_build_object('ln', line, 'qty', qty)
+                                    order by qty desc, line)
+                    from sfa_item i3 where i3.oid = sfa_order.id and qty > 25)
+    ) as doc from sfa_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "filtered/agg/ordered SQL must derive the lane"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("sfa_order")
+    c_all = spark.table("sfa_cust")
+    i_lines = spark.table("sfa_item")
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    ren = F.col("id") % 4 == 0
+    c_new = c_all.withColumn(
+        "name",
+        F.when(ren, F.concat(F.col("name"), F.lit("*"))).otherwise(F.col("name")),
+    )
+    c_ch = (
+        c_all.where(ren).withColumn("__op", dele)
+        .unionByName(c_new.where(ren).withColumn("__op", ins))
+    )
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in)
+    i_ch = (
+        i_lines.where(churn_in).withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .withColumn("__op", dele)
+        )
+    )
+
+    # three sibling to-many blocks over the same child table share one
+    # multiplicity relation (each state projects the columns it needs)
+    i_state = apply_join_state(relation_state(i_old), changes_to_mult(i_ch))
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "c0": i_state, "c1": i_state, "c2": i_state,
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "d0": c_ch.select("id"),
+        "c0": i_ch.select("oid"), "c1": i_ch.select("oid"),
+        "c2": i_ch.select("oid"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.col("doc.customer.name").alias("cust_name"),
+        F.col("doc.n_big").cast("bigint").alias("n_big"),
+        F.col("doc.avg_qty").cast("double").alias("avg_qty"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.top_items"),
+                lambda x: F.concat_ws(
+                    ":", x["ln"].cast("string"), x["qty"].cast("string")
+                ),
+            ),
+        ).alias("top_items"),
+    )
+
+
+@query(
+    "ivm_sql_expr_doc",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status,
+             o_totalprice AS total
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 4 = 0 THEN c_name || '*' ELSE c_name END AS name,
+             c_acctbal AS bal
+      FROM customer),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS line,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT o.id FROM o_post o WHERE o.cust % 4 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+      )
+    )
+    SELECT o.id,
+           lower(o.status) || '#' || CAST(o.id % 10 AS BIGINT) AS tag,
+           CAST(o.total * 2 + 1 AS DOUBLE) AS taxed,
+           upper(c.name) AS cust_uname,
+           CASE WHEN c.bal >= 0 THEN 'ok' ELSE 'neg' END AS cust_band,
+           COALESCE(ia.s, '') AS items_str
+    FROM o_post o
+    JOIN touched USING (id)
+    LEFT JOIN c_post c ON o.cust = c.id
+    LEFT JOIN (
+      SELECT oid,
+             string_agg(CAST(line AS VARCHAR) || 'x' || CAST(qty * 2 AS BIGINT),
+                        ';' ORDER BY line,
+                        CAST(line AS VARCHAR) || 'x' || CAST(qty * 2 AS BIGINT)) AS s
+      FROM i_post GROUP BY oid) ia ON o.id = ia.oid""",
+    doc=(
+        "SQL doc-tree lane, expression template values: the root doc "
+        "computes `lower(status) || '#' || (id % 10)::bigint` and an "
+        "exact arithmetic amount (binary-safe: round-on-double diverges "
+        "cross-engine by design policy, queries/helpers), the customer block computes upper() and a "
+        "CASE band over its own columns, and the items elements carry "
+        "`line || 'x' || qty*2` — all compiled against each block's own "
+        "schema and computed as slot columns on the state rows by the "
+        "fold lane, with the ordered-array spelling declared in the "
+        "json_agg. Oracle rebuilds the same touched docs"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_expr_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    ).createOrReplaceTempView("sxe_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    ).createOrReplaceTempView("sxe_cust")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("sxe_item")
+
+    sql = """select id, json_build_object(
+      'tag', lower(status) || '#' || (id % 10)::bigint,
+      'taxed', (total * 2 + 1)::double precision,
+      'customer', (select json_build_object('uname', upper(name),
+                     'band', case when bal >= 0 then 'ok' else 'neg' end)
+                   from sxe_cust where sxe_cust.id = cust),
+      'items', (select json_agg(json_build_object(
+                  'istr', line::varchar || 'x' || qty * 2) order by line)
+                from sxe_item where sxe_item.oid = sxe_order.id)
+    ) as doc from sxe_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "expression-template SQL must derive the lane"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("sxe_order")
+    c_all = spark.table("sxe_cust")
+    i_lines = spark.table("sxe_item")
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    ren = F.col("id") % 4 == 0
+    c_new = c_all.withColumn(
+        "name",
+        F.when(ren, F.concat(F.col("name"), F.lit("*"))).otherwise(F.col("name")),
+    )
+    c_ch = (
+        c_all.where(ren).withColumn("__op", dele)
+        .unionByName(c_new.where(ren).withColumn("__op", ins))
+    )
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in)
+    i_ch = (
+        i_lines.where(churn_in).withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "d0": c_ch.select("id"),
+        "c0": i_ch.select("oid"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.tag").alias("tag"),
+        F.col("doc.taxed").cast("double").alias("taxed"),
+        F.col("doc.customer.uname").alias("cust_uname"),
+        F.col("doc.customer.band").alias("cust_band"),
+        F.concat_ws(
+            ";", F.transform(F.col("doc.items"), lambda x: x["istr"])
+        ).alias("items_str"),
+    )

@@ -60,14 +60,49 @@ def test_out_of_grammar_shapes_bail():
         # join on b.id would parse under the main-FROM join grammar
         "select id, x from a join b on a.fk = b.other",
         "with c as (select 1) select id, (select v from d where d.id = did) from t",
-        "select id, (select v from d where d.id = did and d.x > 1) from t",
         "select id, (select v from d, e where d.id = did) from t",
+        # TWO cross-scope equalities: ambiguous correlation edge
+        "select id, (select v from d where d.id = did and d.x = t.y) from t",
+        # a subquery inside the block's WHERE is blanked text → bail
+        "select id, (select v from d where d.id = did and d.x in (select z from w)) from t",
+        # ORDER BY/LIMIT tails in the block's WHERE region
+        "select id, (select v from d where d.id = did limit 1) from t",
         "select id, (select v from d where d.id = did) from t where exists (select 1 from z)",
         "select id, (select v from d where d.id = did) from t union all select id, 1 from u",
         # function-form FROM must not be mistaken for a table source
         "select id, extract(epoch from ts) from t",
     ]:
         assert parse_correlation_tree(bad) is None, bad
+
+
+def test_filter_conjuncts_parse_onto_nodes():
+    """Non-correlation WHERE conjuncts (``AND e.active``) are grammar:
+    recorded raw on CorrNode.filters in any conjunct order, with either
+    equality side order, and never mistaken for the correlation edge."""
+    t = parse_correlation_tree(
+        "select id, json_build_object("
+        "'tt', (select json_build_object('s', salary) from teacher "
+        "       where salary >= 100000 and teacher.id = teacher_id),"
+        "'es', (select json_agg(json_build_object('g', grade)) from enrollment e "
+        "       where course.id = e.course_id and grade > 3.2 and e.flag = true)"
+        ") from course"
+    )
+    assert t is not None
+    by_table = {n.table: n for n in t.nodes}
+    assert by_table["teacher"].filters == ["salary >= 100000"]
+    assert by_table["teacher"].sub_col == "id"
+    # reversed equality order still resolves the edge correctly
+    e = by_table["enrollment"]
+    assert (e.sub_col, e.outer_col) == ("course_id", "id")
+    # keyword-literal equality is a filter, not a correlation edge
+    assert e.filters == ["grade > 3.2", "e.flag = true"]
+    # the filtered shape still derives a targeted hook (filters only
+    # widen the walked set → sound over-approximation)
+    assert derive_affected_rows_keys(
+        "select id, json_build_object('es', (select json_agg("
+        "json_build_object('g', grade)) from enrollment e "
+        "where e.course_id = course.id and grade > 3.2)) from course"
+    ) is not None
 
 
 def test_viewdef_autoinstalls_rows_hook():

@@ -289,6 +289,111 @@ def test_randomized_fold_soak(spark, tmp_path):
         _check(spark, eng, sink)
 
 
+def _gen_filtered_sql(rng):
+    """Random round-6 grammar composition: per-block filters (to-one /
+    to-many / element-dim), scalar-aggregate fields, declared json_agg
+    ORDER BY — thresholds chosen inside the soak's mutation ranges so
+    rows cross them under churn."""
+    t_f = " and salary >= 100000.00" if rng.random() < 0.7 else ""
+    e_f = " and grade > 3.00" if rng.random() < 0.7 else ""
+    s_f = " and student.is_active" if rng.random() < 0.5 else ""
+    # NB: order/element refs to the child's `id` are QUALIFIED — the
+    # compiled path inlines the nested student lookup as a join, and a
+    # bare `id` would be ambiguous there (documented loud-error edge)
+    order = rng.choice(["", " order by grade desc, enrollment.id",
+                        " order by enrollment.id desc"])
+    aggs = ""
+    if rng.random() < 0.7:
+        aggs += (",\n    'n_e', (select count(*) from enrollment e9 "
+                 f"where e9.course_id = course.id{e_f})")
+    if rng.random() < 0.5:
+        aggs += (",\n    'avg_g', (select avg(grade) from enrollment e8 "
+                 "where course.id = e8.course_id)")
+    return f"""select id, json_build_object('name', name,
+    'teacher', (select json_build_object('salary', salary) from teacher
+                where teacher.id = teacher_id{t_f}),
+    'enrollments', (select json_agg(json_build_object('grade', grade, 'eid', enrollment.id,
+        'student', (select json_build_object('gpa', gpa) from student
+                    where student.id = student_id{s_f})){order})
+      from enrollment where enrollment.course_id = course.id{e_f}){aggs}
+  ) from course"""
+
+
+def test_randomized_filtered_agg_soak(spark, tmp_path):
+    """Seeded churn against RANDOMIZED round-6 grammar (filters, scalar
+    aggregates, declared order): fold parity vs the transpiled
+    recompute after every batch, with mutations crossing every filter
+    threshold (salary, grade, is_active)."""
+    import random
+
+    for seed in (61801, 61802, 61803):
+        rng = random.Random(seed)
+        sql = _gen_filtered_sql(rng)
+        base = tmp_path / f"s{seed}"
+        fx.register(spark, str(base / "tables"))
+        sink = InMemorySink()
+        view = ViewDef("course_r_mv", sql=sql, index="courses_r",
+                       sql_doctree=True)
+        eng = SyncEngine(spark, [view], sink,
+                         SnapshotStore(spark, str(base / "snap")))
+        eng.backfill()
+        assert eng.views["course_r_mv"].doctree is not None, (seed, sql)
+
+        rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+        lsn, next_e = 100, 40
+        for b in range(6):
+            records = []
+            for _ in range(rng.randrange(1, 4)):
+                roll = rng.random()
+                if roll < 0.22:   # salary across the 100000 threshold
+                    r = rng.choice(rows["teacher"])
+                    old = list(r)
+                    r[2] = Decimal(f"{rng.randrange(80000, 120000)}.00")
+                    records.append((lsn, "teacher", "UPDATE", r[0],
+                                    _payload("teacher", r), _payload("teacher", old)))
+                elif roll < 0.44 and rows["enrollment"]:  # grade across 3.00
+                    r = rng.choice(rows["enrollment"])
+                    old = list(r)
+                    r[3] = Decimal(f"{rng.randrange(250, 350) / 100:.2f}")
+                    records.append((lsn, "enrollment", "UPDATE", r[0],
+                                    _payload("enrollment", r), _payload("enrollment", old)))
+                elif roll < 0.6:  # is_active toggle
+                    r = rng.choice(rows["student"])
+                    old = list(r)
+                    r[2] = not r[2]
+                    records.append((lsn, "student", "UPDATE", r[0],
+                                    _payload("student", r), _payload("student", old)))
+                elif roll < 0.8:  # enrollment churn
+                    r = [f"e-r{next_e}", rng.choice(["s-1", "s-2"]),
+                         rng.choice([c[0] for c in rows["course"]]),
+                         Decimal(f"{rng.randrange(250, 350) / 100:.2f}")]
+                    next_e += 1
+                    rows["enrollment"].append(r)
+                    records.append((lsn, "enrollment", "INSERT", r[0],
+                                    _payload("enrollment", r), None))
+                elif roll < 0.9 and len(rows["enrollment"]) > 1:
+                    i = rng.randrange(len(rows["enrollment"]))
+                    old = rows["enrollment"].pop(i)
+                    records.append((lsn, "enrollment", "DELETE", old[0],
+                                    None, _payload("enrollment", old)))
+                else:             # course re-point (incl. dangling)
+                    r = rng.choice(rows["course"])
+                    old = list(r)
+                    r[3] = rng.choice(["t-1", "t-2", "t-404"])
+                    records.append((lsn, "course", "UPDATE", r[0],
+                                    _payload("course", r), _payload("course", old)))
+                lsn += 1
+            fx.register(spark, str(base / "tables"),
+                        {k: [tuple(r) for r in v] for k, v in rows.items()})
+            eng.process_cdc_batch(_cdc(spark, records), epoch_id=b)
+            assert eng.last_stats["course_r_mv"].get("doc_tree") == 1, (seed, b)
+            want = {
+                r[0]: _row_to_plain(r[1])
+                for r in eng.views["course_r_mv"].compile(spark).collect()
+            }
+            assert sink.indices.get("courses_r", {}) == want, (seed, b, sql)
+
+
 # ------------------------------------------------------ root WHERE (r5 ADVICE)
 
 COURSE_MV_WHERE_SQL = fx.COURSE_MV_SQL + "\nwhere name not like 'Hidden%'"
@@ -381,6 +486,280 @@ def test_root_where_out_of_reach_predicates_bail(spark, tmp_path):
     ) is None
     # …but a plain parent predicate derives
     assert derive_sql_doctree(spark, COURSE_MV_WHERE_SQL) is not None
+
+
+COURSE_MV_FILTERED_SQL = """select id,
+  json_build_object('name', name,
+    'teacher', (select json_build_object('salary', salary) from teacher
+                where salary >= 150000.00 and teacher.id = teacher_id),
+    'enrollments', (select json_agg(json_build_object('grade', grade,
+                      'student', (select json_build_object('gpa', gpa) from student
+                                  where student.id = student_id and student.is_active)))
+                    from enrollment where course.id = enrollment.course_id
+                      and grade > 3.20))
+from course"""
+
+
+def test_filtered_blocks_fold_and_serve(spark, tmp_path):
+    """Per-block FILTER conjuncts (``AND e.active``) are part of the
+    view: a to-one row failing its filter serves NULL, a to-many row is
+    excluded from its array, and filter-column-only deltas reach the
+    affected docs through the same dim walk. Also exercises the
+    REVERSED correlation spelling (``course.id = enrollment.course_id``)
+    and conjunct-order independence (filter before the correlation)."""
+    # filter columns land in the derived state schemas even when the
+    # template doesn't project them (is_active is filter-only)
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_FILTERED_SQL)
+    assert sd is not None
+    assert "is_active" in sd.spec.children[0].dims[0].row_schema
+
+    sink = InMemorySink()
+    view = ViewDef("course_f_mv", sql=COURSE_MV_FILTERED_SQL, index="courses_f",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_f_mv"].doctree is not None
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_f_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_f", {}) == want
+
+    # seeds: every teacher fails the salary filter → NULL teacher field;
+    # only grade>3.2 enrollments appear
+    _parity()
+    c1 = sink.get("courses_f", "c-1")
+    assert c1["teacher"] is None
+    assert [e["grade"] for e in c1["enrollments"]] == [3.5]
+
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+
+    # 1. teacher crosses INTO the filter → object appears on c-1 and c-2
+    old_t1 = tuple(rows["teacher"][0])
+    rows["teacher"][0][2] = Decimal("160000.00")
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "teacher", "UPDATE", "t-1", _payload("teacher", rows["teacher"][0]),
+         _payload("teacher", old_t1)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_f_mv"].get("doc_tree") == 1
+    assert sink.get("courses_f", "c-1")["teacher"] == {"salary": 160000.0}
+    _parity()
+
+    # 2. enrollment grade crosses INTO the array filter
+    old_e2 = tuple(rows["enrollment"][1])
+    rows["enrollment"][1][3] = Decimal("3.60")
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "enrollment", "UPDATE", "e-2",
+         _payload("enrollment", rows["enrollment"][1]),
+         _payload("enrollment", old_e2)),
+    ]), epoch_id=2)
+    assert [e["grade"] for e in sink.get("courses_f", "c-1")["enrollments"]] \
+        == [3.5, 3.6]
+    _parity()
+
+    # 3. filter-column-only dim delta: s-1 goes inactive → its student
+    # object serves NULL members everywhere it appears
+    old_s1 = tuple(rows["student"][0])
+    rows["student"][0][2] = False
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "student", "UPDATE", "s-1", _payload("student", rows["student"][0]),
+         _payload("student", old_s1)),
+    ]), epoch_id=3)
+    assert eng.last_stats["course_f_mv"].get("doc_tree") == 1
+    got = {e["grade"]: e["student"] for e in sink.get("courses_f", "c-1")["enrollments"]}
+    assert got[3.5] == {"gpa": None}          # s-1 filtered: NULL members
+    assert got[3.6] == {"gpa": 3.99}          # s-2 untouched
+    _parity()
+
+    # 4. …and back out of the array: grade drops below the threshold
+    prev_e2 = tuple(rows["enrollment"][1])
+    rows["enrollment"][1][3] = Decimal("2.00")
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "enrollment", "UPDATE", "e-2",
+         _payload("enrollment", rows["enrollment"][1]),
+         _payload("enrollment", prev_e2)),
+    ]), epoch_id=4)
+    assert [e["grade"] for e in sink.get("courses_f", "c-1")["enrollments"]] == [3.5]
+    _parity()
+
+    # correlated filters (an outer ref in a non-correlation conjunct)
+    # refuse derivation — the targeted/full lanes stay on
+    bad = COURSE_MV_FILTERED_SQL.replace(
+        "and grade > 3.20", "and grade > 3.20 and enrollment.id != course.name"
+    )
+    assert derive_sql_doctree(spark, bad) is None
+
+
+COURSE_MV_AGG_ORDERED_SQL = """select id,
+  json_build_object('name', name,
+    'n_enroll', (select count(*) from enrollment
+                 where enrollment.course_id = course.id),
+    'avg_grade', (select avg(grade) from enrollment e2
+                  where e2.course_id = course.id),
+    'grades', (select json_agg(json_build_object('g', grade, 'eid', id)
+                               order by grade desc, id)
+               from enrollment e3 where e3.course_id = course.id))
+from course"""
+
+
+def test_scalar_agg_and_ordered_array_fold(spark, tmp_path):
+    """Correlated SCALAR AGGREGATES (count/avg over children) and a
+    DECLARED json_agg ORDER BY are doc-tree lane shapes: the fold serves
+    count→0 / avg→NULL over empty (compiled-view parity) and the array
+    in the declared key order, not element order."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_AGG_ORDERED_SQL)
+    assert sd is not None
+    aggs = {sc.node.alias: sc.agg for sc in sd.sql_children}
+    assert aggs["enrollment"] == ("count", None)
+    assert aggs["e2"] == ("avg", "grade")
+    assert [sc.order_keys for sc in sd.sql_children if sc.node.alias == "e3"] \
+        == [[("grade", True, True), ("id", False, False)]]
+
+    sink = InMemorySink()
+    view = ViewDef("course_a_mv", sql=COURSE_MV_AGG_ORDERED_SQL, index="courses_a",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_a_mv"].doctree is not None
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_a_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_a", {}) == want
+
+    _parity()
+    c1 = sink.get("courses_a", "c-1")
+    assert c1["n_enroll"] == 2
+    # declared order: grade DESC then id — not ascending element order
+    assert [e["g"] for e in c1["grades"]] == [3.5, 3.14]
+
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+
+    # churn: insert a tie (same grade as e-1, later id → sorts after),
+    # delete e-2, and empty out c-3 entirely
+    e9 = ["e-9", "s-2", "c-1", Decimal("3.50")]
+    rows["enrollment"].append(e9)
+    e2 = next(r for r in rows["enrollment"] if r[0] == "e-2")
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[0] != "e-2"]
+    e5 = next(r for r in rows["enrollment"] if r[0] == "e-5")
+    rows["enrollment"] = [r for r in rows["enrollment"] if r[0] != "e-5"]
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "INSERT", "e-9", _payload("enrollment", e9), None),
+        (2, "enrollment", "DELETE", "e-2", None, _payload("enrollment", e2)),
+        (3, "enrollment", "DELETE", "e-5", None, _payload("enrollment", e5)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_a_mv"].get("doc_tree") == 1
+    c1 = sink.get("courses_a", "c-1")
+    assert c1["n_enroll"] == 2
+    assert [e["eid"] for e in c1["grades"]] == ["e-1", "e-9"]  # tie → id ASC
+    c3 = sink.get("courses_a", "c-3")
+    assert c3["n_enroll"] == 0            # count over empty → 0
+    assert c3["avg_grade"] is None        # avg over empty → NULL
+    assert c3["grades"] == []             # root array over empty → []
+    _parity()
+
+    # redelivery: signed fold must not double-count
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "INSERT", "e-9", _payload("enrollment", e9), None),
+        (2, "enrollment", "DELETE", "e-2", None, _payload("enrollment", e2)),
+        (3, "enrollment", "DELETE", "e-5", None, _payload("enrollment", e5)),
+    ]), epoch_id=1)
+    assert sink.get("courses_a", "c-1")["n_enroll"] == 2
+    _parity()
+
+
+COURSE_MV_EXPR_SQL = """select id,
+  json_build_object('uname', upper(name),
+    'teacher', (select json_build_object('sal2', salary * 2,
+                  'band', case when salary >= 100000.00 then 'hi' else 'lo' end)
+                from teacher where teacher.id = teacher_id),
+    'es', (select json_agg(json_build_object('gid',
+                  enrollment.id || '@' || (grade * 10)::int))
+           from enrollment where enrollment.course_id = course.id))
+from course"""
+
+
+def test_expression_template_values(spark, tmp_path):
+    """Template values beyond bare columns — function calls, arithmetic,
+    CASE, ``||`` chains with PG casts — compile against the block's own
+    schema and are computed on the state rows; fold parity vs the
+    transpiled recompute under churn on every block."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_EXPR_SQL)
+    assert sd is not None
+    # expression-referenced columns land in the state schemas
+    assert "salary" in sd.spec.dim_forest[0].row_schema
+    assert "grade" in sd.spec.children[0].row_schema
+
+    sink = InMemorySink()
+    view = ViewDef("course_e_mv", sql=COURSE_MV_EXPR_SQL, index="courses_e",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_e_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_e_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_e", {}) == want
+
+    _parity()
+    c1 = sink.get("courses_e", "c-1")
+    assert c1["uname"] == "RETH"
+    assert c1["teacher"] == {"sal2": 200000.0, "band": "hi"}
+    assert sorted(e["gid"] for e in c1["es"]) == ["e-1@35", "e-2@31"]
+
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    old_t1 = tuple(rows["teacher"][0])
+    rows["teacher"][0][2] = Decimal("90000.00")   # band flips hi→lo
+    old_e1 = tuple(rows["enrollment"][0])
+    rows["enrollment"][0][3] = Decimal("2.75")    # gid recomputes
+    fx.register(spark, str(tmp_path / "tables"),
+                {k: [tuple(r) for r in v] for k, v in rows.items()})
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "teacher", "UPDATE", "t-1", _payload("teacher", rows["teacher"][0]),
+         _payload("teacher", old_t1)),
+        (2, "enrollment", "UPDATE", "e-1",
+         _payload("enrollment", rows["enrollment"][0]),
+         _payload("enrollment", old_e1)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_e_mv"].get("doc_tree") == 1
+    c1 = sink.get("courses_e", "c-1")
+    assert c1["teacher"]["band"] == "lo"
+    assert sorted(e["gid"] for e in c1["es"]) == ["e-1@27", "e-2@31"]
+    _parity()
+
+    # out-of-reach expressions refuse derivation: outer refs, rand()
+    assert derive_sql_doctree(
+        spark, COURSE_MV_EXPR_SQL.replace("salary * 2", "salary * rand()")
+    ) is None
+    assert derive_sql_doctree(
+        spark, COURSE_MV_EXPR_SQL.replace("salary * 2", "salary + course.id")
+    ) is None
 
 
 def test_unqualified_outer_ambiguity_bails(spark):

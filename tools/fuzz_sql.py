@@ -389,7 +389,8 @@ class Gen:
     def agg_expr(self) -> Pair:
         r = self.rng
         k = r.choice(["count_star", "count", "count_distinct", "sum_int",
-                      "money_sum", "davg", "minmax", "string_agg"])
+                      "money_sum", "davg", "minmax", "string_agg",
+                      "ordered_array_agg"])
         filt = ""
         if r.random() < 0.25:
             b = self.bool_expr(1)
@@ -431,6 +432,25 @@ class Gen:
             if c:
                 desc = " DESC" if r.random() < 0.5 else ""
                 return Pair(f"string_agg({c}, ',' ORDER BY {c}{desc})")
+        if k == "ordered_array_agg":
+            # DECLARED-order aggregate arrays became fuzzable once the
+            # transpiler honors json_agg/array_agg ORDER BY: the order
+            # is total by construction (declared key with explicit
+            # NULLS, element tie-break spelled in BOTH dialects), and
+            # the element is coalesced non-null (Spark's collect_list
+            # drops NULL elements where PG keeps them — the documented
+            # divergence stays out of the fuzz grammar).
+            c, sentinel = self.col("int"), "-1"
+            if c is None:
+                c, sentinel = self.col("str"), "''"
+            key = self.col("str") or self.col("int")
+            if c and key:
+                elem = f"coalesce({c}, {sentinel})"
+                desc = r.random() < 0.5
+                dirn = " DESC NULLS FIRST" if desc else " NULLS LAST"
+                return Pair(
+                    f"array_agg({elem} ORDER BY {key}{dirn}, {elem})"
+                )
         return Pair("count(*)")
 
 
