@@ -88,8 +88,11 @@ Further grammar the lane serves with exact compiled-view parity:
 
 Shape restrictions (anything else returns None and the view keeps the
 targeted/full lanes): every to-many block keyed directly on the id of
-its anchor (the parent, its container block, or a to-one dim); one
-LINEAR element to-one chain per to-many block; every template value a
+its anchor (the parent, its container block, or a to-one dim); element
+to-one lookups form a TREE (several independent lookups per element,
+each nesting further — per-branch states and reverse indexes, DFS
+numbering via views.edim_nodes; a hop whose fk IS its referrer's key
+column is an identity hop needing no index); every template value a
 column or own-schema expression of its block's relation (root template
 with main-FROM join dims: qualified columns only — a bare name there
 is ambiguous without schemas); no ambiguous unqualified outer refs;
@@ -137,13 +140,16 @@ class RootDim:
 class SqlChild:
     """One to-many block of the derived doc tree (any nesting depth):
     ``suffix`` is the ivm_flagship state path (``c{i}`` at the root,
-    ``{container}x{k}`` nested), ``echain`` its linear element to-one
-    chain, ``children`` its own nested to-many blocks (a json_agg inside
-    the element template, keyed on this block's id)."""
+    ``{container}x{k}`` nested), ``echain`` its element to-one TREE —
+    DFS-preorder ``(node, parent_idx|None)`` hops, parent None = the
+    element row carries the fk (an element may hold several independent
+    lookups, each nesting further) — ``children`` its own nested
+    to-many blocks (a json_agg inside the element template, keyed on
+    this block's id)."""
 
     node: CorrNode
     suffix: str
-    echain: list[CorrNode]
+    echain: "list[tuple[CorrNode, int | None]]"
     children: list["SqlChild"]
     # scalar-aggregate block: (fname, argcol|None) — serves ONE value
     # (count coalesced to 0 over empty, others NULL), never an array
@@ -323,21 +329,31 @@ def _compile_expr(
     return e, cols
 
 
-def _linear_chain(
-    head: CorrNode, templates: dict, id_col: str
-) -> list[CorrNode] | None:
-    """Follow a to-one chain through the templates; None if any block
-    branches (two nested objects) or nests a to-many block."""
-    chain, node = [], head
-    while node is not None:
+def _etree(
+    heads: list, templates: dict, id_col: str
+) -> "list[tuple[CorrNode, int | None]] | None":
+    """DFS-preorder element to-one TREE over the templates:
+    ``(node, parent_idx)`` per hop (parent None = the element row
+    carries the fk). A block may nest several sibling lookups, each
+    nesting further — a linear chain keeps the historical positional
+    numbering bit-for-bit. None when any nested block is a to-many
+    (arrays anchored under ELEMENT dims are out of shape)."""
+    out: "list[tuple[CorrNode, int | None]]" = []
+
+    def visit(node, parent) -> bool:
         if not node.to_one(id_col):
+            return False
+        idx = len(out)
+        out.append((node, parent))
+        for _k, (kind, v) in templates[node].entries:
+            if kind == "node" and not visit(v, idx):
+                return False
+        return True
+
+    for h in heads:
+        if not visit(h, None):
             return None
-        chain.append(node)
-        nested = [v for _k, (kind, v) in templates[node].entries if kind == "node"]
-        if len(nested) > 1:
-            return None
-        node = nested[0] if nested else None
-    return chain
+    return out
 
 
 def _parse_child_order(
@@ -534,15 +550,13 @@ def derive_sql_doctree(
 
     def child_shape(cn: CorrNode, suffix: str) -> SqlChild:
         """Validate + shape one to-many block (recursing into nested
-        to-many blocks in its element template): at most one to-one
-        element chain, every nested array keyed directly on this block's
-        own id column."""
+        to-many blocks in its element template): element to-one hops
+        form a TREE (DFS preorder), every nested array keyed directly
+        on this block's own id column."""
         nested_nodes = [v for _k, (kind, v) in templates[cn].entries if kind == "node"]
         to_ones = [n for n in nested_nodes if n.to_one(id_col)]
         to_manys = [n for n in nested_nodes if not n.to_one(id_col)]
-        if len(to_ones) > 1:
-            raise _Bail
-        echain = _linear_chain(to_ones[0], templates, id_col) if to_ones else []
+        echain = _etree(to_ones, templates, id_col)
         if echain is None:
             raise _Bail
         subs = []
@@ -635,20 +649,28 @@ def derive_sql_doctree(
         lookups.append(dl)
         (forest if rd.parent is None else lookups[rd.parent].children).append(dl)
 
-    def chain_dims(nodes: list[CorrNode]) -> list[DimLookup] | None:
-        dims = []
-        for j, n in enumerate(nodes):
+    def tree_dims(
+        etree: "list[tuple[CorrNode, int | None]]",
+    ) -> list[DimLookup] | None:
+        """Element-dim DimLookups mirroring the DFS preorder of
+        ``etree`` (ChildArraySpec.dims holds the roots; children nest)
+        — views.edim_nodes re-derives the identical numbering."""
+        dims: list[DimLookup] = []
+        roots: list[DimLookup] = []
+        for j, (n, parent) in enumerate(etree):
+            kid_fks = [m.outer_col for m, pp in etree if pp == j]
             needed = uniq(
-                [id_col] + tpl_cols(n)
-                + ([nodes[j + 1].outer_col] if j + 1 < len(nodes) else [])
+                [id_col] + tpl_cols(n) + kid_fks
                 + node_pred_cols.get(id(n), [])
                 + node_expr_cols.get(id(n), [])
             )
             d = ddl(n.table, needed)
             if d is None:
                 return None
-            dims.append(DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d))
-        return dims
+            dl = DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d)
+            dims.append(dl)
+            (roots if parent is None else dims[parent].children).append(dl)
+        return roots
 
     def alias_of(container: "CorrNode | None", node: CorrNode) -> str:
         for k, (kind, v) in templates[container].entries:
@@ -660,7 +682,7 @@ def derive_sql_doctree(
         cn = sc.node
         needed = uniq(
             [cn.sub_col] + tpl_cols(cn)
-            + ([sc.echain[0].outer_col] if sc.echain else [])
+            + [n.outer_col for n, pp in sc.echain if pp is None]
             + ([id_col] if sc.children else [])  # nested arrays key on it
             + node_pred_cols.get(id(cn), [])
             + node_expr_cols.get(id(cn), [])
@@ -668,7 +690,7 @@ def derive_sql_doctree(
             + [k for k, _d, _nf in (sc.order_keys or [])]
         )
         d = ddl(cn.table, needed)
-        edims = chain_dims(sc.echain)
+        edims = tree_dims(sc.echain)
         if d is None or edims is None:
             raise _Bail
         return ChildArraySpec(
@@ -801,34 +823,6 @@ def serve_docs_sql(
                 entries.append(build_struct(v, pre_of, arrays).alias(k))
         return F.struct(*entries)
 
-    def joined_chain(
-        nodes: list[CorrNode], sfx: str, probe_src: DataFrame, probe_col: str
-    ) -> tuple[DataFrame | None, dict]:
-        """LEFT-join the chain's state frames, prefixed; returns (frame,
-        {id(node): prefix}). ``probe_src[probe_col]`` carries hop-0 fks."""
-        pre_of: dict = {}
-        frame = None
-        probe = probe_src.select(F.col(probe_col).alias(id_col)).where(
-            F.col(id_col).isNotNull()
-        ).distinct()
-        for j, n in enumerate(nodes):
-            pre = f"__{sfx}{j}_"
-            pre_of[id(n)] = pre
-            dj = _prefixed(state_rows(f"{sfx}{j}", probe, n), pre)
-            if frame is None:
-                frame = dj
-            else:
-                prev = f"__{sfx}{j - 1}_"
-                frame = frame.join(
-                    dj, F.col(f"{prev}{n.outer_col}") == F.col(f"{pre}{id_col}"),
-                    "left",
-                )
-            if j + 1 < len(nodes):
-                probe = frame.select(
-                    F.col(f"{pre}{nodes[j + 1].outer_col}").alias(id_col)
-                ).where(F.col(id_col).isNotNull()).distinct()
-        return frame, pre_of
-
     # ---- root to-one tree: join each dim's state frame onto the
     # parent rows in DFS preorder (the referrer's prefixed columns are
     # already present). Main-FROM 'inner' joins drop parent rows whose
@@ -864,17 +858,20 @@ def serve_docs_sql(
         elem = _prefixed(state_rows(sc.suffix, probe, cn), pre_c)
         pre_of = {id(cn): pre_c}
         arrays: dict = {}
-        if sc.echain:
-            eframe, e_pre = joined_chain(
-                sc.echain, f"{sc.suffix}d", elem, f"{pre_c}{sc.echain[0].outer_col}"
+        for j, (n, parent) in enumerate(sc.echain):
+            # DFS preorder: the referrer's prefixed columns (the element
+            # row, or an earlier dim hop) are already joined
+            pre = f"__{sc.suffix}d{j}_"
+            pre_of[id(n)] = pre
+            fk = (
+                F.col(f"{pre_c}{n.outer_col}") if parent is None
+                else F.col(f"__{sc.suffix}d{parent}_{n.outer_col}")
             )
-            elem = elem.join(
-                eframe,
-                F.col(f"{pre_c}{sc.echain[0].outer_col}")
-                == F.col(f"__{sc.suffix}d0_{id_col}"),
-                "left",
-            )
-            pre_of.update(e_pre)
+            probe = elem.select(fk.alias(id_col)).where(
+                F.col(id_col).isNotNull()
+            ).distinct()
+            dframe = _prefixed(state_rows(f"{sc.suffix}d{j}", probe, n), pre)
+            elem = elem.join(dframe, fk == F.col(f"{pre}{id_col}"), "left")
         for g in sc.children:
             gprobe = elem.select(
                 F.col(f"{pre_c}{id_col}").alias(g.node.sub_col)
@@ -943,8 +940,10 @@ def serve_docs_sql(
     sql_children = sd.sql_children
     if sql_children is None:  # pre-nesting callers constructing SqlDocTree by hand
         sql_children = [
-            SqlChild(cn, f"c{i}", echain, [])
-            for i, (cn, echain) in enumerate(zip(sd.child_nodes, sd.child_chains))
+            SqlChild(cn, f"c{i}",
+                     [(n, j - 1 if j else None) for j, n in enumerate(chain)],
+                     [])
+            for i, (cn, chain) in enumerate(zip(sd.child_nodes, sd.child_chains))
         ]
     for i, sc in enumerate(sql_children):
         cn = sc.node

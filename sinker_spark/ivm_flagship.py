@@ -66,7 +66,7 @@ from pyspark.sql import functions as F
 
 from sinker_spark import ivm_delta
 from sinker_spark.ivm_doc import expand_mult
-from sinker_spark.views import DocTreeViewSpec, dim_nodes
+from sinker_spark.views import DocTreeViewSpec, dim_nodes, edim_nodes
 
 
 @dataclass(frozen=True)
@@ -105,21 +105,19 @@ def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
             )
         )
     for nd in nodes:
-        if nd.parent is None:
-            out.append(
-                DocStateDef(
-                    f"rp{nd.idx}", spec.parent_table, (nd.dim.fk, spec.key),
-                    (nd.dim.fk,), source="p",
-                )
+        ref_tbl, ref_key, src = (
+            (spec.parent_table, spec.key, "p") if nd.parent is None
+            else (nodes[nd.parent].dim.table, nodes[nd.parent].dim.key,
+                  f"d{nd.parent}")
+        )
+        if nd.dim.fk == ref_key:
+            continue  # identity hop: walkers short-circuit
+        out.append(
+            DocStateDef(
+                f"rp{nd.idx}", ref_tbl, (nd.dim.fk, ref_key), (nd.dim.fk,),
+                source=src,
             )
-        else:
-            ref = nodes[nd.parent].dim
-            out.append(
-                DocStateDef(
-                    f"rp{nd.idx}", ref.table, (nd.dim.fk, ref.key), (nd.dim.fk,),
-                    source=f"d{nd.parent}",
-                )
-            )
+        )
     for node in child_nodes(spec):
         sfx, ch = node.suffix, node.child
         ch_cols = tuple(_ddl_cols(ch.row_schema))
@@ -131,26 +129,33 @@ def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
         out.append(
             DocStateDef(sfx, ch.table, ch_cols, (ch.fk,), schema=ch.row_schema)
         )
-        for j, d in enumerate(ch.dims):
+        edims = edim_nodes(ch)
+        for nd in edims:
+            d = nd.dim
             out.append(
                 DocStateDef(
-                    f"{sfx}d{j}", d.table, tuple(_ddl_cols(d.row_schema)), (d.key,),
-                    schema=d.row_schema,
+                    f"{sfx}d{nd.idx}", d.table, tuple(_ddl_cols(d.row_schema)),
+                    (d.key,), schema=d.row_schema,
                 )
             )
-        for j, d in enumerate(ch.dims):
-            if j == 0:
-                out.append(
-                    DocStateDef(f"r{sfx}0", ch.table, (d.fk, ch.fk), (d.fk,), source=sfx)
+        for nd in edims:
+            d = nd.dim
+            ref_tbl, ref_key, src = (
+                (ch.table, ch.fk, sfx) if nd.parent is None
+                else (edims[nd.parent].dim.table, edims[nd.parent].dim.key,
+                      f"{sfx}d{nd.parent}")
+            )
+            if d.fk == ref_key:
+                continue  # identity hop (the referrer's fk IS its own
+                # key column, e.g. an element dim joined on the child's
+                # container fk): dim keys ARE referrer keys — walkers
+                # short-circuit, no index state needed
+            out.append(
+                DocStateDef(
+                    f"r{sfx}{nd.idx}", ref_tbl, (d.fk, ref_key), (d.fk,),
+                    source=src,
                 )
-            else:
-                prev = ch.dims[j - 1]
-                out.append(
-                    DocStateDef(
-                        f"r{sfx}{j}", prev.table, (d.fk, prev.key), (d.fk,),
-                        source=f"{sfx}d{j - 1}",
-                    )
-                )
+            )
         if ch.children:
             # child key → container key: the ascent edge a nested array's
             # (or its element dims') delta walks to reach this child's
@@ -239,30 +244,45 @@ def touched_parent_keys(
     if "p" in change_keys:
         outs.append(change_keys["p"].toDF(spec.key))
 
-    def walk(keys: DataFrame, chain, idx_prefix: str, final_key: str) -> DataFrame:
-        # keys: one column named chain[h].key at entry level h; walk to
-        # the referrer level via the per-hop index until the root
-        for h in range(len(chain) - 1, 0, -1):
-            probe = keys.select(F.col(chain[h].key).alias(chain[h].fk)).where(
-                F.col(chain[h].fk).isNotNull()
-            ).distinct()
-            idx = states[f"{idx_prefix}{h}"]
-            keys = rows_for(idx, probe).select(chain[h - 1].key).distinct()
-        probe = keys.select(F.col(chain[0].key).alias(chain[0].fk)).where(
-            F.col(chain[0].fk).isNotNull()
-        ).distinct()
-        return rows_for(states[f"{idx_prefix}0"], probe).select(final_key).distinct()
+    def e_walk_up(keys: DataFrame, cn: "ChildNode", j: int) -> DataFrame:
+        # keys: one column named element-dim j's key — follow REFERRER
+        # pointers (tree-capable, like the root dims' walk_up) through
+        # the per-hop reverse index to the child's fk values (= its
+        # container's keys)
+        edims = edim_nodes(cn.child)
+        while True:
+            nd = edims[j]
+            ref_key = (
+                cn.child.fk if nd.parent is None else edims[nd.parent].dim.key
+            )
+            if nd.dim.fk == ref_key:
+                keys = keys.toDF(ref_key)  # identity hop
+            else:
+                probe = keys.select(F.col(nd.dim.key).alias(nd.dim.fk)).where(
+                    F.col(nd.dim.fk).isNotNull()
+                ).distinct()
+                keys = rows_for(
+                    states[f"r{cn.suffix}{nd.idx}"], probe
+                ).select(ref_key).distinct()
+            if nd.parent is None:
+                return keys
+            j = nd.parent
 
     def walk_up(keys: DataFrame, idx: int) -> DataFrame:
         # keys: one column named nodes[idx].dim.key — follow parent
         # pointers through each hop's reverse index to the parent keys
         while True:
             nd = nodes[idx]
-            probe = keys.select(F.col(nd.dim.key).alias(nd.dim.fk)).where(
-                F.col(nd.dim.fk).isNotNull()
-            ).distinct()
             ref_key = spec.key if nd.parent is None else nodes[nd.parent].dim.key
-            keys = rows_for(states[f"rp{nd.idx}"], probe).select(ref_key).distinct()
+            if nd.dim.fk == ref_key:
+                # identity hop: dim keys ARE referrer keys (sound
+                # over-approximation: every referrer with that key)
+                keys = keys.toDF(ref_key)
+            else:
+                probe = keys.select(F.col(nd.dim.key).alias(nd.dim.fk)).where(
+                    F.col(nd.dim.fk).isNotNull()
+                ).distinct()
+                keys = rows_for(states[f"rp{nd.idx}"], probe).select(ref_key).distinct()
             if nd.parent is None:
                 return keys
             idx = nd.parent
@@ -294,13 +314,12 @@ def touched_parent_keys(
             keys = change_keys[f"d{nd.idx}"].toDF(nd.dim.key)
             outs.append(walk_up(keys, nd.idx).toDF(spec.key))
     for cn in child_nodes(spec):
-        ch = cn.child
-        for j, d in enumerate(ch.dims):
-            if f"{cn.suffix}d{j}" in change_keys:
-                keys = change_keys[f"{cn.suffix}d{j}"].toDF(d.key)
+        for nd in edim_nodes(cn.child):
+            if f"{cn.suffix}d{nd.idx}" in change_keys:
+                keys = change_keys[f"{cn.suffix}d{nd.idx}"].toDF(nd.dim.key)
                 # dim walk lands on this child's fk values (= its
                 # container's keys); ascend the rk chain to the doc root
-                to_container = walk(keys, ch.dims[: j + 1], f"r{cn.suffix}", ch.fk)
+                to_container = e_walk_up(keys, cn, nd.idx)
                 outs.append(ascend(to_container, cn).toDF(spec.key))
     if not outs:
         raise ValueError("touched_parent_keys: no change keys supplied")
@@ -360,7 +379,11 @@ def serve_docs(
             ).distinct()
             elem = expand_mult(rows_for(states[cn.suffix], probe_c))
             payload = [c for c in elem.columns if c != ch.fk]
-            for j, d in enumerate(ch.dims):
+            for nd in edim_nodes(ch):
+                d, j = nd.dim, nd.idx
+                # preorder: the referrer's columns (the element payload,
+                # or an earlier dim's row) are already joined, so d.fk
+                # resolves at every tree shape
                 probe = elem.select(F.col(d.fk).alias(d.key)).where(
                     F.col(d.key).isNotNull()
                 ).distinct()

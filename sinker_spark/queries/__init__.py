@@ -154,6 +154,8 @@ _SAMPLE_PREFIX = [
     "ivm_dim_anchored_doc",
     "ivm_sql_dim_anchored",
     "ivm_sql_filtered_agg_doc",
+    "ivm_sql_expr_doc",
+    "ivm_sql_element_tree",
     # never-sampled, highest value first: the TPC-H remainder…
     "q2_min_cost_supplier",
     "q4_order_priority",

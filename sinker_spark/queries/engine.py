@@ -3058,3 +3058,167 @@ def ivm_sql_expr_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";", F.transform(F.col("doc.items"), lambda x: x["istr"])
         ).alias("items_str"),
     )
+
+
+@query(
+    "ivm_sql_element_tree",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    p_post AS (
+      SELECT p_partkey AS id,
+             CASE WHEN p_partkey % 10 = 0 THEN p_name || '+' ELSE p_name END AS name
+      FROM part),
+    s_post AS (
+      SELECT s_suppkey AS id,
+             CASE WHEN s_suppkey % 4 = 0 THEN s_name || '*' ELSE s_name END AS name
+      FROM supplier),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS line,
+             CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk,
+             l_suppkey AS sk
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+        UNION ALL SELECT i.oid FROM i_post i WHERE i.pk % 10 = 0
+        UNION ALL SELECT i.oid FROM i_post i WHERE i.sk % 4 = 0
+      )
+    )
+    SELECT o.id, o.status, COALESCE(ia.s, '') AS items_str
+    FROM o_post o
+    JOIN touched USING (id)
+    LEFT JOIN (
+      SELECT i.oid,
+             string_agg(i.qty || ':' || p.name || '/' || s.name, ';'
+                        ORDER BY i.line, i.qty, p.name, s.name) AS s
+      FROM i_post i
+      LEFT JOIN p_post p ON i.pk = p.id
+      LEFT JOIN s_post s ON i.sk = s.id
+      GROUP BY i.oid) ia ON o.id = ia.oid""",
+    doc=(
+        "SQL doc-tree lane, BRANCHED element dim tree: each order item "
+        "carries TWO independent to-one lookups — a part object AND a "
+        "supplier object — deriving per-branch element-dim states and "
+        "reverse indexes (views.edim_nodes DFS numbering); part renames "
+        "walk the c0d0 index and supplier renames the SIBLING c0d1 "
+        "index to exactly the affected docs in one churn batch across "
+        "all four tables. Items declare ORDER BY line (duplicate line "
+        "numbers in the synthetic data tie-break on the element, "
+        "mirrored in the oracle). Completes the to-one tree lattice: "
+        "root dims AND element dims are trees"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_element_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("set_order")
+    t["part"].select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name"),
+    ).createOrReplaceTempView("set_part")
+    t["supplier"].select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"),
+    ).createOrReplaceTempView("set_supp")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"),
+    ).createOrReplaceTempView("set_item")
+
+    sql = """select id, json_build_object('status', status,
+      'items', (select json_agg(json_build_object('qty', qty,
+          'part', (select json_build_object('name', set_part.name)
+                   from set_part where set_part.id = pk),
+          'supp', (select json_build_object('name', set_supp.name)
+                   from set_supp where set_supp.id = sk))
+          order by line)
+        from set_item where set_item.oid = set_order.id)
+    ) as doc from set_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "branched element tree must derive the lane"
+    from sinker_spark.views import edim_nodes
+    assert [(nd.idx, nd.dim.table, nd.parent)
+            for nd in edim_nodes(sd.spec.children[0])] == [
+        (0, "set_part", None), (1, "set_supp", None)
+    ]
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("set_order")
+    p_all = spark.table("set_part")
+    s_all = spark.table("set_supp")
+    i_lines = spark.table("set_item")
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+
+    def rename(all_df, pred, suffix):
+        new = all_df.withColumn(
+            "name",
+            F.when(pred, F.concat(F.col("name"), F.lit(suffix))).otherwise(F.col("name")),
+        )
+        ch = (
+            all_df.where(pred).withColumn("__op", dele)
+            .unionByName(new.where(pred).withColumn("__op", ins))
+        )
+        return new, ch
+
+    _p_new, p_ch = rename(p_all, F.col("id") % 10 == 0, "+")
+    _s_new, s_ch = rename(s_all, F.col("id") % 4 == 0, "*")
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in)
+    i_ch = (
+        i_lines.where(churn_in).withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+        "c0d0": apply_join_state(relation_state(p_all), changes_to_mult(p_ch)),
+        "c0d1": apply_join_state(relation_state(s_all), changes_to_mult(s_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "c0": i_ch.select("oid"),
+        "c0d0": p_ch.select("id"),
+        "c0d1": s_ch.select("id"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.items"),
+                lambda x: F.concat_ws(
+                    "/",
+                    F.concat_ws(":", x["qty"].cast("string"), x["part"]["name"]),
+                    x["supp"]["name"],
+                ),
+            ),
+        ).alias("items_str"),
+    )

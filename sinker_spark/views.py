@@ -478,7 +478,9 @@ class ChildArraySpec:
     ``table`` whose ``fk`` equals the CONTAINER's key (the parent key at
     the top level, the containing child's ``key`` when nested) become an
     array of structs under ``alias``, each element carrying the child
-    payload (minus ``fk``) plus its own to-one ``dims`` chain
+    payload (minus ``fk``) plus its own to-one ``dims`` — a linear
+    chain, or a TREE when entries carry ``children`` (normalized by
+    :func:`edim_nodes`; an element with several independent lookups)
     (LEFT-joined: a missing element dim serves NULL fields, reference
     course_mv's correlated-subquery semantics). ``order``: child columns
     forming a total order within one container (default: all payload
@@ -561,7 +563,7 @@ class DocTreeViewSpec:
 
         def rec(ch: ChildArraySpec) -> None:
             out.add(ch.table)
-            out.update(d.table for d in ch.dims)
+            out.update(nd.dim.table for nd in edim_nodes(ch))
             for g in ch.children:
                 rec(g)
 
@@ -585,6 +587,27 @@ class DimNode:
     idx: int
     dim: DimLookup
     parent: "int | None"
+
+
+def edim_nodes(ch: "ChildArraySpec") -> list[DimNode]:
+    """Normalize a child array's element to-one structure to DFS-preorder
+    :class:`DimNode` rows — ``ch.dims`` entries are forest ROOTS whose
+    ``children`` nest further lookups (an order item with BOTH a part
+    and a supplier object; the part carrying its own brand lookup). For
+    the historical linear chain (no children anywhere) the numbering is
+    exactly the old positional ``{sfx}d0..dN`` — state names unchanged
+    bit-for-bit."""
+    out: list[DimNode] = []
+
+    def visit(d: DimLookup, parent: "int | None") -> None:
+        idx = len(out)
+        out.append(DimNode(idx, d, parent))
+        for c in d.children:
+            visit(c, idx)
+
+    for root in ch.dims:
+        visit(root, None)
+    return out
 
 
 def dim_nodes(spec: "DocTreeViewSpec") -> list[DimNode]:

@@ -80,7 +80,13 @@ def test_derivation_shape():
     assert [(c.table, c.fk, c.alias) for c in sd.spec.children] == [
         ("enrollment", "course_id", "enrollments")
     ]
-    assert [d.table for d in sd.spec.children[0].dims] == ["student", "person"]
+    # element dims are a forest of roots now (tree-capable); the linear
+    # chain nests person under student with the historical numbering
+    from sinker_spark.views import edim_nodes
+    assert [(nd.idx, nd.dim.table, nd.parent)
+            for nd in edim_nodes(sd.spec.children[0])] == [
+        (0, "student", None), (1, "person", 0)
+    ]
     # out-of-grammar SQL refuses derivation
     assert derive_sql_doctree(spark, fx.PERSON_MV_SQL) is None
 
@@ -295,6 +301,11 @@ def _gen_filtered_sql(rng):
     ORDER BY — thresholds chosen inside the soak's mutation ranges so
     rows cross them under churn."""
     t_f = " and salary >= 100000.00" if rng.random() < 0.7 else ""
+    # branched element tree: a SECOND independent element lookup next
+    # to the student chain (composes with filters/order/aggs)
+    c2 = (",\n        'course2', (select json_build_object('cname', c2.name) "
+          "from course c2 where c2.id = course_id)"
+          if rng.random() < 0.5 else "")
     e_f = " and grade > 3.00" if rng.random() < 0.7 else ""
     s_f = " and student.is_active" if rng.random() < 0.5 else ""
     # NB: order/element refs to the child's `id` are QUALIFIED — the
@@ -314,7 +325,7 @@ def _gen_filtered_sql(rng):
                 where teacher.id = teacher_id{t_f}),
     'enrollments', (select json_agg(json_build_object('grade', grade, 'eid', enrollment.id,
         'student', (select json_build_object('gpa', gpa) from student
-                    where student.id = student_id{s_f})){order})
+                    where student.id = student_id{s_f}){c2}){order})
       from enrollment where enrollment.course_id = course.id{e_f}){aggs}
   ) from course"""
 
@@ -760,6 +771,98 @@ def test_expression_template_values(spark, tmp_path):
     assert derive_sql_doctree(
         spark, COURSE_MV_EXPR_SQL.replace("salary * 2", "salary + course.id")
     ) is None
+
+
+COURSE_MV_ETREE_SQL = """select id,
+  json_build_object('name', name,
+    'enrollments', (select json_agg(json_build_object('grade', grade,
+        'student', (select json_build_object('gpa', gpa,
+                      'person', (select json_build_object('name', person.name)
+                                 from person where person.id = person_id))
+                    from student where student.id = student_id),
+        'course2', (select json_build_object('cname', c2.name) from course c2
+                    where c2.id = course_id)))
+      from enrollment where enrollment.course_id = course.id))
+from course"""
+
+
+def test_branched_element_dim_tree(spark, tmp_path):
+    """An element with TWO independent to-one lookups (student — itself
+    chaining to person — AND a second course lookup) derives an element
+    dim TREE: per-branch states/reverse indexes, deltas on either
+    branch walk to exactly the affected docs, serve joins per branch."""
+    from sinker_spark.views import edim_nodes
+
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_ETREE_SQL)
+    assert sd is not None
+    nodes = edim_nodes(sd.spec.children[0])
+    assert [(nd.idx, nd.dim.table, nd.parent) for nd in nodes] == [
+        (0, "student", None), (1, "person", 0), (2, "course", None)
+    ]
+
+    sink = InMemorySink()
+    view = ViewDef("course_t_mv", sql=COURSE_MV_ETREE_SQL, index="courses_t",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_t_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_t_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_t", {}) == want
+
+    _parity()
+    c1 = sink.get("courses_t", "c-1")
+    assert {e["course2"]["cname"] for e in c1["enrollments"]} == {"Reth"}
+    assert {e["student"]["person"]["name"] for e in c1["enrollments"]} \
+        == {"John", "Loren"}
+
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+
+    def _sync():
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    # branch 1: person rename walks student→enrollment→course docs
+    oldp = tuple(rows["person"][0])
+    rows["person"][0][1] = "Johnny"
+    _sync()
+    n0 = len(sink.action_log)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "person", "UPDATE", "p-1", _payload("person", rows["person"][0]),
+         _payload("person", oldp)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_t_mv"].get("doc_tree") == 1
+    # p-1 → s-1 → enrollments in c-1, c-2, c-3 (exact fan-out)
+    assert {k for (_, _op, k) in sink.action_log[n0:]} == {"c-1", "c-2", "c-3"}
+    _parity()
+
+    # branch 2: course rename reaches its own doc AND the course2
+    # elements referencing it (both roles of the same table)
+    oldc = tuple(rows["course"][0])
+    rows["course"][0][1] = "Reth 2"
+    _sync()
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", oldc)),
+    ]), epoch_id=2)
+    assert eng.last_stats["course_t_mv"].get("doc_tree") == 1
+    c1 = sink.get("courses_t", "c-1")
+    assert c1["name"] == "Reth 2"
+    assert {e["course2"]["cname"] for e in c1["enrollments"]} == {"Reth 2"}
+    _parity()
+
+    # redelivery idempotence across the branched states
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", oldc)),
+    ]), epoch_id=2)
+    _parity()
 
 
 def test_unqualified_outer_ambiguity_bails(spark):
