@@ -839,6 +839,11 @@ def _parse_to_many_select(
     arg = sql[sm.end():close].strip()
     if arg == "*":
         return DocTemplate([], agg=(fname, None)) if fname == "count" else None
+    dm = re.match(r"(?is)^distinct\b(.*)$", arg)
+    if dm:
+        if fname != "count":
+            return None  # sum/avg DISTINCT: rare, out of shape
+        fname, arg = "count_distinct", dm.group(1).strip()
     cm = _COL_PAT.match(arg)
     if not cm:
         return None

@@ -748,8 +748,8 @@ def _order_cmp(keys: "list[tuple[str, bool, bool]]"):
     return comparator
 
 
-_SAGG_FNS = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max,
-             "avg": F.avg}
+_SAGG_FNS = {"count": F.count, "count_distinct": F.count_distinct,
+             "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
 
 
 def _empty_fix(df: DataFrame, gv: str, sc: SqlChild, root_array: bool) -> DataFrame:
@@ -760,7 +760,7 @@ def _empty_fix(df: DataFrame, gv: str, sc: SqlChild, root_array: bool) -> DataFr
     coalesce to ``[]`` only at root-array anchors (nested arrays serve
     NULL through the derived-table join)."""
     if sc.agg:
-        if sc.agg[0] == "count":
+        if sc.agg[0].startswith("count"):
             return df.withColumn(gv, F.coalesce(F.col(gv), F.lit(0)))
         return df
     if root_array:
@@ -829,6 +829,7 @@ def serve_docs_sql(
     # dim is missing (compiled-view parity); everything else is LEFT.
     root_fields: dict[str, F.Column] = {}
     root_pre: dict = {}  # id(CorrNode) → column prefix, whole root tree
+    dim_key_frames: dict = {}  # idx → slim reachable-key frame
     for rd in sd.root_dims:
         pre = f"__d{rd.idx}_"
         root_pre[id(rd.corr)] = pre
@@ -840,6 +841,7 @@ def serve_docs_sql(
             F.col(id_col).isNotNull()
         ).distinct()
         dframe = _prefixed(state_rows(f"d{rd.idx}", probe, rd.corr), pre)
+        dim_key_frames[rd.idx] = dframe.select(f"{pre}{id_col}")
         how = "inner" if rd.corr.join_how == "inner" else "left"
         cur = cur.join(dframe, fk == F.col(f"{pre}{id_col}"), how)
     def array_frame(sc: SqlChild, probe: DataFrame) -> DataFrame:
@@ -856,6 +858,9 @@ def serve_docs_sql(
         cn = sc.node
         pre_c = f"__{sc.suffix}_"
         elem = _prefixed(state_rows(sc.suffix, probe, cn), pre_c)
+        elem_keys = (
+            elem.select(f"{pre_c}{id_col}") if sc.children else None
+        )
         pre_of = {id(cn): pre_c}
         arrays: dict = {}
         for j, (n, parent) in enumerate(sc.echain):
@@ -873,9 +878,9 @@ def serve_docs_sql(
             dframe = _prefixed(state_rows(f"{sc.suffix}d{j}", probe, n), pre)
             elem = elem.join(dframe, fk == F.col(f"{pre}{id_col}"), "left")
         for g in sc.children:
-            gprobe = elem.select(
-                F.col(f"{pre_c}{id_col}").alias(g.node.sub_col)
-            ).where(F.col(g.node.sub_col).isNotNull()).distinct()
+            gprobe = elem_keys.toDF(g.node.sub_col).where(
+                F.col(g.node.sub_col).isNotNull()
+            ).distinct()
             gk, gv = f"__k_{g.suffix}", f"__arr_{g.suffix}"
             garr = array_frame(g, gprobe).toDF(gk, gv)
             elem = elem.join(
@@ -911,9 +916,11 @@ def serve_docs_sql(
     # stay NULL over empty (derived-table join parity).
     dim_arr_cols: dict = {}
     for idx, sc, at_root in (sd.dim_sql_children or []):
-        probe = cur.select(
-            F.col(f"__d{idx}_{id_col}").alias(sc.node.sub_col)
-        ).where(F.col(sc.node.sub_col).isNotNull()).distinct()
+        # probe from the dim state's SLIM key frame, not from ``cur`` —
+        # probing the widening doc join re-executes it per state read
+        probe = dim_key_frames[idx].toDF(sc.node.sub_col).where(
+            F.col(sc.node.sub_col).isNotNull()
+        ).distinct()
         gk, gv = f"__k_{sc.suffix}", f"__arr_{sc.suffix}"
         arr = array_frame(sc, probe).toDF(gk, gv)
         cur = cur.join(arr, F.col(f"__d{idx}_{id_col}") == F.col(gk), "left").drop(gk)

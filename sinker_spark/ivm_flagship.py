@@ -353,6 +353,7 @@ def serve_docs(
     states = {s.suffix: s for s in doc_tree_states(spec)}
     tkeys = touched.toDF(spec.key)
     cur = expand_mult(rows_for(states["p"], tkeys))
+    dim_keys: dict[int, DataFrame] = {}  # slim reachable-key frames
     for nd in dim_nodes(spec):
         d = nd.dim
         # preorder guarantees the referrer (parent cols or the referrer
@@ -361,6 +362,7 @@ def serve_docs(
             F.col(d.key).isNotNull()
         ).distinct()
         dim = expand_mult(rows_for(states[f"d{nd.idx}"], probe))
+        dim_keys[nd.idx] = dim.select(d.key)
         # a dim whose key column shares the fk's NAME (org.mgr referenced
         # by dims.mgr) would make the join condition ambiguous — alias
         # the dim key before joining
@@ -368,16 +370,24 @@ def serve_docs(
         if k_alias != d.key:
             dim = dim.withColumnRenamed(d.key, k_alias)
         cur = cur.join(dim, F.col(d.fk) == F.col(k_alias), "inner").drop(k_alias)
-    def attach(cur: DataFrame, container_key: str, level: list[ChildNode]) -> DataFrame:
+    def attach(cur: DataFrame, container_key: str, level: list[ChildNode],
+               probe_src: DataFrame) -> DataFrame:
         # attach one array column per child node onto ``cur`` (the
         # container rows — parent docs at the top level, the containing
-        # child's elements when nested), recursing into nested arrays
+        # child's elements when nested), recursing into nested arrays.
+        # ``probe_src`` is a SLIM one-source frame carrying
+        # ``container_key`` (tkeys / a dim state's keys / the pre-join
+        # element rows): probing from ``cur`` itself would re-execute
+        # the whole widening doc join once per child state read — the
+        # r6 nested-tree rewrite did exactly that and near-tripled
+        # serve time on the flagship bench (serve_sink 10.4 s → 29 s)
         for cn in level:
             ch = cn.child
-            probe_c = cur.select(F.col(container_key).alias(ch.fk)).where(
+            probe_c = probe_src.select(F.col(container_key).alias(ch.fk)).where(
                 F.col(ch.fk).isNotNull()
             ).distinct()
             elem = expand_mult(rows_for(states[cn.suffix], probe_c))
+            elem_keys = elem.select(ch.key) if ch.key else None
             payload = [c for c in elem.columns if c != ch.fk]
             for nd in edim_nodes(ch):
                 d, j = nd.dim, nd.idx
@@ -401,6 +411,7 @@ def serve_docs(
                         ChildNode(f"{cn.suffix}x{k}", g, cn.suffix)
                         for k, g in enumerate(ch.children)
                     ],
+                    probe_src=elem_keys,
                 )
                 payload += [g.alias for g in ch.children]
             order_cols = ch.order if ch.order is not None else [
@@ -437,10 +448,11 @@ def serve_docs(
             cur = attach(cur, nd.dim.fk, [
                 ChildNode(f"d{nd.idx}a{k}", ch, None, nd.idx)
                 for k, ch in enumerate(nd.dim.arrays)
-            ])
+            ], probe_src=dim_keys[nd.idx].toDF(nd.dim.fk))
     cur = attach(
         cur, spec.key,
         [n for n in child_nodes(spec) if n.parent is None and n.anchor_dim is None],
+        probe_src=tkeys,
     )
     return cur.select(*doc_columns(spec))
 

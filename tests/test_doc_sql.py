@@ -619,6 +619,8 @@ COURSE_MV_AGG_ORDERED_SQL = """select id,
                  where enrollment.course_id = course.id),
     'avg_grade', (select avg(grade) from enrollment e2
                   where e2.course_id = course.id),
+    'n_students', (select count(distinct student_id) from enrollment e5
+                   where e5.course_id = course.id),
     'grades', (select json_agg(json_build_object('g', grade, 'eid', id)
                                order by grade desc, id)
                from enrollment e3 where e3.course_id = course.id))
@@ -636,6 +638,7 @@ def test_scalar_agg_and_ordered_array_fold(spark, tmp_path):
     aggs = {sc.node.alias: sc.agg for sc in sd.sql_children}
     assert aggs["enrollment"] == ("count", None)
     assert aggs["e2"] == ("avg", "grade")
+    assert aggs["e5"] == ("count_distinct", "student_id")
     assert [sc.order_keys for sc in sd.sql_children if sc.node.alias == "e3"] \
         == [[("grade", True, True), ("id", False, False)]]
 
@@ -661,6 +664,7 @@ def test_scalar_agg_and_ordered_array_fold(spark, tmp_path):
     _parity()
     c1 = sink.get("courses_a", "c-1")
     assert c1["n_enroll"] == 2
+    assert c1["n_students"] == 2
     # declared order: grade DESC then id — not ascending element order
     assert [e["g"] for e in c1["grades"]] == [3.5, 3.14]
 
@@ -686,6 +690,7 @@ def test_scalar_agg_and_ordered_array_fold(spark, tmp_path):
     assert [e["eid"] for e in c1["grades"]] == ["e-1", "e-9"]  # tie → id ASC
     c3 = sink.get("courses_a", "c-3")
     assert c3["n_enroll"] == 0            # count over empty → 0
+    assert c3["n_students"] == 0          # count(distinct) over empty → 0
     assert c3["avg_grade"] is None        # avg over empty → NULL
     assert c3["grades"] == []             # root array over empty → []
     _parity()
