@@ -48,7 +48,10 @@ def _gate_on_load(max_wait_s: float = 300.0) -> tuple[float, float]:
     for the artifact so a still-hot run is visible."""
     import time as _t
 
-    thresh = max(2.0, 0.125 * (os.cpu_count() or 8))
+    # r6 recorded +16% over idle because load 2.24 passed the old
+    # max(2, cpus/8)=4.0 gate — tighten to ~cpus/16 (still capped at
+    # 5 min so a persistently-busy box degrades to measuring anyway)
+    thresh = max(1.0, 0.0625 * (os.cpu_count() or 8))
     start = _t.monotonic()
     load = os.getloadavg()[0]
     while load > thresh and _t.monotonic() - start < max_wait_s:
@@ -105,7 +108,11 @@ def main() -> None:
         warm_totals.append(round(run_pass(timings), 3))
         passes.append(timings)
         if (
-            len(warm_totals) >= 2
+            # minimum 3 warm passes: with residual load inflating the
+            # series uniformly, 2 passes agree within 5% while both are
+            # +16% over idle (r6 artifact) — a third pass gives the
+            # decaying transient time to show up as a lower minimum
+            len(warm_totals) >= 3
             and abs(warm_totals[-1] - warm_totals[-2]) <= 0.05 * min(warm_totals[-2:])
         ):
             break

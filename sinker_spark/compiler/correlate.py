@@ -222,7 +222,7 @@ def _parse_block_where(
     if not wm:
         return None
     wtail = body[wm.end():]
-    if _BLOCK_TAIL_BAIL.search(wtail):
+    if _search_code(_BLOCK_TAIL_BAIL, wtail):
         return None
     corr: "tuple[str, str | None, str, bool] | None" = None
     filters: list[str] = []

@@ -1095,9 +1095,26 @@ def _rewrite_ordered_aggs(sql: str) -> str:
         dm = re.match(r"(?is)^distinct\b(.*)$", elem)
         if dm:
             bare = dm.group(1).strip()
+
+            def _eqnorm(s: str) -> str:
+                # PG folds unquoted identifiers to lowercase; quoted ones
+                # keep their case — normalize per-token so
+                # ``DISTINCT col ORDER BY COL`` and ``"col"`` all compare
+                # equal while ``"Col"`` stays distinct.
+                s = re.sub(
+                    r'"([^"]*)"|`([^`]*)`|([A-Za-z_][A-Za-z0-9_$]*)',
+                    lambda m: next(
+                        g for g in (m.group(1), m.group(2)) if g is not None
+                    )
+                    if m.group(3) is None
+                    else m.group(3).lower(),
+                    s,
+                )
+                return re.sub(r"\s+", "", s)
+
             if (
                 len(keys) == 1 and not keys[0][1] and not keys[0][2]
-                and re.sub(r"\s+", "", keys[0][0]) == re.sub(r"\s+", "", bare)
+                and _eqnorm(keys[0][0]) == _eqnorm(bare)
             ):
                 # keep the DISTINCT call for the plain wrap; drop ORDER BY
                 head = sql[s:e].split("(", 1)[0]

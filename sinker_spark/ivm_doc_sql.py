@@ -229,6 +229,10 @@ def _compile_pred(
         transpile,
     )
 
+    if _NONDET_CALL.search(where_text):
+        # a rand()/uuid() filter would be re-drawn per serve, diverging
+        # from the compiled recompute — bail like template expressions do
+        return None
     try:
         t = transpile(f"select {id_col} from {table} where {where_text}")
     except Exception:
@@ -837,9 +841,12 @@ def serve_docs_sql(
             F.col(rd.corr.outer_col) if rd.parent is None
             else F.col(f"__d{rd.parent}_{rd.corr.outer_col}")
         )
+        # materialize the (reachable-keys-sized) probe: the bucket
+        # collect inside rows_for and the final doc plan would otherwise
+        # EACH re-execute the cur-so-far join chain per dim level
         probe = cur.select(fk.alias(id_col)).where(
             F.col(id_col).isNotNull()
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         dframe = _prefixed(state_rows(f"d{rd.idx}", probe, rd.corr), pre)
         dim_key_frames[rd.idx] = dframe.select(f"{pre}{id_col}")
         how = "inner" if rd.corr.join_how == "inner" else "left"
@@ -874,13 +881,13 @@ def serve_docs_sql(
             )
             probe = elem.select(fk.alias(id_col)).where(
                 F.col(id_col).isNotNull()
-            ).distinct()
+            ).distinct().localCheckpoint(eager=True)
             dframe = _prefixed(state_rows(f"{sc.suffix}d{j}", probe, n), pre)
             elem = elem.join(dframe, fk == F.col(f"{pre}{id_col}"), "left")
         for g in sc.children:
             gprobe = elem_keys.toDF(g.node.sub_col).where(
                 F.col(g.node.sub_col).isNotNull()
-            ).distinct()
+            ).distinct().localCheckpoint(eager=True)
             gk, gv = f"__k_{g.suffix}", f"__arr_{g.suffix}"
             garr = array_frame(g, gprobe).toDF(gk, gv)
             elem = elem.join(

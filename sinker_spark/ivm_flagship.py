@@ -256,7 +256,13 @@ def touched_parent_keys(
                 cn.child.fk if nd.parent is None else edims[nd.parent].dim.key
             )
             if nd.dim.fk == ref_key:
-                keys = keys.toDF(ref_key)  # identity hop
+                # identity hop — still dedup/null-filter like the
+                # indexed path so high-churn batches don't fan out
+                keys = (
+                    keys.toDF(ref_key)
+                    .where(F.col(ref_key).isNotNull())
+                    .distinct()
+                )
             else:
                 probe = keys.select(F.col(nd.dim.key).alias(nd.dim.fk)).where(
                     F.col(nd.dim.fk).isNotNull()
@@ -276,8 +282,13 @@ def touched_parent_keys(
             ref_key = spec.key if nd.parent is None else nodes[nd.parent].dim.key
             if nd.dim.fk == ref_key:
                 # identity hop: dim keys ARE referrer keys (sound
-                # over-approximation: every referrer with that key)
-                keys = keys.toDF(ref_key)
+                # over-approximation: every referrer with that key);
+                # dedup/null-filter like the indexed path
+                keys = (
+                    keys.toDF(ref_key)
+                    .where(F.col(ref_key).isNotNull())
+                    .distinct()
+                )
             else:
                 probe = keys.select(F.col(nd.dim.key).alias(nd.dim.fk)).where(
                     F.col(nd.dim.fk).isNotNull()
@@ -305,24 +316,46 @@ def touched_parent_keys(
             return walk_up(keys.toDF(nodes[node.anchor_dim].dim.key), node.anchor_dim)
         return keys
 
+    thunks: list[Callable[[], DataFrame]] = []
     for cn in child_nodes(spec):
         if cn.suffix in change_keys:
             # a child delta's key values are its CONTAINER's key values
-            outs.append(ascend(change_keys[cn.suffix], cn).toDF(spec.key))
+            thunks.append(
+                lambda cn=cn: ascend(change_keys[cn.suffix], cn).toDF(spec.key)
+            )
     for nd in nodes:
         if f"d{nd.idx}" in change_keys:
-            keys = change_keys[f"d{nd.idx}"].toDF(nd.dim.key)
-            outs.append(walk_up(keys, nd.idx).toDF(spec.key))
+            thunks.append(
+                lambda nd=nd: walk_up(
+                    change_keys[f"d{nd.idx}"].toDF(nd.dim.key), nd.idx
+                ).toDF(spec.key)
+            )
     for cn in child_nodes(spec):
         for nd in edim_nodes(cn.child):
             if f"{cn.suffix}d{nd.idx}" in change_keys:
-                keys = change_keys[f"{cn.suffix}d{nd.idx}"].toDF(nd.dim.key)
                 # dim walk lands on this child's fk values (= its
                 # container's keys); ascend the rk chain to the doc root
-                to_container = e_walk_up(keys, cn, nd.idx)
-                outs.append(ascend(to_container, cn).toDF(spec.key))
-    if not outs:
+                def _edim_walk(cn=cn, nd=nd) -> DataFrame:
+                    keys = change_keys[f"{cn.suffix}d{nd.idx}"].toDF(nd.dim.key)
+                    return ascend(e_walk_up(keys, cn, nd.idx), cn).toDF(spec.key)
+
+                thunks.append(_edim_walk)
+    if not outs and not thunks:
         raise ValueError("touched_parent_keys: no change keys supplied")
+    if len(thunks) == 1 and not outs:
+        outs = [thunks[0]()]
+    elif thunks:
+        # the per-family reverse walks are independent of each other —
+        # fan out on threads (concurrent Spark jobs; each walk's hops
+        # run bucket-collect jobs while building its plan) and
+        # materialize each family so the final union-distinct is over
+        # leaf frames instead of re-executing every walk
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as pool:
+            outs += list(
+                pool.map(lambda t: t().localCheckpoint(eager=True), thunks)
+            )
     acc = outs[0]
     for o in outs[1:]:
         acc = acc.unionByName(o)
@@ -357,10 +390,13 @@ def serve_docs(
     for nd in dim_nodes(spec):
         d = nd.dim
         # preorder guarantees the referrer (parent cols or the referrer
-        # dim's cols) is already in ``cur``, so d.fk is resolvable
+        # dim's cols) is already in ``cur``, so d.fk is resolvable.
+        # Materialize the (reachable-keys-sized) probe: the bucket
+        # collect inside rows_for and the final doc plan would otherwise
+        # EACH re-execute the cur-so-far join chain per dim level
         probe = cur.select(F.col(d.fk).alias(d.key)).where(
             F.col(d.key).isNotNull()
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         dim = expand_mult(rows_for(states[f"d{nd.idx}"], probe))
         dim_keys[nd.idx] = dim.select(d.key)
         # a dim whose key column shares the fk's NAME (org.mgr referenced
@@ -385,7 +421,7 @@ def serve_docs(
             ch = cn.child
             probe_c = probe_src.select(F.col(container_key).alias(ch.fk)).where(
                 F.col(ch.fk).isNotNull()
-            ).distinct()
+            ).distinct().localCheckpoint(eager=True)
             elem = expand_mult(rows_for(states[cn.suffix], probe_c))
             elem_keys = elem.select(ch.key) if ch.key else None
             payload = [c for c in elem.columns if c != ch.fk]
@@ -396,7 +432,7 @@ def serve_docs(
                 # resolves at every tree shape
                 probe = elem.select(F.col(d.fk).alias(d.key)).where(
                     F.col(d.key).isNotNull()
-                ).distinct()
+                ).distinct().localCheckpoint(eager=True)
                 dim = expand_mult(rows_for(states[f"{cn.suffix}d{j}"], probe))
                 k_alias = d.key if d.key != d.fk else f"__dtek_{cn.suffix}_{j}"
                 if k_alias != d.key:

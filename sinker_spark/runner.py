@@ -1519,6 +1519,11 @@ class SyncEngine:
         _mark("guard")
         if torn:
             return False
+        # ONE materialization of the (bounded) batch; every per-state
+        # change frame below is a lazy from_json slice of it — a leaf
+        # inside any downstream plan — instead of a checkpointed frame
+        # of its own (2 Spark jobs per base state, r6's parse phase)
+        rows = rows.localCheckpoint(eager=True)
         has_before = "payload_before" in cdc.columns
         mutating = F.col("op").isin("DELETE", "UPDATE")
         if has_before:
@@ -1547,37 +1552,34 @@ class SyncEngine:
         # one change frame per BASE state (NULL-probe-key rows can never
         # contribute to a document — same rationale as the nested-doc
         # lane's filter); both images enter, so re-pointed references
-        # cover their old targets' fan-out
-        def _one_change(s) -> tuple[str, DataFrame | None]:
-            ch = batch_for(s.table, s.schema).where(_notnull(s.key_cols))
-            if ch.limit(1).count():
-                return s.suffix, ch.localCheckpoint(eager=True)
-            return s.suffix, None
-
-        # per-base-state parse+checkpoint jobs are independent — fan out
-        # on threads (concurrent Spark jobs) instead of paying N
-        # sequential job latencies for a bounded-size batch
+        # cover their old targets' fan-out. Membership comes from ONE
+        # per-table distinct job over the checkpointed batch (a table
+        # whose every row has a NULL probe key yields an empty change
+        # frame — sound: empty walks, an empty-key merge)
+        present = {r["table"] for r in rows.select("table").distinct().collect()}
         base_states = [s for s in states if s.source is None]
-        changes = {}
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(base_states)))) as pool:
-            for sfx, ch in pool.map(_one_change, base_states):
-                if ch is not None:
-                    changes[sfx] = ch
+        changes = {
+            s.suffix: batch_for(s.table, s.schema).where(_notnull(s.key_cols))
+            for s in base_states
+            if s.table in present
+        }
         if not changes:
             # every row was replay-suppressed / irrelevant: nothing to fold
             self._write_lane_marker(view, batch_max_lsn)
             self.last_stats[view.name] = {"upserts": 0, "deletes": 0, "doc_tree": 1}
             return True
 
-        # state presence + column checks (spec-evolution guard)
+        # state presence + column checks (spec-evolution guard) — from
+        # the sidecar schema file, not a per-state parquet-footer read
+        # (N serial spark.read.parquet calls dominated r6's parse phase)
         missing = False
         for s in states:
-            cur = self.keyed.read(names[s.suffix])
-            if cur is None:
+            cols = self.keyed.columns(names[s.suffix])
+            if cols is None:
                 missing = True
                 continue
             required = {*s.cols, ivm_delta._MULT}
-            if required - set(cur.columns):
+            if required - set(cols):
                 logger.warning(
                     "view state %s lacks columns for the current spec — "
                     "declining to fold so the fallback rebuilds", names[s.suffix],
@@ -1590,15 +1592,18 @@ class SyncEngine:
             self._write_doctree_states(view)
         _mark("parse_fold")
 
-        def rows_for(sdef, keys: DataFrame) -> DataFrame:
+        def rows_for(sdef, keys: DataFrame, buckets: "list[int] | None" = None) -> DataFrame:
             """Stored state rows for ``keys`` (bucket-pruned + exact
             semi-join), overlaid with THIS batch's fold: base states
             fold their own parsed changes, index states fold the
-            projection of their source's changes."""
+            projection of their source's changes. ``buckets`` (merge
+            phase) skips the per-call bucket-collect job."""
             keys = keys.distinct()
             kc = list(sdef.key_cols)
-            cur = self.keyed.read_for_keys(names[sdef.suffix], keys, kc).join(
-                keys, kc, "left_semi"
+            # probe keys are batch-fan-out-bounded — broadcast keeps the
+            # stored side map-local (no shuffle of the bucket rows)
+            cur = self.keyed.read_for_keys(names[sdef.suffix], keys, kc, buckets=buckets).join(
+                F.broadcast(keys), kc, "left_semi"
             )
             if sdef.source is None:
                 ch = changes.get(sdef.suffix)
@@ -1635,8 +1640,12 @@ class SyncEngine:
             docs = ivm_flagship.serve_docs(spec, touched, rows_for)
         # the serve lineage (state reads + dim joins + array assembly) is
         # referenced by BOTH action branches (upserts, and the retraction
-        # anti-join) — persist it so it executes once
+        # anti-join) — persist AND materialize it eagerly: inside the
+        # union's single job the two branches race, and a partition the
+        # anti-join reaches before the upsert branch cached it executes
+        # the whole serve a second time
         docs = docs.persist()
+        docs.count()
         if sql_doc is not None:
             upserts = docs.select(
                 F.col(spec.key).cast("string").alias(view.key),
@@ -1683,13 +1692,34 @@ class SyncEngine:
                 skeys = src_ch.where(_notnull(s.cols)).select(s.key_cols[0]).distinct()
             merge_work.append((s, skeys))
 
-        def _one_merge(work) -> None:
-            s, skeys = work
-            new_rows = rows_for(s, skeys)
-            self.keyed.merge_for_keys(names[s.suffix], skeys, new_rows, list(s.key_cols))
-
         if merge_work:
-            with ThreadPoolExecutor(max_workers=min(8, len(merge_work))) as pool:
+            # ONE batched bucket-id job for every state (tagged union)
+            # instead of two driver round-trips per state (the read
+            # inside rows_for + the merge's own collect) — at ~8 states
+            # per view the round-trips, not the I/O, dominated r6's
+            # merge phase
+            tagged = None
+            for s, skeys in merge_work:
+                part = self.keyed.buckets_for(skeys, list(s.key_cols)).withColumn(
+                    "__st", F.lit(s.suffix)
+                )
+                tagged = part if tagged is None else tagged.unionByName(part)
+            bmap: dict[str, list[int]] = {}
+            for r in tagged.collect():
+                bmap.setdefault(r["__st"], []).append(r["b"])
+
+            def _one_merge(work) -> None:
+                s, skeys = work
+                bks = bmap.get(s.suffix, [])
+                new_rows = rows_for(s, skeys, buckets=bks)
+                self.keyed.merge_for_keys(
+                    names[s.suffix], skeys, new_rows, list(s.key_cols), buckets=bks
+                )
+
+            n_workers = int(_os.environ.get("SINKER_SPARK_MERGE_WORKERS", "4"))
+            with ThreadPoolExecutor(
+                max_workers=min(max(1, n_workers), len(merge_work))
+            ) as pool:
                 list(pool.map(_one_merge, merge_work))
         _mark("state_merge")
         self._write_lane_marker(view, batch_max_lsn)

@@ -117,16 +117,40 @@ class KeyedStateStore:
             return None
         return self._read_parquet(name).drop("__bucket")
 
-    def read_for_keys(self, name: str, keys: DataFrame, key_cols: list[str]) -> DataFrame | None:
-        """Bucket-pruned read: every stored row whose key COULD be in
-        ``keys`` (a bucket-level superset — callers semi-join for
-        exactness). The bucket-id collect is ≤ n_buckets ints."""
+    def columns(self, name: str) -> list[str] | None:
+        """Column names of a stored state WITHOUT a Spark read — served
+        from the ``_schema.json`` sidecar (written on every full write).
+        A per-batch presence/spec check over N states pays N driver file
+        reads instead of N parquet-footer listings (the doc-tree lane's
+        parse phase was dominated by the latter). Falls back to the
+        parquet read for stores predating the sidecar."""
         if not self.exists(name):
             return None
-        buckets = [
-            r["b"]
-            for r in keys.select(self._bucket(key_cols).alias("b")).distinct().collect()
-        ]
+        try:
+            with open(self._schema_file(name)) as fh:
+                fields = json.load(fh)["fields"]
+            return [f["name"] for f in fields if f["name"] != "__bucket"]
+        except (OSError, ValueError, KeyError):
+            df = self.read(name)
+            return list(df.columns) if df is not None else None
+
+    def read_for_keys(
+        self, name: str, keys: DataFrame, key_cols: list[str],
+        buckets: "list[int] | None" = None,
+    ) -> DataFrame | None:
+        """Bucket-pruned read: every stored row whose key COULD be in
+        ``keys`` (a bucket-level superset — callers semi-join for
+        exactness). The bucket-id collect is ≤ n_buckets ints; a caller
+        that already knows the ids (e.g. one batched job over many
+        states — see buckets_for) passes ``buckets`` to skip the
+        per-state collect job."""
+        if not self.exists(name):
+            return None
+        if buckets is None:
+            buckets = [
+                r["b"]
+                for r in keys.select(self._bucket(key_cols).alias("b")).distinct().collect()
+            ]
         df = self._read_parquet(name)
         if not buckets:
             return df.where(F.lit(False)).drop("__bucket")
@@ -152,54 +176,72 @@ class KeyedStateStore:
         )
         self._save_schema(name, out.schema)
 
+    def buckets_for(self, keys: DataFrame, key_cols: list[str]) -> DataFrame:
+        """One-column ``b`` frame of the bucket ids ``keys`` hash to —
+        the building block for batching MANY states' bucket collects
+        into a single job (tag each state's frame, union, one collect)
+        instead of one driver round-trip per state."""
+        return keys.select(self._bucket(key_cols).alias("b")).distinct()
+
     def merge_for_keys(
-        self, name: str, keys: DataFrame, new_rows: DataFrame, key_cols: list[str]
+        self, name: str, keys: DataFrame, new_rows: DataFrame, key_cols: list[str],
+        buckets: "list[int] | None" = None,
     ) -> None:
         """Replace the touched keys' rows: affected buckets are rebuilt
         as (old rows whose key ∉ keys) ∪ new_rows; untouched buckets are
         neither read nor written. ``new_rows`` must carry rows ONLY for
-        keys in ``keys`` (the lane fold's output contract)."""
+        keys in ``keys`` (the lane fold's output contract). ``buckets``
+        (optional) skips the collect like read_for_keys'."""
         if not self.exists(name):
             self.write(name, new_rows, key_cols)
             return
         kdf = keys.select(*key_cols).distinct()
-        buckets = [
-            r["b"]
-            for r in kdf.select(self._bucket(key_cols).alias("b")).distinct().collect()
-        ]
+        if buckets is None:
+            buckets = [
+                r["b"]
+                for r in kdf.select(self._bucket(key_cols).alias("b")).distinct().collect()
+            ]
         if not buckets:
             self._bump(name)
             return
         full = self._read_parquet(name)
         affected_old = full.where(F.col("__bucket").isin(buckets)).drop("__bucket")
-        keep = affected_old.join(kdf, key_cols, "left_anti")
+        # change keys are batch-bounded — broadcast keeps the stored
+        # side map-local (no shuffle of the bucket rows)
+        keep = affected_old.join(F.broadcast(kdf), key_cols, "left_anti")
         rebuilt = keep.unionByName(new_rows.select(*affected_old.columns))
         out = rebuilt.withColumn("__bucket", self._bucket(key_cols))
-        # the rebuilt plan reads the same files we are about to replace —
-        # materialize first or the writer races its own input (see
-        # BucketedSnapshotStore.refresh_partial)
-        out = out.localCheckpoint(eager=True)
-        # bump BEFORE the destructive steps below: a crash between the
-        # rmtree and the append would otherwise leave torn state with a
-        # version still matching the replay marker — undetectable by the
-        # runner's lane guard. Pre-bumped, any crash in the window reads
-        # as torn → authoritative fallback. (A crash between the bump and
-        # the rmtree only costs a spurious fallback on intact state.)
-        self._bump(name)
-        # dynamic partition overwrite SKIPS partitions with zero output
-        # rows, so a merge that empties a bucket would leave its old file
-        # behind (deleted keys resurrect) — drop the affected bucket dirs
-        # explicitly, then append the rebuilt rows
+        # write the rebuilt buckets to a TEMP dir first: the plan reads
+        # the live files, so writing elsewhere avoids the
+        # writer-races-its-own-input hazard in ONE Spark job where the
+        # old localCheckpoint + append paid two materializations
         import shutil
 
-        for b in buckets:
-            shutil.rmtree(os.path.join(self._path(name), f"__bucket={b}"), ignore_errors=True)
+        tmp = self._path(name) + ".__rebuild"
+        shutil.rmtree(tmp, ignore_errors=True)
         (
             out.repartition("__bucket")
             .write.partitionBy("__bucket")
-            .mode("append")
-            .parquet(self._path(name))
+            .mode("overwrite")
+            .parquet(tmp)
         )
+        # bump BEFORE the destructive swap below: a crash mid-swap would
+        # otherwise leave torn state with a version still matching the
+        # replay marker — undetectable by the runner's lane guard.
+        # Pre-bumped, any crash in the window reads as torn →
+        # authoritative fallback. (A crash between the bump and the
+        # first rename only costs a spurious fallback on intact state.)
+        self._bump(name)
+        # swap: drop each affected bucket dir, move the rebuilt one in
+        # (a bucket the merge emptied has no tmp dir — dropping the old
+        # one is the correct outcome; deleted keys must not resurrect)
+        for b in buckets:
+            dst = os.path.join(self._path(name), f"__bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            src = os.path.join(tmp, f"__bucket={b}")
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def states(self) -> list[str]:
         """Names of every lane state under this root (maintenance sweep)."""

@@ -75,6 +75,28 @@ def test_out_of_grammar_shapes_bail():
         assert parse_correlation_tree(bad) is None, bad
 
 
+def test_block_tail_keywords_inside_literals_do_not_bail():
+    """The ORDER BY/LIMIT tail bail is literal-aware: a block filter
+    whose STRING literal happens to contain 'limit'/'order by' must not
+    drop the view out of the correlation grammar (it's a plain filter,
+    and losing it silently costs the targeted/fold lanes)."""
+    t = parse_correlation_tree(
+        "select id, json_build_object('es', (select json_agg("
+        "json_build_object('g', grade)) from enrollment e "
+        "where e.course_id = course.id and note like '%limit%' "
+        "and tag <> 'order by')) from course"
+    )
+    assert t is not None
+    e = {n.table: n for n in t.nodes}["enrollment"]
+    assert e.filters == ["note like '%limit%'", "tag <> 'order by'"]
+    # …while a REAL tail keyword in code position still bails
+    assert parse_correlation_tree(
+        "select id, json_build_object('es', (select json_agg("
+        "json_build_object('g', grade)) from enrollment e "
+        "where e.course_id = course.id limit 5)) from course"
+    ) is None
+
+
 def test_filter_conjuncts_parse_onto_nodes():
     """Non-correlation WHERE conjuncts (``AND e.active``) are grammar:
     recorded raw on CorrNode.filters in any conjunct order, with either

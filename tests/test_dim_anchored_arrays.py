@@ -257,3 +257,28 @@ def test_nested_under_dim_anchor_algebra(spark):
     d = docs.collect()[0]
     assert d["skey"] == 2 and d["nname"] == "jp"
     assert [o["okey"] for c in d["custs"] for o in c["ords"]] == [8, 9]
+
+
+def test_identity_hop_walk_dedups_and_drops_nulls(spark):
+    """A dim joined on the parent's OWN key (fk == spec.key) is an
+    identity hop in walk_up: duplicate/null change keys must be
+    deduped there like the indexed path does, so a high-churn dim
+    batch doesn't multiply fan-out through the rest of the walk."""
+    from sinker_spark.ivm_delta import relation_state
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    spec = DocTreeViewSpec(
+        parent_table="ih_supp", key="skey",
+        row_schema_parent="skey bigint, sname string",
+        dims=[DimLookup(
+            "ih_ext", fk="skey", key="ekey",
+            row_schema="ekey bigint, enote string",
+        )],
+    )
+    supp = spark.createDataFrame([(1, "a"), (2, "b")], "skey bigint, sname string")
+    rows_for = relation_rows_for({"p": relation_state(supp)})
+    dim_change = spark.createDataFrame(
+        [(2,), (2,), (2,), (None,)], "ekey bigint"
+    )
+    touched = touched_parent_keys(spec, {"d0": dim_change}, rows_for)
+    assert [r["skey"] for r in touched.collect()] == [2]

@@ -611,6 +611,15 @@ def test_filtered_blocks_fold_and_serve(spark, tmp_path):
         "and grade > 3.20", "and grade > 3.20 and enrollment.id != course.name"
     )
     assert derive_sql_doctree(spark, bad) is None
+    # nondeterministic block filters refuse derivation like template
+    # expressions do — a rand() filter re-drawn per serve would diverge
+    # from the compiled recompute
+    assert derive_sql_doctree(spark, COURSE_MV_FILTERED_SQL.replace(
+        "and grade > 3.20", "and random() < 0.5"
+    )) is None
+    assert derive_sql_doctree(
+        spark, fx.COURSE_MV_SQL + "\nwhere random() < 0.5"
+    ) is None
 
 
 COURSE_MV_AGG_ORDERED_SQL = """select id,

@@ -617,6 +617,20 @@ def test_ordered_json_agg_honors_declared_order(spark):
     assert out[2]["arr"] == []                 # scalar-subquery empty → []
 
 
+def test_ordered_agg_distinct_identifier_case_and_quotes():
+    # PG folds unquoted identifiers: DISTINCT col ORDER BY COL is the
+    # self-ordered form and must be accepted, as must quoted-lowercase
+    out = transpile("select array_agg(distinct s order by S) as a from t")
+    assert "sort_array" in out.lower() and "distinct" in out.lower()
+    out = transpile('select array_agg(distinct "s" order by s) as a from t')
+    assert "sort_array" in out.lower()
+    # a quoted MIXED-case identifier stays case-sensitive in PG — a
+    # genuinely different key is still rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        transpile('select array_agg(distinct "S" order by "s") from t')
+
+
 def test_ordered_agg_distinct_and_nested():
     # DISTINCT elem ORDER BY elem (ASC) → the plain sorted-collect wrap
     out = transpile("select array_agg(distinct s order by s) as a from t")
