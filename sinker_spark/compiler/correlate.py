@@ -693,6 +693,10 @@ class DocTemplate:
     entries: list
     order_text: "str | None" = None
     agg: "tuple[str, str | None] | None" = None
+    # ``json_agg(DISTINCT json_build_object(…))`` — the serve dedups
+    # identical element values exactly as the transpiled compile's
+    # ``collect_list(DISTINCT …)`` does
+    distinct: bool = False
 
 
 def _split_ranges(sql: str, lo: int, hi: int) -> list[tuple[int, int]]:
@@ -812,6 +816,13 @@ def _parse_to_many_select(
         lo = jm.end()
         while lo < close and sql[lo].isspace():
             lo += 1
+        distinct = False
+        dm0 = re.match(r"(?is)distinct\b", sql[lo:close])
+        if dm0:
+            distinct = True
+            lo += dm0.end()
+            while lo < close and sql[lo].isspace():
+                lo += 1
         jbm = _JBO_PAT.match(sql, lo)
         if not jbm:
             return None
@@ -824,11 +835,18 @@ def _parse_to_many_select(
             om = re.match(r"(?is)^order\s+by\s+(.+)$", tail)
             if not om:
                 return None
+            if distinct:
+                # PG restricts DISTINCT+ORDER BY to the element itself;
+                # the sorted dedup below already yields that order, but
+                # proving textual equivalence here isn't worth it — the
+                # (rare) combination keeps the targeted/recompute lanes
+                return None
             order_text = om.group(1).strip()
         tpl = _parse_jbo(sql, lo, jclose + 1, names, span_nodes)
         if tpl is None:
             return None
-        return DocTemplate(list(tpl.entries), order_text=order_text)
+        return DocTemplate(list(tpl.entries), order_text=order_text,
+                           distinct=distinct)
     sm = _SAGG_PAT.match(sql, es)
     if not sm:
         return None

@@ -157,6 +157,9 @@ class SqlChild:
     # declared json_agg ORDER BY: [(own_col, desc, nulls_first)] — the
     # serve honors it exactly as the transpiled compile does
     order_keys: "list[tuple[str, bool, bool]] | None" = None
+    # json_agg(DISTINCT …): dedup identical element values (compile
+    # parity: sort_array(collect_list(DISTINCT named_struct(…))))
+    distinct: bool = False
 
 
 @dataclass
@@ -174,6 +177,10 @@ class SqlDocTree:
     # unfiltered view); the serve applies it so filtered-out parents are
     # retracted exactly as the compiled view omits them
     where_expr: str | None = None
+    # root WHERE that also references main-FROM join-dim columns
+    # (``where t.active``): applied AFTER the root-dim joins, over the
+    # prefixed frame — mutually exclusive with where_expr
+    where_join_expr: str | None = None
     # recursive to-many structure (supersedes child_nodes/child_chains,
     # which remain the top level of this forest)
     sql_children: "list[SqlChild]" = None  # type: ignore[assignment]
@@ -185,6 +192,13 @@ class SqlDocTree:
     # BARE own columns (the block's non-correlation WHERE conjuncts);
     # the serve applies it to that block's state rows
     node_pred: "dict[int, str] | None" = None
+    # CORRELATED block filters (r7): to-one blocks get a JOIN predicate
+    # over prefixed (own, anchor) columns; to-many blocks get an element
+    # predicate over prefixed own columns + __af_ anchor slots that the
+    # probe carries ({id(node): [(slot, anchor_col)]})
+    corr_join_pred: "dict[int, str] | None" = None
+    corr_elem_pred: "dict[int, str] | None" = None
+    corr_probe_cols: "dict[int, list[tuple[str, str]]] | None" = None
     # template EXPRESSION values: per-block slot columns computed on
     # the state rows ({id(node): [(slot, spark_expr)]}), the slot each
     # (block, json key) serves from, and the root template's compiled
@@ -288,6 +302,175 @@ def _validate_refs(expr: str, own_cols: "dict[str, str]") -> "list[str] | None":
 _NONDET_CALL = re.compile(
     r"(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\s*\(",
 )
+
+
+def _rewrite_scoped_refs(
+    expr: str, scopes: "list[tuple[set[str], dict[str, str], object]]",
+    innermost_first: bool = False,
+) -> "tuple[str, list[list[str]]] | None":
+    """Rewrite every identifier in a transpiled predicate to its scope's
+    serve-frame name. ``scopes``: ``(aliases, cols, fmt)`` per relation
+    in template order — a qualified ref binds to the unique scope whose
+    aliases contain the qualifier, a bare identifier to the unique scope
+    whose columns contain it (two matches = PG ambiguity error → None;
+    zero = keyword/function or out of reach). With ``innermost_first``
+    (correlated block filters: scopes ordered own → anchor) a name in
+    several scopes binds to the FIRST — PG's innermost-scope rule —
+    instead of erroring. Returns the rewritten text plus the referenced
+    columns per scope."""
+    from sinker_spark.compiler.transpile import _literal_spans
+
+    lits = _literal_spans(expr)
+
+    def in_lit(i: int) -> bool:
+        return any(s <= i < e for s, e in lits)
+
+    refs: list[list[str]] = [[] for _ in scopes]
+    out: list[str] = []
+    pos = 0
+    pat = re.compile(
+        r"([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)|([A-Za-z_]\w*)"
+    )
+    for m in pat.finditer(expr):
+        if m.start() < pos or in_lit(m.start()):
+            continue
+        out.append(expr[pos:m.start()])
+        pos = m.end()
+        if m.group(1) is not None:  # qualified q.c
+            q, c = m.group(1).lower(), m.group(2).lower()
+            hits = [i for i, (al, cols, _f) in enumerate(scopes) if q in al]
+            if innermost_first and len(hits) > 1:
+                hits = hits[:1]
+            if len(hits) != 1 or c not in scopes[hits[0]][1]:
+                return None
+            i = hits[0]
+            refs[i].append(c)
+            out.append(scopes[i][2](c))
+            continue
+        ident = m.group(3).lower()
+        rest = expr[m.end():]
+        if ident in _PRED_KEYWORDS or rest.lstrip().startswith("("):
+            out.append(m.group(3))
+            continue
+        hits = [i for i, (_al, cols, _f) in enumerate(scopes) if ident in cols]
+        if innermost_first and len(hits) > 1:
+            hits = hits[:1]
+        if len(hits) != 1:
+            return None  # unresolvable or PG-ambiguous bare identifier
+        refs[hits[0]].append(ident)
+        out.append(scopes[hits[0]][2](ident))
+    out.append(expr[pos:])
+    return "".join(out), refs
+
+
+def _compile_pred_corr(
+    spark: SparkSession, table: str, own_aliases: "set[str]",
+    own_cols: "dict[str, str]", anchor_aliases: "set[str]",
+    anchor_cols: "dict[str, str]", own_fmt, anchor_fmt, where_text: str,
+) -> "tuple[str, list[str], list[str]] | None":
+    """Compile a block's filter conjunction that references its ANCHOR
+    (``where e.course_id = c.id AND e.grade >= c.min_grade`` — the
+    correlation edge is already stripped; this sees only the residue).
+    Scopes bind innermost-first (own shadows anchor, PG's rule); the
+    returned predicate is rewritten to the SERVE frame's names via
+    ``own_fmt``/``anchor_fmt``. Returns ``(pred, own_refs, anchor_refs)``
+    or None (a ref outside the two scopes, nondeterministic calls,
+    analysis failure). A filter with NO anchor refs is the plain
+    _compile_pred path's job and returns None here too."""
+    from sinker_spark.compiler.transpile import transpile
+
+    if _NONDET_CALL.search(where_text):
+        return None
+    try:
+        t = transpile(f"select 1 from {table} where {where_text}")
+    except Exception:
+        return None
+    wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), t)
+    if not wm:
+        return None
+    scopes = [
+        ({a.lower() for a in own_aliases}, own_cols, own_fmt),
+        ({a.lower() for a in anchor_aliases}, anchor_cols, anchor_fmt),
+    ]
+    rw = _rewrite_scoped_refs(t[wm.end():].strip(), scopes, innermost_first=True)
+    if rw is None:
+        return None
+    pred, (own_refs, anchor_refs) = rw
+    if not anchor_refs:
+        return None
+    fields = [f"{own_fmt(c)} {ty}" for c, ty in own_cols.items()]
+    fields += [f"{anchor_fmt(c)} {ty}" for c, ty in anchor_cols.items()
+               if anchor_fmt(c) not in {own_fmt(o) for o in own_cols}]
+    try:
+        spark.createDataFrame([], ", ".join(fields)).where(F.expr(pred)).schema
+    except Exception:
+        return None
+    return pred, sorted(set(own_refs)), sorted(set(anchor_refs))
+
+
+def _compile_where_joined(
+    spark: SparkSession, tree: CorrelationTree, root_dims: "list",
+    cols_of, where_text: str, id_col: str,
+) -> "tuple[str, list[str], dict[int, list[str]]] | None":
+    """Root WHERE referencing main-FROM join-dim columns (``where
+    t.active and c.id > 5``) → a Spark predicate over the SERVE's joined
+    frame: bare parent columns + ``__d{idx}_``-prefixed join-dim
+    columns. Returns ``(pred, parent_cols, {dim idx: cols})`` or None
+    when out of reach (a correlated-block alias — SELECT-list subqueries
+    are not in the root WHERE's scope in PG — an ambiguous bare name, a
+    nondeterministic call, or analysis failure)."""
+    from sinker_spark.compiler.transpile import transpile
+
+    if _NONDET_CALL.search(where_text):
+        return None
+    try:
+        t = transpile(f"select {id_col} from {tree.parent_table} where {where_text}")
+    except Exception:
+        return None
+    wm = _search_depth0(re.compile(r"\bwhere\b", re.IGNORECASE), t)
+    if not wm:
+        return None
+    pred_text = t[wm.end():].strip()
+
+    parent_cols = cols_of(tree.parent_table)
+    if parent_cols is None:
+        return None
+    scopes: list = [(
+        {tree.parent_table.lower(), tree.parent_alias.lower()},
+        parent_cols, lambda c: c,
+    )]
+    join_dims = [rd for rd in root_dims if rd.corr.span is None]
+    dim_pos: list[int] = []
+    for rd in join_dims:
+        own = cols_of(rd.corr.table)
+        if own is None:
+            return None
+        pre = f"__d{rd.idx}_"
+        scopes.append((
+            {rd.corr.table.lower(), rd.corr.alias.lower()},
+            own, lambda c, pre=pre: f"{pre}{c}",
+        ))
+        dim_pos.append(rd.idx)
+    # a duplicated alias/table name across scopes makes every qualified
+    # ref ambiguous — _rewrite_scoped_refs' unique-hit rule handles it
+    rewritten = _rewrite_scoped_refs(pred_text, scopes)
+    if rewritten is None:
+        return None
+    pred, refs = rewritten
+    if not any(refs[i + 1] for i in range(len(join_dims))):
+        return None  # parent-only: the plain _compile_pred path owns it
+    # analysis probe over an empty frame with the serve's joined schema
+    fields = [f"{c} {ty}" for c, ty in parent_cols.items()]
+    for i, rd in enumerate(join_dims):
+        fields += [f"__d{rd.idx}_{c} {ty}" for c, ty in scopes[i + 1][1].items()]
+    try:
+        probe = spark.createDataFrame([], ", ".join(fields)).where(F.expr(pred))
+        probe.schema
+    except Exception:
+        return None
+    dim_cols = {rd.idx: sorted(set(refs[i + 1]))
+                for i, rd in enumerate(join_dims) if refs[i + 1]}
+    return pred, sorted(set(refs[0])), dim_cols
 
 
 def _compile_expr(
@@ -421,9 +604,13 @@ def derive_sql_doctree(
                 return None
 
     # root WHERE: serve only rows passing it (the compiled view omits
-    # them; without this the fold lane would upsert filtered-out docs)
+    # them; without this the fold lane would upsert filtered-out docs).
+    # A predicate beyond parent columns defers to the JOINED compile
+    # below — it may reference main-FROM join-dim columns (``where
+    # t.active``), resolvable once the root dim tree is numbered.
     where_expr: str | None = None
     where_cols: list[str] = []
+    where_pending: str | None = None
     if tree.where_text is not None:
         compiled = _compile_pred(
             spark, tree.parent_table,
@@ -431,30 +618,35 @@ def derive_sql_doctree(
             tree.where_text, cols_of(tree.parent_table) or {}, id_col,
         )
         if compiled is None:
-            return None
-        where_expr, where_cols = compiled
+            where_pending = tree.where_text
+        else:
+            where_expr, where_cols = compiled
 
     # per-block FILTER conjuncts (``AND e.active``): compile each block's
     # non-correlation predicate against its OWN relation — the serve
     # applies it to the block's state rows, reproducing the compiled
     # view exactly (a to-one row failing its filter serves NULL, a
-    # to-many row is excluded from its array). Outside-own references
-    # (correlated filters) bail the whole derivation.
+    # to-many row is excluded from its array). A predicate beyond own
+    # columns defers to the CORRELATED compile below (``and e.grade >=
+    # c.min_grade`` references the block's anchor), resolvable once the
+    # tree is numbered.
     node_pred: "dict[int, str]" = {}
     node_pred_cols: "dict[int, list[str]]" = {}
+    pending_corr: "dict[int, str]" = {}
     for n in tree.nodes:
         if not n.filters:
             continue
         own = cols_of(n.table)
         if own is None:
             return None
+        text = " and ".join(f"({c})" for c in n.filters)
         compiled = _compile_pred(
-            spark, n.table, {n.table, n.alias},
-            " and ".join(f"({c})" for c in n.filters), own, id_col,
+            spark, n.table, {n.table, n.alias}, text, own, id_col,
         )
         if compiled is None:
-            return None
-        node_pred[id(n)], node_pred_cols[id(n)] = compiled
+            pending_corr[id(n)] = text
+        else:
+            node_pred[id(n)], node_pred_cols[id(n)] = compiled
 
     # template EXPRESSION values ('total', o.price * o.qty): compile
     # each against its block's OWN schema; the serve computes slot
@@ -552,6 +744,21 @@ def derive_sql_doctree(
     # child of its owner, so the DFS + the to-many element chains below
     # reach every node)
 
+    # deferred root WHERE over parent + join-dim columns: the serve
+    # applies it AFTER the root-dim joins (prefixed refs); a dim delta
+    # flipping the predicate re-serves the parent through the dim's
+    # reverse-index walk, retracting the doc exactly as the compiled
+    # view drops the row
+    where_join_expr: str | None = None
+    where_dim_cols: "dict[int, list[str]]" = {}
+    if where_pending is not None:
+        cj = _compile_where_joined(
+            spark, tree, root_dims, cols_of, where_pending, id_col
+        )
+        if cj is None:
+            return None
+        where_join_expr, where_cols, where_dim_cols = cj
+
     def child_shape(cn: CorrNode, suffix: str) -> SqlChild:
         """Validate + shape one to-many block (recursing into nested
         to-many blocks in its element template): element to-one hops
@@ -570,7 +777,8 @@ def derive_sql_doctree(
             subs.append(child_shape(g, f"{suffix}x{k}"))
         order_keys = _parse_child_order(templates[cn].order_text, cn)
         return SqlChild(cn, suffix, echain, subs,
-                        agg=templates[cn].agg, order_keys=order_keys)
+                        agg=templates[cn].agg, order_keys=order_keys,
+                        distinct=templates[cn].distinct)
 
     parent_children = [n for n in child_nodes if n.outer is None]
     sql_children: list[SqlChild] = []
@@ -616,6 +824,102 @@ def derive_sql_doctree(
     except _Bail:
         return None
 
+    # ---- CORRELATED block filters (r7): compile each pending filter
+    # against (own, anchor) scopes now that every node's serve position
+    # (dim idx / child suffix) is numbered. To-one blocks get a JOIN
+    # predicate (dim row failing it serves NULL / drops the parent under
+    # 'inner', exactly like the compiled subquery matching no row);
+    # to-many blocks get an ELEMENT predicate evaluated against anchor
+    # columns carried on the probe as __af_ slots. Anchor-side columns
+    # are recorded so the anchor's state schema includes them.
+    corr_join_pred: "dict[int, str]" = {}
+    corr_elem_pred: "dict[int, str]" = {}
+    corr_probe_cols: "dict[int, list[tuple[str, str]]]" = {}
+    corr_own_cols: "dict[int, list[str]]" = {}
+    anchor_extra: "dict[int, list[str]]" = {}
+    corr_parent_cols: list[str] = []
+
+    def _corr_compile(n: CorrNode, own_fmt, anchor_node: "CorrNode | None",
+                      anchor_fmt) -> "tuple[str, list[str]] | None":
+        if anchor_node is None:
+            a_al = {tree.parent_table, tree.parent_alias}
+            a_cols = cols_of(tree.parent_table)
+        else:
+            a_al = {anchor_node.table, anchor_node.alias}
+            a_cols = cols_of(anchor_node.table)
+        own = cols_of(n.table)
+        if own is None or a_cols is None:
+            return None
+        comp = _compile_pred_corr(
+            spark, n.table, {n.table, n.alias}, own, a_al, a_cols,
+            own_fmt, anchor_fmt, pending_corr[id(n)],
+        )
+        if comp is None:
+            return None
+        pred, own_refs, a_refs = comp
+        corr_own_cols[id(n)] = own_refs
+        if anchor_node is None:
+            corr_parent_cols.extend(a_refs)
+        else:
+            anchor_extra.setdefault(id(anchor_node), []).extend(a_refs)
+        return pred, a_refs
+
+    if pending_corr:
+        handled: set[int] = set()
+        for rd in root_dims:
+            n = rd.corr
+            if id(n) not in pending_corr:
+                continue
+            own_fmt = lambda c, p=f"__d{rd.idx}_": f"{p}{c}"
+            if rd.parent is None:
+                a_node, anchor_fmt = None, (lambda c: c)
+            else:
+                a_node = root_dims[rd.parent].corr
+                anchor_fmt = lambda c, p=f"__d{rd.parent}_": f"{p}{c}"
+            comp = _corr_compile(n, own_fmt, a_node, anchor_fmt)
+            if comp is None:
+                return None
+            corr_join_pred[id(n)] = comp[0]
+            handled.add(id(n))
+
+        def corr_child(sc: SqlChild, container: "CorrNode | None") -> bool:
+            cn, pre_c = sc.node, f"__{sc.suffix}_"
+            if id(cn) in pending_corr:
+                # anchor columns travel on the probe as __af_ slots
+                comp = _corr_compile(
+                    cn, lambda c, p=pre_c: f"{p}{c}", container,
+                    lambda c: f"__af_{c}",
+                )
+                if comp is None:
+                    return False
+                corr_elem_pred[id(cn)] = comp[0]
+                corr_probe_cols[id(cn)] = [(f"__af_{c}", c) for c in comp[1]]
+                handled.add(id(cn))
+            for j, (en, parent) in enumerate(sc.echain):
+                if id(en) not in pending_corr:
+                    continue
+                own_fmt = lambda c, p=f"__{sc.suffix}d{j}_": f"{p}{c}"
+                if parent is None:
+                    a_node, anchor_fmt = cn, (lambda c, p=pre_c: f"{p}{c}")
+                else:
+                    a_node = sc.echain[parent][0]
+                    anchor_fmt = lambda c, p=f"__{sc.suffix}d{parent}_": f"{p}{c}"
+                comp = _corr_compile(en, own_fmt, a_node, anchor_fmt)
+                if comp is None:
+                    return False
+                corr_join_pred[id(en)] = comp[0]
+                handled.add(id(en))
+            return all(corr_child(g, cn) for g in sc.children)
+
+        for sc in sql_children:
+            if not corr_child(sc, None):
+                return None
+        for idx, sc, _at_root in dim_sql_children:
+            if not corr_child(sc, root_dims[idx].corr):
+                return None
+        if set(pending_corr) - handled:
+            return None  # a filtered node outside every serve context
+
     def ddl(table: str, needed: list[str]) -> str | None:
         have = cols_of(table)
         if have is None or any(c not in have for c in needed):
@@ -631,6 +935,7 @@ def derive_sql_doctree(
 
     parent_needed = uniq(
         [id_col] + tpl_cols(None) + where_cols + root_expr_cols
+        + corr_parent_cols
         + [rd.corr.outer_col for rd in root_dims if rd.parent is None]
     )
     parent_ddl = ddl(tree.parent_table, parent_needed)
@@ -646,7 +951,10 @@ def derive_sql_doctree(
         kid_fks = [r.corr.outer_col for r in root_dims if r.parent == rd.idx]
         d = ddl(n.table, uniq([id_col] + own + kid_fks
                               + node_pred_cols.get(id(n), [])
-                              + node_expr_cols.get(id(n), [])))
+                              + node_expr_cols.get(id(n), [])
+                              + where_dim_cols.get(rd.idx, [])
+                              + corr_own_cols.get(id(n), [])
+                              + anchor_extra.get(id(n), [])))
         if d is None:
             return None
         dl = DimLookup(n.table, fk=n.outer_col, key=id_col, row_schema=d)
@@ -667,6 +975,8 @@ def derive_sql_doctree(
                 [id_col] + tpl_cols(n) + kid_fks
                 + node_pred_cols.get(id(n), [])
                 + node_expr_cols.get(id(n), [])
+                + corr_own_cols.get(id(n), [])
+                + anchor_extra.get(id(n), [])
             )
             d = ddl(n.table, needed)
             if d is None:
@@ -690,6 +1000,8 @@ def derive_sql_doctree(
             + ([id_col] if sc.children else [])  # nested arrays key on it
             + node_pred_cols.get(id(cn), [])
             + node_expr_cols.get(id(cn), [])
+            + corr_own_cols.get(id(cn), [])
+            + anchor_extra.get(id(cn), [])
             + ([sc.agg[1]] if sc.agg and sc.agg[1] else [])
             + [k for k, _d, _nf in (sc.order_keys or [])]
         )
@@ -719,10 +1031,14 @@ def derive_sql_doctree(
     )
     return SqlDocTree(spec, tree, templates, root_dims, child_nodes,
                       child_chains, where_expr=where_expr,
+                      where_join_expr=where_join_expr,
                       sql_children=sql_children,
                       dim_sql_children=dim_sql_children,
                       node_pred=node_pred, node_exprs=node_exprs,
-                      expr_slots=expr_slots, root_exprs=root_exprs)
+                      expr_slots=expr_slots, root_exprs=root_exprs,
+                      corr_join_pred=corr_join_pred,
+                      corr_elem_pred=corr_elem_pred,
+                      corr_probe_cols=corr_probe_cols)
 
 
 def _order_cmp(keys: "list[tuple[str, bool, bool]]"):
@@ -834,6 +1150,7 @@ def serve_docs_sql(
     root_fields: dict[str, F.Column] = {}
     root_pre: dict = {}  # id(CorrNode) → column prefix, whole root tree
     dim_key_frames: dict = {}  # idx → slim reachable-key frame
+    dim_frames: dict = {}      # idx → full prefixed dim frame (anchor slots)
     for rd in sd.root_dims:
         pre = f"__d{rd.idx}_"
         root_pre[id(rd.corr)] = pre
@@ -848,9 +1165,24 @@ def serve_docs_sql(
             F.col(id_col).isNotNull()
         ).distinct().localCheckpoint(eager=True)
         dframe = _prefixed(state_rows(f"d{rd.idx}", probe, rd.corr), pre)
+        dim_frames[rd.idx] = dframe
         dim_key_frames[rd.idx] = dframe.select(f"{pre}{id_col}")
         how = "inner" if rd.corr.join_how == "inner" else "left"
-        cur = cur.join(dframe, fk == F.col(f"{pre}{id_col}"), how)
+        cond = fk == F.col(f"{pre}{id_col}")
+        cpred = (sd.corr_join_pred or {}).get(id(rd.corr))
+        if cpred:
+            # correlated block filter: part of the JOIN condition, so a
+            # dim row failing it serves NULL (or drops the parent under
+            # 'inner') — the compiled subquery matching no row
+            cond = cond & F.expr(cpred)
+        cur = cur.join(dframe, cond, how)
+    if sd.where_join_expr is not None:
+        # root WHERE over join-dim columns: evaluated on the joined
+        # frame, BEFORE the array probes (a filtered-out parent serves
+        # nothing, so its arrays need no probing); a touched parent
+        # failing it is absent from the output → the caller DELETEs
+        cur = cur.where(F.expr(sd.where_join_expr))
+
     def array_frame(sc: SqlChild, probe: DataFrame) -> DataFrame:
         """One to-many block's array rows restricted to the probed
         container keys → 2-col frame ``(__k, __arr)``: container key,
@@ -864,7 +1196,23 @@ def serve_docs_sql(
         subquery)."""
         cn = sc.node
         pre_c = f"__{sc.suffix}_"
-        elem = _prefixed(state_rows(sc.suffix, probe, cn), pre_c)
+        pcols = (sd.corr_probe_cols or {}).get(id(cn), [])
+        if pcols:
+            # correlated element filter: the probe carries the anchor's
+            # filter columns as __af_ slots — join them onto the state
+            # rows by container key, filter, drop the slots
+            kp = probe.where(F.col(cn.sub_col).isNotNull()).distinct() \
+                .localCheckpoint(eager=True)
+            elem = _prefixed(state_rows(sc.suffix, kp.select(cn.sub_col), cn), pre_c)
+            elem = elem.join(
+                F.broadcast(kp),
+                F.col(f"{pre_c}{cn.sub_col}") == F.col(cn.sub_col), "inner",
+            ).drop(cn.sub_col)
+            elem = elem.where(
+                F.expr((sd.corr_elem_pred or {})[id(cn)])
+            ).drop(*[slot for slot, _c in pcols])
+        else:
+            elem = _prefixed(state_rows(sc.suffix, probe, cn), pre_c)
         elem_keys = (
             elem.select(f"{pre_c}{id_col}") if sc.children else None
         )
@@ -883,9 +1231,23 @@ def serve_docs_sql(
                 F.col(id_col).isNotNull()
             ).distinct().localCheckpoint(eager=True)
             dframe = _prefixed(state_rows(f"{sc.suffix}d{j}", probe, n), pre)
-            elem = elem.join(dframe, fk == F.col(f"{pre}{id_col}"), "left")
+            cond = fk == F.col(f"{pre}{id_col}")
+            cpred = (sd.corr_join_pred or {}).get(id(n))
+            if cpred:
+                cond = cond & F.expr(cpred)
+            elem = elem.join(dframe, cond, "left")
         for g in sc.children:
-            gprobe = elem_keys.toDF(g.node.sub_col).where(
+            gp = (sd.corr_probe_cols or {}).get(id(g.node), [])
+            if gp:
+                # nested correlated filter: carry the CONTAINER element's
+                # anchor columns on the probe
+                gprobe = elem.select(
+                    F.col(f"{pre_c}{id_col}").alias(g.node.sub_col),
+                    *[F.col(f"{pre_c}{c}").alias(slot) for slot, c in gp],
+                )
+            else:
+                gprobe = elem_keys.toDF(g.node.sub_col)
+            gprobe = gprobe.where(
                 F.col(g.node.sub_col).isNotNull()
             ).distinct().localCheckpoint(eager=True)
             gk, gv = f"__k_{g.suffix}", f"__arr_{g.suffix}"
@@ -910,6 +1272,10 @@ def serve_docs_sql(
             arr = F.transform(
                 F.array_sort(coll, _order_cmp(sc.order_keys)), lambda x: x["__e"]
             )
+        elif sc.distinct:
+            # compile parity: sort_array(collect_list(DISTINCT e)) ==
+            # sorted dedup of the element values
+            arr = F.sort_array(F.array_distinct(F.collect_list(estruct)))
         else:
             arr = F.sort_array(F.collect_list(estruct))
         return elem.groupBy(F.col(f"{pre_c}{cn.sub_col}").alias("__k")).agg(
@@ -923,9 +1289,17 @@ def serve_docs_sql(
     # stay NULL over empty (derived-table join parity).
     dim_arr_cols: dict = {}
     for idx, sc, at_root in (sd.dim_sql_children or []):
-        # probe from the dim state's SLIM key frame, not from ``cur`` —
+        # probe from the dim state's SLIM frame, not from ``cur`` —
         # probing the widening doc join re-executes it per state read
-        probe = dim_key_frames[idx].toDF(sc.node.sub_col).where(
+        pcols = (sd.corr_probe_cols or {}).get(id(sc.node), [])
+        if pcols:
+            probe = dim_frames[idx].select(
+                F.col(f"__d{idx}_{id_col}").alias(sc.node.sub_col),
+                *[F.col(f"__d{idx}_{c}").alias(slot) for slot, c in pcols],
+            )
+        else:
+            probe = dim_key_frames[idx].toDF(sc.node.sub_col)
+        probe = probe.where(
             F.col(sc.node.sub_col).isNotNull()
         ).distinct()
         gk, gv = f"__k_{sc.suffix}", f"__arr_{sc.suffix}"
@@ -961,7 +1335,17 @@ def serve_docs_sql(
         ]
     for i, sc in enumerate(sql_children):
         cn = sc.node
-        probe_c = tkeys.select(F.col(id_col).alias(cn.sub_col))
+        pcols = (sd.corr_probe_cols or {}).get(id(cn), [])
+        if pcols:
+            # anchor = the parent row: carry its filter columns (bare in
+            # ``cur``) as slots — post-root-WHERE, so filtered-out
+            # parents probe nothing
+            probe_c = cur.select(
+                F.col(id_col).alias(cn.sub_col),
+                *[F.col(c).alias(slot) for slot, c in pcols],
+            )
+        else:
+            probe_c = tkeys.select(F.col(id_col).alias(cn.sub_col))
         gk, gv = f"__k{i}", f"__arr{i}"
         arr = array_frame(sc, probe_c).toDF(gk, gv)
         cur = cur.join(arr, F.col(id_col) == F.col(gk), "left").drop(gk)

@@ -3222,3 +3222,400 @@ def ivm_sql_element_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("items_str"),
     )
+
+
+@query(
+    "ivm_sql_dim_where",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (
+      SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN c_custkey % 4 = 0 THEN -c_acctbal - 1 ELSE c_acctbal END AS bal
+      FROM customer),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS line,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT o.id FROM o_post o WHERE o.cust % 4 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+      )
+    )
+    SELECT o.id, o.status, c.name AS cust_name,
+           COALESCE(ia.s, '') AS items_str
+    FROM o_post o
+    JOIN touched USING (id)
+    JOIN c_post c ON o.cust = c.id
+    LEFT JOIN (
+      SELECT oid, string_agg(line || ':' || qty, ';' ORDER BY line, qty) AS s
+      FROM i_post GROUP BY oid) ia ON o.id = ia.oid
+    WHERE c.bal >= 0 AND o.status <> 'P'""",
+    doc=(
+        "SQL doc-tree lane, round-7 grammar: root WHERE referencing a "
+        "main-FROM JOIN-DIM column (`where c.bal >= 0 and o.status <> "
+        "'P'` — r6 bailed any non-parent root predicate to targeted "
+        "refresh). The predicate is compiled against the serve's joined "
+        "frame (bare parent columns + __d0_-prefixed dim columns), the "
+        "dim's filter column is pulled into its state schema, and a DIM "
+        "delta flipping the predicate (every 4th customer's balance "
+        "negated) retracts the parent docs through the dim's "
+        "reverse-index walk — exactly as the compiled view drops the "
+        "row. Oracle rebuilds the same touched docs from the post-batch "
+        "tables with the same WHERE"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_dim_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("swd_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    ).createOrReplaceTempView("swd_cust")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("swd_item")
+
+    sql = """select o.id, json_build_object('status', o.status,
+      'cust_name', c.name,
+      'items', (select json_agg(json_build_object('ln', line, 'qty', qty)
+                                order by line, qty)
+                from swd_item where swd_item.oid = o.id)
+    ) as doc from swd_order o join swd_cust c on o.cust = c.id
+    where c.bal >= 0 and o.status <> 'P'"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "dim-column root WHERE must derive the lane (r7)"
+    assert sd.where_join_expr is not None and sd.where_expr is None
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("swd_order")
+    c_all = spark.table("swd_cust")
+    i_lines = spark.table("swd_item")
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    # the WHERE-flip delta: every 4th customer's balance negated —
+    # passing docs retract, failing ones (bal < 0 pre-batch) re-admit
+    flip = F.col("id") % 4 == 0
+    c_new = c_all.withColumn(
+        "bal", F.when(flip, -F.col("bal") - 1).otherwise(F.col("bal"))
+    )
+    c_ch = (
+        c_all.where(flip).withColumn("__op", dele)
+        .unionByName(c_new.where(flip).withColumn("__op", ins))
+    )
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in)
+    i_ch = (
+        i_lines.where(churn_in).withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "d0": c_ch.select("id"),
+        "c0": i_ch.select("oid"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.col("doc.cust_name").alias("cust_name"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.items"),
+                lambda x: F.concat_ws(
+                    ":", x["ln"].cast("string"), x["qty"].cast("string")
+                ),
+            ),
+        ).alias("items_str"),
+    )
+
+
+@query(
+    "ivm_sql_corr_filter",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'P' ELSE o_orderstatus END AS status,
+             o_totalprice AS total
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    c_post AS (
+      SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN c_custkey % 4 = 0 THEN c_acctbal - 5000 ELSE c_acctbal END AS bal
+      FROM customer),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS line,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 9 = 0
+        UNION ALL SELECT o.id FROM o_post o WHERE o.cust % 4 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+      )
+    )
+    SELECT o.id, o.status, c.name AS cust_name,
+           COALESCE((SELECT string_agg(line || ':' || qty, ';' ORDER BY line, qty)
+                     FROM i_post i
+                     WHERE i.oid = o.id AND (i.qty > 25 OR o.status = 'P')),
+                    '') AS items_str
+    FROM o_post o
+    JOIN touched USING (id)
+    LEFT JOIN c_post c ON o.cust = c.id AND c.bal >= o.total / 100""",
+    doc=(
+        "SQL doc-tree lane, round-7 grammar: CORRELATED block filters "
+        "(non-correlation conjuncts referencing the block's ANCHOR — r6 "
+        "bailed them to targeted refresh). The to-one customer block is "
+        "guarded by `c.bal >= o.total / 100`, compiled into the serve's "
+        "JOIN condition so a failing dim row serves NULL exactly like "
+        "the compiled subquery matching nothing; the to-many items "
+        "block is filtered by `qty > 25 OR o.status = 'P'`, an element "
+        "predicate whose anchor column travels on the probe as an "
+        "__af_ slot. Anchor flips (status → 'P' on every 9th order), "
+        "dim balance drops (every 4th customer) and child churn all "
+        "fold through the normal walks. Oracle rebuilds the same "
+        "touched docs with the same correlated predicates"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_corr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    ).createOrReplaceTempView("scf_order")
+    t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    ).createOrReplaceTempView("scf_cust")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("scf_item")
+
+    sql = """select id, json_build_object('status', status,
+      'customer', (select json_build_object('name', name) from scf_cust
+                   where scf_cust.id = cust
+                     and scf_cust.bal >= scf_order.total / 100),
+      'big_items', (select json_agg(json_build_object('ln', line, 'qty', qty)
+                                    order by line, qty)
+                    from scf_item where scf_item.oid = scf_order.id
+                      and (qty > 25 or scf_order.status = 'P'))
+    ) as doc from scf_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None, "correlated block filters must derive the lane (r7)"
+    assert sd.corr_join_pred and sd.corr_elem_pred
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("scf_order")
+    c_all = spark.table("scf_cust")
+    i_lines = spark.table("scf_item")
+
+    # orders: the usual %3-insert / %5-delete churn, PLUS an anchor flip
+    # (status → 'P' on every 9th) that re-admits small items through the
+    # element predicate's OR branch
+    flip = F.col("id") % 9 == 0
+    leave = (F.col("id") % 5 == 0) & (F.col("id") % 3 != 0)
+    o_new = o_all.withColumn(
+        "status", F.when(flip, F.lit("P")).otherwise(F.col("status"))
+    )
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_new.where(
+            (F.col("id") % 3 == 0) | (flip & ~leave & (F.col("id") % 3 != 0))
+        ).withColumn("__op", ins)
+        .unionByName(
+            o_all.where(leave | (flip & ~leave & (F.col("id") % 3 != 0)))
+            .withColumn("__op", dele)
+        )
+    )
+    cflip = F.col("id") % 4 == 0
+    c_new = c_all.withColumn(
+        "bal", F.when(cflip, F.col("bal") - 5000).otherwise(F.col("bal"))
+    )
+    c_ch = (
+        c_all.where(cflip).withColumn("__op", dele)
+        .unionByName(c_new.where(cflip).withColumn("__op", ins))
+    )
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in)
+    i_ch = (
+        i_lines.where(churn_in).withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "d0": apply_join_state(relation_state(c_all), changes_to_mult(c_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "d0": c_ch.select("id"),
+        "c0": i_ch.select("oid"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.col("doc.customer.name").alias("cust_name"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                F.col("doc.big_items"),
+                lambda x: F.concat_ws(
+                    ":", x["ln"].cast("string"), x["qty"].cast("string")
+                ),
+            ),
+        ).alias("items_str"),
+    )
+
+
+@query(
+    "ivm_sql_distinct_agg",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    i_post AS (
+      SELECT l_orderkey AS oid, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL SELECT l_orderkey FROM lineitem
+                  WHERE (l_orderkey + l_linenumber) % 7 = 0 OR l_orderkey % 11 = 0
+      )
+    )
+    SELECT o.id, o.status,
+           COALESCE((SELECT string_agg(CAST(q AS VARCHAR), ';' ORDER BY q)
+                     FROM (SELECT DISTINCT i.qty AS q FROM i_post i
+                           WHERE i.oid = o.id) d), '') AS qtys_str
+    FROM o_post o JOIN touched USING (id)""",
+    doc=(
+        "SQL doc-tree lane, round-7 grammar: `json_agg(DISTINCT "
+        "json_build_object(…))` (PG MVs use it to dedup join fan-out — "
+        "r6 bailed the derivation). The fold lane serves the array as "
+        "sort_array(array_distinct(collect_list(…))), value-identical "
+        "to the transpiled compile's collect_list(DISTINCT …); lineitem "
+        "quantities repeat within an order, so the dedup is exercised "
+        "on every doc. Churn on both tables folds through the normal "
+        "walks. Oracle rebuilds the same touched docs with SELECT "
+        "DISTINCT"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("sda_order")
+    t["lineitem"].select(
+        F.col("l_orderkey").alias("oid"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).createOrReplaceTempView("sda_item")
+
+    sql = """select id, json_build_object('status', status,
+      'qtys', (select json_agg(distinct json_build_object('q', qty))
+               from sda_item where sda_item.oid = sda_order.id)
+    ) as doc from sda_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None and sd.sql_children[0].distinct, \
+        "DISTINCT json_agg must derive the fold lane (r7)"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("sda_order")
+    i_lines = spark.table("sda_item")
+
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    churn_in = (F.col("oid") + F.col("line")) % 7 == 0
+    i_old = i_lines.where(~churn_in).select("oid", "qty")
+    i_ch = (
+        i_lines.where(churn_in).select("oid", "qty").withColumn("__op", ins)
+        .unionByName(
+            i_lines.where((F.col("oid") % 11 == 0) & ~churn_in)
+            .select("oid", "qty").withColumn("__op", dele)
+        )
+    )
+
+    posts = {
+        "p": apply_join_state(relation_state(o_old), changes_to_mult(o_ch)),
+        "c0": apply_join_state(relation_state(i_old), changes_to_mult(i_ch)),
+    }
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "c0": i_ch.select("oid"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.concat_ws(
+            ";",
+            F.transform(F.col("doc.qtys"), lambda x: x["q"].cast("string")),
+        ).alias("qtys_str"),
+    )

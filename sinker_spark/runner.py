@@ -1453,11 +1453,11 @@ class SyncEngine:
         notnull = F.lit(True)
         for k in spec.on:
             notnull = notnull & F.col(k).isNotNull()
-        p = self.spark.table(spec.parent_table).select(
-            *self._schema_cols(spec.row_schema_parent)
+        p = self._schema_select(
+            self.spark.table(spec.parent_table), spec.row_schema_parent
         ).where(notnull)
-        c = self.spark.table(spec.child_table).select(
-            *self._schema_cols(spec.row_schema_child)
+        c = self._schema_select(
+            self.spark.table(spec.child_table), spec.row_schema_child
         ).where(notnull)
         return ivm_delta.relation_state(p), ivm_delta.relation_state(c)
 
@@ -1481,12 +1481,16 @@ class SyncEngine:
         walk the reverse indexes back to the affected parent keys
         (O(affected docs) bucket-pruned reads — never a scoped
         recompute); documents are re-served by joining the states
-        restricted to the reachable keys. Reads during the batch overlay
-        the in-memory fold on the stored state (rows_for), and state
-        merges are deferred until after the sink actions are applied,
-        preserving the lanes' action-before-state crash discipline. Same
-        before-image contract, replay guard and fallback behavior as the
-        other delta lanes."""
+        restricted to the reachable keys. State merges run FIRST
+        (state-before-action): the walk and serve then read the merged
+        files plain, with no per-read change overlay — the walk's
+        semantics were post-fold anyway, and the overlay's union+groupBy
+        per state read dominated the batch's stage count. Crash
+        discipline: a crash between the first merge and the marker write
+        leaves state versions ahead of the marker → next delivery reads
+        torn → authoritative fallback (the mirror image of the old
+        action-first window). Same before-image contract, replay guard
+        and fallback behavior as the other delta lanes."""
         import os as _os
         import time as _time
 
@@ -1592,39 +1596,98 @@ class SyncEngine:
             self._write_doctree_states(view)
         _mark("parse_fold")
 
-        def rows_for(sdef, keys: DataFrame, buckets: "list[int] | None" = None) -> DataFrame:
-            """Stored state rows for ``keys`` (bucket-pruned + exact
-            semi-join), overlaid with THIS batch's fold: base states
-            fold their own parsed changes, index states fold the
-            projection of their source's changes. ``buckets`` (merge
-            phase) skips the per-call bucket-collect job."""
-            keys = keys.distinct()
-            kc = list(sdef.key_cols)
-            # probe keys are batch-fan-out-bounded — broadcast keeps the
-            # stored side map-local (no shuffle of the bucket rows)
-            cur = self.keyed.read_for_keys(names[sdef.suffix], keys, kc, buckets=buckets).join(
-                F.broadcast(keys), kc, "left_semi"
-            )
-            if sdef.source is None:
-                ch = changes.get(sdef.suffix)
-                if ch is not None:
-                    delta = ivm_delta.changes_to_mult(ch.join(keys, kc, "left_semi"))
-                    cur = ivm_delta.apply_join_state(cur, delta)
-            else:
-                src_ch = changes.get(sdef.source)
-                if src_ch is not None:
-                    proj = src_ch.where(_notnull(sdef.cols)).select(
-                        *sdef.cols, ivm_delta.OP_COL
-                    ).join(keys, kc, "left_semi")
-                    cur = ivm_delta.apply_join_state(cur, ivm_delta.changes_to_mult(proj))
-            return cur
-
         change_keys = {
             sfx: ch.select(sdefs[sfx].key_cols[0]).distinct()
             for sfx, ch in changes.items()
         }
+
+        # ---- merge FIRST (state-before-action): every state folds its
+        # delta into its own buckets, then the reverse walk and the doc
+        # serve read the MERGED state directly — no per-read overlay
+        # (the union+groupBy the overlay costs per state read was the
+        # largest stage count in the batch; the walk's semantics were
+        # already post-fold). Crash discipline is unchanged in kind:
+        # a crash anywhere between the first merge and the marker write
+        # leaves state versions ahead of the marker → the next delivery
+        # reads torn → authoritative fallback (the old action-first
+        # order had the mirror-image window, after the sink write).
+        merge_work = []
+        for s in states:
+            if s.source is None:
+                ch = changes.get(s.suffix)
+                if ch is None:
+                    continue
+                skeys = change_keys[s.suffix]
+            else:
+                src_ch = changes.get(s.source)
+                if src_ch is None:
+                    continue
+                skeys = src_ch.where(_notnull(s.cols)).select(s.key_cols[0]).distinct()
+            merge_work.append((s, skeys))
+
+        if merge_work:
+            # ONE batched bucket-id job for every state (tagged union)
+            # instead of two driver round-trips per state (the read
+            # inside rows_for + the merge's own collect) — at ~8 states
+            # per view the round-trips, not the I/O, dominated r6's
+            # merge phase
+            tagged = None
+            for s, skeys in merge_work:
+                part = self.keyed.buckets_for(
+                    names[s.suffix], skeys, list(s.key_cols)
+                ).withColumn(
+                    "__st", F.lit(s.suffix)
+                )
+                tagged = part if tagged is None else tagged.unionByName(part)
+            bmap: dict[str, list[int]] = {}
+            for r in tagged.collect():
+                bmap.setdefault(r["__st"], []).append(r["b"])
+
+            def _one_merge(work) -> None:
+                s, skeys = work
+                bks = bmap.get(s.suffix, [])
+                # fold the signed delta into the affected buckets in ONE
+                # job: untouched rows pass through an anti-join (no
+                # re-grouping of the whole bucket), touched rows group-
+                # sum with the delta
+                if s.source is None:
+                    delta = ivm_delta.changes_to_mult(changes[s.suffix])
+                else:
+                    delta = ivm_delta.changes_to_mult(
+                        changes[s.source].where(_notnull(s.cols)).select(
+                            *s.cols, ivm_delta.OP_COL
+                        )
+                    )
+                kc = list(s.key_cols)
+
+                def rebuild(old, d=delta, k=skeys, kc=kc):
+                    keep = old.join(F.broadcast(k), kc, "left_anti")
+                    hit = old.join(F.broadcast(k), kc, "left_semi")
+                    return keep.unionByName(ivm_delta.apply_join_state(hit, d))
+
+                self.keyed.rewrite_buckets(names[s.suffix], rebuild, kc, bks)
+
+            n_workers = int(_os.environ.get("SINKER_SPARK_MERGE_WORKERS", "4"))
+            with ThreadPoolExecutor(
+                max_workers=min(max(1, n_workers), len(merge_work))
+            ) as pool:
+                list(pool.map(_one_merge, merge_work))
+        _mark("state_merge")
+
+        def rows_for_merged(
+            sdef, keys: DataFrame, buckets: "list[int] | None" = None
+        ) -> DataFrame:
+            """Post-merge state rows for ``keys``: a plain bucket-pruned
+            read + broadcast semi-join — the batch is already folded
+            into the files."""
+            keys = keys.distinct()
+            kc = list(sdef.key_cols)
+            return self.keyed.read_for_keys(
+                names[sdef.suffix], keys, kc, buckets=buckets
+            ).join(F.broadcast(keys), kc, "left_semi")
+
         touched = ivm_flagship.touched_parent_keys(
-            spec, change_keys, rows_for
+            spec, change_keys, rows_for_merged
         ).localCheckpoint(eager=True)
         _mark("reverse_walk")
         sql_doc = getattr(view, "_sql_doc", None)
@@ -1635,9 +1698,9 @@ class SyncEngine:
             # arrays, decimals already canonicalized
             from sinker_spark import ivm_doc_sql
 
-            docs = ivm_doc_sql.serve_docs_sql(sql_doc, touched, rows_for)
+            docs = ivm_doc_sql.serve_docs_sql(sql_doc, touched, rows_for_merged)
         else:
-            docs = ivm_flagship.serve_docs(spec, touched, rows_for)
+            docs = ivm_flagship.serve_docs(spec, touched, rows_for_merged)
         # the serve lineage (state reads + dim joins + array assembly) is
         # referenced by BOTH action branches (upserts, and the retraction
         # anti-join) — persist AND materialize it eagerly: inside the
@@ -1670,58 +1733,6 @@ class SyncEngine:
         finally:
             docs.unpersist()
         _mark("serve_sink")
-
-        # key-local merges AFTER the sink actions (action-before-state):
-        # each state rewrites only its changed keys' buckets. Index
-        # merges fold from THEIR stored rows + the source's change frame,
-        # never from the (already-merged) source state files — which
-        # also makes the per-state merges independent of each other, so
-        # they fan out on threads (concurrent Spark jobs) instead of
-        # paying N sequential read+merge+write latencies.
-        merge_work = []
-        for s in states:
-            if s.source is None:
-                ch = changes.get(s.suffix)
-                if ch is None:
-                    continue
-                skeys = change_keys[s.suffix]
-            else:
-                src_ch = changes.get(s.source)
-                if src_ch is None:
-                    continue
-                skeys = src_ch.where(_notnull(s.cols)).select(s.key_cols[0]).distinct()
-            merge_work.append((s, skeys))
-
-        if merge_work:
-            # ONE batched bucket-id job for every state (tagged union)
-            # instead of two driver round-trips per state (the read
-            # inside rows_for + the merge's own collect) — at ~8 states
-            # per view the round-trips, not the I/O, dominated r6's
-            # merge phase
-            tagged = None
-            for s, skeys in merge_work:
-                part = self.keyed.buckets_for(skeys, list(s.key_cols)).withColumn(
-                    "__st", F.lit(s.suffix)
-                )
-                tagged = part if tagged is None else tagged.unionByName(part)
-            bmap: dict[str, list[int]] = {}
-            for r in tagged.collect():
-                bmap.setdefault(r["__st"], []).append(r["b"])
-
-            def _one_merge(work) -> None:
-                s, skeys = work
-                bks = bmap.get(s.suffix, [])
-                new_rows = rows_for(s, skeys, buckets=bks)
-                self.keyed.merge_for_keys(
-                    names[s.suffix], skeys, new_rows, list(s.key_cols), buckets=bks
-                )
-
-            n_workers = int(_os.environ.get("SINKER_SPARK_MERGE_WORKERS", "4"))
-            with ThreadPoolExecutor(
-                max_workers=min(max(1, n_workers), len(merge_work))
-            ) as pool:
-                list(pool.map(_one_merge, merge_work))
-        _mark("state_merge")
         self._write_lane_marker(view, batch_max_lsn)
         _mark("marker")
         self.last_stats[view.name] = {
@@ -1744,7 +1755,7 @@ class SyncEngine:
         frames: dict[str, DataFrame] = {}
         for s in doc_tree_states(spec):
             if s.source is None:
-                rel = self.spark.table(s.table).select(*self._schema_cols(s.schema))
+                rel = self._schema_select(self.spark.table(s.table), s.schema)
                 frames[s.suffix] = ivm_delta.relation_state(rel.where(_notnull(s.key_cols)))
             else:
                 src = frames[s.source]
@@ -1770,7 +1781,7 @@ class SyncEngine:
         arity (the running raw join, multiplicity-compressed), plus the
         aggregate state over the full chain in aggregate mode."""
         tabs = [
-            self.spark.table(spec.tables[i]).select(*self._schema_cols(spec.row_schemas[i]))
+            self._schema_select(self.spark.table(spec.tables[i]), spec.row_schemas[i])
             for i in range(len(spec.tables))
         ]
         r_states = [ivm_delta.relation_state(t) for t in tabs]
@@ -2085,6 +2096,17 @@ class SyncEngine:
     def _schema_cols(self, ddl: str) -> list[str]:
         return self.spark.createDataFrame([], ddl).columns
 
+    def _schema_select(self, df: DataFrame, ddl: str) -> DataFrame:
+        """Project ``df`` onto the DDL's columns CAST to the DDL's
+        types. Initial lane states must carry exactly the spec's types:
+        catalog parquet often stores narrower physical types (int32
+        nation keys) than the spec declares (bigint), and a state dir
+        mixing widths — catalog-typed seed files next to spec-typed
+        merge output — makes later reads schema-nondeterministic
+        (parquet inference samples one footer)."""
+        fields = self.spark.createDataFrame([], ddl).schema.fields
+        return df.select(*[F.col(f.name).cast(f.dataType) for f in fields])
+
     def _checked_state(self, name: str, required: list[str]) -> tuple[DataFrame | None, bool]:
         """Stored lane state unpacked → ``(state, stale)``. ``stale``
         means the state exists but no longer carries the columns the
@@ -2277,15 +2299,15 @@ class SyncEngine:
             )
         if view.topk is not None:
             spec = view.topk
-            fact = self.spark.table(spec.table).select(*self._schema_cols(spec.row_schema))
+            fact = self._schema_select(self.spark.table(spec.table), spec.row_schema)
             rows, counts = ivm_topk.initial_topk_state(
                 fact, spec.keys, spec.order_col, spec.id_col, spec.k, spec.buffer
             )
             self._write_topk_states(view, rows, counts)
         if view.join is not None:
             spec = view.join
-            a = self.spark.table(spec.table_a).select(*self._schema_cols(spec.row_schema_a))
-            b = self.spark.table(spec.table_b).select(*self._schema_cols(spec.row_schema_b))
+            a = self._schema_select(self.spark.table(spec.table_a), spec.row_schema_a)
+            b = self._schema_select(self.spark.table(spec.table_b), spec.row_schema_b)
             init_j = {
                 "inner": ivm_delta.initial_join_state,
                 "left": ivm_delta.initial_left_join_state,
@@ -2299,8 +2321,8 @@ class SyncEngine:
             )
         if view.joinagg is not None:
             spec = view.joinagg
-            a = self.spark.table(spec.table_a).select(*self._schema_cols(spec.row_schema_a))
-            b = self.spark.table(spec.table_b).select(*self._schema_cols(spec.row_schema_b))
+            a = self._schema_select(self.spark.table(spec.table_a), spec.row_schema_a)
+            b = self._schema_select(self.spark.table(spec.table_b), spec.row_schema_b)
             self._write_joinagg_states(
                 view,
                 ivm_delta.relation_state(a),

@@ -46,7 +46,19 @@ from pyspark.sql import functions as F
 
 
 class KeyedStateStore:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+    # adaptive geometry: target rows per bucket (~100-200 MB of typical
+    # state rows — the "one comfortable task" the module docstring
+    # promises), and the floor/cap on the per-state bucket count
+    _ROWS_PER_BUCKET = 1_000_000
+    _MIN_BUCKETS, _MAX_BUCKETS = 8, 4096
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: "int | None" = None):
+        """``n_buckets=None`` (the engine default) sizes each state's
+        bucket count at write time from its row count — a 100k-row dim
+        state gets 8 buckets, a billion-row fact state gets thousands —
+        and persists the choice in the state's version sidecar so every
+        later read/merge uses the written geometry. An explicit int
+        fixes the count for every state (tests, callers that know)."""
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
@@ -57,12 +69,41 @@ class KeyedStateStore:
     def _vfile(self, name: str) -> str:
         return os.path.join(self.root, f"{name}._version")
 
-    def _bucket(self, key_cols: list[str]) -> F.Column:
+    def _bucket(self, key_cols: list[str], n: int) -> F.Column:
         # hash the '|'-joined STRING form: representation-independent
         # (bigint 3 and string '3' route identically) and stable across
         # key arities
         joined = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-        return F.pmod(F.xxhash64(joined), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(F.xxhash64(joined), F.lit(n)).cast("int")
+
+    def _meta(self, name: str) -> dict:
+        try:
+            with open(self._vfile(name)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _nb(self, name: str) -> int:
+        """The bucket count a state was WRITTEN with (version sidecar);
+        legacy states predating the record, and stores constructed with
+        an explicit count, use the fixed value (64 historical default)."""
+        n = self._meta(name).get("n_buckets")
+        if isinstance(n, int) and n > 0:
+            return n
+        return self.n_buckets or 64
+
+    def _pick_buckets(self, df: DataFrame) -> int:
+        """Adaptive geometry: one count job at state-write time sizes
+        the bucket grid so a bucket is one comfortable task — small dim
+        states don't pay a 64-file write per merge, huge fact states
+        don't funnel into oversized buckets."""
+        if self.n_buckets is not None:
+            return self.n_buckets
+        rows = df.count()
+        n = self._MIN_BUCKETS
+        while n < self._MAX_BUCKETS and rows > n * self._ROWS_PER_BUCKET:
+            n *= 2
+        return n
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
@@ -74,12 +115,15 @@ class KeyedStateStore:
         except (OSError, ValueError, KeyError):
             return None
 
-    def _bump(self, name: str) -> None:
+    def _bump(self, name: str, n_buckets: "int | None" = None) -> None:
         os.makedirs(self.root, exist_ok=True)  # pre-bump may precede the first write
-        v = (self.current_version(name) or 0) + 1
+        meta = self._meta(name)
+        meta["version"] = (meta.get("version") or 0) + 1
+        if n_buckets is not None:
+            meta["n_buckets"] = n_buckets  # geometry travels with the state
         tmp = self._vfile(name) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": v}, fh)
+            json.dump(meta, fh)
         os.replace(tmp, self._vfile(name))
 
     def _schema_file(self, name: str) -> str:
@@ -149,7 +193,9 @@ class KeyedStateStore:
         if buckets is None:
             buckets = [
                 r["b"]
-                for r in keys.select(self._bucket(key_cols).alias("b")).distinct().collect()
+                for r in keys.select(
+                    self._bucket(key_cols, self._nb(name)).alias("b")
+                ).distinct().collect()
             ]
         df = self._read_parquet(name)
         if not buckets:
@@ -166,8 +212,9 @@ class KeyedStateStore:
         (the old order) left a window — files destroyed, version still
         matching the marker — where a crash produced torn state the
         guard could NOT detect."""
-        self._bump(name)
-        out = df.withColumn("__bucket", self._bucket(key_cols))
+        n = self._pick_buckets(df)
+        self._bump(name, n_buckets=n)
+        out = df.withColumn("__bucket", self._bucket(key_cols, n))
         (
             out.repartition("__bucket")
             .write.partitionBy("__bucket")
@@ -176,12 +223,13 @@ class KeyedStateStore:
         )
         self._save_schema(name, out.schema)
 
-    def buckets_for(self, keys: DataFrame, key_cols: list[str]) -> DataFrame:
-        """One-column ``b`` frame of the bucket ids ``keys`` hash to —
-        the building block for batching MANY states' bucket collects
-        into a single job (tag each state's frame, union, one collect)
-        instead of one driver round-trip per state."""
-        return keys.select(self._bucket(key_cols).alias("b")).distinct()
+    def buckets_for(self, name: str, keys: DataFrame, key_cols: list[str]) -> DataFrame:
+        """One-column ``b`` frame of the bucket ids ``keys`` hash to in
+        state ``name``'s geometry — the building block for batching MANY
+        states' bucket collects into a single job (tag each state's
+        frame, union, one collect) instead of one driver round-trip per
+        state."""
+        return keys.select(self._bucket(key_cols, self._nb(name)).alias("b")).distinct()
 
     def merge_for_keys(
         self, name: str, keys: DataFrame, new_rows: DataFrame, key_cols: list[str],
@@ -199,7 +247,9 @@ class KeyedStateStore:
         if buckets is None:
             buckets = [
                 r["b"]
-                for r in kdf.select(self._bucket(key_cols).alias("b")).distinct().collect()
+                for r in kdf.select(
+                    self._bucket(key_cols, self._nb(name)).alias("b")
+                ).distinct().collect()
             ]
         if not buckets:
             self._bump(name)
@@ -210,7 +260,7 @@ class KeyedStateStore:
         # side map-local (no shuffle of the bucket rows)
         keep = affected_old.join(F.broadcast(kdf), key_cols, "left_anti")
         rebuilt = keep.unionByName(new_rows.select(*affected_old.columns))
-        out = rebuilt.withColumn("__bucket", self._bucket(key_cols))
+        out = rebuilt.withColumn("__bucket", self._bucket(key_cols, self._nb(name)))
         # write the rebuilt buckets to a TEMP dir first: the plan reads
         # the live files, so writing elsewhere avoids the
         # writer-races-its-own-input hazard in ONE Spark job where the
@@ -235,6 +285,41 @@ class KeyedStateStore:
         # swap: drop each affected bucket dir, move the rebuilt one in
         # (a bucket the merge emptied has no tmp dir — dropping the old
         # one is the correct outcome; deleted keys must not resurrect)
+        for b in buckets:
+            dst = os.path.join(self._path(name), f"__bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            src = os.path.join(tmp, f"__bucket={b}")
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def rewrite_buckets(
+        self, name: str, rebuild, key_cols: list[str], buckets: list[int]
+    ) -> None:
+        """Rewrite the given buckets as ``rebuild(old_rows)`` — ONE job
+        + dir swap (same temp-dir/pre-bump crash discipline as
+        merge_for_keys). For multiplicity states this lets the caller
+        fold a signed delta in a single group-sum over the affected
+        buckets instead of the read-twice keep∪new split: untouched
+        rows pass through the fold unchanged, so ``rebuild`` must be an
+        identity on rows the delta doesn't touch."""
+        if not buckets:
+            self._bump(name)
+            return
+        import shutil
+
+        full = self._read_parquet(name)
+        old = full.where(F.col("__bucket").isin(buckets)).drop("__bucket")
+        out = rebuild(old).withColumn("__bucket", self._bucket(key_cols, self._nb(name)))
+        tmp = self._path(name) + ".__rebuild"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            out.repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        self._bump(name)
         for b in buckets:
             dst = os.path.join(self._path(name), f"__bucket={b}")
             shutil.rmtree(dst, ignore_errors=True)

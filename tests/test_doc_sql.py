@@ -20,6 +20,10 @@ from sinker_spark.views import ViewDef
 
 from tests import school_fixtures as fx
 
+import pathlib
+
+_TOOLS_DIR = pathlib.Path(__file__).resolve().parent.parent / "tools"
+
 CDC_FULL = (
     "lsn bigint, schema string, table string, op string, id string, "
     "payload string, payload_before string"
@@ -606,11 +610,23 @@ def test_filtered_blocks_fold_and_serve(spark, tmp_path):
     _parity()
 
     # correlated filters (an outer ref in a non-correlation conjunct)
-    # refuse derivation — the targeted/full lanes stay on
-    bad = COURSE_MV_FILTERED_SQL.replace(
+    # DERIVE since r7 — the element predicate carries the anchor's
+    # column as an __af_ probe slot (dedicated engine test below)
+    corr = COURSE_MV_FILTERED_SQL.replace(
         "and grade > 3.20", "and grade > 3.20 and enrollment.id != course.name"
     )
-    assert derive_sql_doctree(spark, bad) is None
+    sd_corr = derive_sql_doctree(spark, corr)
+    assert sd_corr is not None and sd_corr.corr_elem_pred
+    assert list(sd_corr.corr_probe_cols.values()) == [[("__af_name", "name")]]
+    # …but a ref OUTSIDE (own, anchor) scopes still bails: an unknown
+    # alias, and a grandparent ref from a to-one hop inside the array
+    # (its anchor is the element, not the root)
+    assert derive_sql_doctree(spark, COURSE_MV_FILTERED_SQL.replace(
+        "and grade > 3.20", "and grade > 3.20 and enrollment.id != zz.name"
+    )) is None
+    assert derive_sql_doctree(spark, COURSE_MV_FILTERED_SQL.replace(
+        "and student.is_active", "and student.is_active and course.name != 'x'"
+    )) is None
     # nondeterministic block filters refuse derivation like template
     # expressions do — a rand() filter re-drawn per serve would diverge
     # from the compiled recompute
@@ -620,6 +636,114 @@ def test_filtered_blocks_fold_and_serve(spark, tmp_path):
     assert derive_sql_doctree(
         spark, fx.COURSE_MV_SQL + "\nwhere random() < 0.5"
     ) is None
+
+
+# ------------------------------------ correlated block filters (r7)
+
+COURSE_MV_CORR_SQL = """select id,
+  json_build_object('name', name,
+    'teacher', (select json_build_object('salary', salary) from teacher
+                where teacher.id = teacher_id and course.name not like 'Hidden%'),
+    'enrollments', (select json_agg(json_build_object('grade', grade))
+                    from enrollment where enrollment.course_id = course.id
+                      and (grade > 3.20 or course.name = 'ZK Proofs')))
+from course"""
+
+
+def test_correlated_block_filters_fold_and_serve(spark, tmp_path):
+    """CORRELATED block filters (non-correlation conjuncts referencing
+    the anchor — r6 bailed to targeted refresh): a to-one block's anchor
+    ref folds into the serve JOIN condition (failing row serves NULL,
+    like the compiled subquery matching nothing); a to-many block's
+    anchor ref becomes an element predicate over __af_ probe slots.
+    Anchor-column deltas flip both through the normal parent walk —
+    compiled-view parity after every batch."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_CORR_SQL)
+    assert sd is not None
+    assert len(sd.corr_join_pred) == 1    # teacher block
+    assert len(sd.corr_elem_pred) == 1    # enrollments block
+    assert list(sd.corr_probe_cols.values()) == [[("__af_name", "name")]]
+
+    sink = InMemorySink()
+    view = ViewDef("course_c_mv", sql=COURSE_MV_CORR_SQL, index="courses_c",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_c_mv"].doctree is not None
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_c_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_c", {}) == want
+
+    # seeds: the OR-branch keeps every enrollment on 'ZK Proofs' (c-2),
+    # only grade>3.2 elsewhere; every teacher passes the name filter
+    _parity()
+    assert [e["grade"] for e in sink.get("courses_c", "c-1")["enrollments"]] == [3.5]
+    assert [e["grade"] for e in sink.get("courses_c", "c-2")["enrollments"]] \
+        == [3.14, 3.5]
+    assert sink.get("courses_c", "c-1")["teacher"] == {"salary": 100000.0}
+
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+
+    # 1. rename c-1 → Hidden%: its TEACHER block's correlated join
+    # filter flips → serves NULL; the array filter is unaffected
+    old_c1 = tuple(rows["course"][0])
+    rows["course"][0][1] = "Hidden Reth"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", old_c1)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_c_mv"].get("doc_tree") == 1
+    assert sink.get("courses_c", "c-1")["teacher"] is None
+    assert [e["grade"] for e in sink.get("courses_c", "c-1")["enrollments"]] == [3.5]
+    _parity()
+
+    # 2. rename c-2 away from 'ZK Proofs': the ELEMENT predicate's
+    # anchor branch flips → 3.14 drops out of the array
+    old_c2 = tuple(rows["course"][1])
+    rows["course"][1][1] = "Deep ZK"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", old_c2)),
+    ]), epoch_id=2)
+    assert [e["grade"] for e in sink.get("courses_c", "c-2")["enrollments"]] == [3.5]
+    _parity()
+
+    # 3. child-side flip: e-5's grade drops below 3.2 on c-3 (name
+    # branch false there) → leaves the array via the child delta walk
+    old_e5 = tuple(rows["enrollment"][4])
+    rows["enrollment"][4][3] = Decimal("3.00")
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "enrollment", "UPDATE", "e-5",
+         _payload("enrollment", rows["enrollment"][4]),
+         _payload("enrollment", old_e5)),
+    ]), epoch_id=3)
+    # root-level arrays coalesce to [] over empty (compiled scalar
+    # subquery parity — see serve_docs_sql.array_frame docstring)
+    assert sink.get("courses_c", "c-3")["enrollments"] == []
+    _parity()
+
+    # 4. …and the rename BACK re-admits c-1's teacher object
+    rows["course"][0][1] = "Reth"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (4, "course", "UPDATE", "c-1", _payload("course", rows["course"][0]),
+         _payload("course", ("c-1", "Hidden Reth", old_c1[2], old_c1[3]))),
+    ]), epoch_id=4)
+    assert sink.get("courses_c", "c-1")["teacher"] == {"salary": 100000.0}
+    _parity()
 
 
 COURSE_MV_AGG_ORDERED_SQL = """select id,
@@ -1330,4 +1454,214 @@ def test_dim_anchored_sql_derivation_and_engine(spark, tmp_path):
     ]), epoch_id=3)
     assert eng.last_stats["course_da_mv"].get("doc_tree") == 1
     assert sink.get("courses_da", "c-3")["teacher"] is None
+    _parity()
+
+
+# --------------------------------------- dim-column root WHERE (r7)
+
+COURSE_MV_DIM_WHERE_SQL = """select course.id,
+  json_build_object('name', course.name, 'salary', t.salary,
+    'enrollments', (select json_agg(json_build_object('grade', grade))
+                    from enrollment where enrollment.course_id = course.id))
+from course join teacher t on course.teacher_id = t.id
+where t.salary >= 100000.00 and course.name not like 'Hidden%'"""
+
+
+def test_dim_where_derivation_and_fold(spark, tmp_path):
+    """Root WHERE over a JOIN-DIM column (``where t.salary >= …``):
+    derives (r6 bailed), the predicate's dim column lands in the dim
+    state schema, a dim delta flipping it RETRACTS the doc through the
+    reverse-index walk, and flipping back re-upserts — compiled-view
+    parity after every batch."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_DIM_WHERE_SQL)
+    assert sd is not None
+    assert sd.where_expr is None and sd.where_join_expr is not None
+    assert "salary" in sd.spec.dim_forest[0].row_schema
+
+    sink = InMemorySink()
+    view = ViewDef("course_w_mv", sql=COURSE_MV_DIM_WHERE_SQL, index="courses_w",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_w_mv"].doctree is not None
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_w_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_w", {}) == want
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    _parity()
+    assert set(sink.indices["courses_w"]) == {"c-1", "c-2", "c-3"}
+
+    # t-1's salary drops below the threshold: c-1 and c-2 RETRACT
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["teacher"][0][2] = Decimal("99999.00")
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "teacher", "UPDATE", "t-1", _payload("teacher", rows["teacher"][0]),
+         _payload("teacher", ("t-1", "p-3", "100000.00"))),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_w_mv"].get("doc_tree") == 1
+    assert set(sink.indices["courses_w"]) == {"c-3"}
+    _parity()
+
+    # …and back above: both re-upsert through the same walk
+    old = tuple(rows["teacher"][0])
+    rows["teacher"][0][2] = Decimal("150000.00")
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "teacher", "UPDATE", "t-1", _payload("teacher", rows["teacher"][0]),
+         _payload("teacher", old)),
+    ]), epoch_id=2)
+    assert set(sink.indices["courses_w"]) == {"c-1", "c-2", "c-3"}
+    assert sink.get("courses_w", "c-1")["salary"] == 150000.0
+    _parity()
+
+    # the PARENT conjunct still applies: renaming c-2 to Hidden% retracts it
+    oldc = tuple(rows["course"][1])
+    rows["course"][1][1] = "Hidden gem"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", oldc)),
+    ]), epoch_id=3)
+    assert set(sink.indices["courses_w"]) == {"c-1", "c-3"}
+    _parity()
+
+    # out-of-reach root WHERE still bails: a correlated-block alias is
+    # not in the root WHERE's scope
+    assert derive_sql_doctree(spark, fx.COURSE_MV_SQL + "\nwhere zz.name = 'x'") is None
+
+
+# --------------------------------- fuzz-maker grammar coverage (r7)
+
+def test_fuzz_sql_doctree_maker_always_derives(spark, tmp_path):
+    """Every shape tools/fuzz_engine.make_sql_doctree_view draws —
+    join-spelled vs correlated to-one, plain/correlated block filters,
+    parent and JOIN-DIM root WHERE, ordered json_agg — must derive the
+    fold lane (a silent fall-back would mean the fuzzer stopped
+    exercising it), and the r7 options must appear across seeds."""
+    import random
+    import sys
+
+    sys.path.insert(0, str(_TOOLS_DIR))
+    import fuzz_engine as fe
+
+    fe.register_truth(
+        spark, {"s1": ("eu", "a", 5.0)}, {"eu": ("m1", "c1")}, {"m1": "d1"},
+        {"a": "L0"}, {"d1": "f1"}, {}, {"c1": "g1"}, {},
+    )
+    saw_dim_where = saw_corr = 0
+    for seed in range(40):
+        v = fe.make_sql_doctree_view(random.Random(seed), f"v{seed}")
+        sd = derive_sql_doctree(spark, v.sql)
+        assert sd is not None, f"seed {seed} fell out of the grammar: {v.sql}"
+        saw_dim_where += sd.where_join_expr is not None
+        saw_corr += bool(sd.corr_join_pred or sd.corr_elem_pred)
+    assert saw_dim_where >= 5 and saw_corr >= 10
+
+
+def test_fuzz_sql_doctree_one_engine_run(spark, tmp_path):
+    """One short differential fuzz run of the SQL-declared doc-tree
+    lane: two generated views (seed 5), three random CDC batches, sink
+    docs == transpiled compile after every batch (the same parity the
+    dedicated tests assert, over shapes nobody hand-wrote)."""
+    import sys
+
+    sys.path.insert(0, str(_TOOLS_DIR))
+    import fuzz_engine as fe
+
+    old_makers = fe.MAKERS
+    fe.MAKERS = [fe.make_sql_doctree_view]
+    try:
+        errs = fe.one_run(spark, 5, 3)
+    finally:
+        fe.MAKERS = old_makers
+    assert errs == [], errs
+
+
+# ----------------------------------- json_agg(DISTINCT …) fold (r7)
+
+COURSE_MV_DISTINCT_SQL = """select id,
+  json_build_object('name', name,
+    'grades', (select json_agg(distinct json_build_object('g', grade))
+               from enrollment where enrollment.course_id = course.id))
+from course"""
+
+
+def test_distinct_agg_fold_and_serve(spark, tmp_path):
+    """``json_agg(DISTINCT json_build_object(…))`` (PG MVs use it to
+    dedup join fan-out — r6 bailed the whole derivation): the serve
+    dedups element VALUES (sort_array∘array_distinct∘collect_list),
+    matching the transpiled compile's collect_list(DISTINCT …). A
+    duplicate-valued child INSERT leaves the array unchanged; deleting
+    ONE of two identical-valued rows keeps the element; deleting the
+    last occurrence retracts it. DISTINCT + declared ORDER BY still
+    bails (PG restricts it to the element; not worth proving here)."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_DISTINCT_SQL)
+    assert sd is not None and sd.sql_children[0].distinct
+    assert derive_sql_doctree(spark, COURSE_MV_DISTINCT_SQL.replace(
+        "json_build_object('g', grade))",
+        "json_build_object('g', grade) order by grade)",
+    )) is None
+
+    sink = InMemorySink()
+    view = ViewDef("course_d_mv", sql=COURSE_MV_DISTINCT_SQL, index="courses_d",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_d_mv"].doctree is not None
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_d_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_d", {}) == want
+
+    _parity()
+    assert [g["g"] for g in sink.get("courses_d", "c-1")["grades"]] == [3.14, 3.5]
+
+    # 1. duplicate-VALUED insert (e-9 repeats c-1's 3.50): array unchanged
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    rows["enrollment"].append(["e-9", "s-2", "c-1", Decimal("3.50")])
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "enrollment", "INSERT", "e-9",
+         _payload("enrollment", rows["enrollment"][-1]), None),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_d_mv"].get("doc_tree") == 1
+    assert [g["g"] for g in sink.get("courses_d", "c-1")["grades"]] == [3.14, 3.5]
+    _parity()
+
+    # 2. delete ONE of the two 3.50 rows: the element survives
+    gone = rows["enrollment"].pop(0)          # e-1 (c-1, 3.50)
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "enrollment", "DELETE", "e-1", None, _payload("enrollment", gone)),
+    ]), epoch_id=2)
+    assert [g["g"] for g in sink.get("courses_d", "c-1")["grades"]] == [3.14, 3.5]
+    _parity()
+
+    # 3. delete the LAST 3.50 row: the element finally retracts
+    gone9 = rows["enrollment"].pop()          # e-9
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "enrollment", "DELETE", "e-9", None, _payload("enrollment", gone9)),
+    ]), epoch_id=3)
+    assert [g["g"] for g in sink.get("courses_d", "c-1")["grades"]] == [3.14]
     _parity()

@@ -76,7 +76,7 @@ def test_merge_rewrites_only_affected_bucket_files(spark, tmp_path):
     before = mtimes()
     assert len(before) > 1  # multiple buckets exist — pruning is meaningful
     keys = spark.createDataFrame([(7,)], "k bigint")
-    touched_bucket = keys.select(st._bucket(["k"]).alias("b")).collect()[0]["b"]
+    touched_bucket = keys.select(st._bucket(["k"], st._nb("s")).alias("b")).collect()[0]["b"]
     import time
 
     time.sleep(1.1)  # mtime granularity

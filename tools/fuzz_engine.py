@@ -491,10 +491,73 @@ def make_doctree_view(rng, name):
     )
 
 
+def make_sql_doctree_view(rng, name):
+    """SQL-DECLARED doc-tree lane (ivm_doc_sql.derive_sql_doctree →
+    runner fold) randomized over the r6/r7 MV grammar: the to-one org
+    lookup drawn as a main-FROM JOIN or a correlated subquery, plain
+    AND correlated block filters (r7 — anchor refs fold into the serve
+    join condition / element predicate via __af_ probe slots), root
+    WHERE over parent and/or JOIN-DIM columns (r7), and declared
+    json_agg ORDER BY. Truth for sql= views is the transpiled compile
+    (check_views falls back to ViewDef.compile when fn is None), so
+    every CDC batch differentially checks fold == compiled recompute."""
+    join_spelled = rng.random() < 0.5
+    dim_where = join_spelled and rng.random() < 0.6      # r7 grammar
+    parent_where = rng.random() < 0.4
+    corr_one = (not join_spelled) and rng.random() < 0.6  # r7 grammar
+    corr_elem = rng.random() < 0.6                        # r7 grammar
+    plain_elem = rng.random() < 0.5
+    ordered = rng.random() < 0.5
+
+    elem_filters = []
+    if plain_elem:
+        elem_filters.append(f"amount > {rng.choice([2, 5, 10])}")
+    if corr_elem:
+        # anchor-referencing OR branch: mgr churn (m0-m3) flips whole
+        # arrays, amount churn flips single elements
+        elem_filters.append(
+            f"(amount > {rng.choice([8, 12])} or d.mgr = 'm{rng.randrange(3)}')"
+        )
+    ef = "".join(f" and {f}" for f in elem_filters)
+    order_sql = " order by id" if ordered else ""
+    sales_block = (
+        "(select json_agg(json_build_object('sid', id, 'amount', amount)"
+        f"{order_sql}) from fq_sales where fq_sales.region = d.id{ef})"
+    )
+    fields = ["'mgr', d.mgr", f"'sales', {sales_block}"]
+    if join_spelled:
+        frm = "from fq_dims d join fq_org o on d.mgr = o.id"
+        fields.insert(1, "'dept', o.dept")
+    else:
+        # correlated to-one filter: dept digit vs mgr digit collide on
+        # d0-d2 × m0-m3 churn, so the predicate genuinely flips
+        of = (
+            " and substr(fq_org.dept, 2, 1) <> substr(d.mgr, 2, 1)"
+            if corr_one else ""
+        )
+        fields.insert(
+            1,
+            "'org', (select json_build_object('dept', dept) "
+            f"from fq_org where fq_org.id = d.mgr{of})",
+        )
+        frm = "from fq_dims d"
+    conj = []
+    if dim_where:
+        conj.append(f"o.dept <> 'd{rng.randrange(3)}'")
+    if parent_where:
+        conj.append(f"d.mgr <> 'm{rng.randrange(4)}'")
+    where = (" where " + " and ".join(conj)) if conj else ""
+    sql = (
+        f"select d.id, json_build_object({', '.join(fields)}) as doc "
+        f"{frm}{where}"
+    )
+    return ViewDef(name=name, sql=sql, key="k", sql_doctree=True)
+
+
 MAKERS = [
     make_agg_view, make_topk_view, make_distinct_view, make_join_view,
     make_joinagg_view, make_chain_view, make_nesteddoc_view,
-    make_membership_view, make_doctree_view,
+    make_membership_view, make_doctree_view, make_sql_doctree_view,
 ]
 
 
@@ -528,6 +591,17 @@ def register_truth(spark, sales, dims, org, cats, depts, notes, coaches,
     spark.createDataFrame(
         [(nid, r, t) for nid, (r, t) in sorted(notes.items())] or [], NOTES_SCHEMA
     ).createOrReplaceTempView("fz_notes")
+    # id-keyed MIRRORS for the SQL-declared doc-tree lane: the PG MV
+    # grammar keys every table on a literal `id` column (the engine
+    # derives with id_col="id"), so the same python state is also
+    # registered as renamed projections. Temp views capture the plan at
+    # creation, so they re-register together with their fz_* sources.
+    spark.sql("select region as id, mgr, coach from fz_dims") \
+        .createOrReplaceTempView("fq_dims")
+    spark.sql("select mgr as id, dept from fz_org") \
+        .createOrReplaceTempView("fq_org")
+    spark.sql("select id, region, amount from fz_sales") \
+        .createOrReplaceTempView("fq_sales")
 
 
 def gen_batch(rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
@@ -704,6 +778,25 @@ def gen_batch(rng, sales, dims, org, cats, depts, notes, coaches, next_id, lsn,
                     records.append((lsn, "fz_org", "UPDATE",
                                     {"mgr": m, "dept": org[m]}, {"mgr": m, "dept": old}))
             lsn += 1
+    # twin records for the fq_* id-keyed mirrors (SQL doc-tree lane):
+    # the same churn with renamed key fields, so fq-dependent views see
+    # every mutation — including the occasional dropped before-image
+    def _fq(table, pay):
+        if pay is None:
+            return None
+        if table == "fz_dims":
+            return {"id": pay["region"], "mgr": pay["mgr"], "coach": pay["coach"]}
+        if table == "fz_org":
+            return {"id": pay["mgr"], "dept": pay["dept"]}
+        return {"id": pay["id"], "region": pay["region"], "amount": pay["amount"]}
+
+    twins = []
+    for _l, table, op, after, before in records:
+        if table in ("fz_dims", "fz_org", "fz_sales"):
+            twins.append((lsn, table.replace("fz_", "fq_"), op,
+                          _fq(table, after), _fq(table, before)))
+            lsn += 1
+    records += twins
     return records, next_id, lsn
 
 
@@ -725,9 +818,10 @@ def cdc_df(spark, records):
 def check_views(spark, sink, views, tag):
     errs = []
     for v in views:
+        src = v.fn(spark) if v.fn is not None else v.compile(spark)
         want = {
             r[0]: _row_to_plain(r[1])
-            for r in v.fn(spark).collect()
+            for r in src.collect()
         }
         got = sink.indices.get(v.index, {})
         if got != want:
