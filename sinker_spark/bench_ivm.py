@@ -287,6 +287,58 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         out["targeted_lane"] = (
             "targeted" if eng2.last_stats.get("bi_sqlmv", {}).get("targeted") else "full"
         )
+        # --- sf1 scale-up point (SCALING.md's O(Δ) claim as a
+        # measurement): the SAME doc-tree view and the SAME 1000-row
+        # batch against 10× the data (tools/gen_sf1 replicates sf0.1
+        # with key remapping, cached per container). seed_s should grow
+        # ~10×; fold_batch_s should stay near-flat — per-batch cost is
+        # O(|Δ|·fan-out) with bucket-pruned state I/O, not O(N).
+        # SINKER_BENCH_SF1=0 skips (e.g. a time-boxed probe run).
+        if (
+            os.environ.get("SINKER_BENCH_SF1", "1") != "0"
+            and sf_dir.rstrip("/").endswith("sf0.1")
+        ):
+            try:
+                sys_tools = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools",
+                )
+                import sys as _sys
+
+                if sys_tools not in _sys.path:
+                    _sys.path.insert(0, sys_tools)
+                import gen_sf1
+
+                sf1_dir = gen_sf1.generate()
+                _register(spark, sf1_dir)
+                sf1: dict = {}
+                eng3 = SyncEngine(spark, [_doctree_view()], _NoopSink(),
+                                  SnapshotStore(spark, root + "/snap_sf1"))
+                t0 = time.perf_counter()
+                eng3.backfill()
+                sf1["seed_s"] = round(time.perf_counter() - t0, 3)
+                batch = _mixed_batch(spark)
+                batch.count()
+                os.environ["SINKER_SPARK_LANE_TIMING"] = "1"
+                try:
+                    t0 = time.perf_counter()
+                    eng3.process_cdc_batch(batch, epoch_id=1)
+                    sf1["fold_batch_s"] = round(time.perf_counter() - t0, 3)
+                finally:
+                    os.environ.pop("SINKER_SPARK_LANE_TIMING", None)
+                stats3 = eng3.last_stats.get("bi_doc", {})
+                if stats3.get("phases"):
+                    sf1["fold_phases"] = stats3["phases"]
+                sf1["fold_lane"] = (
+                    "doc_tree" if stats3.get("doc_tree") else "fallback"
+                )
+                sf1["fold_batch_rows"] = 1000
+                out["sf1"] = sf1
+            except Exception as ex:  # noqa: BLE001 — fail-soft: the
+                # sf0.1 figures above are the gate; sf1 is the scale
+                # proof and records its own failure instead of sinking
+                # the whole artifact
+                out["sf1"] = {"error": f"{type(ex).__name__}: {ex}"}
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
