@@ -74,7 +74,11 @@ class _Rel:
     alias: str
 
     def names(self) -> set[str]:
-        return {self.table, self.alias}
+        # PG scoping: an alias HIDES the table name for that relation
+        # instance (``FROM course c2`` makes ``course.x`` an OUTER ref,
+        # which is what lets a self-correlated block anchor on its own
+        # table); unaliased relations answer to the table name
+        return {self.alias} if self.alias != self.table else {self.table}
 
 
 @dataclass(eq=False)

@@ -70,7 +70,23 @@ Further grammar the lane serves with exact compiled-view parity:
   e.active``, any conjunct order, either equality side order): compiled
   against the block's OWN schema and applied to its state rows — a
   to-one row failing its filter serves NULL, a to-many row drops out of
-  its array/aggregate; correlated filters (outer refs) bail;
+  its array/aggregate;
+- **CORRELATED block filters** (r7 — a non-correlation conjunct
+  referencing the block's ANCHOR: ``… and e.grade >= c.min_grade``):
+  to-one blocks fold the predicate into the serve JOIN condition (a
+  failing dim row serves NULL, exactly the compiled subquery matching
+  nothing); to-many blocks get an ELEMENT predicate whose anchor
+  columns ride the probe as ``__af_`` slots. Refs beyond the (own,
+  anchor) two-scope window — a grandparent, a sibling block — bail;
+- **root WHERE over JOIN-DIM columns** (r7 — ``where t.active and
+  course.name <> 'x'`` with ``t`` a main-FROM join dim): compiled
+  against the serve's joined frame (bare parent columns +
+  ``__d{i}_``-prefixed dim columns); a dim delta flipping the predicate
+  retracts/re-admits parents through the dim's reverse-index walk;
+- **json_agg(DISTINCT jbo(…))** (r7): the serve dedups element VALUES
+  (``sort_array∘array_distinct∘collect_list`` — value-identical to the
+  compile's ``collect_list(DISTINCT …)``); DISTINCT with a declared
+  ORDER BY still bails (PG restricts it to the element anyway);
 - **correlated SCALAR AGGREGATES** (``(select count(*)|sum|min|max|
   avg(col) from child where child.fk = anchor.id [AND …])``) at any
   anchor (root template, to-one block template, to-many element
@@ -96,14 +112,15 @@ column is an identity hop needing no index); every template value a
 column or own-schema expression of its block's relation (root template
 with main-FROM join dims: qualified columns only — a bare name there
 is ambiguous without schemas); no ambiguous unqualified outer refs;
-any root WHERE restricted to parent columns; block filters and
-json_agg ORDER BY keys restricted to own-block columns.
+root WHERE restricted to parent + main-FROM join-dim columns; block
+filters restricted to (own, anchor) columns; json_agg ORDER BY keys
+restricted to own-block columns.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,6 +177,11 @@ class SqlChild:
     # json_agg(DISTINCT …): dedup identical element values (compile
     # parity: sort_array(collect_list(DISTINCT named_struct(…))))
     distinct: bool = False
+    # NON-KEY parent anchor (top level only): the parent column the
+    # block correlates on (``… where sale.region = p.region``); None =
+    # the parent id. The spec grows an ra{suffix} reverse index so
+    # child deltas walk anchor → parent keys bucket-pruned.
+    anchor: "str | None" = None
 
 
 @dataclass
@@ -783,10 +805,21 @@ def derive_sql_doctree(
     parent_children = [n for n in child_nodes if n.outer is None]
     sql_children: list[SqlChild] = []
     for i, cn in enumerate(parent_children):
+        anchor = None
         if cn.outer_col != id_col:
-            return None  # array must key directly on the parent id
+            # non-key parent anchor (r7): fine when it names a parent
+            # column — the serve joins on it and the walk gets an
+            # anchor→key reverse index; anything else is out of grammar
+            if cn.outer_col not in (cols_of(tree.parent_table) or {}):
+                return None
+            anchor = cn.outer_col
         try:
-            sql_children.append(child_shape(cn, f"c{i}"))
+            sc = child_shape(cn, f"c{i}")
+            if anchor is not None:
+                if sc.agg is not None:
+                    return None  # scalar-agg alt anchors: not yet served
+                sc = replace(sc, anchor=anchor)
+            sql_children.append(sc)
         except _Bail:
             return None
     child_chains = [sc.echain for sc in sql_children]
@@ -936,6 +969,7 @@ def derive_sql_doctree(
     parent_needed = uniq(
         [id_col] + tpl_cols(None) + where_cols + root_expr_cols
         + corr_parent_cols
+        + [sc.anchor for sc in sql_children if sc.anchor]
         + [rd.corr.outer_col for rd in root_dims if rd.parent is None]
     )
     parent_ddl = ddl(tree.parent_table, parent_needed)
@@ -1014,6 +1048,7 @@ def derive_sql_doctree(
             alias=alias_of(container, cn), order=None, dims=edims,
             key=id_col if sc.children else None,
             children=[build_child_spec(g, cn) for g in sc.children],
+            anchor_col=sc.anchor,
         )
 
     try:
@@ -1110,6 +1145,10 @@ def serve_docs_sql(
         # root WHERE: a touched parent failing the predicate serves no
         # doc → the caller emits the DELETE (compiled-view parity)
         cur = cur.where(F.expr(sd.where_expr))
+    # slim parent frame (state read + root filter, PRE-dim-joins): the
+    # probe source for NON-KEY-anchored arrays — their probe values are
+    # anchor columns, which tkeys doesn't carry
+    parent_slim = cur
 
     def state_rows(state_key: str, probe: DataFrame, corr: CorrNode) -> DataFrame:
         """One block's live state rows restricted to probed keys, with
@@ -1335,20 +1374,25 @@ def serve_docs_sql(
         ]
     for i, sc in enumerate(sql_children):
         cn = sc.node
+        acol = sc.anchor or id_col
         pcols = (sd.corr_probe_cols or {}).get(id(cn), [])
         if pcols:
             # anchor = the parent row: carry its filter columns (bare in
             # ``cur``) as slots — post-root-WHERE, so filtered-out
             # parents probe nothing
             probe_c = cur.select(
-                F.col(id_col).alias(cn.sub_col),
+                F.col(acol).alias(cn.sub_col),
                 *[F.col(c).alias(slot) for slot, c in pcols],
             )
+        elif sc.anchor is not None:
+            # non-key anchor: probe with the parents' ANCHOR values from
+            # the slim pre-join parent frame
+            probe_c = parent_slim.select(F.col(acol).alias(cn.sub_col))
         else:
             probe_c = tkeys.select(F.col(id_col).alias(cn.sub_col))
         gk, gv = f"__k{i}", f"__arr{i}"
         arr = array_frame(sc, probe_c).toDF(gk, gv)
-        cur = cur.join(arr, F.col(id_col) == F.col(gk), "left").drop(gk)
+        cur = cur.join(arr, F.col(acol) == F.col(gk), "left").drop(gk)
         cur = _empty_fix(cur, gv, sc, True)
         root_fields[id(cn)] = F.col(gv)
 

@@ -126,9 +126,26 @@ def doc_tree_states(spec: DocTreeViewSpec) -> list[DocStateDef]:
                 f"ChildArraySpec({ch.table}): key {ch.key!r} must appear "
                 f"in row_schema (got {ch_cols})"
             )
+        alt_anchor = ch.anchor_col is not None and ch.anchor_col != spec.key
+        if alt_anchor and (node.parent is not None or node.anchor_dim is not None):
+            raise ValueError(
+                f"ChildArraySpec({ch.table}): anchor_col is supported on "
+                "top-level (doc-parent-anchored) arrays only"
+            )
         out.append(
             DocStateDef(sfx, ch.table, ch_cols, (ch.fk,), schema=ch.row_schema)
         )
+        if alt_anchor:
+            # anchor value -> parent key: the reverse edge a child delta
+            # walks when the array keys on a NON-key parent column —
+            # bucketed by the anchor, so the walk stays bucket-pruned
+            # instead of scanning the parent state
+            out.append(
+                DocStateDef(
+                    f"ra{sfx}", spec.parent_table,
+                    (ch.anchor_col, spec.key), (ch.anchor_col,), source="p",
+                )
+            )
         edims = edim_nodes(ch)
         for nd in edims:
             d = nd.dim
@@ -314,6 +331,15 @@ def touched_parent_keys(
             node = pn
         if node.anchor_dim is not None:
             return walk_up(keys.toDF(nodes[node.anchor_dim].dim.key), node.anchor_dim)
+        acol = node.child.anchor_col
+        if acol is not None and acol != spec.key:
+            # non-key anchor: fk values are ANCHOR values — the ra index
+            # maps them to every parent sharing the value (the full
+            # fan-out; each of those docs embeds the changed element)
+            probe = keys.toDF(acol).where(F.col(acol).isNotNull()).distinct()
+            return rows_for(states[f"ra{node.suffix}"], probe).select(
+                spec.key
+            ).distinct()
         return keys
 
     thunks: list[Callable[[], DataFrame]] = []
@@ -485,11 +511,20 @@ def serve_docs(
                 ChildNode(f"d{nd.idx}a{k}", ch, None, nd.idx)
                 for k, ch in enumerate(nd.dim.arrays)
             ], probe_src=dim_keys[nd.idx].toDF(nd.dim.fk))
-    cur = attach(
-        cur, spec.key,
-        [n for n in child_nodes(spec) if n.parent is None and n.anchor_dim is None],
-        probe_src=tkeys,
-    )
+    top = [n for n in child_nodes(spec) if n.parent is None and n.anchor_dim is None]
+    id_anchored = [
+        n for n in top
+        if n.child.anchor_col is None or n.child.anchor_col == spec.key
+    ]
+    cur = attach(cur, spec.key, id_anchored, probe_src=tkeys)
+    for cn in [n for n in top if n not in id_anchored]:
+        # non-key anchor: probe/join on the parent's anchor column; the
+        # slim probe is a second (bucket-pruned, touched-keys-sized)
+        # parent-state read, not the widening doc join
+        aprobe = expand_mult(rows_for(states["p"], tkeys)).select(
+            cn.child.anchor_col
+        )
+        cur = attach(cur, cn.child.anchor_col, [cn], probe_src=aprobe)
     return cur.select(*doc_columns(spec))
 
 

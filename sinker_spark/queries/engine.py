@@ -3619,3 +3619,88 @@ def ivm_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("doc.qtys"), lambda x: x["q"].cast("string")),
         ).alias("qtys_str"),
     )
+
+
+@query(
+    "ivm_sql_alt_anchor",
+    oracle="""
+    WITH o_post AS (
+      SELECT o_orderkey AS id, o_custkey AS cust, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+    touched AS (
+      SELECT DISTINCT id FROM (
+        SELECT o_orderkey AS id FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o.id FROM o_post o
+        JOIN (SELECT DISTINCT o_custkey AS cust FROM orders
+              WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0) ch
+          ON o.cust = ch.cust
+      )
+    )
+    SELECT o.id, o.status,
+           COALESCE(s.sibs, '') AS sibs_str
+    FROM o_post o
+    JOIN touched USING (id)
+    LEFT JOIN (SELECT cust, string_agg(CAST(id AS VARCHAR), ';' ORDER BY id) AS sibs
+               FROM o_post GROUP BY cust) s ON o.cust = s.cust""",
+    doc=(
+        "SQL doc-tree lane, round-7 grammar: a to-many block keyed on a "
+        "NON-KEY parent column (`o2.cust = saa_order.cust` — each order "
+        "doc lists every order of the same customer; r6 bailed any "
+        "array not keyed on the anchor's id). The fold maintains an "
+        "anchor→parent-key reverse index (ra state, bucket-pruned by "
+        "the anchor) so an order churned in or out walks to EVERY "
+        "sibling doc sharing its customer — the oracle reproduces that "
+        "fan-out in the touched set. Self-correlation also exercises "
+        "PG alias scoping (the o2 alias hides the table name, making "
+        "the outer ref resolvable)"
+    ),
+    tags=("A11", "ivm", "ivm-doc", "A2", "composition"),
+)
+def ivm_sql_alt_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sinker_spark.ivm_delta import apply_join_state, changes_to_mult, relation_state
+    from sinker_spark.ivm_doc_sql import derive_sql_doctree, serve_docs_sql
+    from sinker_spark.ivm_flagship import relation_rows_for, touched_parent_keys
+
+    t = load_tables(spark, sf_dir)
+    t["orders"].select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").alias("cust"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("saa_order")
+
+    sql = """select id, json_build_object('status', status,
+      'sibs', (select json_agg(json_build_object('oid', o2.id))
+               from saa_order o2 where o2.cust = saa_order.cust)
+    ) as doc from saa_order"""
+    sd = derive_sql_doctree(spark, sql)
+    assert sd is not None and sd.sql_children[0].anchor == "cust", \
+        "non-key parent anchor must derive the lane (r7)"
+
+    ins, dele = F.lit("insert"), F.lit("delete")
+    o_all = spark.table("saa_order")
+    o_old = o_all.where(F.col("id") % 3 != 0)
+    o_ch = (
+        o_all.where(F.col("id") % 3 == 0).withColumn("__op", ins)
+        .unionByName(
+            o_all.where((F.col("id") % 5 == 0) & (F.col("id") % 3 != 0))
+            .withColumn("__op", dele)
+        )
+    )
+    o_state = apply_join_state(relation_state(o_old), changes_to_mult(o_ch))
+    posts = {"p": o_state, "c0": o_state}
+    rows_for = relation_rows_for(posts)
+    change_keys = {
+        "p": o_ch.select("id"),
+        "c0": o_ch.select("cust"),
+    }
+    touched = touched_parent_keys(sd.spec, change_keys, rows_for)
+    docs = serve_docs_sql(sd, touched, rows_for)
+    return docs.select(
+        "id",
+        F.col("doc.status").alias("status"),
+        F.concat_ws(
+            ";",
+            F.transform(F.col("doc.sibs"), lambda x: x["oid"].cast("string")),
+        ).alias("sibs_str"),
+    )

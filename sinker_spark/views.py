@@ -503,6 +503,13 @@ class ChildArraySpec:
     dims: list[DimLookup] = field(default_factory=list)
     key: str | None = None
     children: list["ChildArraySpec"] = field(default_factory=list)
+    # the CONTAINER column ``fk`` equals — default (None) the
+    # container's key. A non-key anchor (``… where sale.region =
+    # parent.region`` with parent keyed on id) is supported at the TOP
+    # level only: the fold maintains an anchor→parent-key reverse index
+    # (``ra{suffix}``) so child deltas still walk to the affected docs
+    # with bucket-pruned reads instead of a parent-state scan.
+    anchor_col: str | None = None
 
     def __post_init__(self) -> None:
         if self.children and not self.key:

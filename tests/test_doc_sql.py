@@ -1665,3 +1665,93 @@ def test_distinct_agg_fold_and_serve(spark, tmp_path):
     ]), epoch_id=3)
     assert [g["g"] for g in sink.get("courses_d", "c-1")["grades"]] == [3.14]
     _parity()
+
+
+# ---------------------------------- non-key parent anchors (r7)
+
+COURSE_MV_ALT_ANCHOR_SQL = """select id,
+  json_build_object('name', name,
+    'peers', (select json_agg(json_build_object('cid', c2.id))
+              from course c2 where c2.teacher_id = course.teacher_id))
+from course"""
+
+
+def test_alt_anchor_array_fold_and_serve(spark, tmp_path):
+    """A to-many block keyed on a NON-KEY parent column (r6's last
+    shape restriction bailed it): each course doc lists the courses
+    sharing its teacher. The fold maintains an anchor→parent-key
+    reverse index (ra state) so a child delta walks to EVERY doc
+    sharing the anchor value — a teacher re-point updates the moved
+    course's own doc AND both peer groups it left/joined — with
+    compiled-view parity after every batch."""
+    fx.register(spark, str(tmp_path / "tables"))
+    sd = derive_sql_doctree(spark, COURSE_MV_ALT_ANCHOR_SQL)
+    assert sd is not None
+    assert sd.sql_children[0].anchor == "teacher_id"
+    assert sd.spec.children[0].anchor_col == "teacher_id"
+    from sinker_spark.ivm_flagship import doc_tree_states
+    assert any(s.suffix == "rac0" for s in doc_tree_states(sd.spec))
+
+    sink = InMemorySink()
+    view = ViewDef("course_a_mv", sql=COURSE_MV_ALT_ANCHOR_SQL, index="courses_a",
+                   sql_doctree=True)
+    eng = SyncEngine(spark, [view], sink,
+                     SnapshotStore(spark, str(tmp_path / "snap")))
+    eng.backfill()
+    assert eng.views["course_a_mv"].doctree is not None
+
+    def _sync(rows):
+        fx.register(spark, str(tmp_path / "tables"),
+                    {k: [tuple(r) for r in v] for k, v in rows.items()})
+
+    def _parity():
+        want = {
+            r[0]: _row_to_plain(r[1])
+            for r in eng.views["course_a_mv"].compile(spark).collect()
+        }
+        assert sink.indices.get("courses_a", {}) == want
+
+    def _peers(cid):
+        return [p["cid"] for p in sink.get("courses_a", cid)["peers"]]
+
+    _parity()
+    assert _peers("c-1") == ["c-1", "c-2"] and _peers("c-3") == ["c-3"]
+
+    # 1. re-point c-2's teacher t-1 → t-2: c-2's own doc changes AND
+    # both peer groups it left (c-1's) and joined (c-3's) re-serve
+    # through the ra walk — no full refresh
+    rows = {k: [list(r) for r in v] for k, v in fx.SEED.items()}
+    old_c2 = tuple(rows["course"][1])
+    rows["course"][1][3] = "t-2"
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (1, "course", "UPDATE", "c-2", _payload("course", rows["course"][1]),
+         _payload("course", old_c2)),
+    ]), epoch_id=1)
+    assert eng.last_stats["course_a_mv"].get("doc_tree") == 1
+    assert _peers("c-1") == ["c-1"]
+    assert _peers("c-2") == ["c-2", "c-3"] and _peers("c-3") == ["c-2", "c-3"]
+    _parity()
+
+    # 2. a new course under t-1 joins c-1's peer group via the same walk
+    rows["course"].append(["c-4", "Rollups", "Scaling reads", "t-1"])
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (2, "course", "INSERT", "c-4", _payload("course", rows["course"][-1]), None),
+    ]), epoch_id=2)
+    assert _peers("c-1") == ["c-1", "c-4"] and _peers("c-4") == ["c-1", "c-4"]
+    _parity()
+
+    # 3. delete c-4: c-1's peer array shrinks back
+    gone = rows["course"].pop()
+    _sync(rows)
+    eng.process_cdc_batch(_cdc(spark, [
+        (3, "course", "DELETE", "c-4", None, _payload("course", tuple(gone))),
+    ]), epoch_id=3)
+    assert _peers("c-1") == ["c-1"]
+    _parity()
+
+    # an anchor that names NO parent column still bails
+    assert derive_sql_doctree(spark, COURSE_MV_ALT_ANCHOR_SQL.replace(
+        "course.teacher_id)", "course.zz)"
+    )) is None

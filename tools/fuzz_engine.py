@@ -525,6 +525,15 @@ def make_sql_doctree_view(rng, name):
         f"{order_sql}) from fq_sales where fq_sales.region = d.id{ef})"
     )
     fields = ["'mgr', d.mgr", f"'sales', {sales_block}"]
+    if rng.random() < 0.4:
+        # r7: a to-many keyed on a NON-KEY parent column — peer dims by
+        # mgr, self-correlated (the d2 alias hides the table name, so
+        # the outer ref resolves per PG scoping); dim churn re-points
+        # mgr values and must re-serve every peer group touched
+        fields.append(
+            "'peers', (select json_agg(json_build_object('pid', d2.id)) "
+            "from fq_dims d2 where d2.mgr = d.mgr)"
+        )
     if join_spelled:
         frm = "from fq_dims d join fq_org o on d.mgr = o.id"
         fields.insert(1, "'dept', o.dept")
