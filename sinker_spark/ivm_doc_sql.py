@@ -816,8 +816,6 @@ def derive_sql_doctree(
         try:
             sc = child_shape(cn, f"c{i}")
             if anchor is not None:
-                if sc.agg is not None:
-                    return None  # scalar-agg alt anchors: not yet served
                 sc = replace(sc, anchor=anchor)
             sql_children.append(sc)
         except _Bail:

@@ -3639,10 +3639,12 @@ def ivm_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT o.id, o.status,
-           COALESCE(s.sibs, '') AS sibs_str
+           COALESCE(s.sibs, '') AS sibs_str,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_sibs
     FROM o_post o
     JOIN touched USING (id)
-    LEFT JOIN (SELECT cust, string_agg(CAST(id AS VARCHAR), ';' ORDER BY id) AS sibs
+    LEFT JOIN (SELECT cust, string_agg(CAST(id AS VARCHAR), ';' ORDER BY id) AS sibs,
+                      COUNT(*) AS n
                FROM o_post GROUP BY cust) s ON o.cust = s.cust""",
     doc=(
         "SQL doc-tree lane, round-7 grammar: a to-many block keyed on a "
@@ -3651,7 +3653,8 @@ def ivm_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array not keyed on the anchor's id). The fold maintains an "
         "anchor→parent-key reverse index (ra state, bucket-pruned by "
         "the anchor) so an order churned in or out walks to EVERY "
-        "sibling doc sharing its customer — the oracle reproduces that "
+        "sibling doc sharing its customer; a scalar count(*) over the "
+        "same non-key anchor serves alongside the array — the oracle reproduces that "
         "fan-out in the touched set. Self-correlation also exercises "
         "PG alias scoping (the o2 alias hides the table name, making "
         "the outer ref resolvable)"
@@ -3671,7 +3674,9 @@ def ivm_sql_alt_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sql = """select id, json_build_object('status', status,
       'sibs', (select json_agg(json_build_object('oid', o2.id))
-               from saa_order o2 where o2.cust = saa_order.cust)
+               from saa_order o2 where o2.cust = saa_order.cust),
+      'n_sibs', (select count(*) from saa_order o3
+                 where o3.cust = saa_order.cust)
     ) as doc from saa_order"""
     sd = derive_sql_doctree(spark, sql)
     assert sd is not None and sd.sql_children[0].anchor == "cust", \
@@ -3688,11 +3693,12 @@ def ivm_sql_alt_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o_state = apply_join_state(relation_state(o_old), changes_to_mult(o_ch))
-    posts = {"p": o_state, "c0": o_state}
+    posts = {"p": o_state, "c0": o_state, "c1": o_state}
     rows_for = relation_rows_for(posts)
     change_keys = {
         "p": o_ch.select("id"),
         "c0": o_ch.select("cust"),
+        "c1": o_ch.select("cust"),
     }
     touched = touched_parent_keys(sd.spec, change_keys, rows_for)
     docs = serve_docs_sql(sd, touched, rows_for)
@@ -3703,4 +3709,5 @@ def ivm_sql_alt_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";",
             F.transform(F.col("doc.sibs"), lambda x: x["oid"].cast("string")),
         ).alias("sibs_str"),
+        F.col("doc.n_sibs").cast("bigint").alias("n_sibs"),
     )

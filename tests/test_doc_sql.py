@@ -1672,7 +1672,9 @@ def test_distinct_agg_fold_and_serve(spark, tmp_path):
 COURSE_MV_ALT_ANCHOR_SQL = """select id,
   json_build_object('name', name,
     'peers', (select json_agg(json_build_object('cid', c2.id))
-              from course c2 where c2.teacher_id = course.teacher_id))
+              from course c2 where c2.teacher_id = course.teacher_id),
+    'n_peers', (select count(*) from course c3
+                where c3.teacher_id = course.teacher_id))
 from course"""
 
 
@@ -1716,6 +1718,7 @@ def test_alt_anchor_array_fold_and_serve(spark, tmp_path):
 
     _parity()
     assert _peers("c-1") == ["c-1", "c-2"] and _peers("c-3") == ["c-3"]
+    assert sink.get("courses_a", "c-1")["n_peers"] == 2   # scalar agg, alt anchor
 
     # 1. re-point c-2's teacher t-1 → t-2: c-2's own doc changes AND
     # both peer groups it left (c-1's) and joined (c-3's) re-serve
@@ -1740,6 +1743,7 @@ def test_alt_anchor_array_fold_and_serve(spark, tmp_path):
         (2, "course", "INSERT", "c-4", _payload("course", rows["course"][-1]), None),
     ]), epoch_id=2)
     assert _peers("c-1") == ["c-1", "c-4"] and _peers("c-4") == ["c-1", "c-4"]
+    assert sink.get("courses_a", "c-1")["n_peers"] == 2
     _parity()
 
     # 3. delete c-4: c-1's peer array shrinks back
