@@ -237,7 +237,9 @@ def test_fold_rewrites_only_touched_state_buckets(spark, tmp_path):
     before_p, before_c = mtimes("nd_view__nd_p_state"), mtimes("nd_view__nd_c_state")
     assert len(before_p) > 1 and len(before_c) > 1
     keys = spark.createDataFrame([("o7",)], "okey string")
-    bucket = keys.select(eng.keyed._bucket(["okey"]).alias("b")).collect()[0]["b"]
+    bucket = keys.select(
+        eng.keyed._bucket(["okey"], eng.keyed._nb("nd_view__nd_p_state")).alias("b")
+    ).collect()[0]["b"]
     time.sleep(1.1)
     _tables(spark, many_orders, many_lines + [("o7", 2, 1.0)])
     eng.process_cdc_batch(_cdc(spark, [
@@ -292,8 +294,14 @@ def test_crash_mid_merge_reads_as_torn_and_fallback_heals(spark, engine, monkeyp
     calls = {"n": 0}
 
     def exploding_rmtree(path, *a, **kw):
+        # the merge clears its TEMP dir (".__rebuild") before writing
+        # and before the version bump — crashing there destroys nothing
+        # and a redelivered fold is the CORRECT outcome; the window
+        # under test is the post-bump swap of LIVE bucket dirs
+        if "__bucket=" not in str(path) or ".__rebuild" in str(path):
+            return real_rmtree(path, *a, **kw)
         calls["n"] += 1
-        real_rmtree(path, *a, **kw)   # the bucket dir IS destroyed…
+        real_rmtree(path, *a, **kw)   # the LIVE bucket dir IS destroyed…
         raise RuntimeError("simulated crash mid-merge")  # …then we die
 
     _tables(spark, BASE_ORDERS, BASE_LINES + [("o2", 2, 1.5), ("o2", 3, 4.0)])
