@@ -62,6 +62,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+# Lazy-DataFrame cache keyed by (Spark application, resolved dir). A
+# DataFrame is a PLAN, not data: every action against a cached entry
+# still lists/reads the parquet files, so this caches no results — it
+# removes the ~1 s of driver-side work (10 × spark.read.parquet schema
+# resolution + py4j round-trips) that rebuilding identical scans paid on
+# EVERY query construction. Keyed on applicationId so a stopped/restarted
+# session never serves plans bound to a dead JVM; all in-repo callers
+# load from immutable directories (testdata SFs, a completed gen_sf1
+# output), so entries never go stale within an application.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every star-schema table as a DataFrame.
 
@@ -69,6 +81,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     parquet reader, so loading "all tables" costs nothing until an action.
     """
     ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return dict(hit)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -78,13 +94,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")).cast("timestamp_ntz")
                 )
         out[name] = df
-    return out
+    _TABLE_CACHE[key] = out
+    return dict(out)
+
+
+# last (application, dir) whose tables are the live temp views — SQL-text
+# queries call register_views on every build, and re-registering the same
+# 10 identical views is pure py4j overhead. Registration is session-global
+# and always was; callers alternating sf dirs still get a re-register
+# because the key changes.
+_VIEWS_KEY: list = [None]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each table as a temp view so ``spark.sql`` queries can refer
     to them by name (the same names the DuckDB oracle uses)."""
     dfs = load_tables(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if _VIEWS_KEY[0] == key:
+        return dfs
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _VIEWS_KEY[0] = key
     return dfs

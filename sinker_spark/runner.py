@@ -1632,16 +1632,22 @@ class SyncEngine:
             # per view the round-trips, not the I/O, dominated r6's
             # merge phase
             tagged = None
+            bmap: dict[str, list[int]] = {}
             for s, skeys in merge_work:
+                if not self.keyed.prunable(names[s.suffix]):
+                    # small state: rewriting every (tiny) bucket beats a
+                    # bucket-id job — ids from a driver dir listing
+                    bmap[s.suffix] = self.keyed.all_buckets(names[s.suffix])
+                    continue
                 part = self.keyed.buckets_for(
                     names[s.suffix], skeys, list(s.key_cols)
                 ).withColumn(
                     "__st", F.lit(s.suffix)
                 )
                 tagged = part if tagged is None else tagged.unionByName(part)
-            bmap: dict[str, list[int]] = {}
-            for r in tagged.collect():
-                bmap.setdefault(r["__st"], []).append(r["b"])
+            if tagged is not None:
+                for r in tagged.collect():
+                    bmap.setdefault(r["__st"], []).append(r["b"])
 
             def _one_merge(work) -> None:
                 s, skeys = work

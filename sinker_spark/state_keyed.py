@@ -62,6 +62,7 @@ class KeyedStateStore:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self._size_cache: dict[tuple[str, int | None], int] = {}
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -104,6 +105,40 @@ class KeyedStateStore:
         while n < self._MAX_BUCKETS and rows > n * self._ROWS_PER_BUCKET:
             n *= 2
         return n
+
+    # Read-side scale-adaptive fast path: pruning a SMALL state costs
+    # more than it saves — the bucket-id collect is its own Spark job
+    # (a driver round-trip before the read can even be planned) while
+    # the whole state is a few parquet files. Below this many bytes of
+    # data files read_for_keys serves the full relation (callers
+    # semi-join for exactness; a full read is still the bucket-level
+    # superset the contract promises). Adaptive-geometry stores only:
+    # an explicit n_buckets means the caller controls pruning (and the
+    # store-contract tests pin the pruned plan). At production state
+    # sizes every state clears the threshold and pruning engages
+    # exactly as before.
+    _PRUNE_MIN_BYTES = int(
+        os.environ.get("SINKER_SPARK_PRUNE_MIN_BYTES", str(32 << 20))
+    )
+
+    def _data_bytes(self, name: str) -> int:
+        """Total data-file bytes of a state — driver-side listing,
+        cached per (name, version) so repeated reads in one batch pay
+        one os.walk."""
+        key = (name, self.current_version(name))
+        hit = self._size_cache.get(key)
+        if hit is not None:
+            return hit
+        total = 0
+        for dirpath, _dirs, files in os.walk(self._path(name)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+        self._size_cache[key] = total
+        return total
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
@@ -191,6 +226,11 @@ class KeyedStateStore:
         if not self.exists(name):
             return None
         if buckets is None:
+            if (
+                self.n_buckets is None
+                and self._data_bytes(name) < self._PRUNE_MIN_BYTES
+            ):
+                return self._read_parquet(name).drop("__bucket")
             buckets = [
                 r["b"]
                 for r in keys.select(
@@ -223,6 +263,26 @@ class KeyedStateStore:
         )
         self._save_schema(name, out.schema)
 
+    def prunable(self, name: str) -> bool:
+        """Whether per-key bucket pruning pays for this state: False for
+        small adaptive-geometry states, where the bucket-id collect job
+        costs more than touching every (tiny) bucket."""
+        return not (
+            self.n_buckets is None
+            and self._data_bytes(name) < self._PRUNE_MIN_BYTES
+        )
+
+    def all_buckets(self, name: str) -> list[int]:
+        """Every bucket id in the state's written geometry (sidecar
+        read, no Spark job). The merge-side counterpart of the read
+        fast path: a small state rewrites across its whole (tiny)
+        bucket grid rather than paying a bucket-id job to find out
+        which subset the batch touches. The full range is always a
+        superset of existing dirs AND of any delta key's target bucket
+        (ids are pmod(hash, n)), so empty states still get their new
+        rows written."""
+        return list(range(self._nb(name)))
+
     def buckets_for(self, name: str, keys: DataFrame, key_cols: list[str]) -> DataFrame:
         """One-column ``b`` frame of the bucket ids ``keys`` hash to in
         state ``name``'s geometry — the building block for batching MANY
@@ -245,12 +305,15 @@ class KeyedStateStore:
             return
         kdf = keys.select(*key_cols).distinct()
         if buckets is None:
-            buckets = [
-                r["b"]
-                for r in kdf.select(
-                    self._bucket(key_cols, self._nb(name)).alias("b")
-                ).distinct().collect()
-            ]
+            if not self.prunable(name):
+                buckets = self.all_buckets(name)
+            else:
+                buckets = [
+                    r["b"]
+                    for r in kdf.select(
+                        self._bucket(key_cols, self._nb(name)).alias("b")
+                    ).distinct().collect()
+                ]
         if not buckets:
             self._bump(name)
             return

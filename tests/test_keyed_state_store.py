@@ -157,3 +157,48 @@ def test_read_for_keys_partition_prunes_in_the_plan(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m is not None and "__bucket" in m.group(1) and "=" in m.group(1), plan
+
+
+def test_small_adaptive_state_skips_bucket_collect(spark, tmp_path):
+    """Optimization r07: adaptive-geometry (n_buckets=None) states below
+    the prune threshold serve read_for_keys as a full read — no
+    bucket-id collect job — and merge across their whole bucket grid.
+    Results must be identical to the pruned path."""
+    st = KeyedStateStore(spark, str(tmp_path))  # adaptive geometry
+    st.write("s", _rows(spark, [(i, f"p{i}", 1) for i in range(50)]), ["k"])
+    assert not st.prunable("s")  # tiny state → fast path
+    keys = spark.createDataFrame([(7,), (42,)], "k bigint")
+    got = st.read_for_keys("s", keys, ["k"])
+    ks = {r.k for r in got.collect()}
+    assert {7, 42} <= ks  # still the promised superset
+    # merge replaces touched keys only, same as the pruned path
+    st.merge_for_keys("s", keys, _rows(spark, [(7, "NEW", 9)]), ["k"])
+    after = {r.k: r.payload for r in st.read("s").collect()}
+    assert after[7] == "NEW" and 42 not in after and len(after) == 49
+
+
+def test_small_adaptive_state_prunes_again_above_threshold(spark, tmp_path, monkeypatch):
+    """Force the threshold to zero: the same adaptive store must route
+    through the pruned path (scale behavior unchanged at size)."""
+    monkeypatch.setattr(KeyedStateStore, "_PRUNE_MIN_BYTES", 0)
+    st = KeyedStateStore(spark, str(tmp_path))
+    st.write("s", _rows(spark, [(i, f"p{i}", 1) for i in range(50)]), ["k"])
+    assert st.prunable("s")
+    keys = spark.createDataFrame([(7,), (42,)], "k bigint")
+    ks = {r.k for r in st.read_for_keys("s", keys, ["k"]).collect()}
+    assert {7, 42} <= ks and len(ks) < 50  # pruned superset
+
+
+def test_merge_into_empty_adaptive_state_writes_new_rows(spark, tmp_path):
+    """The fast path's bucket list must cover the delta keys' target
+    buckets even when every bucket dir is empty (all_buckets = the full
+    geometry range, not the existing dirs)."""
+    st = KeyedStateStore(spark, str(tmp_path))
+    st.write("s", _rows(spark, [(1, "a", 1)]), ["k"])
+    keys1 = spark.createDataFrame([(1,)], "k bigint")
+    st.merge_for_keys("s", keys1, _rows(spark, []), ["k"])  # empty the state
+    assert st.read("s").count() == 0
+    keys2 = spark.createDataFrame([(2,), (3,)], "k bigint")
+    st.merge_for_keys("s", keys2, _rows(spark, [(2, "b", 1), (3, "c", 1)]), ["k"])
+    got = {r.k: r.payload for r in st.read("s").collect()}
+    assert got == {2: "b", 3: "c"}
