@@ -252,16 +252,25 @@ class KeyedStateStore:
         (the old order) left a window — files destroyed, version still
         matching the marker — where a crash produced torn state the
         guard could NOT detect."""
-        n = self._pick_buckets(df)
-        self._bump(name, n_buckets=n)
-        out = df.withColumn("__bucket", self._bucket(key_cols, n))
-        (
-            out.repartition("__bucket")
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(self._path(name))
-        )
-        self._save_schema(name, out.schema)
+        # the geometry count and the write would each execute the state
+        # frame's full lineage (seed-time state frames are join/groupBy
+        # chains over the catalog) — persist across the two actions so
+        # the lineage runs ONCE; spills to disk beyond memory, which is
+        # still cheaper than recomputing the chain
+        df = df.persist()
+        try:
+            n = self._pick_buckets(df)
+            self._bump(name, n_buckets=n)
+            out = df.withColumn("__bucket", self._bucket(key_cols, n))
+            (
+                out.repartition("__bucket")
+                .write.partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(self._path(name))
+            )
+            self._save_schema(name, out.schema)
+        finally:
+            df.unpersist()
 
     def prunable(self, name: str) -> bool:
         """Whether per-key bucket pruning pays for this state: False for
@@ -282,6 +291,19 @@ class KeyedStateStore:
         (ids are pmod(hash, n)), so empty states still get their new
         rows written."""
         return list(range(self._nb(name)))
+
+    def _shape_for_write(self, name: str, out: DataFrame) -> DataFrame:
+        """Partition layout for a bucket rewrite. A LARGE state shuffles
+        on __bucket so the write runs bucket-parallel with one file per
+        bucket — correct at scale. A SMALL state's rewrite is a few MB:
+        the 2×cores-partition shuffle costs more than the write itself
+        (N concurrent per-state merge jobs × a shuffle each measured
+        ~12 s wall under contention at sf0.1 vs <1 s single-task), so
+        coalesce to ONE task — no shuffle; the single task still writes
+        every __bucket= dir via partitionBy."""
+        if not self.prunable(name):
+            return out.coalesce(1)
+        return out.repartition("__bucket")
 
     def buckets_for(self, name: str, keys: DataFrame, key_cols: list[str]) -> DataFrame:
         """One-column ``b`` frame of the bucket ids ``keys`` hash to in
@@ -333,7 +355,7 @@ class KeyedStateStore:
         tmp = self._path(name) + ".__rebuild"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            out.repartition("__bucket")
+            self._shape_for_write(name, out)
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(tmp)
@@ -377,7 +399,7 @@ class KeyedStateStore:
         tmp = self._path(name) + ".__rebuild"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            out.repartition("__bucket")
+            self._shape_for_write(name, out)
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(tmp)
