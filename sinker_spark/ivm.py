@@ -105,7 +105,15 @@ def check_doc_schema_evolution(view: str, old_type, new_type, partial: bool = Fa
 
 def with_doc_hash(df: DataFrame, key: str = "id", doc: str = "doc") -> DataFrame:
     """(key, doc) → (key, doc, doc_hash). Hash of the canonical JSON
-    serialization (explicit nulls) — struct-shape-independent equality."""
+    serialization (explicit nulls) — struct-shape-independent equality.
+
+    A frame that already carries ``doc_hash`` (a snapshot read back from
+    parquet — every store persists the hash) is passed through: reusing
+    the stored hash lets a diff's old side scan two narrow columns
+    instead of re-serializing every document to JSON and re-hashing it
+    (column pruning reaches the parquet scan; guide §2.3/§6)."""
+    if "doc_hash" in df.columns:
+        return df.select(F.col(key), F.col(doc), F.col("doc_hash"))
     doc_json = (
         F.to_json(doc, {"ignoreNullFields": "false"})
         if dict(df.dtypes)[doc] not in ("string",)
@@ -212,17 +220,27 @@ class SnapshotStore:
     def refresh(self, view: str, new_df: DataFrame, key: str = "id") -> DataFrame:
         """Recompute-and-diff (the engine's REFRESH CONCURRENTLY,
         A11): returns the delta (key, op, doc) AND installs the new
-        snapshot. The delta is computed against the pre-refresh version."""
+        snapshot. The delta is computed against the pre-refresh version.
+
+        Order matters for cost: the snapshot is written FIRST (the one
+        and only execution of the view lineage), then the delta is
+        diffed from the written parquet — both sides of the diff read
+        immutable version dirs with STORED doc hashes, so the old side
+        prunes to (key, doc_hash) and neither side re-runs the view or
+        re-hashes documents. The previous order (diff the live lineage,
+        then write) executed the full view twice per refresh."""
         old = self.read(view)
         if old is not None:
-            old = old.select(key, "doc")
+            old = old.select(key, "doc", "doc_hash")
             check_doc_schema_evolution(
                 view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
             )
-        delta = snapshot_diff(old, new_df, key)
-        delta = delta.localCheckpoint(eager=True)  # pin before the swap
-        self.write(view, new_df, key)
-        return delta
+        v = self.write(view, new_df, key)
+        new_mat = self.read(view, v)
+        delta = snapshot_diff(old, new_mat, key)
+        # small (changed rows only); pin so the caller's count + sink
+        # actions don't each re-run the diff join
+        return delta.localCheckpoint(eager=True)
 
     def refresh_partial(
         self,
@@ -251,20 +269,28 @@ class SnapshotStore:
         scope = scope_keys.select(F.col(scope_keys.columns[0]).cast("string").alias(key)).distinct()
         old = self.read(view)
         if old is None:
-            delta = snapshot_diff(None, new_partial, key)
-            self.write(view, new_partial, key)
-            return delta
+            v = self.write(view, new_partial, key)
+            return snapshot_diff(None, self.read(view, v), key).localCheckpoint(eager=True)
         check_doc_schema_evolution(
             view, old.schema["doc"].dataType, new_partial.schema["doc"].dataType, partial=True
         )
-        old_docs = old.select(key, "doc")
-        old_in_scope = old_docs.join(scope, key, "left_semi")
-        delta = snapshot_diff(old_in_scope, new_partial, key)
-        delta = delta.localCheckpoint(eager=True)
-        merge_keys = partial_merge_keys(scope, new_partial, key)
-        keep = old_docs.join(merge_keys, key, "left_anti")
-        merged = keep.unionByName(new_partial.select(key, "doc"))
-        self.write(view, merged, key)
+        # hash the recomputed slice ONCE and persist it: the delta, the
+        # merge-key set and the merged write below all reuse the cached
+        # rows instead of each re-running the scoped view recompute
+        old_h = old.select(key, "doc", "doc_hash")
+        np_h = with_doc_hash(new_partial, key).persist()
+        try:
+            old_in_scope = old_h.join(scope, key, "left_semi")
+            delta = snapshot_diff(old_in_scope, np_h, key)
+            delta = delta.localCheckpoint(eager=True)
+            merge_keys = partial_merge_keys(scope, np_h, key)
+            # kept rows retain their STORED hash; the write below reuses
+            # it, so the O(N) re-serialize+md5 of untouched docs is gone
+            keep = old_h.join(merge_keys, key, "left_anti")
+            merged = keep.unionByName(np_h)
+            self.write(view, merged, key)
+        finally:
+            np_h.unpersist()
         return delta
 
     def reset(self, view: str) -> None:

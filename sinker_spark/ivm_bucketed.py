@@ -109,9 +109,19 @@ class BucketedSnapshotStore:
             check_doc_schema_evolution(
                 view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
             )
-        delta = snapshot_diff(old.select(key, "doc") if old is not None else None, new_df, key)
-        delta = delta.localCheckpoint(eager=True)
-        self.write(view, new_df, key)
+        # in-place layout: the write overwrites the very path ``old``
+        # reads, so the delta MUST be materialized before the write —
+        # persist the hashed recompute so the diff and the write share
+        # ONE execution of the view lineage (and one doc hashing pass)
+        new_h = with_doc_hash(new_df.dropDuplicates([key]), key).persist()
+        try:
+            delta = snapshot_diff(
+                old.select(key, "doc", "doc_hash") if old is not None else None, new_h, key
+            )
+            delta = delta.localCheckpoint(eager=True)
+            self.write(view, new_h, key)
+        finally:
+            new_h.unpersist()
         return delta
 
     def refresh_partial(
@@ -133,21 +143,37 @@ class BucketedSnapshotStore:
         check_doc_schema_evolution(
             view, old.schema["doc"].dataType, new_partial.schema["doc"].dataType, partial=True
         )
-        old_docs = old.select(key, "doc")
-        delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
-        delta = delta.localCheckpoint(eager=True)
+        # hash the recomputed slice ONCE and persist: delta, merge-key
+        # collect and the rebuilt write all reuse the cached rows
+        np_h = with_doc_hash(new_partial, key).persist()
+        try:
+            old_h = old.select(key, "doc", "doc_hash")
+            delta = snapshot_diff(old_h.join(scope, key, "left_semi"), np_h, key)
+            delta = delta.localCheckpoint(eager=True)
 
-        # affected buckets (small: ≤ |scope| + |new keys|); see
-        # partial_merge_keys for why the partial's own keys participate
-        merge_keys = partial_merge_keys(scope, new_partial, key)
-        buckets = [
-            r["b"] for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
-        ]
+            # affected buckets (small: ≤ |scope| + |new keys|); see
+            # partial_merge_keys for why the partial's own keys participate
+            merge_keys = partial_merge_keys(scope, np_h, key)
+            buckets = [
+                r["b"]
+                for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
+            ]
+            self._merge_buckets(view, np_h, merge_keys, buckets, key)
+        finally:
+            np_h.unpersist()
+        return delta
+
+    def _merge_buckets(
+        self, view: str, np_h: DataFrame, merge_keys: DataFrame, buckets: list, key: str
+    ) -> None:
         if buckets:
             full = self._read_parquet(view)  # includes __bucket
             affected_old = full.where(F.col("__bucket").isin(buckets))
-            keep = affected_old.drop("__bucket").select(key, "doc").join(merge_keys, key, "left_anti")
-            rebuilt = keep.unionByName(new_partial.select(key, "doc"))
+            # kept rows retain their STORED hash — no re-serialize+md5
+            keep = affected_old.drop("__bucket").select(key, "doc", "doc_hash").join(
+                merge_keys, key, "left_anti"
+            )
+            rebuilt = keep.unionByName(np_h)
             out = with_doc_hash(rebuilt.dropDuplicates([key]), key).withColumn(
                 "__bucket", self._bucket(F.col(key))
             )
@@ -174,4 +200,3 @@ class BucketedSnapshotStore:
                 .mode("append")
                 .parquet(self._path(view))
             )
-        return delta

@@ -171,8 +171,18 @@ class ManifestSnapshotStore:
             check_doc_schema_evolution(
                 view, old.schema["doc"].dataType, new_df.schema["doc"].dataType
             )
-        delta = snapshot_diff(old.select(key, "doc") if old is not None else None, new_df, key)
-        self.write(view, new_df, key)
+            old = old.select(key, "doc", "doc_hash")
+        # write FIRST (the only execution of the view lineage), then
+        # diff the written commit files against the old commit files —
+        # both immutable, both carrying stored hashes, so the old side
+        # prunes to (key, doc_hash) and nothing re-runs the view
+        v = self.write(view, new_df, key)
+        new_mat = self.read(view, v)
+        if new_mat is not None:
+            new_mat = new_mat.select(key, "doc", "doc_hash")
+        else:  # empty view: zero buckets written
+            new_mat = new_df.select(key, "doc").limit(0)
+        delta = snapshot_diff(old, new_mat, key)
         return delta
 
     def refresh_partial(
@@ -197,36 +207,46 @@ class ManifestSnapshotStore:
         check_doc_schema_evolution(
             view, old.schema["doc"].dataType, new_partial.schema["doc"].dataType, partial=True
         )
-        old_docs = old.select(key, "doc")
-        delta = snapshot_diff(old_docs.join(scope, key, "left_semi"), new_partial, key)
+        # hash the recomputed slice ONCE and persist: delta, the
+        # merge-key collect and the rebuilt commit all reuse the cache
+        old_h = old.select(key, "doc", "doc_hash")
+        np_h = with_doc_hash(new_partial, key).persist()
+        try:
+            delta = snapshot_diff(old_h.join(scope, key, "left_semi"), np_h, key)
+            delta = delta.localCheckpoint(eager=True)
 
-        # touched buckets and superseded keys; see partial_merge_keys
-        # for why the partial's own keys participate
-        merge_keys = partial_merge_keys(scope, new_partial, key)
-        touched = [
-            str(r["b"])
-            for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
-        ]
-        buckets = dict(m["buckets"])
-        if touched:
-            old_paths = [
-                os.path.join(self._dir(view), buckets[b]) for b in touched if b in buckets
+            # touched buckets and superseded keys; see partial_merge_keys
+            # for why the partial's own keys participate
+            merge_keys = partial_merge_keys(scope, np_h, key)
+            touched = [
+                str(r["b"])
+                for r in merge_keys.select(self._bucket(F.col(key)).alias("b")).distinct().collect()
             ]
-            if old_paths:
-                affected_old = self.spark.read.parquet(*old_paths).select(key, "doc")
-                keep = affected_old.join(merge_keys, key, "left_anti")
-                rebuilt = keep.unionByName(new_partial.select(key, "doc"))
-            else:
-                rebuilt = new_partial.select(key, "doc")
-            out = with_doc_hash(rebuilt.dropDuplicates([key]), key).withColumn(
-                "__bucket", self._bucket(F.col(key))
-            )
-            v_next = m["version"] + 1
-            written = self._write_commit_files(view, out, v_next)
-            for b in touched:
-                buckets.pop(b, None)  # bucket may have emptied entirely
-            buckets.update(written)
-            self._commit(view, buckets)
+            buckets = dict(m["buckets"])
+            if touched:
+                old_paths = [
+                    os.path.join(self._dir(view), buckets[b]) for b in touched if b in buckets
+                ]
+                if old_paths:
+                    # kept rows retain their STORED hash — no re-serialize+md5
+                    affected_old = self.spark.read.parquet(*old_paths).select(
+                        key, "doc", "doc_hash"
+                    )
+                    keep = affected_old.join(merge_keys, key, "left_anti")
+                    rebuilt = keep.unionByName(np_h)
+                else:
+                    rebuilt = np_h
+                out = with_doc_hash(rebuilt.dropDuplicates([key]), key).withColumn(
+                    "__bucket", self._bucket(F.col(key))
+                )
+                v_next = m["version"] + 1
+                written = self._write_commit_files(view, out, v_next)
+                for b in touched:
+                    buckets.pop(b, None)  # bucket may have emptied entirely
+                buckets.update(written)
+                self._commit(view, buckets)
+        finally:
+            np_h.unpersist()
         return delta
 
     def reset(self, view: str) -> None:
