@@ -1649,8 +1649,11 @@ class SyncEngine:
                 for r in tagged.collect():
                     bmap.setdefault(r["__st"], []).append(r["b"])
 
+            _merge_detail: dict[str, float] = {}
+
             def _one_merge(work) -> None:
                 s, skeys = work
+                _m0 = _time.perf_counter()
                 bks = bmap.get(s.suffix, [])
                 # fold the signed delta into the affected buckets in ONE
                 # job: untouched rows pass through an anti-join (no
@@ -1672,16 +1675,10 @@ class SyncEngine:
                     return keep.unionByName(ivm_delta.apply_join_state(hit, d))
 
                 self.keyed.rewrite_buckets(names[s.suffix], rebuild, kc, bks)
-
-            # 8 concurrent per-state merge jobs: measured ~11% off the
-            # fold at sf0.1 vs 4 (state_merge 4.24 → 3.65 s warmed,
-            # flat beyond 8 — the residual is per-job overhead + I/O)
-            n_workers = int(_os.environ.get("SINKER_SPARK_MERGE_WORKERS", "8"))
-            with ThreadPoolExecutor(
-                max_workers=min(max(1, n_workers), len(merge_work))
-            ) as pool:
-                list(pool.map(_one_merge, merge_work))
-        _mark("state_merge")
+                if _timing:
+                    _merge_detail[s.suffix] = round(
+                        _time.perf_counter() - _m0, 3
+                    )
 
         def rows_for_merged(
             sdef, keys: DataFrame, buckets: "list[int] | None" = None
@@ -1695,10 +1692,45 @@ class SyncEngine:
                 names[sdef.suffix], keys, kc, buckets=buckets
             ).join(F.broadcast(keys), kc, "left_semi")
 
-        touched = ivm_flagship.touched_parent_keys(
-            spec, change_keys, rows_for_merged
-        ).localCheckpoint(eager=True)
-        _mark("reverse_walk")
+        def _walk() -> DataFrame:
+            return ivm_flagship.touched_parent_keys(
+                spec, change_keys, rows_for_merged
+            ).localCheckpoint(eager=True)
+
+        # 8 concurrent per-state merge jobs: measured ~11% off the
+        # fold at sf0.1 vs 4 (state_merge 4.24 → 3.65 s warmed,
+        # flat beyond 8 — the residual is per-job overhead + I/O).
+        # The reverse walk reads ONLY the index states (source set,
+        # suffix r*) and the serve reads ONLY base states — disjoint
+        # sets — so the walk starts as soon as the index merges land
+        # and overlaps the remaining base-state merges (guide §2.6:
+        # concurrent jobs back-fill the merge tail). Phase accounting
+        # under the overlap: "reverse_walk" spans index-merge wait +
+        # walk; "state_merge" is the residual base-merge wait beyond
+        # the walk (their sum is still the region's wall time).
+        n_workers = int(_os.environ.get("SINKER_SPARK_MERGE_WORKERS", "8"))
+        if merge_work:
+            idx_work = [w for w in merge_work if w[0].source is not None]
+            base_work = [w for w in merge_work if w[0].source is None]
+            with ThreadPoolExecutor(
+                max_workers=min(max(1, n_workers), len(merge_work))
+            ) as pool:
+                idx_futs = [pool.submit(_one_merge, w) for w in idx_work]
+                base_futs = [pool.submit(_one_merge, w) for w in base_work]
+                for f in idx_futs:
+                    f.result()
+                touched = _walk()
+                _mark("reverse_walk")
+                for f in base_futs:
+                    f.result()
+            if _timing and _merge_detail:
+                _phases["state_merge_detail"] = dict(  # type: ignore[assignment]
+                    sorted(_merge_detail.items(), key=lambda kv: -kv[1])
+                )
+            _mark("state_merge")
+        else:
+            touched = _walk()
+            _mark("reverse_walk")
         sql_doc = getattr(view, "_sql_doc", None)
         if sql_doc is not None:
             # SQL-declared doc tree (ivm_doc_sql): serve the TRANSPILED
@@ -2031,9 +2063,34 @@ class SyncEngine:
         ))
         return hashlib.md5(payload.encode()).hexdigest()
 
+    def _marker_file(self, view_name: str) -> str:
+        # next to the keyed lane states the marker guards, so the
+        # reset/cleanup lifecycles travel together
+        import os as _os
+
+        return _os.path.join(self.keyed.root, f"{view_name}__lane_wm.json")
+
     def _read_lane_marker(
         self, view: ViewDef
     ) -> tuple[int | None, dict[str, int], str | None] | None:
+        # the marker is ONE tiny row of driver-known values: a JSON
+        # sidecar read costs ~0 where the former snapshot-store read was
+        # a Spark job per fold (and the store write per batch grew one
+        # snapshot version per epoch that maintenance had to vacuum)
+        import json as _json
+
+        try:
+            with open(self._marker_file(view.name)) as fh:
+                d = _json.load(fh)
+            return (
+                d.get("lsn"),
+                dict(zip(d["state_names"], d["state_versions"])),
+                d.get("spec_fp"),
+            )
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        # legacy fallback: markers written by older engines live in the
+        # snapshot store — honored until the first sidecar write
         packed = self.store.read(f"{view.name}__lane_wm")
         if packed is None:
             return None
@@ -2062,13 +2119,26 @@ class SyncEngine:
         names = self._marker_state_names(view)
         if not names:
             return
+        import json as _json
+        import os as _os
+
         versions = [self._state_version(n) for n in names]
-        df = self.spark.createDataFrame(
-            [(view.name, (lsn, names, versions, self._lane_spec_fp(view)))],
-            "id string, doc struct<lsn:bigint, state_names:array<string>, "
-            "state_versions:array<int>, spec_fp:string>",
-        )
-        self.store.write(f"{view.name}__lane_wm", df, key="id")
+        path = self._marker_file(view.name)
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {
+                    "lsn": lsn,
+                    "state_names": names,
+                    "state_versions": versions,
+                    "spec_fp": self._lane_spec_fp(view),
+                },
+                fh,
+            )
+        # atomic swap — same crash discipline as the store's _CURRENT
+        # pointer: a crash mid-write never corrupts the readable marker
+        _os.replace(tmp, path)
 
     def _lane_guard(self, view: ViewDef, rows: DataFrame) -> tuple[bool, DataFrame, int | None]:
         """→ (torn, fold_rows, new_marker_lsn). ``fold_rows`` drops

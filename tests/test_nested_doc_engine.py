@@ -208,14 +208,23 @@ def test_no_base_table_access_after_init(spark, engine):
     assert sink.get("nd_view", "o2") is None
 
 
-def test_fold_rewrites_only_touched_state_buckets(spark, tmp_path):
+def test_fold_rewrites_only_touched_state_buckets(spark, tmp_path, monkeypatch):
     """The lane's state I/O claim: a fold touches only the batch keys'
     buckets of the key-local state store — untouched bucket files of
-    BOTH states keep their mtimes."""
+    BOTH states keep their mtimes.
+
+    Pinned to the pruning-engaged regime: below _PRUNE_MIN_BYTES the
+    store deliberately rewrites a tiny state's whole (tiny) grid —
+    cheaper than the bucket-id job — so the O(touched-buckets) contract
+    this test asserts is the at-scale behavior, forced here by zeroing
+    the threshold before the engine builds its store."""
     import glob
     import os
     import time
 
+    from sinker_spark.state_keyed import KeyedStateStore
+
+    monkeypatch.setattr(KeyedStateStore, "_PRUNE_MIN_BYTES", 0)
     sink = InMemorySink()
     eng = SyncEngine(spark, [_view()], sink, SnapshotStore(spark, str(tmp_path / "snap")))
     many_orders = [(f"o{i}", f"c{i}") for i in range(60)]
