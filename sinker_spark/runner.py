@@ -1811,8 +1811,21 @@ class SyncEngine:
         from sinker_spark.ivm_flagship import doc_tree_states
 
         frames = self._initial_doctree_state_frames(view.doctree)
-        for s in doc_tree_states(view.doctree):
-            self.keyed.write(f"{view.name}__dt_{s.suffix}", frames[s.suffix], list(s.key_cols))
+        states = doc_tree_states(view.doctree)
+        # the per-state writes are independent Spark jobs — submit from
+        # a small pool so one write's task tail back-fills with the next
+        # write's tasks (guide §2.6) instead of a serial ~N-job chain
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(states)))) as pool:
+            list(
+                pool.map(
+                    lambda s: self.keyed.write(
+                        f"{view.name}__dt_{s.suffix}",
+                        frames[s.suffix],
+                        list(s.key_cols),
+                    ),
+                    states,
+                )
+            )
 
     def _initial_chain_states(
         self, spec
