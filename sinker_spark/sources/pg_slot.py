@@ -186,7 +186,10 @@ class PostgresSlotSource:
         done = 0
         while max_batches is None or done < max_batches:
             batch, max_lsn = self._fetch(spark, destructive=destructive)
-            if batch.limit(1).count() == 0:
+            # empty-poll check is driver-side: _fetch built the batch
+            # from driver-local slot rows and max_lsn is None iff there
+            # were none — no Spark job per idle poll
+            if max_lsn is None:
                 if max_batches is not None:
                     done += 1
                     continue
