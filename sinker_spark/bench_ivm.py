@@ -241,25 +241,49 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
     out: dict = {}
     root = tempfile.mkdtemp(prefix="bench_ivm_")
     try:
-        # --- doc-tree lane: seed + one mixed 1k-row fold ---
-        eng = SyncEngine(spark, [_doctree_view()], _NoopSink(),
-                         SnapshotStore(spark, root + "/snap_dt"))
-        t0 = time.perf_counter()
-        eng.backfill()
-        out["seed_s"] = round(time.perf_counter() - t0, 3)
-
-        batch = _mixed_batch(spark)
-        batch.count()  # materialize the plan so the fold timing is the fold
         import os
 
-        os.environ["SINKER_SPARK_LANE_TIMING"] = "1"
-        try:
+        def _doctree_cycle(snap_root: str) -> tuple[float, float, dict]:
+            """One seed + one mixed 1k-row fold against a fresh root;
+            returns (seed_s, fold_s, lane stats)."""
+            eng = SyncEngine(spark, [_doctree_view()], _NoopSink(),
+                             SnapshotStore(spark, snap_root))
             t0 = time.perf_counter()
-            eng.process_cdc_batch(batch, epoch_id=1)
-            out["fold_batch_s"] = round(time.perf_counter() - t0, 3)
-        finally:
-            os.environ.pop("SINKER_SPARK_LANE_TIMING", None)
-        stats = eng.last_stats.get("bi_doc", {})
+            eng.backfill()
+            seed_s = round(time.perf_counter() - t0, 3)
+            batch = _mixed_batch(spark)
+            batch.count()  # materialize the plan so the fold timing is the fold
+            os.environ["SINKER_SPARK_LANE_TIMING"] = "1"
+            try:
+                t0 = time.perf_counter()
+                eng.process_cdc_batch(batch, epoch_id=1)
+                fold_s = round(time.perf_counter() - t0, 3)
+            finally:
+                os.environ.pop("SINKER_SPARK_LANE_TIMING", None)
+            return seed_s, fold_s, eng.last_stats.get("bi_doc", {})
+
+        # --- doc-tree lane: seed + one mixed 1k-row fold ---
+        # The fold executes ONCE per cycle (state is consumed), so unlike
+        # the read queries it has no settle loop to shed a load
+        # transient; run the whole cycle N times (fresh root each) and
+        # report the min — the same min-of-passes estimator the headline
+        # uses. Both series are recorded so an inflated run is visible.
+        reps = max(1, int(os.environ.get("SINKER_BENCH_FOLD_REPS", "2")))
+        seeds: list[float] = []
+        folds: list[float] = []
+        stats_by_fold: list[dict] = []
+        for i in range(reps):
+            seed_s, fold_s, stats = _doctree_cycle(root + f"/snap_dt{i}")
+            seeds.append(seed_s)
+            folds.append(fold_s)
+            stats_by_fold.append(stats)
+        best = folds.index(min(folds))
+        stats = stats_by_fold[best]
+        out["seed_s"] = min(seeds)
+        out["fold_batch_s"] = folds[best]
+        if reps > 1:
+            out["seed_s_runs"] = seeds
+            out["fold_batch_s_runs"] = folds
         if stats.get("phases"):
             out["fold_phases"] = stats["phases"]
         out["fold_lane"] = "doc_tree" if stats.get("doc_tree") else "fallback"
