@@ -292,25 +292,43 @@ def run(spark: SparkSession, sf_dir: str) -> dict:
         out["fold_batch_rows"] = 1000
 
         # --- targeted refresh: 10 parent keys against the SQL view ---
+        # same min-of-N estimator as the doc-tree cycle above (and the
+        # headline's min-of-warm-passes): the single-shot numbers were
+        # the artifact's last remaining one-sample figures, so one CPU-
+        # steal wave recorded as the round's seed/targeted number. Both
+        # series are recorded so an inflated run stays visible.
         _register_sql_tables(spark, sf_dir)
-        sql_view = ViewDef("bi_sqlmv", sql=_SQL_VIEW, index="bi_sqlmv")
-        eng2 = SyncEngine(spark, [sql_view], _NoopSink(),
-                          SnapshotStore(spark, root + "/snap_sql"))
-        t0 = time.perf_counter()
-        eng2.backfill()
-        out["sql_seed_s"] = round(time.perf_counter() - t0, 3)
         ten = [r["id"] for r in spark.table("bs_orders").limit(10).collect()]
-        cdc10 = spark.createDataFrame(
-            [(i + 1, "public", "bs_orders", "UPDATE", k, None, None)
-             for i, k in enumerate(ten)],
-            CDC_COLS,
-        )
-        t0 = time.perf_counter()
-        eng2.process_cdc_batch(cdc10, epoch_id=1)
-        out["targeted_10key_s"] = round(time.perf_counter() - t0, 3)
-        out["targeted_lane"] = (
-            "targeted" if eng2.last_stats.get("bi_sqlmv", {}).get("targeted") else "full"
-        )
+        cdc10_rows = [
+            (i + 1, "public", "bs_orders", "UPDATE", k, None, None)
+            for i, k in enumerate(ten)
+        ]
+        sql_seeds: list[float] = []
+        targeteds: list[float] = []
+        lanes: list[str] = []
+        for i in range(reps):
+            sql_view = ViewDef("bi_sqlmv", sql=_SQL_VIEW, index="bi_sqlmv")
+            eng2 = SyncEngine(spark, [sql_view], _NoopSink(),
+                              SnapshotStore(spark, root + f"/snap_sql{i}"))
+            t0 = time.perf_counter()
+            eng2.backfill()
+            sql_seeds.append(round(time.perf_counter() - t0, 3))
+            cdc10 = spark.createDataFrame(cdc10_rows, CDC_COLS)
+            t0 = time.perf_counter()
+            eng2.process_cdc_batch(cdc10, epoch_id=1)
+            targeteds.append(round(time.perf_counter() - t0, 3))
+            lanes.append(
+                "targeted"
+                if eng2.last_stats.get("bi_sqlmv", {}).get("targeted")
+                else "full"
+            )
+        out["sql_seed_s"] = min(sql_seeds)
+        best_t = targeteds.index(min(targeteds))
+        out["targeted_10key_s"] = targeteds[best_t]
+        out["targeted_lane"] = lanes[best_t]
+        if reps > 1:
+            out["sql_seed_s_runs"] = sql_seeds
+            out["targeted_10key_s_runs"] = targeteds
         # --- sf1 scale-up point (SCALING.md's O(Δ) claim as a
         # measurement): the SAME doc-tree view and the SAME 1000-row
         # batch against 10× the data (tools/gen_sf1 replicates sf0.1

@@ -437,7 +437,9 @@ class SyncEngine:
 
     def _process_cdc_batch(self, cdc: DataFrame, epoch_id: int | None = None) -> None:
         self._derive_sql_doctrees()  # streaming-without-backfill opt-ins
-        changed = {r["table"] for r in cdc.select("table").distinct().collect()}
+        # collect_set dedups map-side: one single-stage job per batch
+        # where select().distinct() paid a shuffle (2-3 jobs under AQE)
+        changed = set(cdc.agg(F.collect_set("table")).first()[0])
         if not changed:
             return
         dirty = self.dirty_views(changed)
@@ -1518,11 +1520,19 @@ class SyncEngine:
                 _phases[name] = round(now - _tprev, 3)
                 _tprev = now
 
-        rows = cdc.where(F.col("table").isin(*sorted(spec.all_tables())))
-        torn, rows, batch_max_lsn = self._lane_guard(view, rows)
+        # driver-only guard precheck (marker sidecar + version compare —
+        # no Spark job); the suppression filter folds into the batch
+        # checkpoint and the batch aggregates fuse into ONE stats job
+        # below where guard-agg + unfoldable-probe + present-tables ran
+        # three driver round-trips each batch
+        torn, cutoff = self._lane_guard_precheck(view)
         _mark("guard")
         if torn:
             return False
+        rows = cdc.where(F.col("table").isin(*sorted(spec.all_tables())))
+        has_lsn = "lsn" in rows.columns
+        if cutoff is not None and has_lsn:
+            rows = rows.where(F.col("lsn").isNull() | (F.col("lsn") > F.lit(cutoff)))
         # ONE materialization of the (bounded) batch; every per-state
         # change frame below is a lazy from_json slice of it — a leaf
         # inside any downstream plan — instead of a checkpointed frame
@@ -1530,11 +1540,20 @@ class SyncEngine:
         rows = rows.localCheckpoint(eager=True)
         has_before = "payload_before" in cdc.columns
         mutating = F.col("op").isin("DELETE", "UPDATE")
-        if has_before:
-            unfoldable = rows.where(mutating & F.col("payload_before").isNull())
-        else:
-            unfoldable = rows.where(mutating)
-        if unfoldable.limit(1).count():
+        unfold_cond = (
+            mutating & F.col("payload_before").isNull() if has_before else mutating
+        )
+        stats = rows.agg(
+            (F.max("lsn") if has_lsn else F.lit(None)).alias("__mx"),
+            F.max(F.when(unfold_cond, F.lit(1))).alias("__unf"),
+            F.collect_set("table").alias("__tbl"),
+        ).collect()[0]
+        batch_max_lsn = (
+            max(x for x in (cutoff, stats["__mx"]) if x is not None)
+            if (cutoff is not None or stats["__mx"] is not None)
+            else None
+        )
+        if stats["__unf"]:
             return False
 
         def parsed(table: str, schema: str, col: str, op: str) -> DataFrame:
@@ -1556,11 +1575,11 @@ class SyncEngine:
         # one change frame per BASE state (NULL-probe-key rows can never
         # contribute to a document — same rationale as the nested-doc
         # lane's filter); both images enter, so re-pointed references
-        # cover their old targets' fan-out. Membership comes from ONE
-        # per-table distinct job over the checkpointed batch (a table
-        # whose every row has a NULL probe key yields an empty change
-        # frame — sound: empty walks, an empty-key merge)
-        present = {r["table"] for r in rows.select("table").distinct().collect()}
+        # cover their old targets' fan-out. Membership comes from the
+        # fused stats job's collect_set (a table whose every row has a
+        # NULL probe key yields an empty change frame — sound: empty
+        # walks, an empty-key merge)
+        present = set(stats["__tbl"] or [])
         base_states = [s for s in states if s.source is None]
         changes = {
             s.suffix: batch_for(s.table, s.schema).where(_notnull(s.key_cols))
@@ -1749,7 +1768,7 @@ class SyncEngine:
         # anti-join reaches before the upsert branch cached it executes
         # the whole serve a second time
         docs = docs.persist()
-        docs.count()
+        n_docs = docs.count()
         if sql_doc is not None:
             upserts = docs.select(
                 F.col(spec.key).cast("string").alias(view.key),
@@ -1770,7 +1789,14 @@ class SyncEngine:
         )
         actions = upserts.unionByName(deletes)
         try:
-            counts = self._apply_counted(view, actions)
+            # action counts are arithmetic over already-materialized
+            # frames — serve emits exactly one row per touched key that
+            # still yields a doc (n_docs, counted when docs cached) and
+            # retracts the rest (touched is checkpointed; its count is a
+            # cache scan) — so the sink applies straight from the docs
+            # cache with no _apply_counted persist + groupBy-collect pass
+            self.sink.apply_actions(view.index, actions)
+            counts = {UPSERT: n_docs, DELETE: touched.count() - n_docs}
         finally:
             docs.unpersist()
         _mark("serve_sink")
@@ -2153,16 +2179,18 @@ class SyncEngine:
         # pointer: a crash mid-write never corrupts the readable marker
         _os.replace(tmp, path)
 
-    def _lane_guard(self, view: ViewDef, rows: DataFrame) -> tuple[bool, DataFrame, int | None]:
-        """→ (torn, fold_rows, new_marker_lsn). ``fold_rows`` drops
-        already-folded redeliveries; ``torn`` means the stored lane
-        states do not match the marker's recorded versions (a crash
-        interrupted a previous fold mid-write) and the caller must
-        decline so the fallback rebuilds."""
+    def _lane_guard_precheck(self, view: ViewDef) -> tuple[bool, int | None]:
+        """Driver-only half of :meth:`_lane_guard` → (torn, cutoff).
+        The marker sidecar, spec fingerprint and state-version
+        comparisons are all driver-known values — no Spark job. A lane
+        that fuses its own batch aggregates (the doc-tree fold) calls
+        this directly and folds the max-lsn into its single stats job;
+        composing ``max(cutoff, post_suppression_max_lsn)`` yields the
+        same marker lsn as _lane_guard's pre-suppression aggregate
+        (every suppressed row's lsn is ≤ cutoff by construction)."""
         marker = self._read_lane_marker(view)
-        batch_max = rows.agg(F.max("lsn")).collect()[0][0] if "lsn" in rows.columns else None
         if marker is None:
-            return False, rows, batch_max
+            return False, None
         cutoff, versions, spec_fp = marker
         if spec_fp is not None and spec_fp != self._lane_spec_fp(view):
             logger.warning(
@@ -2170,14 +2198,26 @@ class SyncEngine:
                 "declining to fold; fallback rebuilds states and retracts the "
                 "old shape's documents", view.name
             )
-            return True, rows, batch_max
+            return True, cutoff
         if versions:
             if any(self._state_version(n) != v for n, v in versions.items()):
                 logger.warning(
                     "view %s: lane states do not match the replay marker (torn fold "
                     "after a crash) — declining to fold; fallback will rebuild", view.name
                 )
-                return True, rows, batch_max
+                return True, cutoff
+        return False, cutoff
+
+    def _lane_guard(self, view: ViewDef, rows: DataFrame) -> tuple[bool, DataFrame, int | None]:
+        """→ (torn, fold_rows, new_marker_lsn). ``fold_rows`` drops
+        already-folded redeliveries; ``torn`` means the stored lane
+        states do not match the marker's recorded versions (a crash
+        interrupted a previous fold mid-write) and the caller must
+        decline so the fallback rebuilds."""
+        torn, cutoff = self._lane_guard_precheck(view)
+        batch_max = rows.agg(F.max("lsn")).collect()[0][0] if "lsn" in rows.columns else None
+        if torn:
+            return True, rows, batch_max
         if cutoff is not None and "lsn" in rows.columns:
             rows = rows.where(F.col("lsn").isNull() | (F.col("lsn") > F.lit(cutoff)))
         new_lsn = max(x for x in (cutoff, batch_max) if x is not None) if (

@@ -181,12 +181,30 @@ class KeyedStateStore:
         from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
+        # the sidecar schema (written on every full write; merges
+        # preserve it — rebuilt buckets project the stored columns) is
+        # the state's exact on-disk schema: passing it to the reader
+        # skips the footer-sampling job EVERY bare parquet read pays —
+        # a fold reads states ~17 times (merges + walk + serve), so the
+        # per-read listing jobs were a visible slice of the driver-paced
+        # critical path. Legacy states without a sidecar fall back to
+        # inference.
+        schema: StructType | None = None
         try:
-            return self.spark.read.parquet(self._path(name))
-        except AnalysisException:
-            # zero data files: rebuild the empty frame from the sidecar
             with open(self._schema_file(name)) as fh:
                 schema = StructType.fromJson(json.load(fh))
+        except (OSError, ValueError, KeyError):
+            schema = None
+        try:
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(self._path(name))
+        except AnalysisException:
+            # zero data files: rebuild the empty frame from the sidecar
+            if schema is None:
+                with open(self._schema_file(name)) as fh:
+                    schema = StructType.fromJson(json.load(fh))
             return self.spark.createDataFrame([], schema)
 
     def read(self, name: str) -> DataFrame | None:
