@@ -231,9 +231,10 @@ def _ddl_cols(ddl: str) -> list[str]:
 
 # rows_for(sdef, keys_df) → the state's CURRENT rows whose key is in
 # keys_df (column names must already match sdef.key_cols); includes the
-# __mult column. The runner backs this with bucket-pruned store reads
-# overlaid with the batch's fold; gate-query simulations back it with
-# in-memory relations.
+# __mult column. keys_df=None asks for the FULL state (serve_docs passes
+# it for states its skip_restrict marks as too small to be worth a
+# probe). The runner backs this with bucket-pruned store reads; gate-
+# query simulations back it with in-memory relations.
 RowsFor = Callable[[DocStateDef, DataFrame], DataFrame]
 
 
@@ -401,15 +402,31 @@ def doc_columns(spec: DocTreeViewSpec) -> list[str]:
 
 
 def serve_docs(
-    spec: DocTreeViewSpec, touched: DataFrame, rows_for: RowsFor
+    spec: DocTreeViewSpec, touched: DataFrame, rows_for: RowsFor,
+    skip_restrict: "Callable[[DocStateDef], bool] | None" = None,
 ) -> DataFrame:
     """Rebuild the touched parents' documents from state restricted to
     the reachable keys. Output: one row per parent key in ``touched``
     that yields a document — parent cols, chain-dim non-key cols, and
     one sorted array column per child (see doc_columns). A touched key
     ABSENT from the output means its doc no longer exists (parent gone
-    or chain broken) — the caller emits the DELETE."""
+    or chain broken) — the caller emits the DELETE.
+
+    ``skip_restrict`` (optional): states for which it returns True are
+    read FULL (``rows_for(sdef, None)``) instead of probe-restricted.
+    Restriction is a correctness requirement only for the PARENT state
+    (it defines the output rows); for dims and children the join itself
+    restricts the output, so for a state small enough that a full read
+    is one cheap scan, the probe's eager materialization (one blocking
+    Spark job per dim level / child) costs more than it saves. The
+    runner passes the store's size-based ``prunable`` signal; at
+    production state sizes every state clears the threshold and the
+    probes engage exactly as before."""
     states = {s.suffix: s for s in doc_tree_states(spec)}
+
+    def _skip(sdef: DocStateDef) -> bool:
+        return skip_restrict is not None and skip_restrict(sdef)
+
     tkeys = touched.toDF(spec.key)
     cur = expand_mult(rows_for(states["p"], tkeys))
     dim_keys: dict[int, DataFrame] = {}  # slim reachable-key frames
@@ -420,10 +437,14 @@ def serve_docs(
         # Materialize the (reachable-keys-sized) probe: the bucket
         # collect inside rows_for and the final doc plan would otherwise
         # EACH re-execute the cur-so-far join chain per dim level
-        probe = cur.select(F.col(d.fk).alias(d.key)).where(
-            F.col(d.key).isNotNull()
-        ).distinct().localCheckpoint(eager=True)
-        dim = expand_mult(rows_for(states[f"d{nd.idx}"], probe))
+        sdef = states[f"d{nd.idx}"]
+        if _skip(sdef):
+            dim = expand_mult(rows_for(sdef, None))
+        else:
+            probe = cur.select(F.col(d.fk).alias(d.key)).where(
+                F.col(d.key).isNotNull()
+            ).distinct().localCheckpoint(eager=True)
+            dim = expand_mult(rows_for(sdef, probe))
         dim_keys[nd.idx] = dim.select(d.key)
         # a dim whose key column shares the fk's NAME (org.mgr referenced
         # by dims.mgr) would make the join condition ambiguous — alias
@@ -445,10 +466,13 @@ def serve_docs(
         # serve time on the flagship bench (serve_sink 10.4 s → 29 s)
         for cn in level:
             ch = cn.child
-            probe_c = probe_src.select(F.col(container_key).alias(ch.fk)).where(
-                F.col(ch.fk).isNotNull()
-            ).distinct().localCheckpoint(eager=True)
-            elem = expand_mult(rows_for(states[cn.suffix], probe_c))
+            if _skip(states[cn.suffix]):
+                elem = expand_mult(rows_for(states[cn.suffix], None))
+            else:
+                probe_c = probe_src.select(F.col(container_key).alias(ch.fk)).where(
+                    F.col(ch.fk).isNotNull()
+                ).distinct().localCheckpoint(eager=True)
+                elem = expand_mult(rows_for(states[cn.suffix], probe_c))
             elem_keys = elem.select(ch.key) if ch.key else None
             payload = [c for c in elem.columns if c != ch.fk]
             for nd in edim_nodes(ch):
@@ -456,10 +480,14 @@ def serve_docs(
                 # preorder: the referrer's columns (the element payload,
                 # or an earlier dim's row) are already joined, so d.fk
                 # resolves at every tree shape
-                probe = elem.select(F.col(d.fk).alias(d.key)).where(
-                    F.col(d.key).isNotNull()
-                ).distinct().localCheckpoint(eager=True)
-                dim = expand_mult(rows_for(states[f"{cn.suffix}d{j}"], probe))
+                esdef = states[f"{cn.suffix}d{j}"]
+                if _skip(esdef):
+                    dim = expand_mult(rows_for(esdef, None))
+                else:
+                    probe = elem.select(F.col(d.fk).alias(d.key)).where(
+                        F.col(d.key).isNotNull()
+                    ).distinct().localCheckpoint(eager=True)
+                    dim = expand_mult(rows_for(esdef, probe))
                 k_alias = d.key if d.key != d.fk else f"__dtek_{cn.suffix}_{j}"
                 if k_alias != d.key:
                     dim = dim.withColumnRenamed(d.key, k_alias)
@@ -542,6 +570,8 @@ def relation_rows_for(relations: dict[str, DataFrame]) -> RowsFor:
                 .groupBy(*sdef.cols)
                 .agg(F.sum(ivm_delta._MULT).alias(ivm_delta._MULT))
             )
+        if keys is None:
+            return rel
         return rel.join(keys.distinct(), list(sdef.key_cols), "left_semi")
 
     return rows_for

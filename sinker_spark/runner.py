@@ -1547,7 +1547,21 @@ class SyncEngine:
             (F.max("lsn") if has_lsn else F.lit(None)).alias("__mx"),
             F.max(F.when(unfold_cond, F.lit(1))).alias("__unf"),
             F.collect_set("table").alias("__tbl"),
+            F.count(F.lit(1)).alias("__n"),
         ).collect()[0]
+        # a SMALL batch spread over many checkpoint partitions makes
+        # every downstream scan pay one task per partition — and the
+        # fold re-scans the batch ~20+ times (per-state change frames,
+        # walk probes): measured 24 map stages × 64 tasks each over a
+        # 1000-row batch (the 2-branch payload/payload_before union
+        # doubles the partition count). Coalesce the CHECKPOINTED frame
+        # (narrow, no re-materialization) so each scan is one task; a
+        # large batch keeps its partitioning (row-count cutover, not a
+        # core-count constant)
+        if (stats["__n"] or 0) <= int(
+            _os.environ.get("SINKER_SPARK_SMALL_BATCH_ROWS", "250000")
+        ):
+            rows = rows.coalesce(1)
         batch_max_lsn = (
             max(x for x in (cutoff, stats["__mx"]) if x is not None)
             if (cutoff is not None or stats["__mx"] is not None)
@@ -1644,6 +1658,42 @@ class SyncEngine:
                 skeys = src_ch.where(_notnull(s.cols)).select(s.key_cols[0]).distinct()
             merge_work.append((s, skeys))
 
+        # ONE union write job for every state instead of one job per
+        # state (8 concurrent single-task writes paid the driver's
+        # per-job floor 8 times — ~4 s wall each under mutual contention
+        # at sf0.1 vs ~1 s alone; the 8-core near-parity in BENCH_r07's
+        # scaling block is the same signature). With the OVERLAY on top,
+        # the walk and serve read the OLD files plus the batch's signed
+        # delta as a lazy group-sum — row-identical to the post-merge
+        # files by apply_join_state's own identity — so the fold's
+        # critical path never waits on the merge write at all; the
+        # destructive dir swap runs after the sink (reads never race
+        # file replacement). Both knobs are A/B kill-switches.
+        _union_merge = _os.environ.get("SINKER_SPARK_UNION_MERGE", "1") != "0"
+        _overlay = _union_merge and (
+            _os.environ.get("SINKER_SPARK_FOLD_OVERLAY", "1") != "0"
+        )
+
+        # raw signed delta per state (insert +1 / delete −1, no netting
+        # groupBy — every consumer group-sums, which nets identical rows
+        # anyway): shared by the merge rebuilds AND the overlay reads
+        _sign = (
+            F.when(F.col(ivm_delta.OP_COL) == ivm_delta.DELETE, F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        deltas: dict[str, DataFrame] = {}
+        for s, _sk in merge_work:
+            if s.source is None:
+                ch = changes[s.suffix]
+            else:
+                ch = changes[s.source].where(_notnull(s.cols)).select(
+                    *s.cols, ivm_delta.OP_COL
+                )
+            deltas[s.suffix] = ch.withColumn(ivm_delta._MULT, _sign).drop(
+                ivm_delta.OP_COL
+            )
+
         if merge_work:
             # ONE batched bucket-id job for every state (tagged union)
             # instead of two driver round-trips per state (the read
@@ -1670,32 +1720,53 @@ class SyncEngine:
 
             _merge_detail: dict[str, float] = {}
 
-            def _one_merge(work) -> None:
+            def _merge_item(work):
+                """(name, rebuild, key_cols, buckets) for one state —
+                fold the signed delta into the affected buckets. The
+                delta is RAW signed rows (insert +1 / delete −1, no
+                netting groupBy — apply_join_state's group-sum nets
+                identical rows anyway, so the changes_to_mult shuffle
+                per state was pure overhead). A SMALL state (bucket set
+                = the whole grid) folds as one group-sum over
+                old ∪ delta — untouched rows group with nothing and
+                pass through unchanged, no anti/semi broadcasts. A
+                LARGE state keeps the keep/hit split so untouched
+                bucket rows are never re-grouped."""
                 s, skeys = work
-                _m0 = _time.perf_counter()
                 bks = bmap.get(s.suffix, [])
-                # fold the signed delta into the affected buckets in ONE
-                # job: untouched rows pass through an anti-join (no
-                # re-grouping of the whole bucket), touched rows group-
-                # sum with the delta
-                if s.source is None:
-                    delta = ivm_delta.changes_to_mult(changes[s.suffix])
-                else:
-                    delta = ivm_delta.changes_to_mult(
-                        changes[s.source].where(_notnull(s.cols)).select(
-                            *s.cols, ivm_delta.OP_COL
-                        )
-                    )
+                delta = deltas[s.suffix]
                 kc = list(s.key_cols)
 
-                def rebuild(old, d=delta, k=skeys, kc=kc):
-                    keep = old.join(F.broadcast(k), kc, "left_anti")
-                    hit = old.join(F.broadcast(k), kc, "left_semi")
-                    return keep.unionByName(ivm_delta.apply_join_state(hit, d))
+                if self.keyed.prunable(names[s.suffix]):
+                    def rebuild(old, d=delta, k=skeys, kc=kc):
+                        keep = old.join(F.broadcast(k), kc, "left_anti")
+                        hit = old.join(F.broadcast(k), kc, "left_semi")
+                        return keep.unionByName(ivm_delta.apply_join_state(hit, d))
+                else:
+                    # small state: one group-sum over old ∪ delta (an
+                    # identity on untouched rows) — measured FASTER in
+                    # the union write job than the anti/semi broadcasts
+                    # (fewer stage waves; the whole state is one task's
+                    # worth of rows anyway)
+                    def rebuild(old, d=delta):
+                        return ivm_delta.apply_join_state(old, d)
 
-                self.keyed.rewrite_buckets(names[s.suffix], rebuild, kc, bks)
+                return (names[s.suffix], rebuild, kc, bks)
+
+            def _merge_group(label: str, work_list) -> None:
+                _m0 = _time.perf_counter()
+                self.keyed.rewrite_buckets_many(
+                    [_merge_item(w) for w in work_list]
+                )
                 if _timing:
-                    _merge_detail[s.suffix] = round(
+                    _merge_detail[label] = round(_time.perf_counter() - _m0, 3)
+
+            def _one_merge(work) -> None:
+                _m0 = _time.perf_counter()
+                name, rebuild, kc, bks = _merge_item(work)
+                self.keyed.rewrite_buckets(name, rebuild, kc, bks)
+                if _timing:
+                    _merge_detail[work[0].suffix] = round(
                         _time.perf_counter() - _m0, 3
                     )
 
@@ -1704,44 +1775,108 @@ class SyncEngine:
         ) -> DataFrame:
             """Post-merge state rows for ``keys``: a plain bucket-pruned
             read + broadcast semi-join — the batch is already folded
-            into the files."""
+            into the files. ``keys=None`` serves the FULL state (the
+            serve's skip_restrict path for states too small to be worth
+            a probe job)."""
+            if keys is None:
+                return self.keyed._read_parquet(names[sdef.suffix]).drop("__bucket")
             keys = keys.distinct()
             kc = list(sdef.key_cols)
             return self.keyed.read_for_keys(
                 names[sdef.suffix], keys, kc, buckets=buckets
             ).join(F.broadcast(keys), kc, "left_semi")
 
-        def _walk() -> DataFrame:
+        def _walk(rows_for=None) -> DataFrame:
             return ivm_flagship.touched_parent_keys(
-                spec, change_keys, rows_for_merged
+                spec, change_keys, rows_for or rows_for_merged
             ).localCheckpoint(eager=True)
 
-        # 8 concurrent per-state merge jobs: measured ~11% off the
-        # fold at sf0.1 vs 4 (state_merge 4.24 → 3.65 s warmed,
-        # flat beyond 8 — the residual is per-job overhead + I/O).
-        # The reverse walk reads ONLY the index states (source set,
-        # suffix r*) and the serve reads ONLY base states — disjoint
-        # sets — so the walk starts as soon as the index merges land
-        # and overlaps the remaining base-state merges (guide §2.6:
-        # concurrent jobs back-fill the merge tail). Phase accounting
-        # under the overlap: "reverse_walk" spans index-merge wait +
-        # walk; "state_merge" is the residual base-merge wait beyond
-        # the walk (their sum is still the region's wall time).
+        # Scheduling. DEFERRED-SWAP (default): the merge runs as TWO
+        # concurrent union write jobs (index group / base group) into
+        # temp dirs while the walk runs on the caller thread against the
+        # UNTOUCHED old files — sound with the identical touched-key
+        # set, by the mirror of the post-fold-walk induction: a parent
+        # that referenced the changed row's chain BEFORE the batch is
+        # reached through the old indexes, and one that newly references
+        # it had a nearer row change IN this batch (the edge lives in
+        # the referrer's own row), so it is reached directly via that
+        # relation's Δ — both images of every change enter the walk.
+        # After the walk, the fold waits out the writes (usually already
+        # done — they ran under the walk), runs the destructive dir
+        # swaps, and the serve reads the MERGED files plain:
+        # state-before-action, the same order and crash discipline as
+        # before. Legacy shapes kept for A/B: eager union-merge (walk
+        # waits for the index-group job) and the per-state 8-job pool.
+        # Phase accounting: deferred-swap "reverse_walk" is the pure
+        # walk and "state_merge" the residual write wait + swap; legacy
+        # "reverse_walk" spans index-merge wait + walk as before.
         n_workers = int(_os.environ.get("SINKER_SPARK_MERGE_WORKERS", "8"))
-        if merge_work:
-            idx_work = [w for w in merge_work if w[0].source is not None]
-            base_work = [w for w in merge_work if w[0].source is None]
-            with ThreadPoolExecutor(
-                max_workers=min(max(1, n_workers), len(merge_work))
-            ) as pool:
-                idx_futs = [pool.submit(_one_merge, w) for w in idx_work]
-                base_futs = [pool.submit(_one_merge, w) for w in base_work]
-                for f in idx_futs:
-                    f.result()
+        if merge_work and _overlay:
+            idx_items = [
+                _merge_item(w) for w in merge_work if w[0].source is not None
+            ]
+            base_items = [
+                _merge_item(w) for w in merge_work if w[0].source is None
+            ]
+
+            def _write_group(label: str, items):
+                _m0 = _time.perf_counter()
+                swap = self.keyed.rewrite_buckets_many(items, defer_swap=True)
+                if _timing:
+                    _merge_detail[f"write_{label}"] = round(
+                        _time.perf_counter() - _m0, 3
+                    )
+                return swap
+
+            with ThreadPoolExecutor(max_workers=2) as _merge_pool:
+                futs = [
+                    _merge_pool.submit(_write_group, label, items)
+                    for label, items in (
+                        ("index", idx_items), ("base", base_items)
+                    )
+                    if items
+                ]
                 touched = _walk()
                 _mark("reverse_walk")
-                for f in base_futs:
-                    f.result()
+                swaps = [f.result() for f in futs]
+            for swap in swaps:
+                swap()
+            if _timing and _merge_detail:
+                _phases["state_merge_detail"] = dict(  # type: ignore[assignment]
+                    sorted(_merge_detail.items(), key=lambda kv: -kv[1])
+                )
+            _mark("state_merge")
+        elif merge_work:
+            idx_work = [w for w in merge_work if w[0].source is not None]
+            base_work = [w for w in merge_work if w[0].source is None]
+            if _union_merge:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    idx_futs = (
+                        [pool.submit(_merge_group, "index", idx_work)]
+                        if idx_work else []
+                    )
+                    base_futs = (
+                        [pool.submit(_merge_group, "base", base_work)]
+                        if base_work else []
+                    )
+                    for f in idx_futs:
+                        f.result()
+                    touched = _walk()
+                    _mark("reverse_walk")
+                    for f in base_futs:
+                        f.result()
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=min(max(1, n_workers), len(merge_work))
+                ) as pool:
+                    idx_futs = [pool.submit(_one_merge, w) for w in idx_work]
+                    base_futs = [pool.submit(_one_merge, w) for w in base_work]
+                    for f in idx_futs:
+                        f.result()
+                    touched = _walk()
+                    _mark("reverse_walk")
+                    for f in base_futs:
+                        f.result()
             if _timing and _merge_detail:
                 _phases["state_merge_detail"] = dict(  # type: ignore[assignment]
                     sorted(_merge_detail.items(), key=lambda kv: -kv[1])
@@ -1760,7 +1895,20 @@ class SyncEngine:
 
             docs = ivm_doc_sql.serve_docs_sql(sql_doc, touched, rows_for_merged)
         else:
-            docs = ivm_flagship.serve_docs(spec, touched, rows_for_merged)
+            # size-based probe skip: a state below the store's pruning
+            # threshold is one cheap full scan — the probe's eager
+            # materialization job costs more than the restriction saves
+            # (restriction is correctness-required only for the parent,
+            # which serve_docs always restricts; a 2 MB child-specific
+            # threshold was also measured — the smaller array groupBy
+            # only repaid the probe jobs it added, a wash)
+            docs = ivm_flagship.serve_docs(
+                spec, touched, rows_for_merged,
+                skip_restrict=lambda sd: not self.keyed.prunable(names[sd.suffix]),
+            )
+        _serve_detail: dict[str, float] = {}
+        if _timing:
+            _serve_detail["plan"] = round(_time.perf_counter() - _tprev, 3)
         # the serve lineage (state reads + dim joins + array assembly) is
         # referenced by BOTH action branches (upserts, and the retraction
         # anti-join) — persist AND materialize it eagerly: inside the
@@ -1769,6 +1917,10 @@ class SyncEngine:
         # the whole serve a second time
         docs = docs.persist()
         n_docs = docs.count()
+        if _timing:
+            _serve_detail["count"] = round(
+                _time.perf_counter() - _tprev - _serve_detail["plan"], 3
+            )
         if sql_doc is not None:
             upserts = docs.select(
                 F.col(spec.key).cast("string").alias(view.key),
@@ -1799,6 +1951,12 @@ class SyncEngine:
             counts = {UPSERT: n_docs, DELETE: touched.count() - n_docs}
         finally:
             docs.unpersist()
+        if _timing:
+            _serve_detail["sink"] = round(
+                _time.perf_counter() - _tprev
+                - _serve_detail["plan"] - _serve_detail["count"], 3
+            )
+            _phases["serve_detail"] = _serve_detail  # type: ignore[assignment]
         _mark("serve_sink")
         self._write_lane_marker(view, batch_max_lsn)
         _mark("marker")
